@@ -1,13 +1,36 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` aggregates every operator family's registry; each entry is a
+  * pure `(SparkSession, sfDir) => DataFrame`. `oracleSql` carries the
+  * DuckDB-equivalent ANSI SQL for the hash-compare gate (omitted entries
+  * get a rows-only check).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The minigrep analog (SURVEY.md §3.3): scan documents, regex-filter,
+    * project — the reference tutorial's whole program as one declarative
+    * plan (/root/reference/tutorial/minigrep/minigrep.go:117-144). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    graft.pipeline.MiniGrep.run(spark, "/root/testdata/sf0.001", "spark")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.operators.Relational.queries ++
+    graft.operators.Dedup.queries ++
+    graft.operators.Similarity.queries ++
+    graft.operators.TextAnalysis.queries ++
+    graft.operators.Multimodal.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    graft.operators.Relational.oracleSql ++
+    graft.operators.Dedup.oracleSql ++
+    graft.operators.Similarity.oracleSql ++
+    graft.operators.TextAnalysis.oracleSql ++
+    graft.operators.Multimodal.oracleSql
 }

@@ -1,0 +1,514 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Relational/analytic operator library (SURVEY.md §2.4).
+  *
+  * The reference (mariomac/pipes) contains zero relational operators — its
+  * MiddleFunc contract (/root/reference/pipe/node.go:19) merely *permits*
+  * user code to implement map/filter/flatMap/stateful aggregation inside a
+  * node. Here each capability category is realized with Spark built-ins so
+  * Catalyst keeps the whole plan declarative: predicate pushdown, column
+  * pruning, broadcast selection, AQE and whole-stage codegen all apply.
+  *
+  * Oracle-parity conventions (see BASELINE.md "design implications"):
+  *   - Money sums use exact integer cents — `sum(round(x*100)::bigint)` —
+  *     because double summation order differs between engines. Per-row
+  *     double arithmetic is IEEE-deterministic and needs no rounding.
+  *   - Timestamps are returned as formatted strings (engine-neutral).
+  *   - Window orderings always carry a unique tiebreaker column so row
+  *     sets are deterministic across engines.
+  */
+object Relational {
+
+  /** Exact integer cents for a money column: per-row double→cents rounding
+    * is deterministic across engines; the integer sum is order-insensitive
+    * (exact) unlike a double sum. Scale note: sums stay in 64-bit longs —
+    * 100 TB of lineitem revenue is ~1e17 cents, still within Long range. */
+  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- Aggregation (TPC-H Q1 shape): map-side partial agg + 2-stage hash agg;
+    //    the shipdate filter is pushed into the parquet scan.
+    "q01_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_cents"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge_cents"),
+          avg(col("l_quantity")).as("avg_qty"),
+          (sum(cents(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price_cents"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // -- Projection + filter: both reach the parquet scan (PushedFilters/ReadSchema).
+    "q02_filter_project" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+                col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("disc_price"))
+    }),
+
+    // -- Broadcast hash join: `part` is a dimension (200k rows at SF100 —
+    //    still broadcastable); no shuffle of the fact table.
+    "q03_broadcast_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p  = Tables.part(s, d)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"),
+             count(lit(1)).as("n_items"))
+    }),
+
+    // -- Shuffle (sort-merge/hash) join on the fact-fact edge; at 100 TB both
+    //    sides hash-partition on l_orderkey/o_orderkey; AQE handles skew.
+    "q04_shuffle_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o  = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // -- Multi-way join chain (TPC-H Q5 shape): dims broadcast, facts shuffle.
+    "q05_join_chain" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") <  lit("1997-01-01").cast("timestamp"))
+      val li   = Tables.lineitem(s, d)
+      val sup  = Tables.supplier(s, d)
+      val nat  = Tables.nation(s, d)
+      val reg  = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+                              col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+    }),
+
+    // -- Left semi join (EXISTS): no row multiplication, build side deduped.
+    "q06_semi_join" -> ((s, d) => {
+      val p  = Tables.part(s, d)
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+      p.join(li, p("p_partkey") === li("l_partkey"), "left_semi")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_parts"))
+    }),
+
+    // -- Left anti join (NOT EXISTS): customers with no orders since 2000.
+    "q07_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    }),
+
+    // -- Left outer join + two-level aggregation (TPC-H Q13 shape).
+    "q08_outer_join_agg" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // -- Window: top-k per group via row_number (unique tiebreaker ⇒
+    //    deterministic set). At scale this is a single shuffle on the
+    //    partition key; no global sort.
+    "q09_window_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }),
+
+    // -- Window: running (cumulative) aggregate per group.
+    "q10_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(cents(col("o_totalprice"))).over(w).as("running_cents"))
+    }),
+
+    // -- Window: lag — days since previous order per customer.
+    "q11_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+            .as("days_since_prev"))
+    }),
+
+    // -- Window: rank / dense_rank / ntile with full deterministic ordering.
+    "q12_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
+    // -- Global sort + limit (top-k): Spark plans TakeOrderedAndProject —
+    //    per-partition heaps, no full sort at scale.
+    "q13_sort_limit" -> ((s, d) => {
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    }),
+
+    // -- Set ops: EXCEPT both directions + INTERSECT, tagged union.
+    "q14_setops" -> ((s, d) => {
+      val cn = Tables.customer(s, d).filter(col("c_acctbal") < -500)
+        .select(col("c_nationkey").as("nationkey"))
+      val sn = Tables.supplier(s, d).filter(col("s_acctbal") < -500)
+        .select(col("s_nationkey").as("nationkey"))
+      cn.except(sn).withColumn("side", lit("customer_only"))
+        .unionByName(sn.except(cn).withColumn("side", lit("supplier_only")))
+        .unionByName(cn.intersect(sn).withColumn("side", lit("both")))
+    }),
+
+    // -- Distinct (shuffle dedup with partial map-side combine).
+    "q15_distinct" -> ((s, d) => {
+      Tables.orders(s, d).select(col("o_orderstatus"), col("o_orderpriority")).distinct()
+    }),
+
+    // -- ROLLUP (hierarchical grouping sets).
+    "q16_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+                col("sum_qty"), col("n"))
+    }),
+
+    // -- CUBE (all grouping-set combinations).
+    "q17_cube" -> ((s, d) => {
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+                coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+                col("n"), col("total_cents"))
+    }),
+
+    // -- Exact distinct aggregation (expand + two-phase agg under the hood).
+    "q18_count_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"),
+             count(lit(1)).as("n_rows"))
+    }),
+
+    // -- HLL sketch (approx_count_distinct): constant-memory distinct at
+    //    100 TB. Approximate ⇒ no DuckDB oracle (driver rows-only check);
+    //    exactness is asserted against exact counts in RelationalSpec.
+    "q19_approx_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+             count(lit(1)).as("n_events"))
+    }),
+
+    // -- Scalar string functions (all codegen'd builtins).
+    "q20_string_funcs" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_upper"),
+        regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+        substring(col("p_name"), 1, 5).as("name_pfx"))
+    }),
+
+    // -- Scalar date/time functions; timestamps surfaced as strings for
+    //    engine-neutral comparison.
+    "q21_date_funcs" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+                 quarter(col("o_orderdate")).as("qtr"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(cents(col("o_totalprice"))).as("total_cents"))
+    }),
+
+    // -- JSON extraction from the events.props column.
+    "q22_json_extract" -> ((s, d) => {
+      Tables.events(s, d).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+    }),
+
+    // -- CASE WHEN bucketing.
+    "q23_case_when" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("band",
+          when(col("o_totalprice") < 100000, "low")
+            .when(col("o_totalprice") < 200000, "mid")
+            .otherwise("high"))
+        .groupBy(col("band"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_cents"))
+    }),
+
+    // -- Array functions over tokenized text.
+    "q24_array_funcs" -> ((s, d) => {
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        array_contains(toks, "spark").as("has_spark"),
+        element_at(toks, 1).as("first_tok"))
+    }),
+
+    // -- Explode (flatMap 1→N, the reference's E7 FileScanner shape:
+    //    /root/reference/tutorial/minigrep/minigrep.go:65-85).
+    "q25_explode_wordcount" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // -- Scalar math functions (IEEE-exact subset: abs/ceil/floor/sign/sqrt).
+    "q26_math_funcs" -> ((s, d) => {
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        abs(col("c_acctbal")).as("bal_abs"),
+        ceil(col("c_acctbal")).cast("long").as("bal_ceil"),
+        floor(col("c_acctbal")).cast("long").as("bal_floor"),
+        signum(col("c_acctbal")).cast("int").as("bal_sign"),
+        sqrt(abs(col("c_acctbal"))).as("bal_sqrt"))
+    }),
+
+    // -- Event-time tumbling window over the stream-shaped table (batch
+    //    form; the streaming form with watermark lives in graft.streaming).
+    "q27_event_tumbling" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+                col("event_type"), col("n"), col("value_cents"))
+    }),
+
+    // -- Sessionization: session_window in batch mode; 30-minute gap.
+    "q28_sessionize" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+    }),
+
+    // -- Deterministic dedup: first event per (user_id, event_type) by
+    //    event_id — the argmin pattern (window + filter, single shuffle).
+    "q29_first_event" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+    })
+  )
+
+  /** DuckDB-runnable ANSI oracle per query (same table names, same aliases). */
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+         sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_cents,
+         sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS sum_charge_cents,
+         avg(l_quantity) AS avg_qty,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/count(*) AS avg_price_cents,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         l_extendedprice*(1-l_discount) AS disc_price
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate <  TIMESTAMP '1997-01-01' AND l_quantity > 45""",
+    "q03_broadcast_join" ->
+      """SELECT p_brand,
+         sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents,
+         count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand""",
+    "q04_shuffle_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items, sum(l_quantity) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""",
+    "q05_join_chain" ->
+      """SELECT n_name,
+         sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents
+         FROM customer
+         JOIN orders   ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate <  TIMESTAMP '1997-01-01'
+         GROUP BY n_name""",
+    "q06_semi_join" ->
+      """SELECT p_brand, count(*) AS n_parts FROM part
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_partkey = p_partkey
+                         AND l_shipdate >= TIMESTAMP '1998-01-01')
+         GROUP BY p_brand""",
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND o_orderdate >= TIMESTAMP '2000-01-01')""",
+    "q08_outer_join_agg" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+           SELECT c_custkey, count(o_orderkey) AS c_count
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY c_custkey) GROUP BY c_count""",
+    "q09_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn <= 3""",
+    "q10_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+         sum(CAST(round(o_totalprice*100) AS BIGINT))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+         FROM orders""",
+    "q11_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+         CAST(date_diff('day',
+           lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate ASC, o_orderkey ASC),
+           o_orderdate) AS INT) AS days_since_prev
+         FROM orders""",
+    "q12_window_rank" ->
+      """SELECT s_suppkey, s_nationkey,
+         rank()       OVER w AS rnk,
+         dense_rank() OVER w AS drnk,
+         ntile(4)     OVER w AS quartile
+         FROM supplier
+         WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)""",
+    "q13_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q14_setops" ->
+      """WITH cn AS (SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal < -500),
+              sn AS (SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal < -500)
+         SELECT nationkey, 'customer_only' AS side FROM (SELECT * FROM cn EXCEPT SELECT * FROM sn)
+         UNION ALL
+         SELECT nationkey, 'supplier_only' AS side FROM (SELECT * FROM sn EXCEPT SELECT * FROM cn)
+         UNION ALL
+         SELECT nationkey, 'both' AS side FROM (SELECT * FROM cn INTERSECT SELECT * FROM sn)""",
+    "q15_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "q16_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf, coalesce(l_linestatus,'ALL') AS ls,
+         sum(l_quantity) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q17_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+         coalesce(o_orderpriority,'ALL') AS priority,
+         count(*) AS n, sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q18_count_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag""",
+    "q20_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS name_upper,
+         regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+         length(p_name) AS name_len,
+         concat_ws('-', p_brand, p_type) AS brand_type,
+         substring(p_name, 1, 5) AS name_pfx
+         FROM part""",
+    "q21_date_funcs" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(quarter(o_orderdate) AS INT) AS qtr,
+         count(*) AS n_orders,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+         FROM orders GROUP BY 1, 2""",
+    "q22_json_extract" ->
+      """SELECT event_id,
+         CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+         FROM events""",
+    "q23_case_when" ->
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                     WHEN o_totalprice < 200000 THEN 'mid'
+                     ELSE 'high' END AS band,
+         o_orderstatus, count(*) AS n,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+         FROM orders GROUP BY 1, 2""",
+    "q24_array_funcs" ->
+      """SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+         list_contains(string_split(text, ' '), 'spark') AS has_spark,
+         string_split(text, ' ')[1] AS first_tok
+         FROM documents""",
+    "q25_explode_wordcount" ->
+      """SELECT token, count(*) AS cnt FROM (
+           SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+         GROUP BY token""",
+    "q26_math_funcs" ->
+      """SELECT c_custkey, abs(c_acctbal) AS bal_abs,
+         CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
+         CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+         CAST(sign(c_acctbal) AS INT) AS bal_sign,
+         sqrt(abs(c_acctbal)) AS bal_sqrt
+         FROM customer""",
+    "q27_event_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+         event_type, count(*) AS n,
+         sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+         FROM events GROUP BY 1, 2""",
+    "q28_sessionize" ->
+      """SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events FROM (
+           SELECT user_id, sess, count(*) AS n_events FROM (
+             SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             FROM (
+               SELECT user_id, ts, event_id,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+               FROM events))
+           GROUP BY user_id, sess)
+         GROUP BY user_id""",
+    "q29_first_event" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+           SELECT user_id, event_type, event_id, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY event_id ASC) AS rn
+           FROM events) WHERE rn = 1"""
+  )
+}

@@ -1,0 +1,44 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table loaders.
+  *
+  * The reference library has no built-in sources — every source is a
+  * user-coded `StartFunc` (/root/reference/pipe/node.go:14). Our engine's
+  * sources are Spark's native readers; this object centralizes the driver
+  * fixture layout (`TESTDATA.md`): one parquet file per table under a
+  * scale-factor directory.
+  *
+  * Scale note: `spark.read.parquet` yields one task per parquet row-group /
+  * `maxPartitionBytes` split, so the same call scales from 6k rows (sf0.001)
+  * to 100 TB — partitioning comes from the source layout, never from
+  * driver-side logic here.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects (PARQUET_TYPE_ILLEGAL). Read nanos as raw long (legacy conf),
+    * then integer-divide to micros — `ts div 1000`, NOT `/1000` (double
+    * division loses precision above 2^53, and epoch-nanos ≈ 1.7e18). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
