@@ -1,9 +1,213 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
 
-/** Text-analysis operators (SURVEY.md §2.5) — filled in incrementally. */
+/** Text-analysis operators (SURVEY.md §2.5) over the `documents` table.
+  *
+  * The reference's MiddleFunc contract (/root/reference/pipe/node.go:19)
+  * permits arbitrary per-element text processing inside a node; here each
+  * pattern a training-data pipeline needs (token stats, language ID,
+  * quality scoring, fingerprinting, TF-IDF, n-grams) is a declarative
+  * Spark plan built purely from codegen'd built-ins — no UDFs, so
+  * whole-stage codegen spans the entire pipeline and column pruning
+  * reaches the parquet scan (only `doc_id`/`text` are read).
+  *
+  * Scale notes (100 TB):
+  *   - Everything here is embarrassingly parallel per document except the
+  *     df/tfidf join (ta05) and global bigram counts (ta06), which are
+  *     single-shuffle hash aggregations with map-side partial combine.
+  *   - Cross-engine determinism: token sums are exact integers; every
+  *     emitted double is `round(x, 6)`; ranking always happens on the
+  *     *rounded* value with a lexical tiebreaker so Spark and the DuckDB
+  *     oracle agree bit-for-bit.
+  */
 object TextAnalysis {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  /** Non-empty whitespace tokens of `text` (SQL-expression form so the
+    * same lambda works inside any surrounding expression). */
+  private val toks = "filter(split(text, ' '), x -> x <> '')"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- Token statistics: counts + average token length. Narrow (no
+    //    shuffle) — one pass over the scan, codegen end-to-end.
+    "ta01_token_stats" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        expr(s"size($toks)").as("n_tokens"),
+        expr(s"size(array_distinct($toks))").as("n_unique"),
+        round(
+          expr(s"aggregate(transform($toks, x -> length(x)), 0, (a, x) -> a + x)")
+            .cast("double") / expr(s"size($toks)"), 6).as("avg_tok_len"))
+    }),
+
+    // -- Language ID, n-gram-heuristic style: score = share of tokens in a
+    //    tiny function-word set; thresholds bucket into en/mixed/other.
+    //    The scoring table is a broadcast-sized constant folded into the
+    //    plan (array_contains on a literal array).
+    "ta02_lang_id" -> ((s, d) => {
+      val stop = "array('the','a','of','and','in','to','is')"
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr(s"size(filter($toks, x -> array_contains($stop, x)))")
+            .cast("double").as("hits"),
+          expr(s"size($toks)").cast("double").as("n"))
+        .select(col("doc_id"), col("lang"),
+          round(col("hits") / col("n"), 6).as("stop_ratio"),
+          when(col("hits") / col("n") >= 0.15, "en")
+            .when(col("hits") / col("n") >= 0.05, "mixed")
+            .otherwise("other").as("pred_lang"))
+    }),
+
+    // -- Quality scoring: length score, lexical diversity, max-token
+    //    repetition penalty, composite. The per-doc max token frequency
+    //    needs one explode + two hash aggs (both partial-agg friendly).
+    "ta03_quality_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(expr(toks)).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("max_tf"), sum(col("c")).as("n_toks"),
+             count(lit(1)).as("n_uniq"))
+      tf.select(
+        col("doc_id"),
+        round(least(col("n_toks").cast("double") / 100d, lit(1d)), 6).as("len_score"),
+        round(col("n_uniq").cast("double") / col("n_toks"), 6).as("diversity"),
+        round(col("max_tf").cast("double") / col("n_toks"), 6).as("max_tf_ratio"),
+        round(
+          least(col("n_toks").cast("double") / 100d, lit(1d)) * 0.5
+            + (col("n_uniq").cast("double") / col("n_toks")) * 0.5, 6).as("quality"))
+    }),
+
+    // -- Document fingerprinting: whole-doc md5, a 1024-way shard bucket
+    //    from its leading 8 hex digits, and a winnowing-style min-hash
+    //    over word 3-gram shingles. Narrow; md5 is codegen'd.
+    "ta04_fingerprint" -> ((s, d) => {
+      val sh = s"transform(sequence(0, size($toks) - 3), " +
+        s"i -> concat(element_at($toks, i + 1), ' ', element_at($toks, i + 2), ' ', element_at($toks, i + 3)))"
+      Tables.documents(s, d)
+        .filter(expr(s"size($toks) >= 3"))
+        .select(
+          col("doc_id"),
+          md5(concat_ws(" ", expr(toks))).as("fp_md5"),
+          (expr(s"cast(conv(substring(md5(concat_ws(' ', $toks)), 1, 8), 16, 10) as bigint)") % 1024)
+            .as("fp_bucket"),
+          expr(s"array_min(transform($sh, g -> md5(g)))").as("min_shingle_md5"))
+    }),
+
+    // -- TF-IDF top-3 terms per document. Two hash aggs + one broadcast-
+    //    able df join (vocab ≪ corpus at any scale); ranking happens on
+    //    the rounded score so both engines agree on ties.
+    "ta05_tfidf_top3" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val term = docs.select(col("doc_id"), explode(expr(toks)).as("term"))
+      val tf = term.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df_ = term.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+      val scored = tf.join(broadcast(df_), "term").crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("term").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("tfidf"), col("rnk"))
+    }),
+
+    // -- Corpus-level word-bigram frequencies: shingle then one hash agg
+    //    (map-side combine keeps the shuffle tiny — vocab², not corpus).
+    "ta06_bigram_freq" -> ((s, d) => {
+      val bi = s"transform(sequence(0, size($toks) - 2), " +
+        s"i -> concat(element_at($toks, i + 1), ' ', element_at($toks, i + 2)))"
+      Tables.documents(s, d)
+        .filter(expr(s"size($toks) >= 2"))
+        .select(explode(expr(bi)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // -- Regex ("BPE-ish") token counting: alpha runs extracted by
+    //    regexp_extract_all; counts stay exact integers.
+    "ta07_regex_tokens" -> ((s, d) => {
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        expr("size(regexp_extract_all(text, '[a-z]+', 0))").as("n_alpha_runs"),
+        expr("size(array_distinct(regexp_extract_all(text, '[a-z]+', 0)))").as("n_uniq_runs"))
+    })
+  )
+
+  private val dtoks = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+  def oracleSql: Map[String, String] = Map(
+    "ta01_token_stats" ->
+      s"""SELECT doc_id,
+          CAST(len($dtoks) AS INT) AS n_tokens,
+          CAST(len(list_distinct($dtoks)) AS INT) AS n_unique,
+          round(CAST(list_aggregate(list_transform($dtoks, x -> length(x)), 'sum') AS DOUBLE)
+                / len($dtoks), 6) AS avg_tok_len
+          FROM documents""",
+    "ta02_lang_id" ->
+      s"""SELECT doc_id, lang,
+          round(hits / n, 6) AS stop_ratio,
+          CASE WHEN hits / n >= 0.15 THEN 'en'
+               WHEN hits / n >= 0.05 THEN 'mixed'
+               ELSE 'other' END AS pred_lang
+          FROM (SELECT doc_id, lang,
+            CAST(len(list_filter($dtoks,
+              x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE) AS hits,
+            CAST(len($dtoks) AS DOUBLE) AS n
+          FROM documents)""",
+    "ta03_quality_score" ->
+      """SELECT doc_id,
+          round(least(CAST(n_toks AS DOUBLE) / 100, 1.0), 6) AS len_score,
+          round(CAST(n_uniq AS DOUBLE) / n_toks, 6) AS diversity,
+          round(CAST(max_tf AS DOUBLE) / n_toks, 6) AS max_tf_ratio,
+          round(least(CAST(n_toks AS DOUBLE) / 100, 1.0) * 0.5
+                + (CAST(n_uniq AS DOUBLE) / n_toks) * 0.5, 6) AS quality
+          FROM (
+            SELECT doc_id, max(c) AS max_tf, sum(c) AS n_toks, count(*) AS n_uniq
+            FROM (SELECT doc_id, tok, count(*) AS c FROM (
+                    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+                    FROM documents) GROUP BY doc_id, tok)
+            GROUP BY doc_id)""",
+    "ta04_fingerprint" ->
+      s"""SELECT doc_id,
+          md5(array_to_string($dtoks, ' ')) AS fp_md5,
+          CAST(concat('0x', substr(md5(array_to_string($dtoks, ' ')), 1, 8)) AS BIGINT) % 1024 AS fp_bucket,
+          list_aggregate(list_transform(
+            list_transform(range(len($dtoks) - 2),
+              i -> $dtoks[i+1] || ' ' || $dtoks[i+2] || ' ' || $dtoks[i+3]),
+            g -> md5(g)), 'min') AS min_shingle_md5
+          FROM documents WHERE len($dtoks) >= 3""",
+    "ta05_tfidf_top3" ->
+      """WITH term AS (
+           SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+           FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM term GROUP BY 1, 2),
+         df AS (SELECT term, count(DISTINCT doc_id) AS df FROM term GROUP BY 1),
+         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM term),
+         scored AS (
+           SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+           FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+         SELECT doc_id, term, tfidf, rnk FROM (
+           SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                    ORDER BY tfidf DESC, term ASC) AS INT) AS rnk
+           FROM scored) WHERE rnk <= 3""",
+    "ta06_bigram_freq" ->
+      s"""SELECT bigram, count(*) AS cnt FROM (
+            SELECT unnest(list_transform(range(len($dtoks) - 1),
+              i -> $dtoks[i+1] || ' ' || $dtoks[i+2])) AS bigram
+            FROM documents WHERE len($dtoks) >= 2)
+          GROUP BY bigram""",
+    "ta07_regex_tokens" ->
+      """SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha_runs,
+          CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS INT) AS n_uniq_runs
+          FROM documents"""
+  )
 }
