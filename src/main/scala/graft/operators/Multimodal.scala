@@ -1,9 +1,132 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
 
-/** Multimodal-column operators (SURVEY.md §2.5) — filled in incrementally. */
+/** Decoded-media metadata row produced by the fake decoder (mm02). */
+final case class DecodedMeta(
+  doc_id: Long, width: Int, height: Int, format: String, n_pixels: Long)
+
+/** Multimodal-column operators (SURVEY.md §2.5).
+  *
+  * Media are opaque `binary` columns with typed metadata — the
+  * pointer-style layout that survives 100 TB (wide blobs stay in object
+  * storage; rows carry bytes or (path, offset, length) pointers). The
+  * fixture has no real media, so the *decode* step is a deterministic
+  * fake (documented below); everything Spark-side is real and tested:
+  * binary casting, schema, per-partition batch processing via typed
+  * `mapPartitions`, frame-index expansion, and byte-range chunking.
+  *
+  *   - mm01: blob ingestion — byte length, magic prefix, content hash.
+  *   - mm02: the decode pattern: `Dataset[(id, bytes)].mapPartitions`
+  *     with one expensive resource (here a MessageDigest standing in for
+  *     an image decoder / model) initialized once per partition — the
+  *     Scala analog of the `mapInPandas` batch-UDF shape. The "decode"
+  *     derives width/height/format from the blob's md5, so the DuckDB
+  *     oracle can verify the plumbing end-to-end.
+  *   - mm03: frame sampling — one row per sampled frame index.
+  *   - mm04: byte-range chunk index — (offset, length, chunk hash).
+  *
+  * A real deployment swaps the body of [[fakeDecode]] for the actual
+  * decoder; partitioning, schema and batch shape stay identical.
+  */
 object Multimodal {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  /** STUB decoder: stands in for image decode (no media libs in this
+    * environment). Deterministic: all outputs derive from md5(blob). */
+  private def fakeDecode(md: java.security.MessageDigest)(
+      id: Long, blob: Array[Byte]): DecodedMeta = {
+    md.reset()
+    val h = md.digest(blob)
+    val b0 = h(0) & 0xff; val b1 = h(1) & 0xff; val b2 = h(2) & 0xff
+    val w = 64 + b0 % 192
+    val ht = 64 + b1 % 192
+    val fmt = Seq("jpeg", "png", "webp")(b2 % 3)
+    DecodedMeta(id, w, ht, fmt, w.toLong * ht)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- Blob ingestion metadata: narrow, codegen'd; the binary column
+    //    never leaves the executor.
+    "mm01_blob_meta" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("blob", col("text").cast("binary"))
+        .select(
+          col("doc_id"),
+          length(col("blob")).as("n_bytes"),
+          upper(hex(expr("substring(blob, 1, 4)"))).as("magic_hex"),
+          md5(col("blob")).as("content_md5"))
+    }),
+
+    // -- Typed mapPartitions decode: one digest (≈ decoder/model) per
+    //    partition, streamed over the iterator — constant memory, no
+    //    collect, scales with partition count.
+    "mm02_decode_meta" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { case (id, blob) => fakeDecode(md)(id, blob) }
+        }
+        .toDF()
+    }),
+
+    // -- Frame sampling: every 25th frame index of a pretend video whose
+    //    frame count is the byte length. Explode is the scalable form —
+    //    rows stay narrow, no driver loops.
+    "mm03_frame_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(expr("sequence(0, length(text) - 1, 25)")).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          md5(concat(col("doc_id"), lit(":"), col("frame_idx"))).as("frame_key"))
+    }),
+
+    // -- Byte-range chunk index: pointer-style (offset, length, hash)
+    //    rows for 100-byte chunks — the layout for large-blob processing
+    //    without materializing wide rows.
+    "mm04_chunk_index" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0, length(text) - 1, 100)")).as("chunk_off"))
+        .select(col("doc_id"), col("chunk_off"),
+          least(lit(100), length(col("text")) - col("chunk_off")).as("chunk_len"),
+          md5(expr("substring(text, chunk_off + 1, 100)")).as("chunk_md5"))
+        .drop("text")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // Text is ASCII, so string ops on `text` see the same bytes the
+    // Spark side hashes through the binary cast.
+    "mm01_blob_meta" ->
+      """SELECT doc_id,
+         CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+         upper(hex(substr(text, 1, 4))) AS magic_hex,
+         md5(text) AS content_md5
+         FROM documents""",
+    "mm02_decode_meta" ->
+      """SELECT doc_id,
+         CAST(64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) % 192 AS INT) AS width,
+         CAST(64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) % 192 AS INT) AS height,
+         CASE CAST(concat('0x', substr(md5(text), 5, 2)) AS INT) % 3
+           WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
+         CAST((64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) % 192)
+            * (64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) % 192) AS BIGINT) AS n_pixels
+         FROM documents""",
+    "mm03_frame_sample" ->
+      """SELECT doc_id, frame_idx, md5(concat(doc_id, ':', frame_idx)) AS frame_key FROM (
+           SELECT doc_id, CAST(unnest(range(0, CAST(length(text) AS BIGINT), 25)) AS INT) AS frame_idx
+           FROM documents)""",
+    "mm04_chunk_index" ->
+      """SELECT doc_id, chunk_off,
+         CAST(least(100, length(text) - chunk_off) AS INT) AS chunk_len,
+         md5(substr(text, chunk_off + 1, 100)) AS chunk_md5
+         FROM (SELECT doc_id, text,
+                 CAST(unnest(range(0, CAST(length(text) AS BIGINT), 100)) AS INT) AS chunk_off
+               FROM documents)"""
+  )
 }

@@ -1,9 +1,170 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
 
-/** Similarity-search operators (SURVEY.md §2.5) — filled in incrementally. */
+/** Similarity-search operators (SURVEY.md §2.5) over `embeddings`
+  * (`vec_id bigint, embedding array<float>, label int`).
+  *
+  * Three tiers, mirroring how ANN is actually deployed at 100 TB:
+  *
+  *   - ss01 brute-force top-k: the correctness baseline. Queries are a
+  *     small set → broadcast them against the corpus; one pass, one
+  *     window per query for top-k. Cost O(|Q|·n), fine when |Q| ≪ n.
+  *   - ss02 IVF top-k: coarse partition (here the fixture's `label` as
+  *     the cell id — in production, k-means centroid assignment) turns
+  *     the scan into per-cell scans; the join key is the cell id, so the
+  *     shuffle is by cell and each query only touches its cell.
+  *   - ss03 LSH-bucketed ANN: random-hyperplane signatures. Plane
+  *     weights are md5-derived integers and embeddings are quantized to
+  *     integers for the signature dot product, so bucket assignment is
+  *     an exact integer computation — associative, order-free, and thus
+  *     deterministic across partitionings AND engines (a float sum would
+  *     be neither). Final scoring uses true float cosine on the small
+  *     candidate set only.
+  *
+  * Cosine = dot/sqrt(na·nb) with sequential per-row folds (see Dedup);
+  * all ranking happens on the 6-decimal-rounded value with vec_id
+  * tiebreakers.
+  */
 object Similarity {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"), col("label"),
+      expr("transform(embedding, x -> cast(x as double))").as("e"))
+
+  /** cosine(a.e, b.e) — fixed formula + fold order, rounded to 6 dp. */
+  private val cosAB: Column = {
+    val dot = expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
+    val na  = expr("aggregate(transform(a.e, x -> x * x), cast(0 as double), (acc, x) -> acc + x)")
+    val nb  = expr("aggregate(transform(b.e, x -> x * x), cast(0 as double), (acc, x) -> acc + x)")
+    round(dot / sqrt(na * nb), 6)
+  }
+
+  /** DuckDB twin of [[cosAB]] for tables aliased a/b with DOUBLE[] e. */
+  private val dCosAB =
+    """round(list_dot_product(a.e, b.e)
+       / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6)"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- Brute-force cosine top-5 for a fixed query set (vec_id % 50 = 0).
+    //    The query side is broadcast: no shuffle of the corpus at all.
+    "ss01_cosine_topk" -> ((s, d) => {
+      val v = vecs(s, d)
+      val q = v.filter(col("vec_id") % 50 === 0)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      broadcast(q).as("a")
+        .join(v.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+          cosAB.as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+    }),
+
+    // -- IVF: same-cell (label) top-3. The corpus shuffles once on the
+    //    cell id; each query's work is bounded by its cell size.
+    "ss02_ivf_topk" -> ((s, d) => {
+      val v = vecs(s, d)
+      val q = v.filter(col("vec_id") % 50 === 0)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      q.as("a")
+        .join(v.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+          cosAB.as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+    }),
+
+    // -- LSH ANN: 6 md5-derived integer hyperplanes → 64 buckets.
+    //    Signature via posexplode + broadcast plane-matrix join + integer
+    //    sum (exact, associative — safe under any partitioning). Then
+    //    bucket-equality candidate join + true-cosine top-3.
+    "ss03_lsh_ann" -> ((s, d) => {
+      val v = vecs(s, d)
+      // Plane matrix: (p 0..5, i 0..63, w in [-500, 500]) — 384 rows,
+      // broadcast; w = md5-derived pseudo-random integer.
+      val planes = s.range(6).toDF("p")
+        .select(col("p"), explode(expr("sequence(0, 63)")).as("i"))
+        .select(col("p").cast("int").as("p"), col("i"),
+          (expr("cast(conv(substring(md5(concat(p, ':', i)), 1, 8), 16, 10) as bigint)") % 1001 - 500)
+            .as("w"))
+      // Quantized components: xq = round(x * 1e6) — integer dot products.
+      val comps = v.select(col("vec_id"), posexplode(col("e")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i"), expr("cast(round(x * 1000000, 0) as bigint)").as("xq"))
+      val sig = comps.join(broadcast(planes), "i")
+        .groupBy(col("vec_id"), col("p"))
+        .agg(sum(col("xq") * col("w")).as("dot"))
+        .groupBy(col("vec_id"))
+        .agg(sum(expr("if(dot > 0, shiftleft(cast(1 as bigint), p), cast(0 as bigint))")).as("sig"))
+      val withSig = v.join(sig, "vec_id")
+      val q = withSig.filter(col("vec_id") % 50 === 0)
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      q.as("a")
+        .join(withSig.as("b"),
+          col("a.sig") === col("b.sig") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+          col("a.sig").as("bucket"), cosAB.as("cos"))
+        .withColumn("rnk", row_number().over(w2))
+        .filter(col("rnk") <= 3)
+    })
+  )
+
+  private val dVecs =
+    "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings"
+
+  def oracleSql: Map[String, String] = Map(
+    "ss01_cosine_topk" ->
+      s"""WITH v AS ($dVecs)
+          SELECT query_id, neighbor_id, cos, rnk FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              $dCosAB AS cos,
+              CAST(row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY $dCosAB DESC, b.vec_id ASC) AS INT) AS rnk
+            FROM v a JOIN v b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id)
+          WHERE rnk <= 5""",
+    "ss02_ivf_topk" ->
+      s"""WITH v AS ($dVecs)
+          SELECT query_id, neighbor_id, cos, rnk FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              $dCosAB AS cos,
+              CAST(row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY $dCosAB DESC, b.vec_id ASC) AS INT) AS rnk
+            FROM v a JOIN v b
+              ON a.vec_id % 50 = 0 AND a.label = b.label AND a.vec_id <> b.vec_id)
+          WHERE rnk <= 3""",
+    "ss03_lsh_ann" ->
+      s"""WITH v AS ($dVecs),
+          planes AS (
+            SELECT CAST(pp.p AS INT) AS p, CAST(ii.i AS INT) AS i,
+              CAST(concat('0x', substr(md5(concat(pp.p, ':', ii.i)), 1, 8)) AS BIGINT)
+                % 1001 - 500 AS w
+            FROM range(6) pp(p), range(64) ii(i)),
+          comps AS (
+            SELECT vec_id, CAST(t.i AS INT) AS i,
+              CAST(round(e[CAST(t.i AS INT) + 1] * 1000000, 0) AS BIGINT) AS xq
+            FROM v, range(64) t(i)),
+          dots AS (
+            SELECT vec_id, p, sum(xq * w) AS dot
+            FROM comps JOIN planes USING (i) GROUP BY 1, 2),
+          sig AS (
+            SELECT vec_id,
+              sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END) AS sig
+            FROM dots GROUP BY 1),
+          ws AS (SELECT v.*, sig.sig FROM v JOIN sig USING (vec_id))
+          SELECT query_id, neighbor_id, bucket, cos, rnk FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              a.sig AS bucket, $dCosAB AS cos,
+              CAST(row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY $dCosAB DESC, b.vec_id ASC) AS INT) AS rnk
+            FROM ws a JOIN ws b
+              ON a.vec_id % 50 = 0 AND a.sig = b.sig AND a.vec_id <> b.vec_id)
+          WHERE rnk <= 3"""
+  )
 }
