@@ -23,7 +23,8 @@ object SparkEntry {
     graft.operators.Dedup.queries ++
     graft.operators.Similarity.queries ++
     graft.operators.TextAnalysis.queries ++
-    graft.operators.Multimodal.queries
+    graft.operators.Multimodal.queries ++
+    graft.streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
     graft.operators.Dedup.oracleSql ++
     graft.operators.Similarity.oracleSql ++
     graft.operators.TextAnalysis.oracleSql ++
-    graft.operators.Multimodal.oracleSql
+    graft.operators.Multimodal.oracleSql ++
+    graft.streaming.Streams.oracleSql
 }

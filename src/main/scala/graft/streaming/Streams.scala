@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Per-user running aggregate state for st03 (mapGroupsWithState). */
+final case class UserAgg(n_events: Long, value_cents: Long)
+final case class UserAggOut(user_id: Long, n_events: Long, value_cents: Long)
+/** Input row shape for st03 — cents pre-rounded by a Spark expression
+  * so engine rounding semantics (HALF_UP) stay identical to the batch
+  * queries (math.round would differ on negative half-cents). */
+final case class EventRow(user_id: Long, cents: Long)
+
+/** Structured Streaming operators (SURVEY.md §2.4 streaming rows).
+  *
+  * The reference's streams are unbounded Go channels with close-cascade
+  * termination (/root/reference/pipe/node.go:12-13,
+  * /root/reference/pipe/internal/connect/connectors.go:36-41). Spark-first,
+  * a bounded run of an unbounded pipeline is `Trigger.AvailableNow`:
+  * process everything available, then stop — the analog of "all sources
+  * returned, close cascade drains the graph". `StreamingQuery
+  * .awaitTermination` is the reference's `Runner.Done()`.
+  *
+  * Each query here builds a *streaming* plan over the same events parquet
+  * the batch queries read, runs it to completion, and returns the result
+  * table — so the driver's DuckDB oracle checks stream/batch parity.
+  * The memory sink is test-scale only; production sinks are parquet/Kafka
+  * via the same `writeStream` call. The stateful shapes (windowed agg,
+  * streaming dedup, mapGroupsWithState) shuffle by key into state-store
+  * partitions exactly as a cluster run would.
+  */
+object Streams {
+
+  private val nameSeq = new AtomicInteger(0)
+
+  /** Events as a *stream*: schema from a batch peek (schema inference is
+    * off in production streaming), nanos→micros ts like Tables.events. */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$d/events.parquet"
+    val schema = s.read.parquet(path).schema
+    // The file-stream source lists a *directory*; the fixture is a single
+    // file, so stream the parent dir with a glob filter on the file name.
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming Dataset to completion into a memory sink; return the
+    * materialized result. Complete mode: the sink holds the final state
+    * of the aggregation, independent of how AvailableNow batched the
+    * input. */
+  private def runToTable(ds: Dataset[_], mode: OutputMode): DataFrame = {
+    val name = s"graft_stream_${nameSeq.incrementAndGet()}"
+    val q = ds.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ds.sparkSession.table(name)
+  }
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- Streaming tumbling-window aggregation; same oracle as the batch
+    //    q27 — stream/batch parity is the assertion.
+    "st01_stream_tumbling" -> ((s, d) => {
+      val agg = eventStream(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"), col("n"), col("value_cents"))
+      runToTable(agg, OutputMode.Complete())
+    }),
+
+    // -- Streaming dedup (dropDuplicates state) feeding an aggregation:
+    //    distinct (user, event_type) pairs counted per type.
+    "st02_stream_dedup" -> ((s, d) => {
+      val agg = eventStream(s, d)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+      runToTable(agg, OutputMode.Complete())
+    }),
+
+    // -- Custom state via mapGroupsWithState — the faithful analog of the
+    //    reference's "stateful MiddleFunc" (SURVEY.md §2.3): per-user
+    //    running count + cents sum held in a typed state store. Update
+    //    mode emits one row per key per batch; n_events is monotone, so
+    //    the final state per key is the max-n_events row — selected with
+    //    a deterministic argmax, robust to AvailableNow batch splits.
+    "st03_stateful_running" -> ((s, d) => {
+      import s.implicits._
+      val updates = eventStream(s, d)
+        .select(col("user_id"), cents(col("value")).as("cents")).as[EventRow]
+        .groupByKey(_.user_id)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[EventRow], state: GroupState[UserAgg]) =>
+            val prev = state.getOption.getOrElse(UserAgg(0L, 0L))
+            var n = prev.n_events
+            var cents = prev.value_cents
+            rows.foreach { r =>
+              n += 1
+              cents += r.cents
+            }
+            val next = UserAgg(n, cents)
+            state.update(next)
+            UserAggOut(uid, next.n_events, next.value_cents)
+        }
+      val emitted = runToTable(updates, OutputMode.Update())
+      // Final state per key = the monotone-max emission.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_events").desc)
+      emitted.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n_events"), col("value_cents"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "st01_stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+         event_type, count(*) AS n,
+         sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+         FROM events GROUP BY 1, 2""",
+    "st02_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_users FROM (
+           SELECT DISTINCT user_id, event_type FROM events)
+         GROUP BY event_type""",
+    "st03_stateful_running" ->
+      """SELECT user_id, count(*) AS n_events,
+         sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+         FROM events GROUP BY user_id"""
+  )
+}
