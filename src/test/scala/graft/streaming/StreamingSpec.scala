@@ -1,0 +1,52 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import java.sql.Timestamp
+
+/** Watermark / event-time semantics the oracle can't express: late-data
+  * dropping, window assignment — tested with MemoryStream, the analog of
+  * the reference's in-memory channel fixtures (SURVEY.md §5 pattern 1). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermark drops late rows beyond the delay") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val agg = mem.toDS().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(sum(col("v")).as("total"))
+      .select(date_format(col("window.start"), "HH:mm").as("w"), col("total"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode(OutputMode.Append()).start()
+    // Batch 1: rows at 10:00-10:04 and 10:31 → watermark advances to 10:21.
+    mem.addData((ts(0), 1L), (ts(4), 2L), (ts(31), 10L))
+    q.processAllAvailable()
+    // Batch 2: a row at 10:02 is >10min behind the watermark → dropped;
+    // a row at 10:33 lands in the open 10:30 window.
+    mem.addData((ts(2), 100L), (ts(33), 20L))
+    q.processAllAvailable()
+    // Batch 3: advance watermark past 10:35 to close the 10:30 window.
+    mem.addData((ts(50), 1L))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm_test").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("10:00") === 3L)   // 1+2; the late 100 was dropped
+    assert(out("10:30") === 30L)  // 10+20
+  }
+
+  test("AvailableNow streaming equals batch on the events fixture") {
+    val streamed = Streams.queries("st01_stream_tumbling")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Relational.queries("q27_event_tumbling")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+  }
+}
