@@ -38,28 +38,70 @@ object Dedup {
     s"array_distinct(transform(sequence(0, size($toks) - 3), " +
     s"i -> concat(element_at($toks, i + 1), ' ', element_at($toks, i + 2), ' ', element_at($toks, i + 3))))"
 
-  /** doc_id + distinct 3-gram shingle set (docs with ≥3 tokens). */
+  /** doc_id + distinct 3-gram shingle set, hashed to 60-bit ints (docs
+    * with ≥3 tokens). Hashing before the pairwise phase is the scale
+    * design: integer array_intersect beats string intersect, and at
+    * 100 TB the pair joins shuffle 8-byte hashes, not text. Identical
+    * md5-prefix hashing on the oracle side keeps Jaccard values equal
+    * (a 60-bit collision would shift both engines the same way). */
   private def shingleSets(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .filter(expr(s"size($toks) >= 3"))
-      .select(col("doc_id"), expr(shingles).as("sh"))
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .filter(expr("size(tk) >= 3"))
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(" +
+        "transform(sequence(0, size(tk) - 3), " +
+        "i -> concat(element_at(tk, i + 1), ' ', element_at(tk, i + 2), ' ', element_at(tk, i + 3))), " +
+        "g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)))"
+      ).as("sh"))
 
-  /** MinHash signature, long format: k md5-string minima over shingles.
-    * The explode is k rows per shingle but the shuffle is only k rows per
-    * doc thanks to partial (map-side) min. */
-  private def minhashSig(s: SparkSession, d: String, k: Int): DataFrame =
-    shingleSets(s, d)
-      .select(col("doc_id"), explode(col("sh")).as("g"))
-      .select(col("doc_id"), explode(expr(s"sequence(0, ${k - 1})")).as("hid"), col("g"))
-      .groupBy(col("doc_id"), col("hid"))
-      .agg(min(md5(concat(col("hid"), lit(":"), col("g")))).as("minhash"))
+  /** MinHash permutation constants: h_i(x) = (A_i·x + B_i) mod P over a
+    * 31-bit base hash. P is the Mersenne prime 2^31−1; A_i·x stays under
+    * 2^54 so the arithmetic never overflows a signed 64-bit in either
+    * engine. The base hash is the first 60 bits of md5 — computed ONCE
+    * per shingle; the k permutations are cheap integer ops (vs k md5
+    * calls per shingle, which dominated the profile at sf0.1). */
+  private val P = 2147483647L
+  private val A = Seq(1299721L, 15485863L, 32452843L, 49979687L,
+                      67867967L, 86028121L, 104395301L, 122949823L)
+  private val B = Seq.tabulate(8)(i => i * 999983L + 12345L)
+
+  /** One row per (doc_id, shingle occurrence). Explodes a cheap integer
+    * index and builds each shingle once in the outer projection —
+    * exploding the shingle *array* would re-evaluate its construction
+    * lambda per output element (O(len²) per doc, the dominant cost in
+    * the first bench profile). Multiset, not set: fine for min/majority
+    * aggregation, which is duplicate-insensitive for min. */
+  private def shingleStream(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .filter(expr("size(tk) >= 3"))
+      .select(col("doc_id"), col("tk"),
+        explode(expr("sequence(0, size(tk) - 3)")).as("i"))
+      .select(col("doc_id"), expr(
+        "concat(element_at(tk, i + 1), ' ', element_at(tk, i + 2), ' ', element_at(tk, i + 3))").as("g"))
+
+  /** MinHash signature, long format (doc_id, hid, minhash). All k minima
+    * are computed in a single hash aggregation — the shuffle carries k
+    * longs per doc (map-side partial min), and the unpivot to long
+    * format happens on k rows per doc, post-agg. */
+  private def minhashSig(s: SparkSession, d: String, k: Int): DataFrame = {
+    val h = shingleStream(s, d)
+      .select(col("doc_id"),
+        (expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)") % P).as("h31"))
+    val minima = (0 until k).map(i =>
+      min((col("h31") * A(i) + B(i)) % P).as(s"mh$i"))
+    val wide = h.groupBy(col("doc_id")).agg(minima.head, minima.tail: _*)
+    val stackArgs = (0 until k).map(i => s"$i, mh$i").mkString(", ")
+    wide.select(col("doc_id"),
+      expr(s"stack($k, $stackArgs)").as(Seq("hid", "minhash")))
+  }
 
   /** 32-bit SimHash over tf-weighted shingles: bit j is the majority of
     * hash-bit j across all shingle occurrences. One explode + one hash
     * agg carrying 32 conditional bit-sums (no 32× row blowup). */
   private def simhash(s: SparkSession, d: String): DataFrame = {
-    val h = shingleSets(s, d)
-      .select(col("doc_id"), explode(col("sh")).as("g"))
+    val h = shingleStream(s, d)
       .select(col("doc_id"),
         expr("cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint)").as("hv"))
     val bitSums = (0 until 32).map(j => sum(expr(s"shiftright(hv, $j) & 1")).as(s"b$j"))
@@ -71,11 +113,10 @@ object Dedup {
     agged.select(col("doc_id"), fingerprint.as("simhash"))
   }
 
-  /** Jaccard of two shingle-set columns, rounded for engine parity. */
-  private def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    round(inter / (size(a) + size(b) - size(array_intersect(a, b))), 6)
-  }
+  /** Jaccard from a precomputed intersection-size column (the intersect
+    * is the expensive part — never evaluate it twice per pair). */
+  private def jaccardOf(inter: Column, a: Column, b: Column): Column =
+    round(inter.cast("double") / (size(a) + size(b) - inter), 6)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Exact dedup: group by normalized content, keep the smallest
@@ -112,8 +153,9 @@ object Dedup {
       cand
         .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
         .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
+        .withColumn("inter", size(array_intersect(col("x.sh"), col("y.sh"))))
         .select(col("doc_a"), col("doc_b"),
-          jaccard(col("x.sh"), col("y.sh")).as("jaccard"))
+          jaccardOf(col("inter"), col("x.sh"), col("y.sh")).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
     }),
 
@@ -128,8 +170,14 @@ object Dedup {
         .join(docs.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
+        // Length filter: j >= 0.3 forces min(|A|,|B|)/max >= 0.3, so this
+        // prunes pairs before the (expensive) intersect without changing
+        // the result — the classic set-similarity-join optimization.
+        .filter(size(col("a.sh")) * 10 >= size(col("b.sh")) * 3 &&
+                size(col("b.sh")) * 10 >= size(col("a.sh")) * 3)
+        .withColumn("inter", size(array_intersect(col("a.sh"), col("b.sh"))))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+          jaccardOf(col("inter"), col("a.sh"), col("b.sh")).as("jaccard"))
         .filter(col("jaccard") >= 0.3)
     }),
 
@@ -160,35 +208,47 @@ object Dedup {
     //    Cosine = dot/sqrt(na*nb) with sequential folds; rounded before
     //    the threshold so both engines make the same keep/drop decision.
     "dd07_embedding_neardup" -> ((s, d) => {
+      // Norms are per-vector, not per-pair: compute once before the join
+      // (same doubles, same formula — only the evaluation count changes).
       val v = Tables.embeddings(s, d).select(
         col("vec_id"), col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("e"))
+        .withColumn("nrm",
+          expr("aggregate(transform(e, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
       val dotAB = expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
-      val nA = expr("aggregate(transform(a.e, x -> x * x), cast(0 as double), (acc, x) -> acc + x)")
-      val nB = expr("aggregate(transform(b.e, x -> x * x), cast(0 as double), (acc, x) -> acc + x)")
       v.as("a")
         .join(v.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(dotAB / sqrt(nA * nB), 6).as("cos"))
+          round(dotAB / sqrt(col("a.nrm") * col("b.nrm")), 6).as("cos"))
         .filter(col("cos") >= 0.4)
     })
   )
 
   private val dtoks = "list_filter(string_split(text, ' '), x -> x <> '')"
-  private val dsh =
-    s"list_distinct(list_transform(range(len($dtoks) - 2), " +
-    s"i -> $dtoks[i+1] || ' ' || $dtoks[i+2] || ' ' || $dtoks[i+3]))"
+  private val dshStr =
+    s"list_transform(range(len($dtoks) - 2), " +
+    s"i -> $dtoks[i+1] || ' ' || $dtoks[i+2] || ' ' || $dtoks[i+3])"
+  /** Multiset shingle stream (one row per occurrence) — sig/simhash. */
+  private val dStream =
+    s"SELECT doc_id, unnest($dshStr) AS g FROM documents WHERE len($dtoks) >= 3"
+  /** Distinct 60-bit-hashed shingle sets — Jaccard verification. */
   private val dSets =
-    s"SELECT doc_id, $dsh AS sh FROM documents WHERE len($dtoks) >= 3"
+    s"""SELECT doc_id, list_distinct(list_transform($dshStr,
+          g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT))) AS sh
+        FROM documents WHERE len($dtoks) >= 3"""
+  private val dA = A.mkString("[", ", ", "]")
+  private val dB = B.mkString("[", ", ", "]")
   private val dSig =
-    s"""WITH sets AS ($dSets),
-        e AS (SELECT doc_id, unnest(sh) AS g FROM sets)
+    s"""WITH e AS ($dStream),
+        h AS (SELECT doc_id,
+                CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % $P AS h31
+              FROM e)
         SELECT doc_id, CAST(t.hid AS INT) AS hid,
-               min(md5(concat(t.hid, ':', g))) AS minhash
-        FROM e, range(8) t(hid) GROUP BY 1, 2"""
+               min((h31 * ($dA)[CAST(t.hid AS INT) + 1]
+                    + ($dB)[CAST(t.hid AS INT) + 1]) % $P) AS minhash
+        FROM h, range(8) t(hid) GROUP BY 1, 2"""
   private val dSimhash =
-    s"""WITH sets AS ($dSets),
-        e AS (SELECT doc_id, unnest(sh) AS g FROM sets),
+    s"""WITH e AS ($dStream),
         h AS (SELECT doc_id,
                 CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) AS hv FROM e),
         bits AS (SELECT doc_id, j, sum((hv >> CAST(j AS INT)) & 1) AS sc, count(*) AS n
@@ -221,7 +281,9 @@ object Dedup {
                       JOIN sets y ON doc_b = y.doc_id)
           WHERE jaccard >= 0.5""",
     "dd04_ngram_jaccard" ->
-      s"""WITH docs AS (SELECT doc_id, lang, source, $dsh AS sh
+      s"""WITH docs AS (SELECT doc_id, lang, source,
+                          list_distinct(list_transform($dshStr,
+                            g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT))) AS sh
                         FROM documents WHERE len($dtoks) >= 3)
           SELECT doc_a, doc_b, jaccard FROM (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -35,13 +35,14 @@ object Similarity {
     Tables.embeddings(s, d).select(
       col("vec_id"), col("label"),
       expr("transform(embedding, x -> cast(x as double))").as("e"))
+      // Norm is per-vector: computed once here, never per candidate pair.
+      .withColumn("nrm",
+        expr("aggregate(transform(e, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
 
   /** cosine(a.e, b.e) — fixed formula + fold order, rounded to 6 dp. */
   private val cosAB: Column = {
     val dot = expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
-    val na  = expr("aggregate(transform(a.e, x -> x * x), cast(0 as double), (acc, x) -> acc + x)")
-    val nb  = expr("aggregate(transform(b.e, x -> x * x), cast(0 as double), (acc, x) -> acc + x)")
-    round(dot / sqrt(na * nb), 6)
+    round(dot / sqrt(col("a.nrm") * col("b.nrm")), 6)
   }
 
   /** DuckDB twin of [[cosAB]] for tables aliased a/b with DOUBLE[] e. */

@@ -86,16 +86,22 @@ object TextAnalysis {
     //    from its leading 8 hex digits, and a winnowing-style min-hash
     //    over word 3-gram shingles. Narrow; md5 is codegen'd.
     "ta04_fingerprint" -> ((s, d) => {
-      val sh = s"transform(sequence(0, size($toks) - 3), " +
-        s"i -> concat(element_at($toks, i + 1), ' ', element_at($toks, i + 2), ' ', element_at($toks, i + 3)))"
+      // Stage the token array and normalized text once; downstream
+      // expressions reference the columns instead of re-splitting.
       Tables.documents(s, d)
-        .filter(expr(s"size($toks) >= 3"))
+        .select(col("doc_id"), expr(toks).as("tk"))
+        .filter(expr("size(tk) >= 3"))
+        .withColumn("norm_text", concat_ws(" ", col("tk")))
+        .withColumn("fp_md5", md5(col("norm_text")))
         .select(
           col("doc_id"),
-          md5(concat_ws(" ", expr(toks))).as("fp_md5"),
-          (expr(s"cast(conv(substring(md5(concat_ws(' ', $toks)), 1, 8), 16, 10) as bigint)") % 1024)
+          col("fp_md5"),
+          (expr("cast(conv(substring(fp_md5, 1, 8), 16, 10) as bigint)") % 1024)
             .as("fp_bucket"),
-          expr(s"array_min(transform($sh, g -> md5(g)))").as("min_shingle_md5"))
+          expr("array_min(transform(" +
+            "transform(sequence(0, size(tk) - 3), " +
+            "i -> concat(element_at(tk, i + 1), ' ', element_at(tk, i + 2), ' ', element_at(tk, i + 3))), " +
+            "g -> md5(g)))").as("min_shingle_md5"))
     }),
 
     // -- TF-IDF top-3 terms per document. Two hash aggs + one broadcast-
@@ -121,11 +127,14 @@ object TextAnalysis {
     // -- Corpus-level word-bigram frequencies: shingle then one hash agg
     //    (map-side combine keeps the shuffle tiny — vocab², not corpus).
     "ta06_bigram_freq" -> ((s, d) => {
-      val bi = s"transform(sequence(0, size($toks) - 2), " +
-        s"i -> concat(element_at($toks, i + 1), ' ', element_at($toks, i + 2)))"
+      // Index-explode: building the bigram in the outer projection keeps
+      // the per-output work O(1) (exploding a constructed array would
+      // re-run its lambda per output element — O(len²) per doc).
       Tables.documents(s, d)
-        .filter(expr(s"size($toks) >= 2"))
-        .select(explode(expr(bi)).as("bigram"))
+        .select(expr(toks).as("tk"))
+        .filter(expr("size(tk) >= 2"))
+        .select(col("tk"), explode(expr("sequence(0, size(tk) - 2)")).as("i"))
+        .select(expr("concat(element_at(tk, i + 1), ' ', element_at(tk, i + 2))").as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
     }),
 

@@ -20,8 +20,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Read a fixture table. The driver fixtures are single-row-group
+    * parquet files, which Spark cannot split — a raw scan would run the
+    * entire downstream pipeline in ONE task. On a real 100 TB layout the
+    * source has thousands of row-groups and this branch never fires; for
+    * the local fixtures we redistribute once so every core participates.
+    * Hash-partitioning on the leading (key) column avoids the local sort
+    * that round-robin repartitioning inserts. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val p = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df
+    else df.repartition(p, org.apache.spark.sql.functions.col(df.columns.head))
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

@@ -46,8 +46,10 @@ class OperatorsSpec extends SparkSpec {
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // Brute force over all pairs (test scale only).
     val toks = "filter(split(text, ' '), x -> x <> '')"
-    val sh = s"array_distinct(transform(sequence(0, size($toks) - 3), " +
-      s"i -> concat(element_at($toks, i+1), ' ', element_at($toks, i+2), ' ', element_at($toks, i+3))))"
+    // Same 60-bit-hashed shingle sets as the library (see Dedup).
+    val sh = s"array_distinct(transform(transform(sequence(0, size($toks) - 3), " +
+      s"i -> concat(element_at($toks, i+1), ' ', element_at($toks, i+2), ' ', element_at($toks, i+3))), " +
+      s"g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)))"
     val sets = graft.sources.Tables.documents(spark, sfDir)
       .filter(expr(s"size($toks) >= 3")).select(col("doc_id"), expr(sh).as("sh"))
     val brute = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
