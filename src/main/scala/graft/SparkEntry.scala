@@ -20,6 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.operators.Relational.queries ++
+    graft.operators.Advanced.queries ++
     graft.operators.Dedup.queries ++
     graft.operators.Similarity.queries ++
     graft.operators.TextAnalysis.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.operators.Relational.oracleSql ++
+    graft.operators.Advanced.oracleSql ++
     graft.operators.Dedup.oracleSql ++
     graft.operators.Similarity.oracleSql ++
     graft.operators.TextAnalysis.oracleSql ++

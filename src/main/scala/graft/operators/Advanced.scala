@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import graft.sources.Tables
+
+/** Buffer/result types for the custom typed Aggregator (q32). */
+final case class CentsStats(sum_cents: Long, max_cents: Long, n: Long)
+
+/** Advanced relational operators (SURVEY.md §2.4 rows the base library
+  * left open): as-of join, range join, custom UDAF, scalar UDF.
+  *
+  * The as-of join is the showcase: the naive formulation is a join +
+  * per-row argmax (quadratic per key); the Spark-first formulation is
+  * the union-and-window pattern — tag both streams, one shuffle on the
+  * key, one ordered pass with `last(..., ignoreNulls)` — linear, one
+  * exchange, no join at all. The DuckDB oracle intentionally computes
+  * the same result with the join+argmax formulation, so the check also
+  * validates algorithm equivalence, not just arithmetic.
+  */
+object Advanced {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+
+  /** Typed Aggregator (the reference's "stateful user aggregation inside
+    * a node", SURVEY.md §2.3, as a first-class Spark UDAF): exact money
+    * stats in integer cents. */
+  private val centsStats: Aggregator[Long, CentsStats, CentsStats] =
+    new Aggregator[Long, CentsStats, CentsStats] {
+      def zero: CentsStats = CentsStats(0L, Long.MinValue, 0L)
+      def reduce(b: CentsStats, a: Long): CentsStats =
+        CentsStats(b.sum_cents + a, math.max(b.max_cents, a), b.n + 1)
+      def merge(x: CentsStats, y: CentsStats): CentsStats =
+        CentsStats(x.sum_cents + y.sum_cents, math.max(x.max_cents, y.max_cents), x.n + y.n)
+      def finish(r: CentsStats): CentsStats = r
+      def bufferEncoder = Encoders.product[CentsStats]
+      def outputEncoder = Encoders.product[CentsStats]
+    }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- As-of join: for every click, the user's most recent view at or
+    //    before it. Union-and-window: O(n log n) per key partition, ONE
+    //    shuffle — this survives 100 TB where join+argmax would not.
+    "q30_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("is_view").desc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("is_view", (col("event_type") === "view").cast("int"))
+        // A view at the same instant as a click sorts first (is_view
+        // desc), so "at or before" includes ties deterministically.
+        .withColumn("last_view_ts",
+          last(when(col("is_view") === 1, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("last_view_ts"), "yyyy-MM-dd HH:mm:ss").as("asof_view_ts"))
+    }),
+
+    // -- Range join: follow-up events within 5 minutes after each click,
+    //    same user. Equi-key on user_id carries the shuffle; the range
+    //    predicate filters inside each key partition. At extreme scale,
+    //    bucketing ts into 5-minute bins turns this into a pure equi-join.
+    "q31_range_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+      clicks.join(ev,
+          clicks("user_id") === ev("user_id") &&
+          ev("ts") > col("cts") &&
+          ev("ts") <= col("cts") + expr("INTERVAL 5 MINUTES"))
+        .groupBy(col("click_id"))
+        .agg(count(lit(1)).as("n_followups"))
+    }),
+
+    // -- Custom typed Aggregator used as an untyped UDAF in groupBy.agg:
+    //    exact integer-cents sum/max/count per order status.
+    "q32_custom_udaf" -> ((s, d) => {
+      val stats = udaf(centsStats, Encoders.scalaLong)
+      Tables.orders(s, d)
+        .withColumn("cents", cents(col("o_totalprice")))
+        .groupBy(col("o_orderstatus"))
+        .agg(stats(col("cents")).as("st"))
+        .select(col("o_orderstatus"),
+          col("st.sum_cents").as("sum_cents"),
+          col("st.max_cents").as("max_cents"),
+          col("st.n").as("n"))
+    }),
+
+    // -- Scalar Scala UDF (the F2 escape hatch — a black box to Catalyst,
+    //    which is exactly why the library prefers built-ins everywhere
+    //    else). The oracle recomputes it with pure SQL, proving the two
+    //    formulations agree.
+    "q33_scalar_udf" -> ((s, d) => {
+      val vowels = udf((t: String) => t.count("aeiou".contains(_)))
+      Tables.documents(s, d)
+        .select(col("doc_id"), vowels(col("text")).as("n_vowels"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // Join + argmax formulation — algorithmically different from the
+    // Spark union-and-window plan, same answer.
+    "q30_asof_join" ->
+      """SELECT event_id, user_id, asof_view_ts FROM (
+           SELECT c.event_id, c.user_id,
+             strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS asof_view_ts,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY v.ts DESC, v.event_id ASC) AS rn
+           FROM (SELECT * FROM events WHERE event_type = 'click') c
+           LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+             ON c.user_id = v.user_id AND v.ts <= c.ts)
+         WHERE rn = 1""",
+    "q31_range_join" ->
+      """SELECT c.event_id AS click_id, count(*) AS n_followups
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         JOIN events e
+           ON c.user_id = e.user_id
+          AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTE
+         GROUP BY c.event_id""",
+    "q32_custom_udaf" ->
+      """SELECT o_orderstatus,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) AS sum_cents,
+         max(CAST(round(o_totalprice*100) AS BIGINT)) AS max_cents,
+         count(*) AS n
+         FROM orders GROUP BY o_orderstatus""",
+    "q33_scalar_udf" ->
+      """SELECT doc_id,
+         CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels
+         FROM documents"""
+  )
+}

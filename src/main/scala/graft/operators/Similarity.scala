@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
+import graft.functions.VectorFunctions.vecDot
 
 /** Similarity-search operators (SURVEY.md §2.5) over `embeddings`
   * (`vec_id bigint, embedding array<float>, label int`).
@@ -114,6 +115,27 @@ object Similarity {
           col("a.sig").as("bucket"), cosAB.as("cos"))
         .withColumn("rnk", row_number().over(w2))
         .filter(col("rnk") <= 3)
+    }),
+
+    // -- Brute-force top-5 again, but scored with the native codegen'd
+    //    VectorDot expression on the raw float arrays (graft.functions).
+    //    Same widen-then-accumulate arithmetic as the HOF path, so the
+    //    oracle is identical to ss01's — what changes is the inner loop:
+    //    a primitive codegen loop instead of interpreted lambdas.
+    "ss04_native_topk" -> ((s, d) => {
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("nrm", vecDot(col("embedding"), col("embedding")))
+      val q = v.filter(col("vec_id") % 50 === 0)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      broadcast(q).as("a")
+        .join(v.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+          round(vecDot(col("a.embedding"), col("b.embedding"))
+            / sqrt(col("a.nrm") * col("b.nrm")), 6).as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
     })
   )
 
@@ -166,6 +188,16 @@ object Similarity {
                 ORDER BY $dCosAB DESC, b.vec_id ASC) AS INT) AS rnk
             FROM ws a JOIN ws b
               ON a.vec_id % 50 = 0 AND a.sig = b.sig AND a.vec_id <> b.vec_id)
-          WHERE rnk <= 3"""
+          WHERE rnk <= 3""",
+    // Same oracle as ss01 — the native expression must be bit-identical.
+    "ss04_native_topk" ->
+      s"""WITH v AS ($dVecs)
+          SELECT query_id, neighbor_id, cos, rnk FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              $dCosAB AS cos,
+              CAST(row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY $dCosAB DESC, b.vec_id ASC) AS INT) AS rnk
+            FROM v a JOIN v b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id)
+          WHERE rnk <= 5"""
   )
 }

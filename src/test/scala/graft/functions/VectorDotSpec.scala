@@ -1,0 +1,49 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions.vecDot
+import org.apache.spark.sql.functions._
+
+/** The native VectorDot expression must be bit-identical to the
+  * higher-order-function formulation (same widen + fold order), and
+  * measurably faster (it exists only for that reason — SURVEY.md §7.3). */
+class VectorDotSpec extends SparkSpec {
+
+  private def vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("native dot == HOF dot, bit-exact") {
+    val both = vecs.select(
+      vecDot(col("embedding"), col("embedding")).as("native"),
+      expr("aggregate(zip_with(" +
+        "transform(embedding, x -> cast(x as double)), " +
+        "transform(embedding, x -> cast(x as double)), " +
+        "(x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)").as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("native dot is codegen'd (no CodegenFallback in the plan)") {
+    val plan = vecs.select(vecDot(col("embedding"), col("embedding")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Fallback"), plan)
+  }
+
+  test("native dot outruns the HOF formulation on a pair join") {
+    val v = vecs.limit(200)
+    def timeIt(f: => Long): (Long, Double) = {
+      val t0 = System.nanoTime(); val n = f; (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val native = v.as("a").crossJoin(v.as("b"))
+      .select(vecDot(col("a.embedding"), col("b.embedding")).as("d"))
+    val hof = v.as("a").crossJoin(v.as("b"))
+      .select(expr("aggregate(zip_with(" +
+        "transform(a.embedding, x -> cast(x as double)), " +
+        "transform(b.embedding, x -> cast(x as double)), " +
+        "(x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)").as("d"))
+    val (_, tN0) = timeIt(native.filter(col("d") > 1e18).count()) // warmup
+    val (_, tH0) = timeIt(hof.filter(col("d") > 1e18).count())    // warmup
+    val (_, tN) = timeIt(native.filter(col("d") > 1e18).count())
+    val (_, tH) = timeIt(hof.filter(col("d") > 1e18).count())
+    info(f"native=$tN%.2fs hof=$tH%.2fs speedup=${tH / tN}%.1fx")
+    assert(tN < tH, f"native ($tN%.2fs) not faster than HOF ($tH%.2fs)")
+  }
+}
