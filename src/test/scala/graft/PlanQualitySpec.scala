@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan assertions — the properties that make these plans
+  * survive a 100× scale-up. A correctness-green query with the wrong
+  * plan (full scan instead of pushdown, shuffle join instead of
+  * broadcast, global sort instead of top-k) is a latent 100 TB outage;
+  * these specs pin the plan shape so a regression fails loudly. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("filter and projection are pushed into the parquet scan (q02)") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: ["), p.take(2000))
+    assert(p.contains("l_shipdate"), "shipdate filter not pushed")
+    // Column pruning: the scan must not read l_returnflag etc.
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("dimension join is planned as broadcast hash join (q03)") {
+    val p = plan("q03_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("sort+limit is planned as TakeOrderedAndProject (q13)") {
+    val p = plan("q13_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("GlobalSort"), "global sort would not scale")
+  }
+
+  test("aggregations run partial then final (map-side combine, q01)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_"), p.take(2000))
+  }
+
+  test("semi/anti joins do not multiply rows (q06/q07)") {
+    assert(plan("q06_semi_join").contains("LeftSemi"))
+    assert(plan("q07_anti_join").contains("LeftAnti"))
+  }
+
+  test("whole-stage codegen covers the relational pipelines (q01)") {
+    // AQE shows codegen stages only in the final (executed) plan.
+    val df = SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
+    df.collect() // materialize THIS queryExecution so AQE finalizes it
+    val p = df.queryExecution.executedPlan.toString
+    // `*(n)` is the WholeStageCodegen stage marker in the plan string.
+    assert(p.contains("isFinalPlan=true") && p.contains("*("), p.take(2000))
+  }
+
+  test("similarity query set is broadcast, corpus is not shuffled (ss01)") {
+    val p = plan("ss01_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(2000))
+  }
+}
