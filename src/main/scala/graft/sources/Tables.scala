@@ -27,10 +27,16 @@ object Tables {
     * the local fixtures we redistribute once so every core participates.
     * Hash-partitioning on the leading (key) column avoids the local sort
     * that round-robin repartitioning inserts. */
+  private val scanParts =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val df = spark.read.parquet(path)
     val p = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= p) df
+    // The probe builds a physical plan — cache it per path.
+    val n = scanParts.computeIfAbsent(path, _ => df.rdd.getNumPartitions)
+    if (n >= p) df
     else df.repartition(p, org.apache.spark.sql.functions.col(df.columns.head))
   }
 

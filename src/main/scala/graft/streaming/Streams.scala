@@ -122,6 +122,24 @@ object Streams {
       emitted.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("n_events"), col("value_cents"))
+    }),
+
+    // -- Streaming sessionization: session_window gap-merges per user in
+    //    the state store; same session semantics as the batch q28, and
+    //    the oracle recomputes it with a pure-SQL gap-and-island
+    //    formulation — three implementations, one answer.
+    "st04_stream_sessions" -> ((s, d) => {
+      // The session merge is the streaming-stateful part; the per-user
+      // rollup happens in batch over the materialized session table
+      // (chaining two stateful aggs in one streaming plan trips Spark's
+      // global-watermark correctness check, rightly).
+      val sessions = runToTable(
+        eventStream(s, d)
+          .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+          .agg(count(lit(1)).as("n_events")),
+        OutputMode.Complete())
+      sessions.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
     })
   )
 
@@ -138,6 +156,20 @@ object Streams {
     "st03_stateful_running" ->
       """SELECT user_id, count(*) AS n_events,
          sum(CAST(round(value*100) AS BIGINT)) AS value_cents
-         FROM events GROUP BY user_id"""
+         FROM events GROUP BY user_id""",
+    "st04_stream_sessions" ->
+      """SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events FROM (
+           SELECT user_id, sess, count(*) AS n_events FROM (
+             SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             FROM (
+               SELECT user_id, ts, event_id,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                        ORDER BY ts ASC, event_id ASC) >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_sess
+               FROM events))
+           GROUP BY user_id, sess)
+         GROUP BY user_id"""
   )
 }
