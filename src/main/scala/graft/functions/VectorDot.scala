@@ -78,4 +78,10 @@ object VectorFunctions {
   def vecDot(a: Column, b: Column): Column =
     CatalystBridge.column(VectorDot(
       CatalystBridge.expression(a), CatalystBridge.expression(b)))
+
+  /** Make `vec_dot` callable from SQL text on an existing session (for
+    * session-build-time wiring use `graft.GraftExtensions`). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    CatalystBridge.registerFunction(spark, "vec_dot",
+      children => VectorDot(children(0), children(1)))
 }

@@ -81,19 +81,21 @@ object Dedup {
       .select(col("doc_id"), expr(
         "concat(element_at(tk, i + 1), ' ', element_at(tk, i + 2), ' ', element_at(tk, i + 3))").as("g"))
 
-  /** MinHash signature, long format (doc_id, hid, minhash). All k minima
-    * are computed in a single hash aggregation — the shuffle carries k
-    * longs per doc (map-side partial min), and the unpivot to long
-    * format happens on k rows per doc, post-agg. */
+  /** Wide MinHash signature (doc_id, mh0..mh{k-1}) computed directly on
+    * the hashed shingle SET with array folds — no explode, no shuffle:
+    * the signature is a per-row computation over ~tens of elements.
+    * (min over the distinct set == min over the multiset.) */
+  private def minhashWide(s: SparkSession, d: String, k: Int): DataFrame = {
+    val minCols = (0 until k).map(i => expr(
+      s"array_min(transform(sh, h -> (h % $P * ${A(i)} + ${B(i)}) % $P))").as(s"mh$i"))
+    shingleSets(s, d).select(col("doc_id") +: minCols: _*)
+  }
+
+  /** MinHash signature, long format (doc_id, hid, minhash) — the wide
+    * form unpivoted (k rows per doc, post-computation). */
   private def minhashSig(s: SparkSession, d: String, k: Int): DataFrame = {
-    val h = shingleStream(s, d)
-      .select(col("doc_id"),
-        (expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)") % P).as("h31"))
-    val minima = (0 until k).map(i =>
-      min((col("h31") * A(i) + B(i)) % P).as(s"mh$i"))
-    val wide = h.groupBy(col("doc_id")).agg(minima.head, minima.tail: _*)
     val stackArgs = (0 until k).map(i => s"$i, mh$i").mkString(", ")
-    wide.select(col("doc_id"),
+    minhashWide(s, d, k).select(col("doc_id"),
       expr(s"stack($k, $stackArgs)").as(Seq("hid", "minhash")))
   }
 
@@ -138,13 +140,13 @@ object Dedup {
     //    only joins are bucket-equality self-join + two id-equality set
     //    lookups; candidate count is governed by banding, never O(n²).
     "dd03_minhash_lsh_pairs" -> ((s, d) => {
-      val sig = minhashSig(s, d, 8)
-      val bands = sig
-        .groupBy(col("doc_id"), expr("cast(hid / 2 as int)").as("band"))
-        .agg(min(when(col("hid") % 2 === 0, col("minhash"))).as("m0"),
-             min(when(col("hid") % 2 === 1, col("minhash"))).as("m1"))
-        .select(col("doc_id"),
-          md5(concat(col("band"), lit("|"), col("m0"), lit("|"), col("m1"))).as("bk"))
+      // Band keys straight off the wide signature: 4 rows per doc, no
+      // aggregation — banding is a per-row reshape.
+      val bandKeys = (0 until 4).map(b =>
+        s"$b, md5(concat($b, '|', mh${2 * b}, '|', mh${2 * b + 1}))").mkString(", ")
+      val bands = minhashWide(s, d, 8)
+        .select(col("doc_id"), expr(s"stack(4, $bandKeys)").as(Seq("band", "bk")))
+        .select(col("doc_id"), col("bk"))
       val cand = bands.as("a")
         .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

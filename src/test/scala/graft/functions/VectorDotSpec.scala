@@ -21,6 +21,17 @@ class VectorDotSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("vec_dot is callable from SQL after registration") {
+    VectorFunctions.register(spark)
+    vecs.createOrReplaceTempView("emb_sql_test")
+    val r = spark.sql(
+      "SELECT vec_id, round(vec_dot(embedding, embedding), 6) AS nrm " +
+      "FROM emb_sql_test ORDER BY vec_id LIMIT 1").collect()
+    val expect = vecs.orderBy(col("vec_id")).limit(1)
+      .select(round(vecDot(col("embedding"), col("embedding")), 6)).collect()
+    assert(r(0).getDouble(1) === expect(0).getDouble(0))
+  }
+
   test("native dot is codegen'd (no CodegenFallback in the plan)") {
     val plan = vecs.select(vecDot(col("embedding"), col("embedding")))
       .queryExecution.executedPlan.toString
