@@ -92,6 +92,43 @@ object Advanced {
           col("st.n").as("n"))
     }),
 
+    // -- Salted join: the manual skew-mitigation pattern. The probe side
+    //    gets a random-free, deterministic salt from its own key; the
+    //    build side is replicated SALT ways so hot keys spread over SALT
+    //    tasks. Result provably equals the plain join (the oracle runs
+    //    the unsalted formulation). AQE's skew-join handles this
+    //    automatically for sort-merge; the explicit form covers the
+    //    cases AQE can't see (e.g. aggregations after the join).
+    "q34_salted_join" -> ((s, d) => {
+      val salt = 8
+      val li = Tables.lineitem(s, d)
+        .withColumn("salt", (col("l_orderkey") % salt).cast("int"))
+      val o = Tables.orders(s, d)
+        .withColumn("salt", explode(expr(s"sequence(0, ${salt - 1})")))
+      li.join(o,
+          li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // -- Map + struct scalar functions (SURVEY §2.4 scalar row): build a
+    //    map and a struct per row, extract fields — outputs are plain
+    //    scalars so the oracle stays engine-neutral.
+    "q35_map_struct" -> ((s, d) => {
+      Tables.part(s, d)
+        .withColumn("m", map_from_arrays(
+          array(lit("size"), lit("retail_cents")),
+          array(col("p_size").cast("long"), cents(col("p_retailprice")))))
+        .withColumn("st", struct(col("p_brand").as("brand"), col("p_type").as("ptype")))
+        .select(
+          col("p_partkey"),
+          element_at(col("m"), "size").as("size_val"),
+          element_at(col("m"), "retail_cents").as("retail_cents"),
+          expr("size(map_keys(m))").as("n_keys"),
+          col("st.brand").as("brand"),
+          upper(col("st.ptype")).as("type_upper"))
+    }),
+
     // -- Scalar Scala UDF (the F2 escape hatch — a black box to Catalyst,
     //    which is exactly why the library prefers built-ins everywhere
     //    else). The oracle recomputes it with pure SQL, proving the two
@@ -132,6 +169,19 @@ object Advanced {
     "q33_scalar_udf" ->
       """SELECT doc_id,
          CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels
-         FROM documents"""
+         FROM documents""",
+    // The unsalted formulation — equality proves the salt is semantics-free.
+    "q34_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items, sum(l_quantity) AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus""",
+    "q35_map_struct" ->
+      """SELECT p_partkey,
+         CAST(p_size AS BIGINT) AS size_val,
+         CAST(round(p_retailprice*100) AS BIGINT) AS retail_cents,
+         2 AS n_keys,
+         p_brand AS brand,
+         upper(p_type) AS type_upper
+         FROM part"""
   )
 }

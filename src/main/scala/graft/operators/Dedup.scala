@@ -34,9 +34,6 @@ object Dedup {
   /** Non-empty whitespace tokens / word 3-gram shingle set, as SQL
     * expression strings (composable inside larger expressions). */
   private val toks = "filter(split(text, ' '), x -> x <> '')"
-  private val shingles =
-    s"array_distinct(transform(sequence(0, size($toks) - 3), " +
-    s"i -> concat(element_at($toks, i + 1), ' ', element_at($toks, i + 2), ' ', element_at($toks, i + 3))))"
 
   /** doc_id + distinct 3-gram shingle set, hashed to 60-bit ints (docs
     * with ≥3 tokens). Hashing before the pairwise phase is the scale
@@ -166,8 +163,13 @@ object Dedup {
     //    not corpus size, bounds the quadratic term.
     "dd04_ngram_jaccard" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-        .filter(expr(s"size($toks) >= 3"))
-        .select(col("doc_id"), col("lang"), col("source"), expr(shingles).as("sh"))
+        .select(col("doc_id"), col("lang"), col("source"), expr(toks).as("tk"))
+        .filter(expr("size(tk) >= 3"))
+        .select(col("doc_id"), col("lang"), col("source"), expr(
+          "array_distinct(transform(" +
+          "transform(sequence(0, size(tk) - 3), " +
+          "i -> concat(element_at(tk, i + 1), ' ', element_at(tk, i + 2), ' ', element_at(tk, i + 3))), " +
+          "g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)))").as("sh"))
       docs.as("a")
         .join(docs.as("b"),
           col("a.lang") === col("b.lang") && col("a.source") === col("b.source") &&
