@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.VectorDot
+import graft.functions.{RewriteSelfDot, VectorDot}
 
 /** Spark extension entry point: makes graft's native expressions
   * available to pure SQL. Production wiring:
@@ -22,5 +22,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorDot(children(0), children(1))))
+    ext.injectOptimizerRule(_ => RewriteSelfDot)
   }
 }

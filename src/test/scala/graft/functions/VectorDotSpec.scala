@@ -32,6 +32,21 @@ class VectorDotSpec extends SparkSpec {
     assert(r(0).getDouble(1) === expect(0).getDouble(0))
   }
 
+  test("RewriteSelfDot rewrites vec_dot(x, x) into vec_norm_sq(x)") {
+    import org.apache.spark.sql.graft.CatalystBridge
+    val withDot = vecs.select(vecDot(col("embedding"), col("embedding")).as("n"))
+    // Rule fires on the self-dot...
+    assert(graft.functions.RewriteSelfDot(withDot.queryExecution.optimizedPlan)
+      .toString.contains("vec_norm_sq"))
+    // ...and the specialized expression is bit-identical.
+    val a = withDot.collect().map(_.getDouble(0))
+    val b = vecs.select(CatalystBridge.column(
+      graft.functions.VectorNormSq(
+        CatalystBridge.expression(col("embedding")))).as("n"))
+      .collect().map(_.getDouble(0))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("native dot is codegen'd (no CodegenFallback in the plan)") {
     val plan = vecs.select(vecDot(col("embedding"), col("embedding")))
       .queryExecution.executedPlan.toString
