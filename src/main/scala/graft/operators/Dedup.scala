@@ -212,18 +212,17 @@ object Dedup {
     //    Cosine = dot/sqrt(na*nb) with sequential folds; rounded before
     //    the threshold so both engines make the same keep/drop decision.
     "dd07_embedding_neardup" -> ((s, d) => {
-      // Norms are per-vector, not per-pair: compute once before the join
-      // (same doubles, same formula — only the evaluation count changes).
-      val v = Tables.embeddings(s, d).select(
-        col("vec_id"), col("label"),
-        expr("transform(embedding, x -> cast(x as double))").as("e"))
-        .withColumn("nrm",
-          expr("aggregate(transform(e, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
-      val dotAB = expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
+      // Norms are per-vector, not per-pair: compute once before the join.
+      // Scoring uses the native codegen'd vecDot (bit-identical to the
+      // HOF float->double fold — VectorDotSpec).
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").as("e"))
+        .withColumn("nrm", graft.functions.VectorFunctions.vecDot(col("e"), col("e")))
       v.as("a")
         .join(v.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(dotAB / sqrt(col("a.nrm") * col("b.nrm")), 6).as("cos"))
+          round(graft.functions.VectorFunctions.vecDot(col("a.e"), col("b.e"))
+            / sqrt(col("a.nrm") * col("b.nrm")), 6).as("cos"))
         .filter(col("cos") >= 0.4)
     })
   )

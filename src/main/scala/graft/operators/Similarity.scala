@@ -34,17 +34,15 @@ object Similarity {
 
   private def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
-      col("vec_id"), col("label"),
-      expr("transform(embedding, x -> cast(x as double))").as("e"))
+      col("vec_id"), col("label"), col("embedding").as("e"))
       // Norm is per-vector: computed once here, never per candidate pair.
-      .withColumn("nrm",
-        expr("aggregate(transform(e, x -> x * x), cast(0 as double), (acc, x) -> acc + x)"))
+      // vecDot is the native codegen'd expression (graft.functions) —
+      // bit-identical to the HOF float->double fold (VectorDotSpec).
+      .withColumn("nrm", vecDot(col("e"), col("e")))
 
   /** cosine(a.e, b.e) — fixed formula + fold order, rounded to 6 dp. */
-  private val cosAB: Column = {
-    val dot = expr("aggregate(zip_with(a.e, b.e, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)")
-    round(dot / sqrt(col("a.nrm") * col("b.nrm")), 6)
-  }
+  private val cosAB: Column =
+    round(vecDot(col("a.e"), col("b.e")) / sqrt(col("a.nrm") * col("b.nrm")), 6)
 
   /** DuckDB twin of [[cosAB]] for tables aliased a/b with DOUBLE[] e. */
   private val dCosAB =
@@ -98,7 +96,8 @@ object Similarity {
             .as("w"))
       // Quantized components: xq = round(x * 1e6) — integer dot products.
       val comps = v.select(col("vec_id"), posexplode(col("e")).as(Seq("i", "x")))
-        .select(col("vec_id"), col("i"), expr("cast(round(x * 1000000, 0) as bigint)").as("xq"))
+        .select(col("vec_id"), col("i"),
+          expr("cast(round(cast(x as double) * 1000000, 0) as bigint)").as("xq"))
       val sig = comps.join(broadcast(planes), "i")
         .groupBy(col("vec_id"), col("p"))
         .agg(sum(col("xq") * col("w")).as("dot"))

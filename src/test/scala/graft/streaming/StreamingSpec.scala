@@ -42,6 +42,31 @@ class StreamingSpec extends SparkSpec {
     assert(out("10:30") === 30L)  // 10+20
   }
 
+  // F4 fan-out in streaming form (SURVEY §2.1): one stream feeding two
+  // sinks through foreachBatch; every sink sees every element exactly
+  // once (the reference's broadcast guarantee, connectors.go:76-85).
+  test("foreachBatch fans one stream out to two sinks, both complete") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val sinkA = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val sinkB = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = mem.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Long], _: Long) =>
+        val rows = batch.collect() // materialize once, then fan out
+        rows.foreach(sinkA.add)
+        rows.foreach(sinkB.add)
+      }
+      .start()
+    mem.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    mem.addData(4L, 5L)
+    q.processAllAvailable()
+    q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(sinkA.asScala.toSet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(sinkB.asScala.toSet === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("AvailableNow streaming equals batch on the events fixture") {
     val streamed = Streams.queries("st01_stream_tumbling")(spark, sfDir)
       .collect().map(_.toSeq).toSet
