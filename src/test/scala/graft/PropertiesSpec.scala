@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+/** ScalaCheck property tests on operator algebra (SURVEY.md §5 — an
+  * upgrade over the reference's example-based tests): laws that must
+  * hold for ANY input, checked on generated datasets. */
+class PropertiesSpec extends AnyFunSuite {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val smallLists = Gen.listOfN(20, Gen.chooseNum(-100L, 100L))
+
+  /** Deterministic sampler (the scalatest-scalacheck bridge artifact is
+    * not in the offline cache; raw Gen + fixed seed does the job). */
+  private def forAll[A](g: Gen[A], n: Int = 15)(f: A => Unit): Unit = {
+    var seed = org.scalacheck.rng.Seed(42L)
+    val params = Gen.Parameters.default
+    (1 to n).foreach { _ =>
+      g.apply(params, seed).foreach(f)
+      seed = seed.next
+    }
+  }
+
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(g1, g2))(t => f(t._1, t._2))
+
+  test("filter composition: filter(p).filter(q) == filter(p && q)") {
+    forAll(smallLists) { xs =>
+      val ds = spark.createDataset(xs)
+      val a = ds.filter(_ % 2 == 0).filter(_ > 0).collect().sorted.toSeq
+      val b = ds.filter(x => x % 2 == 0 && x > 0).collect().sorted.toSeq
+      assert(a === b)
+    }
+  }
+
+  test("union is commutative up to multiset equality") {
+    forAll(smallLists, smallLists) { (xs, ys) =>
+      val (a, b) = (spark.createDataset(xs), spark.createDataset(ys))
+      val u1 = a.union(b).collect().sorted.toSeq
+      val u2 = b.union(a).collect().sorted.toSeq
+      assert(u1 === u2)
+    }
+  }
+
+  test("distinct is idempotent and order-insensitive") {
+    forAll(smallLists) { xs =>
+      val ds = spark.createDataset(xs)
+      val once = ds.distinct().collect().sorted.toSeq
+      val twice = ds.distinct().distinct().collect().sorted.toSeq
+      assert(once === twice)
+      assert(once === xs.distinct.sorted)
+    }
+  }
+
+  test("map fusion: map(f).map(g) == map(g compose f)") {
+    forAll(smallLists) { xs =>
+      val ds = spark.createDataset(xs)
+      val f = (x: Long) => x + 7
+      val g = (x: Long) => x * 3
+      val a = ds.map(f).map(g).collect().sorted.toSeq
+      val b = ds.map(g compose f).collect().sorted.toSeq
+      assert(a === b)
+    }
+  }
+
+  test("groupBy sum equals scala groupBy sum (exact integer agg)") {
+    forAll(smallLists) { xs =>
+      val ds = spark.createDataset(xs).toDF("v")
+      val got = ds.groupBy(($"v" % 5).as("k")).sum("v").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = xs.groupBy(_ % 5).view.mapValues(_.sum).toMap
+      assert(got === want)
+    }
+  }
+}
