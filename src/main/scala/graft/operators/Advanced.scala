@@ -129,6 +129,38 @@ object Advanced {
           upper(col("st.ptype")).as("type_upper"))
     }),
 
+    // -- Exact quantiles (sorting-based linear interpolation — order-free,
+    //    hence engine-deterministic, unlike streaming float aggregates).
+    //    At 100 TB switch to approx_percentile (t-digest) and drop the
+    //    oracle, as with the HLL sketch.
+    "q36_percentiles" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("cents", cents(col("o_totalprice")))
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("percentile(cents, 0.5)").as("median_cents"),
+             expr("percentile(cents, 0.9)").as("p90_cents"),
+             expr("percentile(cents, 0.99)").as("p99_cents"))
+    }),
+
+    // -- Deterministic variance/stddev: Σx and Σx² as exact 128-bit
+    //    decimals (order-free integer sums), the final formula evaluated
+    //    once in double — bit-stable across engines AND partitionings,
+    //    which the streaming float `stddev` aggregate is not.
+    "q37_exact_stats" -> ((s, d) => {
+      Tables.orders(s, d)
+        .withColumn("c", cents(col("o_totalprice")).cast("decimal(38,0)"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("c")).as("sx"), sum(col("c") * col("c")).as("sxx"),
+             count(lit(1)).as("n"))
+        .select(col("o_orderstatus"), col("n"),
+          round((col("sx").cast("double") / col("n")), 4).as("mean_cents"),
+          round(sqrt(
+            (col("n").cast("double") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double"))
+            / (col("n").cast("double") * (col("n") - 1).cast("double"))), 4)
+            .as("stddev_cents"))
+    }),
+
     // -- Scalar Scala UDF (the F2 escape hatch — a black box to Catalyst,
     //    which is exactly why the library prefers built-ins everywhere
     //    else). The oracle recomputes it with pure SQL, proving the two
@@ -170,6 +202,25 @@ object Advanced {
       """SELECT doc_id,
          CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels
          FROM documents""",
+    "q36_percentiles" ->
+      """SELECT o_orderstatus,
+         quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS median_cents,
+         quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.9) AS p90_cents,
+         quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.99) AS p99_cents
+         FROM orders GROUP BY o_orderstatus""",
+    "q37_exact_stats" ->
+      """SELECT o_orderstatus, n,
+         round(CAST(sx AS DOUBLE) / n, 4) AS mean_cents,
+         round(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 4) AS stddev_cents
+         FROM (
+           SELECT o_orderstatus,
+             sum(CAST(round(o_totalprice*100) AS BIGINT)) AS sx,
+             sum(CAST(round(o_totalprice*100) AS BIGINT)
+               * CAST(round(o_totalprice*100) AS BIGINT)) AS sxx,
+             count(*) AS n
+           FROM orders GROUP BY o_orderstatus)""",
     // The unsalted formulation — equality proves the salt is semantics-free.
     "q34_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n_items, sum(l_quantity) AS sum_qty
