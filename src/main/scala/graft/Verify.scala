@@ -9,7 +9,9 @@ object Verify {
     // Optional third arg (dev only): comma-separated name prefixes to run
     // a subset — the driver always calls with two args (all queries).
     val prefixes = if (args.length > 2) args(2).split(",").toSeq else Seq("")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Harness parallelism: 32 per the target environment (local[32]);
+    // SPARK_GRAFT_CPUS overrides for constrained dev runs.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
