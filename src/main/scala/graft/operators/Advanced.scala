@@ -129,6 +129,34 @@ object Advanced {
           upper(col("st.ptype")).as("type_upper"))
     }),
 
+    // -- Correlated scalar subquery (TPC-H Q17 shape), written as SQL so
+    //    Catalyst's decorrelation does the rewrite: the subquery becomes
+    //    an aggregated join under the hood — the scalable form — while
+    //    the user writes the natural correlated form.
+    "q38_correlated_subquery" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("li_q38")
+      s.sql(
+        """SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS small_lot_cents,
+             count(*) AS n_small
+           FROM li_q38 l
+           WHERE l_quantity < 0.5 * (SELECT avg(l_quantity)
+                                     FROM li_q38 l2
+                                     WHERE l2.l_partkey = l.l_partkey)
+           GROUP BY l_partkey""")
+    }),
+
+    // -- IN subquery (SQL form of the semi-join; Catalyst plans LeftSemi).
+    "q39_in_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("o_q39")
+      Tables.customer(s, d).createOrReplaceTempView("c_q39")
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n
+           FROM o_q39
+           WHERE o_custkey IN (SELECT c_custkey FROM c_q39 WHERE c_acctbal > 9000)
+           GROUP BY o_orderstatus""")
+    }),
+
     // -- Exact quantiles (sorting-based linear interpolation — order-free,
     //    hence engine-deterministic, unlike streaming float aggregates).
     //    At 100 TB switch to approx_percentile (t-digest) and drop the
@@ -202,6 +230,20 @@ object Advanced {
       """SELECT doc_id,
          CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels
          FROM documents""",
+    "q38_correlated_subquery" ->
+      """SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS small_lot_cents,
+         count(*) AS n_small
+         FROM lineitem l
+         WHERE l_quantity < 0.5 * (SELECT avg(l_quantity)
+                                   FROM lineitem l2
+                                   WHERE l2.l_partkey = l.l_partkey)
+         GROUP BY l_partkey""",
+    "q39_in_subquery" ->
+      """SELECT o_orderstatus, count(*) AS n
+         FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+         GROUP BY o_orderstatus""",
     "q36_percentiles" ->
       """SELECT o_orderstatus,
          quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS median_cents,
