@@ -129,6 +129,31 @@ object Advanced {
           upper(col("st.ptype")).as("type_upper"))
     }),
 
+    // -- Pivot: long→wide with an explicit value list (the scalable form —
+    //    without it Spark must run an extra distinct scan to discover
+    //    columns). Oracle is conditional aggregation, the relational
+    //    equivalent.
+    "q40_pivot" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    }),
+
+    // -- Unpivot (melt): wide→long. At scale this is a narrow map-side
+    //    reshape — no shuffle.
+    "q41_unpivot" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          cents(col("c_acctbal")).as("acctbal_cents"),
+          col("c_nationkey").cast("long").as("nation_id"))
+        .unpivot(
+          Array(col("c_custkey")),
+          Array(col("acctbal_cents"), col("nation_id")),
+          "metric", "value")
+    }),
+
     // -- Correlated scalar subquery (TPC-H Q17 shape), written as SQL so
     //    Catalyst's decorrelation does the rewrite: the subquery becomes
     //    an aggregated join under the hood — the scalable form — while
@@ -230,6 +255,18 @@ object Advanced {
       """SELECT doc_id,
          CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels
          FROM documents""",
+    "q40_pivot" ->
+      """SELECT o_orderpriority,
+         count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+         count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+         count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+         FROM orders GROUP BY o_orderpriority""",
+    "q41_unpivot" ->
+      """SELECT c_custkey, 'acctbal_cents' AS metric,
+              CAST(round(c_acctbal*100) AS BIGINT) AS value FROM customer
+         UNION ALL
+         SELECT c_custkey, 'nation_id' AS metric,
+              CAST(c_nationkey AS BIGINT) AS value FROM customer""",
     "q38_correlated_subquery" ->
       """SELECT l_partkey,
          sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS small_lot_cents,
