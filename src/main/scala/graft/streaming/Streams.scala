@@ -124,6 +124,28 @@ object Streams {
         .select(col("user_id"), col("n_events"), col("value_cents"))
     }),
 
+    // -- flatMapGroupsWithState — the fully general stateful MiddleFunc
+    //    analog (0..n outputs per key per batch, SURVEY §7.3): emits one
+    //    row per (user, event_type) the first time that type is seen for
+    //    the user, holding the seen-set in typed state. Equivalent to a
+    //    distinct — which is exactly what the oracle computes.
+    "st05_first_seen" -> ((s, d) => {
+      import s.implicits._
+      val out = eventStream(s, d)
+        .select(col("user_id"), col("event_type")).as[(Long, String)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(
+          OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[(Long, String)], state: GroupState[Set[String]]) =>
+            val seen = state.getOption.getOrElse(Set.empty[String])
+            val fresh = rows.map(_._2).toSeq.distinct.filterNot(seen)
+            state.update(seen ++ fresh)
+            fresh.iterator.map(t => (uid, t))
+        }
+        .toDF("user_id", "event_type")
+      runToTable(out, OutputMode.Append())
+    }),
+
     // -- Streaming sessionization: session_window gap-merges per user in
     //    the state store; same session semantics as the batch q28, and
     //    the oracle recomputes it with a pure-SQL gap-and-island
@@ -157,6 +179,8 @@ object Streams {
       """SELECT user_id, count(*) AS n_events,
          sum(CAST(round(value*100) AS BIGINT)) AS value_cents
          FROM events GROUP BY user_id""",
+    "st05_first_seen" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "st04_stream_sessions" ->
       """SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events FROM (
            SELECT user_id, sess, count(*) AS n_events FROM (
