@@ -247,7 +247,7 @@ object Advanced {
          GROUP BY c.event_id""",
     "q32_custom_udaf" ->
       """SELECT o_orderstatus,
-         sum(CAST(round(o_totalprice*100) AS BIGINT)) AS sum_cents,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_cents,
          max(CAST(round(o_totalprice*100) AS BIGINT)) AS max_cents,
          count(*) AS n
          FROM orders GROUP BY o_orderstatus""",
@@ -269,7 +269,7 @@ object Advanced {
               CAST(c_nationkey AS BIGINT) AS value FROM customer""",
     "q38_correlated_subquery" ->
       """SELECT l_partkey,
-         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS small_lot_cents,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS small_lot_cents,
          count(*) AS n_small
          FROM lineitem l
          WHERE l_quantity < 0.5 * (SELECT avg(l_quantity)

@@ -257,8 +257,8 @@ object Dedup {
         bits AS (SELECT doc_id, j, sum((hv >> CAST(j AS INT)) & 1) AS sc, count(*) AS n
                  FROM h, range(32) t(j) GROUP BY 1, 2)
         SELECT doc_id,
-               sum(CASE WHEN 2 * sc > n
-                   THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS simhash
+               CAST(sum(CASE WHEN 2 * sc > n
+                   THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY 1"""
 
   def oracleSql: Map[String, String] = Map(

@@ -340,9 +340,9 @@ object Relational {
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          sum(l_quantity) AS sum_qty,
-         sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
-         sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS sum_disc_cents,
-         sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS sum_charge_cents,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+         CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+         CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_cents,
          avg(l_quantity) AS avg_qty,
          CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/count(*) AS avg_price_cents,
          count(*) AS count_order
@@ -356,7 +356,7 @@ object Relational {
            AND l_shipdate <  TIMESTAMP '1997-01-01' AND l_quantity > 45""",
     "q03_broadcast_join" ->
       """SELECT p_brand,
-         sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents,
+         CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
          count(*) AS n_items
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand""",
@@ -366,7 +366,7 @@ object Relational {
          WHERE o_orderstatus = 'F' GROUP BY o_orderpriority""",
     "q05_join_chain" ->
       """SELECT n_name,
-         sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS revenue_cents
+         CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
          FROM customer
          JOIN orders   ON c_custkey = o_custkey
          JOIN lineitem ON o_orderkey = l_orderkey
@@ -400,9 +400,9 @@ object Relational {
            FROM orders) WHERE rn <= 3""",
     "q10_window_running" ->
       """SELECT o_custkey, o_orderkey,
-         sum(CAST(round(o_totalprice*100) AS BIGINT))
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
            OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
          FROM orders""",
     "q11_window_lag" ->
       """SELECT o_custkey, o_orderkey,
@@ -438,7 +438,7 @@ object Relational {
     "q17_cube" ->
       """SELECT coalesce(o_orderstatus,'ALL') AS status,
          coalesce(o_orderpriority,'ALL') AS priority,
-         count(*) AS n, sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+         count(*) AS n, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
     "q18_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
@@ -455,7 +455,7 @@ object Relational {
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
          CAST(quarter(o_orderdate) AS INT) AS qtr,
          count(*) AS n_orders,
-         sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
          FROM orders GROUP BY 1, 2""",
     "q22_json_extract" ->
       """SELECT event_id,
@@ -466,7 +466,7 @@ object Relational {
                      WHEN o_totalprice < 200000 THEN 'mid'
                      ELSE 'high' END AS band,
          o_orderstatus, count(*) AS n,
-         sum(CAST(round(o_totalprice*100) AS BIGINT)) AS total_cents
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
          FROM orders GROUP BY 1, 2""",
     "q24_array_funcs" ->
       """SELECT doc_id,
@@ -488,10 +488,10 @@ object Relational {
     "q27_event_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
          event_type, count(*) AS n,
-         sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2""",
     "q28_sessionize" ->
-      """SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events FROM (
+      """SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events FROM (
            SELECT user_id, sess, count(*) AS n_events FROM (
              SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id
                ORDER BY ts ASC, event_id ASC

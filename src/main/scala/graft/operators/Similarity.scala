@@ -177,7 +177,7 @@ object Similarity {
             FROM comps JOIN planes USING (i) GROUP BY 1, 2),
           sig AS (
             SELECT vec_id,
-              sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END) AS sig
+              CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
             FROM dots GROUP BY 1),
           ws AS (SELECT v.*, sig.sig FROM v JOIN sig USING (vec_id))
           SELECT query_id, neighbor_id, bucket, cos, rnk FROM (

@@ -169,7 +169,7 @@ object Streams {
     "st01_stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
          event_type, count(*) AS n,
-         sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2""",
     "st02_stream_dedup" ->
       """SELECT event_type, count(*) AS n_users FROM (
@@ -177,12 +177,12 @@ object Streams {
          GROUP BY event_type""",
     "st03_stateful_running" ->
       """SELECT user_id, count(*) AS n_events,
-         sum(CAST(round(value*100) AS BIGINT)) AS value_cents
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY user_id""",
     "st05_first_seen" ->
       "SELECT DISTINCT user_id, event_type FROM events",
     "st04_stream_sessions" ->
-      """SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events FROM (
+      """SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events FROM (
            SELECT user_id, sess, count(*) AS n_events FROM (
              SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id
                ORDER BY ts ASC, event_id ASC

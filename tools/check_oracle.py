@@ -45,6 +45,13 @@ def main():
         if sorted(gcols) != sorted(ecols):
             print(f"SCHEMA   {name}: spark={sorted(gcols)} oracle={sorted(ecols)}")
             n_bad += 1; continue
+        # Type check: the driver's hash is type-sensitive (HUGEINT vs BIGINT
+        # was r1's only red class), so compare DuckDB-visible column types too.
+        gtypes = dict(zip(gcols, [str(d[1]) for d in con.sql(f"SELECT * FROM '{files[0]}'").description]))
+        etypes = dict(zip(ecols, [str(d[1]) for d in con.sql(oracle[name]).description]))
+        tdiff = {c: (gtypes[c], etypes[c]) for c in gtypes if gtypes[c] != etypes[c]}
+        if tdiff:
+            print(f"TYPES    {name}: {tdiff}"); n_bad += 1; continue
         gi = [gcols.index(c) for c in sorted(gcols)]
         ei = [ecols.index(c) for c in sorted(ecols)]
         key = lambda row: tuple((c is None, str(c)) for c in row)
