@@ -22,11 +22,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Semantics match the library's HOF formulation exactly: each float is
   * widened to double, products accumulate left-to-right in a double —
   * so results are bit-identical to the `cast(x as double)` HOF path and
-  * to the DuckDB oracle. Element nulls are not supported (embedding
-  * vectors are dense); length mismatch takes the shorter prefix.
+  * to the DuckDB oracle. A null element yields a null result (the HOF
+  * `aggregate` null-propagates the same way); length mismatch takes the
+  * shorter prefix.
   */
 case class VectorDot(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  // Nullable even over non-null inputs: a null *element* nulls the sum.
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -46,6 +50,7 @@ case class VectorDot(left: Expression, right: Expression)
     var sum = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       sum += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -61,9 +66,10 @@ case class VectorDot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $sum += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = $sum;
+         |if (!${ev.isNull}) { ${ev.value} = $sum; }
        """.stripMargin
     })
 

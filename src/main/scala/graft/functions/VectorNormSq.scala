@@ -15,6 +15,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   */
 case class VectorNormSq(child: Expression) extends UnaryExpression {
 
+  // Nullable even over non-null input: a null *element* nulls the sum,
+  // matching VectorDot (which this replaces via RewriteSelfDot).
+  override def nullable: Boolean = true
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(s"vec_norm_sq requires array<float>, got $t")
@@ -27,7 +31,10 @@ case class VectorNormSq(child: Expression) extends UnaryExpression {
     var sum = 0.0
     var i = 0
     val n = x.numElements()
-    while (i < n) { val v = x.getFloat(i).toDouble; sum += v * v; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = x.getFloat(i).toDouble; sum += v * v; i += 1
+    }
     sum
   }
 
@@ -39,10 +46,11 @@ case class VectorNormSq(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $v = (double) $a.getFloat($i);
          |  $sum += $v * $v;
          |}
-         |${ev.value} = $sum;
+         |if (!${ev.isNull}) { ${ev.value} = $sum; }
        """.stripMargin
     })
 

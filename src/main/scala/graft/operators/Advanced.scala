@@ -190,9 +190,12 @@ object Advanced {
       Tables.orders(s, d)
         .withColumn("cents", cents(col("o_totalprice")))
         .groupBy(col("o_orderstatus"))
-        .agg(expr("percentile(cents, 0.5)").as("median_cents"),
-             expr("percentile(cents, 0.9)").as("p90_cents"),
-             expr("percentile(cents, 0.99)").as("p99_cents"))
+        // round(…, 6): repo-wide cross-engine determinism convention for
+        // doubles — Spark percentile vs DuckDB quantile_cont can differ
+        // in the last ulp on other fixtures.
+        .agg(round(expr("percentile(cents, 0.5)"), 6).as("median_cents"),
+             round(expr("percentile(cents, 0.9)"), 6).as("p90_cents"),
+             round(expr("percentile(cents, 0.99)"), 6).as("p99_cents"))
     }),
 
     // -- Deterministic variance/stddev: Σx and Σx² as exact 128-bit
@@ -283,9 +286,9 @@ object Advanced {
          GROUP BY o_orderstatus""",
     "q36_percentiles" ->
       """SELECT o_orderstatus,
-         quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5) AS median_cents,
-         quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.9) AS p90_cents,
-         quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.99) AS p99_cents
+         round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.5), 6) AS median_cents,
+         round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.9), 6) AS p90_cents,
+         round(quantile_cont(CAST(round(o_totalprice*100) AS BIGINT), 0.99), 6) AS p99_cents
          FROM orders GROUP BY o_orderstatus""",
     "q37_exact_stats" ->
       """SELECT o_orderstatus, n,

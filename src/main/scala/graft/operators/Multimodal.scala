@@ -79,6 +79,9 @@ object Multimodal {
     //    rows stay narrow, no driver loops.
     "mm03_frame_sample" -> ((s, d) => {
       Tables.documents(s, d)
+        // Empty docs: sequence(0, -1, 25) throws in Spark, while DuckDB's
+        // range(0, 0, 25) yields zero rows — filter keeps both at zero.
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"),
           explode(expr("sequence(0, length(text) - 1, 25)")).as("frame_idx"))
         .select(col("doc_id"), col("frame_idx"),
@@ -90,6 +93,7 @@ object Multimodal {
     //    without materializing wide rows.
     "mm04_chunk_index" -> ((s, d) => {
       Tables.documents(s, d)
+        .filter(length(col("text")) > 0) // see mm03: empty-doc sequence guard
         .select(col("doc_id"), col("text"),
           explode(expr("sequence(0, length(text) - 1, 100)")).as("chunk_off"))
         .select(col("doc_id"), col("chunk_off"),

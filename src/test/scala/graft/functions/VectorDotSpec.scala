@@ -21,6 +21,31 @@ class VectorDotSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("hof")).count() === 0)
   }
 
+  test("null element nulls the result, matching HOF null propagation") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1.0f, 2.0f), Seq[java.lang.Float](3.0f, 4.0f)),
+      (2L, Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](3.0f, 4.0f))
+    ).toDF("id", "a", "b")
+      .select(col("id"),
+        col("a").cast("array<float>").as("a"),
+        col("b").cast("array<float>").as("b"))
+    val got = df.select(col("id"), vecDot(col("a"), col("b")).as("d"),
+      expr("aggregate(zip_with(" +
+        "transform(a, x -> cast(x as double)), " +
+        "transform(b, x -> cast(x as double)), " +
+        "(x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)").as("hof"))
+      .orderBy("id").collect()
+    assert(got(0).getDouble(1) === 11.0 && got(0).getDouble(2) === 11.0)
+    assert(got(1).isNullAt(1) && got(1).isNullAt(2))
+    // The self-dot rewrite target must null-propagate identically.
+    import org.apache.spark.sql.graft.CatalystBridge
+    val norm = df.select(col("id"), CatalystBridge.column(
+      graft.functions.VectorNormSq(
+        CatalystBridge.expression(col("a")))).as("n")).orderBy("id").collect()
+    assert(norm(0).getDouble(1) === 5.0 && norm(1).isNullAt(1))
+  }
+
   test("vec_dot is callable from SQL after registration") {
     VectorFunctions.register(spark)
     vecs.createOrReplaceTempView("emb_sql_test")
