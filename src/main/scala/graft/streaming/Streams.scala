@@ -146,6 +146,87 @@ object Streams {
       runToTable(out, OutputMode.Append())
     }),
 
+    // -- Watermarked append-mode aggregation with REAL late-data drop:
+    //    the feed is three files processed as three micro-batches
+    //    (maxFilesPerTrigger=1, modtime order). Batch 1 holds the rows in
+    //    (max-130min, max-10min] and advances the watermark; batch 2 (the
+    //    newest rows, > max-10min) is a spacer that is never late and
+    //    pushes the committed watermark to max(ts) - 10 min — needed
+    //    because Spark filters batch N's late rows with the watermark
+    //    committed from batch N-2's data (measured: a two-file feed drops
+    //    nothing). Batch 3 holds only rows ≥ 2h10m old, so each lands in
+    //    an already-closed window behind either candidate watermark and
+    //    is dropped (numRowsDroppedByWatermark > 0). Append mode then
+    //    emits exactly the recent windows whose end ≤ the final
+    //    watermark — a closed form the DuckDB oracle recomputes.
+    "st06_watermark_late" -> ((s, d) => {
+      import java.nio.file.{Files, StandardCopyOption}
+      val ev = graft.sources.Tables.events(s, d)
+        .select(col("ts"), col("event_type"), col("value"))
+      // One driver-side scalar (the global max event time) to place the
+      // cutoff — the streaming plan itself stays fully distributed.
+      val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val feed = Files.createTempDirectory("graft_st06_feed_").toFile
+      feed.deleteOnExit()
+      def dropFile(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = new java.io.File(feed, s"_stage_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(feed, name)
+        Files.move(part.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
+        tmp.listFiles().foreach(_.delete()); tmp.delete()
+        dst.setLastModified(mtime)
+      }
+      val cutoff = lit(mx) - expr("INTERVAL 130 MINUTES")
+      val fresh = lit(mx) - expr("INTERVAL 10 MINUTES")
+      val t0 = System.currentTimeMillis() - 180000
+      dropFile(ev.filter(col("ts") > cutoff && col("ts") <= fresh), "b1.parquet", t0)
+      dropFile(ev.filter(col("ts") > fresh), "b2.parquet", t0 + 60000)
+      dropFile(ev.filter(col("ts") <= cutoff), "b3.parquet", t0 + 120000)
+      val agg = s.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1") // one file per micro-batch
+        .parquet(feed.toString)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"), col("n"), col("value_cents"))
+      runToTable(agg, OutputMode.Append())
+    }),
+
+    // -- Production sink shape, driver-checked: Update-mode tumbling agg
+    //    through foreachBatch → parquet APPEND (each micro-batch writes
+    //    only its changed windows, distributed — no memory sink, no
+    //    Complete-mode driver materialization). Read-back picks the last
+    //    emission per window (batch_id argmax), the same monotone-state
+    //    selection st03 uses; same oracle as st01 = stream/batch parity.
+    "st07_foreachbatch_sink" -> ((s, d) => {
+      import java.nio.file.Files
+      val outDir = Files.createTempDirectory("graft_st07_out_").toString
+      val agg = eventStream(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"), col("n"), col("value_cents"))
+      val q = agg.writeStream
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("hour"), col("event_type"))
+        .orderBy(col("batch_id").desc)
+      s.read.parquet(outDir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("hour"), col("event_type"), col("n"), col("value_cents"))
+    }),
+
     // -- Streaming sessionization: session_window gap-merges per user in
     //    the state store; same session semantics as the batch q28, and
     //    the oracle recomputes it with a pure-SQL gap-and-island
@@ -181,6 +262,28 @@ object Streams {
          FROM events GROUP BY user_id""",
     "st05_first_seen" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // Closed-form late-data semantics: batch-1 rows (ts within 130 min of
+    // max) aggregated per hour window, keeping only windows whose end is
+    // at or before the final watermark (max ts - 10 min). Batch-2 rows
+    // are all late-and-closed, hence absent by construction.
+    "st06_watermark_late" ->
+      """WITH m AS (SELECT max(ts) AS mx FROM events)
+         SELECT hour, event_type, n, value_cents FROM (
+           SELECT date_trunc('hour', ts) AS h,
+                  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+                  event_type, count(*) AS n,
+                  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+           FROM events, m
+           WHERE ts > mx - INTERVAL 130 MINUTE
+           GROUP BY 1, 2, 3)
+         JOIN m ON h + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE""",
+    // Same oracle as st01: the foreachBatch→parquet sink must reproduce
+    // the batch aggregation exactly.
+    "st07_foreachbatch_sink" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+         event_type, count(*) AS n,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2""",
     "st04_stream_sessions" ->
       """SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events FROM (
            SELECT user_id, sess, count(*) AS n_events FROM (
