@@ -96,17 +96,28 @@ object Dedup {
       expr(s"stack($k, $stackArgs)").as(Seq("hid", "minhash")))
   }
 
-  /** 32-bit SimHash over tf-weighted shingles: bit j is the majority of
+  /** SimHash width/banding: 60 bits (the widest md5-prefix integer both
+    * engines parse exactly — 15 hex chars) split into 4 bands of 15 bits.
+    * Pigeonhole: hamming ≤ 3 flips cannot touch all 4 bands, so the band
+    * join has 100% recall; 2^15 = 32768 buckets per band keeps bucket
+    * occupancy ~n/32768 — the within-bucket pair phase stays subquadratic
+    * far past the 256-bucket point where 8-bit bands degrade to O(n²). */
+  private val SimhashBits = 60
+  private val SimhashBands = 4
+  private val SimhashBandBits = SimhashBits / SimhashBands
+  private val SimhashBandMask = (1 << SimhashBandBits) - 1
+
+  /** 60-bit SimHash over tf-weighted shingles: bit j is the majority of
     * hash-bit j across all shingle occurrences. One explode + one hash
-    * agg carrying 32 conditional bit-sums (no 32× row blowup). */
+    * agg carrying 60 conditional bit-sums (no 60× row blowup). */
   private def simhash(s: SparkSession, d: String): DataFrame = {
     val h = shingleStream(s, d)
       .select(col("doc_id"),
-        expr("cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint)").as("hv"))
-    val bitSums = (0 until 32).map(j => sum(expr(s"shiftright(hv, $j) & 1")).as(s"b$j"))
+        expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)").as("hv"))
+    val bitSums = (0 until SimhashBits).map(j => sum(expr(s"shiftright(hv, $j) & 1")).as(s"b$j"))
     val agged = h.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n"), bitSums: _*)
-    val fingerprint = (0 until 32)
+    val fingerprint = (0 until SimhashBits)
       .map(j => expr(s"if(2 * b$j > n, shiftleft(cast(1 as bigint), $j), cast(0 as bigint))"))
       .reduce(_ + _)
     agged.select(col("doc_id"), fingerprint.as("simhash"))
@@ -185,18 +196,19 @@ object Dedup {
         .filter(col("jaccard") >= 0.3)
     }),
 
-    // -- SimHash fingerprints (32-bit, tf-weighted shingle features).
+    // -- SimHash fingerprints (60-bit, tf-weighted shingle features).
     "dd05_simhash" -> ((s, d) =>
       simhash(s, d)),
 
-    // -- SimHash near-dup pairs at hamming ≤ 3 via exact byte-banding:
-    //    a pair differing in ≤3 bits must agree on ≥1 of the 4 bytes, so
-    //    the 4-way band join has 100% recall (no probabilistic miss).
+    // -- SimHash near-dup pairs at hamming ≤ 3 via exact 15-bit banding:
+    //    a pair differing in ≤3 bits must agree on ≥1 of the 4 bands, so
+    //    the 4-way band join has 100% recall (no probabilistic miss) and
+    //    32768 buckets per band bound bucket occupancy at corpus scale.
     "dd06_simhash_pairs" -> ((s, d) => {
       val sh = simhash(s, d)
       val banded = sh.select(col("doc_id"), col("simhash"),
-          explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("bv", expr("(simhash >> (band * 8)) & 255"))
+          explode(expr(s"sequence(0, ${SimhashBands - 1})")).as("band"))
+        .withColumn("bv", expr(s"(simhash >> (band * $SimhashBandBits)) & $SimhashBandMask"))
       banded.as("a")
         .join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -253,9 +265,9 @@ object Dedup {
   private val dSimhash =
     s"""WITH e AS ($dStream),
         h AS (SELECT doc_id,
-                CAST(concat('0x', substr(md5(g), 1, 8)) AS BIGINT) AS hv FROM e),
+                CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) AS hv FROM e),
         bits AS (SELECT doc_id, j, sum((hv >> CAST(j AS INT)) & 1) AS sc, count(*) AS n
-                 FROM h, range(32) t(j) GROUP BY 1, 2)
+                 FROM h, range($SimhashBits) t(j) GROUP BY 1, 2)
         SELECT doc_id,
                CAST(sum(CASE WHEN 2 * sc > n
                    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
@@ -299,8 +311,8 @@ object Dedup {
     "dd06_simhash_pairs" ->
       s"""WITH sh AS ($dSimhash),
           banded AS (SELECT doc_id, simhash, CAST(t.band AS INT) AS band,
-                       (simhash >> (CAST(t.band AS INT) * 8)) & 255 AS bv
-                     FROM sh, range(4) t(band))
+                       (simhash >> (CAST(t.band AS INT) * $SimhashBandBits)) & $SimhashBandMask AS bv
+                     FROM sh, range($SimhashBands) t(band))
           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
           FROM banded a JOIN banded b

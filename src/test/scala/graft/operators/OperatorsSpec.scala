@@ -75,20 +75,20 @@ class OperatorsSpec extends SparkSpec {
     assert(banded === brute)
   }
 
-  // ANN sanity: LSH bucket top-k neighbors must be a subset of each
-  // query's brute-force top-20 (quality, not just plumbing).
-  test("LSH ANN neighbors rank high under brute force") {
+  // ANN quality: quantitative recall@3 of the multi-table LSH against
+  // the brute-force ground truth. With L=4 OR-amplified 6-plane tables
+  // the candidate union must recover at least half of every query's
+  // true top-3 in aggregate (single-table AND-only LSH fails this).
+  test("LSH ANN recall@3 vs brute force is >= 0.5") {
     val ann = SparkEntry.queries("ss03_lsh_ann")(spark, sfDir)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val brute = SparkEntry.queries("ss01_cosine_topk")(spark, sfDir)
+    val bruteTop3 = SparkEntry.queries("ss01_cosine_topk")(spark, sfDir)
+      .filter(col("rnk") <= 3)
       .select("query_id", "neighbor_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // At sf0.001 buckets are tiny; every ANN hit that IS in some top-5
-    // must agree with brute force ordering — weak but meaningful: the
-    // intersection must be non-trivial on the fixture.
-    assert(ann.nonEmpty)
-    assert((ann intersect brute).nonEmpty || ann.size < 5,
-      s"ANN found ${ann.size} pairs, none in brute-force top-5")
+    val recall = (ann intersect bruteTop3).size.toDouble / bruteTop3.size
+    info(f"recall@3 = $recall%.3f (${(ann intersect bruteTop3).size}/${bruteTop3.size})")
+    assert(recall >= 0.5, f"recall@3 = $recall%.3f below 0.5")
   }
 }
