@@ -21,4 +21,20 @@ object MiniGrep {
       .filter(col("text").rlike(pattern))
       .select(col("doc_id"), col("source"), col("text"))
   }
+
+  /** File-based variant with the reference FileFinder's permissive source
+    * semantics (/root/reference/tutorial/minigrep/minigrep.go:47-61): an
+    * unreadable input is skipped — Spark logs it, the reference printed
+    * to stderr — and every readable file's matches still arrive.
+    * `ignoreCorruptFiles`/`ignoreMissingFiles` are the Spark analogs of
+    * open-error-keep-going. */
+  def runFiles(spark: SparkSession, dir: String, pattern: String): DataFrame = {
+    java.util.regex.Pattern.compile(pattern)
+    spark.read
+      .option("ignoreCorruptFiles", "true")
+      .option("ignoreMissingFiles", "true")
+      .parquet(dir)
+      .filter(col("text").rlike(pattern))
+      .select(col("doc_id"), col("source"), col("text"))
+  }
 }

@@ -35,7 +35,9 @@ import scala.collection.mutable
   *
   * Intentional divergence (SURVEY.md §7.4): no per-element rendezvous —
   * Spark pipelines at stage granularity (whole-stage codegen), which is
-  * strictly more efficient; F11's ChannelBufferLen has no analog.
+  * strictly more efficient. F11's ChannelBufferLen survives only as the
+  * [[Pipes.ChannelBufferLen]] option below: meaningful for streaming
+  * starts (files per micro-batch), a documented no-op for batch plans.
   */
 object Pipes {
   type StartFn[O]     = SparkSession => Dataset[O]
@@ -45,6 +47,19 @@ object Pipes {
   /** The reference's `Bypass[T]()` (pipe/bypass.go:13-15): an optional
     * stage that is disabled contributes zero plan nodes. */
   def bypass[T]: MiddleFn[T, T] = identity[Dataset[T]]
+
+  /** Builder construction option (reference pipe/options.go:12-14). */
+  sealed trait PipeOption
+
+  /** F11 analog (reference pipe/options.go:3-22): bounds how much data a
+    * producer hands downstream at a time. Spark batch plans have no
+    * per-element channels — stages pipeline through whole-stage codegen,
+    * so for batch this is a documented no-op. For *streaming* file
+    * starts created with [[PipelineBuilder.addFileStreamStart]] the
+    * bound maps to `maxFilesPerTrigger` — files per micro-batch, which
+    * is precisely the producer→consumer buffering granularity
+    * Structured Streaming exposes. */
+  final case class ChannelBufferLen(length: Int) extends PipeOption
 
   final case class BuildError(message: String, cause: Option[Throwable] = None)
     extends RuntimeException(message, cause.orNull)
@@ -67,7 +82,25 @@ final class FinalHandle[I] private[pipeline] (private[pipeline] val key: String)
   * a key overrides the previous node (last-write-wins). Wiring happens
   * through `sendTo`, then `build()` validates and materializes the DAG.
   */
-final class PipelineBuilder(spark: SparkSession) {
+final class PipelineBuilder(spark: SparkSession, options: PipeOption*) {
+
+  /** ChannelBufferLen if supplied (reference defaultOptions: unbuffered —
+    * here "unbuffered" means Spark's own defaults). */
+  val channelBufferLen: Option[Int] =
+    options.collectFirst { case ChannelBufferLen(n) => n }
+
+  /** Streaming file-source start node honoring [[Pipes.ChannelBufferLen]]
+    * as `maxFilesPerTrigger` — the one hop where Spark exposes a
+    * channel-buffer-like knob. Without the option, Spark's default
+    * (all available files per batch) applies. */
+  def addFileStreamStart(key: String, dir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      glob: String = "*"): StartHandle[org.apache.spark.sql.Row] =
+    addStart(key, s => {
+      val r = s.readStream.schema(schema).option("pathGlobFilter", glob)
+      channelBufferLen.foreach(n => r.option("maxFilesPerTrigger", n))
+      r.parquet(dir)
+    })
 
   private sealed trait NodeDef
   private case class StartDef(p: () => Either[Throwable, Option[StartFn[Any]]]) extends NodeDef

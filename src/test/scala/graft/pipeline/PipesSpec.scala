@@ -151,4 +151,58 @@ class PipesSpec extends SparkSpec {
     assert(buf.asScala.nonEmpty)
     assert(buf.asScala.forall(_.contains("spark")))
   }
+
+  // FileFinder's permissive source semantics (minigrep.go:47-61): an
+  // unreadable input is skipped and every readable file's matches still
+  // arrive (E6 fidelity — open-error does not kill the pipeline).
+  test("minigrep keeps going past a corrupt input file") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_minigrep_").toString
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(20)
+    docs.limit(10).coalesce(1).write.mode("append").parquet(dir)
+    docs.coalesce(1).write.mode("append").parquet(dir)
+    // One garbage file that parquet cannot open.
+    Files.write(Paths.get(dir, "part-corrupt.snappy.parquet"),
+      "this is not a parquet file".getBytes)
+    val expected = docs.filter(org.apache.spark.sql.functions.col("text").rlike("the")).count() +
+      docs.limit(10).filter(org.apache.spark.sql.functions.col("text").rlike("the")).count()
+    val got = MiniGrep.runFiles(spark, dir, "the")
+    assert(got.count() === expected)
+    // Sanity: without the permissive option the corrupt file is fatal.
+    intercept[Throwable] {
+      spark.read.parquet(dir).filter("text rlike 'the'").count()
+    }
+  }
+
+  // F11 ChannelBufferLen analog (pipe/options.go:3-22): buffer length 1
+  // on a streaming file start = one file per micro-batch; batch plans
+  // ignore the option (documented no-op).
+  test("ChannelBufferLen bounds files per micro-batch on streaming starts") {
+    import java.nio.file.{Files, StandardCopyOption}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_f11_").toFile
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    (0 until 3).foreach { i =>
+      val tmp = new java.io.File(dir, s"_stage_$i")
+      docs.filter(s"doc_id % 3 = $i").coalesce(1).write.parquet(tmp.toString)
+      val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath, new java.io.File(dir, s"f$i.parquet").toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+    val b = new PipelineBuilder(spark, Pipes.ChannelBufferLen(1))
+    assert(b.channelBufferLen === Some(1))
+    val src = b.addFileStreamStart("src", dir.toString, docs.schema, "*.parquet")
+    @volatile var batches = 0
+    val sink = b.addFinal[Row]("sink", ds => {
+      val q = ds.writeStream.format("noop")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      batches = q.recentProgress.count(_.numInputRows > 0)
+    })
+    b.sendTo(src, sink)
+    b.build().fold(e => fail(e.message), _.run())
+    assert(batches === 3, s"expected 3 one-file micro-batches, got $batches")
+  }
 }
