@@ -225,8 +225,47 @@ object Advanced {
       val vowels = udf((t: String) => t.count("aeiou".contains(_)))
       Tables.documents(s, d)
         .select(col("doc_id"), vowels(col("text")).as("n_vowels"))
+    }),
+
+    // -- Bucketed co-located join: both fact tables written bucketed on
+    //    the join key (bucketBy + sortBy), so the join needs NO exchange
+    //    on either side — the 100 TB pattern for repeated big-big joins:
+    //    pay the shuffle once at write time, never again per query.
+    //    PlanQualitySpec pins the no-Exchange plan; the oracle is the
+    //    plain join (bucketing is semantics-free).
+    "q42_bucketed_join" -> ((s, d) => {
+      // The session catalog is in-memory: a table dir left by a previous
+      // JVM is unknown to it, and CTAS refuses a non-empty location —
+      // drop both catalog entry and directory before writing.
+      def saveBucketed(df: DataFrame, name: String, key: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), name)
+        wh.getFileSystem(s.sparkContext.hadoopConfiguration).delete(wh, true)
+        df.write.format("parquet")
+          .bucketBy(8, key).sortBy(key).saveAsTable(name)
+      }
+      saveBucketed(Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+        "graft_li_bkt", "l_orderkey")
+      saveBucketed(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_ord_bkt", "o_orderkey")
+      s.table("graft_li_bkt")
+        .join(s.table("graft_ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+             sum(col("l_quantity")).as("sum_qty"),
+             sum(cents(col("l_extendedprice"))).as("price_cents"))
     })
   )
+
+  /** The shuffle-free bucketed join subplan (no aggregation), exposed for
+    * PlanQualitySpec's no-Exchange assertion. Requires q42 to have
+    * written the bucketed tables in this session. */
+  def bucketedJoinPlan(s: SparkSession): DataFrame =
+    s.table("graft_li_bkt")
+      .join(s.table("graft_ord_bkt"), col("l_orderkey") === col("o_orderkey"))
 
   def oracleSql: Map[String, String] = Map(
     // Join + argmax formulation — algorithmically different from the
@@ -303,6 +342,14 @@ object Advanced {
                * CAST(round(o_totalprice*100) AS BIGINT)) AS sxx,
              count(*) AS n
            FROM orders GROUP BY o_orderstatus)""",
+    // The plain-join formulation — equality proves bucketing is
+    // semantics-free (what changes is the plan: no join-time exchange).
+    "q42_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+         sum(l_quantity) AS sum_qty,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
     // The unsalted formulation — equality proves the salt is semantics-free.
     "q34_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n_items, sum(l_quantity) AS sum_qty

@@ -227,6 +227,42 @@ object Streams {
         .select(col("hour"), col("event_type"), col("n"), col("value_cents"))
     }),
 
+    // -- Stream-stream interval join: clicks joined to the views that
+    //    follow within 5 minutes, both sides watermarked (bounds the
+    //    join state — without watermarks the buffers grow forever at
+    //    100 TB/day). Inner join in Append mode; with AvailableNow over
+    //    the fixture the result equals the batch interval join, which is
+    //    exactly what the oracle computes (q31's shape, pair-level).
+    "st08_stream_stream_join" -> ((s, d) => {
+      val clicks = eventStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+        .withWatermark("cts", "1 hour")
+      val views = eventStream(s, d)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("vuser"), col("ts").as("vts"),
+          col("event_id").as("view_id"))
+        .withWatermark("vts", "1 hour")
+      val joined = clicks.join(views,
+        expr("user_id = vuser AND vts > cts AND vts <= cts + interval 5 minutes"))
+        .select(col("click_id"), col("view_id"), col("user_id"))
+      runToTable(joined, OutputMode.Append())
+    }),
+
+    // -- Stream-static join: the unbounded event stream enriched with a
+    //    bounded dimension (customer) — the static side broadcasts per
+    //    micro-batch, no stream state at all. The standard shape for
+    //    dimension enrichment in a 100 TB/day feed.
+    "st09_stream_static_join" -> ((s, d) => {
+      val users = graft.sources.Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"))
+      val enriched = eventStream(s, d)
+        .join(broadcast(users), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      runToTable(enriched, OutputMode.Complete())
+    }),
+
     // -- Streaming sessionization: session_window gap-merges per user in
     //    the state store; same session semantics as the batch q28, and
     //    the oracle recomputes it with a pure-SQL gap-and-island
@@ -277,6 +313,16 @@ object Streams {
            WHERE ts > mx - INTERVAL 130 MINUTE
            GROUP BY 1, 2, 3)
          JOIN m ON h + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE""",
+    "st08_stream_stream_join" ->
+      """SELECT c.event_id AS click_id, e.event_id AS view_id, c.user_id
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         JOIN (SELECT * FROM events WHERE event_type = 'view') e
+           ON c.user_id = e.user_id
+          AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTE""",
+    "st09_stream_static_join" ->
+      """SELECT c_nationkey, event_type, count(*) AS n
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1, 2""",
     // Same oracle as st01: the foreachBatch→parquet sink must reproduce
     // the batch aggregation exactly.
     "st07_foreachbatch_sink" ->

@@ -57,4 +57,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(2000))
   }
+
+  test("bucketed join has no exchange on either side (q42)") {
+    // q42 writes both tables bucketed on the join key; the join subplan
+    // must then contain zero shuffles — the pay-once co-location that
+    // makes repeated big-big joins viable at 100 TB. Auto-broadcast is
+    // disabled for the assertion: at fixture scale AQE would broadcast
+    // the small side, hiding the big-big SortMergeJoin path under test.
+    SparkEntry.queries("q42_bucketed_join")(spark, sfDir).collect()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.operators.Advanced.bucketedJoinPlan(spark)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+      assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+        "bucketed join should not shuffle:\n" + p.take(2000))
+      assert(p.contains("SelectedBucketsCount"), p.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
