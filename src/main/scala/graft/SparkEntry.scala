@@ -25,6 +25,7 @@ object SparkEntry {
     graft.operators.Similarity.queries ++
     graft.operators.TextAnalysis.queries ++
     graft.operators.Multimodal.queries ++
+    graft.sources.FormatsIO.queries ++
     graft.streaming.Streams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,5 +37,6 @@ object SparkEntry {
     graft.operators.Similarity.oracleSql ++
     graft.operators.TextAnalysis.oracleSql ++
     graft.operators.Multimodal.oracleSql ++
+    graft.sources.FormatsIO.oracleSql ++
     graft.streaming.Streams.oracleSql
 }

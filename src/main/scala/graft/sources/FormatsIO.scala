@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Format round-trip queries: prove the non-parquet sources/sinks
+  * (CSV, JSON, ORC) end-to-end inside the driver's correctness gate,
+  * not just in a spec. Each query writes a fixture projection in the
+  * target format, reads it back with an explicit schema (schema
+  * inference is a scan you never pay twice at 100 TB), and aggregates;
+  * the DuckDB oracle computes the same aggregate straight from parquet —
+  * so any loss or mangling in the write→read hop flips the gate red.
+  *
+  * The reference's sources are user StartFuncs over files
+  * (/root/reference/tutorial/minigrep/minigrep.go:47-61); these are the
+  * Spark-native equivalents of "read this other format, keep the
+  * pipeline identical".
+  */
+object FormatsIO {
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_${tag}_").toString
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- CSV sink + source: orders key columns through header CSV.
+    //    Read back with an explicit DDL schema.
+    "io01_csv_roundtrip" -> ((s, d) => {
+      val dir = tmpDir("io01")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").option("header", "true").csv(dir)
+      s.read
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")
+        .option("header", "true").csv(dir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(cents(col("o_totalprice"))).as("total_cents"))
+    }),
+
+    // -- JSON sink + source: documents metadata through JSON lines.
+    "io02_json_roundtrip" -> ((s, d) => {
+      val dir = tmpDir("io02")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), length(col("text")).as("text_len"))
+        .write.mode("overwrite").json(dir)
+      s.read
+        .schema("doc_id BIGINT, lang STRING, source STRING, text_len INT")
+        .json(dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("text_len").cast("long")).as("total_len"))
+    }),
+
+    // -- ORC sink + source: lineitem slice through ORC (columnar like
+    //    parquet — pushdown and pruning still apply on read-back).
+    "io03_orc_roundtrip" -> ((s, d) => {
+      val dir = tmpDir("io03")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .write.mode("overwrite").orc(dir)
+      s.read.orc(dir)
+        .filter(col("l_quantity") > 25)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "io01_csv_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+         FROM orders GROUP BY o_orderstatus""",
+    "io02_json_roundtrip" ->
+      """SELECT lang, source, count(*) AS n,
+         CAST(sum(length(text)) AS BIGINT) AS total_len
+         FROM documents GROUP BY lang, source""",
+    "io03_orc_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
+         FROM lineitem WHERE l_quantity > 25 GROUP BY l_returnflag"""
+  )
+}

@@ -161,8 +161,10 @@ object Streams {
     //    watermark — a closed form the DuckDB oracle recomputes.
     "st06_watermark_late" -> ((s, d) => {
       import java.nio.file.{Files, StandardCopyOption}
+      // Persist: the feed build reads events four times (max + 3 splits).
       val ev = graft.sources.Tables.events(s, d)
         .select(col("ts"), col("event_type"), col("value"))
+        .persist()
       // One driver-side scalar (the global max event time) to place the
       // cutoff — the streaming plan itself stays fully distributed.
       val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
@@ -183,6 +185,7 @@ object Streams {
       dropFile(ev.filter(col("ts") > cutoff && col("ts") <= fresh), "b1.parquet", t0)
       dropFile(ev.filter(col("ts") > fresh), "b2.parquet", t0 + 60000)
       dropFile(ev.filter(col("ts") <= cutoff), "b3.parquet", t0 + 120000)
+      ev.unpersist(blocking = false)
       val agg = s.readStream.schema(ev.schema)
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", "1") // one file per micro-batch
