@@ -145,6 +145,39 @@ object TextAnalysis {
         col("doc_id"),
         expr("size(regexp_extract_all(text, '[a-z]+', 0))").as("n_alpha_runs"),
         expr("size(array_distinct(regexp_extract_all(text, '[a-z]+', 0)))").as("n_uniq_runs"))
+    }),
+
+    // -- Deterministic train/val/test split: assignment = md5(doc_id)
+    //    mod 100 (80/10/10), so the split is reproducible across runs,
+    //    partitionings, AND engines — the property a training pipeline
+    //    needs for held-out integrity (a seeded random split is none of
+    //    those things across engines). Narrow, no shuffle until the
+    //    audit aggregation.
+    "ta08_split_assign" -> ((s, d) => {
+      val bucket = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(expr(s"size($toks)").cast("long")).as("n_tokens"))
+    }),
+
+    // -- Sequence packing: documents packed into fixed token-budget bins
+    //    (4096) per language shard — the training-batch construction
+    //    step. Deterministic greedy-by-doc_id packing via windowed
+    //    cumulative sum; partitioned by lang so no global window (the
+    //    single-partition trap) — at 100 TB shards are the parallel unit.
+    "ta09_sequence_packing" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), expr(s"size($toks)").cast("long").as("n_tokens"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        // Bin by the document's starting offset within its shard.
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          ((col("cum") - col("n_tokens")) / 4096L).cast("long").as("bin"))
     })
   )
 
@@ -217,6 +250,23 @@ object TextAnalysis {
       """SELECT doc_id,
           CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha_runs,
           CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS INT) AS n_uniq_runs
-          FROM documents"""
+          FROM documents""",
+    "ta08_split_assign" ->
+      s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                 ELSE 'test' END AS split,
+          lang, count(*) AS n_docs,
+          CAST(sum(len($dtoks)) AS BIGINT) AS n_tokens
+          FROM (SELECT lang, text,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+                FROM documents)
+          GROUP BY 1, 2""",
+    "ta09_sequence_packing" ->
+      s"""SELECT doc_id, lang, n_tokens,
+          CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin FROM (
+            SELECT doc_id, lang, CAST(len($dtoks) AS BIGINT) AS n_tokens,
+              sum(CAST(len($dtoks) AS BIGINT)) OVER (PARTITION BY lang
+                ORDER BY doc_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM documents)"""
   )
 }
