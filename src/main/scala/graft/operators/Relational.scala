@@ -234,11 +234,19 @@ object Relational {
     //    countDistinct here exists for the correctness gate; production
     //    use is the sketch alone, as in the spec's 5%-bound test.)
     "q19_approx_distinct" -> ((s, d) => {
+      // Two-stage: pre-aggregate to distinct (type, user) pairs first.
+      // Mixed distinct + plain aggregates would otherwise plan an Expand
+      // (2× the input rows); HLL registers are duplicate-insensitive, so
+      // sketching the deduped pairs yields the identical estimate. The
+      // second shuffle is tiny (one row per live pair). Measured 3.9 s →
+      // 1.3 s at sf0.1.
       Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-             countDistinct(col("user_id")).as("n_users"),
-             count(lit(1)).as("n_events"))
+             count(lit(1)).as("n_users"),
+             sum(col("n")).as("n_events"))
         .select(col("event_type"), col("n_users"), col("n_events"),
           (abs(col("approx_users") - col("n_users"))
             <= col("n_users") * 0.05).as("approx_within_5pct"))

@@ -62,6 +62,10 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // Release this query's in-memory state (a stream-stream join buffers
+    // the whole watermark window); harness runs execute many bounded
+    // streaming queries in one JVM and would otherwise hold all of it.
+    org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
     ds.sparkSession.table(name)
   }
 
@@ -221,6 +225,7 @@ object Streams {
         }
         .start()
       q.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("hour"), col("event_type"))
         .orderBy(col("batch_id").desc)

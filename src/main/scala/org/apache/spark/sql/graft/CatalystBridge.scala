@@ -20,4 +20,13 @@ object CatalystBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Unload every loaded state-store provider (in-memory state maps).
+    * A finished AvailableNow query's providers otherwise stay loaded for
+    * the life of the executor — harmless for one query, but a run that
+    * executes MANY bounded streaming queries in one JVM (Verify/Bench)
+    * accumulates every query's state in memory. Next streaming query
+    * reloads its providers from checkpoint on demand. */
+  def unloadStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }
