@@ -23,5 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorDot(children(0), children(1))))
     ext.injectOptimizerRule(_ => RewriteSelfDot)
+    // Whole-operator extension (§7.3 rung c): the bounded-heap top-k
+    // physical operator. Runtime attachment: graft.plans.TopK.install.
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
   }
 }

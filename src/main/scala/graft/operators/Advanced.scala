@@ -257,6 +257,19 @@ object Advanced {
         .agg(count(lit(1)).as("n_items"),
              sum(col("l_quantity")).as("sum_qty"),
              sum(cents(col("l_extendedprice"))).as("price_cents"))
+    }),
+
+    // -- Whole-operator extension (§7.3 rung (c)): top-3 orders per
+    //    customer through the native bounded-heap TopKPerGroup physical
+    //    operator (graft.plans) — custom LogicalPlan + Strategy +
+    //    SparkPlan. The oracle is the window row_number formulation:
+    //    same row set, materially cheaper plan (no per-group full sort).
+    "q43_native_topk_per_group" -> ((s, d) => {
+      graft.plans.TopK.topKPerGroup(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        keys = Seq(col("o_custkey")),
+        order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3)
     })
   )
 
@@ -342,6 +355,14 @@ object Advanced {
                * CAST(round(o_totalprice*100) AS BIGINT)) AS sxx,
              count(*) AS n
            FROM orders GROUP BY o_orderstatus)""",
+    // The window formulation — same row set the bounded-heap operator
+    // must produce (its whole point is skipping this plan's full sort).
+    "q43_native_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) WHERE rn <= 3""",
     // The plain-join formulation — equality proves bucketing is
     // semantics-free (what changes is the plan: no join-time exchange).
     "q42_bucketed_join" ->
