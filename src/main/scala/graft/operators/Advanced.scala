@@ -270,6 +270,51 @@ object Advanced {
         keys = Seq(col("o_custkey")),
         order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
         k = 3)
+    }),
+
+    // -- approx_percentile (Greenwald-Khanna sketch): the constant-memory
+    //    quantile at 100 TB (q36 is the exact tier). As with q19, the
+    //    sketch value is engine-specific; the oracle-checked output is
+    //    the rank-error assertion the sketch guarantees: accuracy 10000
+    //    bounds rank error to n/10000, flagged at 1% (a 100× margin).
+    "q44_approx_percentile" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderstatus"), cents(col("o_totalprice")).as("c"))
+      val sketch = o.groupBy(col("o_orderstatus"))
+        .agg(expr("percentile_approx(c, 0.5, 10000)").as("p50"))
+      o.join(broadcast(sketch), "o_orderstatus")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+             sum(when(col("c") <= col("p50"), 1L).otherwise(0L)).as("n_below"))
+        .select(col("o_orderstatus"), col("n"),
+          (abs(col("n_below").cast("double") / col("n") - 0.5) <= 0.01)
+            .as("p50_within_1pct"))
+    }),
+
+    // -- SCD1 upsert (dimension maintenance): apply a deterministic
+    //    change set (updates to every 10th customer, inserts of new
+    //    keys) to the customer dim via full-outer merge + coalesce —
+    //    the MERGE INTO shape on plain parquet. One shuffle on the key;
+    //    at 100 TB the target side would be bucketed (q42) so only the
+    //    change set shuffles.
+    "q45_scd1_upsert" -> ((s, d) => {
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"), cents(col("c_acctbal")).as("bal_cents"))
+      val changes =
+        dim.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), col("c_name"),
+            (col("bal_cents") + 100000L).as("bal_cents"))
+        .unionAll(
+          dim.filter(col("c_custkey") % 97 === 3)
+            .select((col("c_custkey") + 10000000L).as("c_custkey"),
+              concat(lit("NEW "), col("c_name")).as("c_name"),
+              lit(0L).as("bal_cents")))
+      dim.as("d").join(changes.as("u"),
+          col("d.c_custkey") === col("u.c_custkey"), "full_outer")
+        .select(
+          coalesce(col("u.c_custkey"), col("d.c_custkey")).as("c_custkey"),
+          coalesce(col("u.c_name"), col("d.c_name")).as("c_name"),
+          coalesce(col("u.bal_cents"), col("d.bal_cents")).as("bal_cents"))
     })
   )
 
@@ -363,6 +408,26 @@ object Advanced {
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
            FROM orders) WHERE rn <= 3""",
+    // The sketch value is engine-specific; the oracle checks group sizes
+    // and that the sketch's rank guarantee held (flag TRUE).
+    "q44_approx_percentile" ->
+      """SELECT o_orderstatus, count(*) AS n, TRUE AS p50_within_1pct
+         FROM orders GROUP BY o_orderstatus""",
+    // Same merge, DuckDB formulation.
+    "q45_scd1_upsert" ->
+      """WITH dim AS (SELECT c_custkey, c_name,
+                        CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents
+                      FROM customer),
+          changes AS (
+            SELECT c_custkey, c_name, bal_cents + 100000 AS bal_cents
+            FROM dim WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey + 10000000, 'NEW ' || c_name, CAST(0 AS BIGINT)
+            FROM dim WHERE c_custkey % 97 = 3)
+         SELECT coalesce(u.c_custkey, d.c_custkey) AS c_custkey,
+                coalesce(u.c_name, d.c_name) AS c_name,
+                coalesce(u.bal_cents, d.bal_cents) AS bal_cents
+         FROM dim d FULL OUTER JOIN changes u ON d.c_custkey = u.c_custkey""",
     // The plain-join formulation — equality proves bucketing is
     // semantics-free (what changes is the plan: no join-time exchange).
     "q42_bucketed_join" ->
