@@ -74,4 +74,21 @@ class PropertiesSpec extends AnyFunSuite {
       assert(got === want)
     }
   }
+
+  test("TopKPerGroup equals scala per-group sortBy.take for any input and k") {
+    import org.apache.spark.sql.functions.col
+    val rows = Gen.listOfN(40,
+      Gen.zip(Gen.chooseNum(0L, 4L), Gen.chooseNum(-50L, 50L), Gen.chooseNum(0L, 1000L)))
+    forAll(Gen.zip(rows, Gen.chooseNum(1, 6)), n = 10) { case (xs, k) =>
+      // Unique id as tiebreaker so the top-k SET is well-defined.
+      val data = xs.zipWithIndex.map { case ((g, v, _), i) => (g, v, i.toLong) }
+      val df = spark.createDataset(data).toDF("g", "v", "id")
+      val got = graft.plans.TopK.topKPerGroup(df,
+        Seq(col("g")), Seq(col("v").desc, col("id").asc), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = data.groupBy(_._1).values.flatMap(
+        _.sortBy(t => (-t._2, t._3)).take(k)).toSet
+      assert(got === want)
+    }
+  }
 }
