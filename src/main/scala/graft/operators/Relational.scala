@@ -216,6 +216,18 @@ object Relational {
                 col("n"), col("total_cents"))
     }),
 
+    // -- GROUPING SETS — the general form rollup/cube specialize. SQL
+    //    text (like q38) since the DataFrame API has no direct builder.
+    "q46_grouping_sets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("o_q46")
+      s.sql(
+        """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n
+           FROM o_q46
+           GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
+    }),
+
     // -- Exact distinct aggregation (expand + two-phase agg under the hood).
     "q18_count_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -457,6 +469,12 @@ object Relational {
          coalesce(o_orderpriority,'ALL') AS priority,
          count(*) AS n, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q46_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         count(*) AS n
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
     "q18_count_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
          count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows

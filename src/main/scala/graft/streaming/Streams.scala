@@ -235,6 +235,20 @@ object Streams {
         .select(col("hour"), col("event_type"), col("n"), col("value_cents"))
     }),
 
+    // -- Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+    //    evicts seen-keys older than the watermark, so state is bounded
+    //    by the watermark window — st02's dropDuplicates keeps every key
+    //    forever, which a 100 TB/day feed cannot. Single-batch
+    //    AvailableNow over the fixture dedups everything, so the oracle
+    //    is the plain distinct.
+    "st10_dedup_within_watermark" -> ((s, d) => {
+      val out = eventStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      runToTable(out, OutputMode.Append())
+    }),
+
     // -- Stream-stream interval join: clicks joined to the views that
     //    follow within 5 minutes, both sides watermarked (bounds the
     //    join state — without watermarks the buffers grow forever at
@@ -321,6 +335,8 @@ object Streams {
            WHERE ts > mx - INTERVAL 130 MINUTE
            GROUP BY 1, 2, 3)
          JOIN m ON h + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE""",
+    "st10_dedup_within_watermark" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "st08_stream_stream_join" ->
       """SELECT c.event_id AS click_id, e.event_id AS view_id, c.user_id
          FROM (SELECT * FROM events WHERE event_type = 'click') c
