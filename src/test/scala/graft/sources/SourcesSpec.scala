@@ -44,4 +44,27 @@ class SourcesSpec extends SparkSpec {
     assert(p.contains("PartitionFilters: [isnotnull(o_orderstatus"), p.take(1500))
     assert(pruned.count() === base.filter("o_orderstatus = 'F'").count())
   }
+
+  // The reference's keep-going source semantics at record granularity
+  // (minigrep FileFinder skips unreadable FILES; PERMISSIVE mode skips
+  // unparseable RECORDS): good rows parse, bad rows land in the
+  // corrupt-record column instead of killing the job.
+  test("json PERMISSIVE mode captures corrupt records and keeps going") {
+    val dir = Files.createTempDirectory("graft_badjson")
+    Files.write(dir.resolve("data.json"),
+      """{"id": 1, "v": "ok"}
+        |this is not json at all
+        |{"id": 2, "v": "also ok"}
+        |{"id": 3, "v": broken}
+        |""".stripMargin.getBytes)
+    val df = spark.read
+      .schema("id BIGINT, v STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString)
+      .cache() // corrupt-record column cannot be queried alone uncached
+    assert(df.filter("_corrupt_record IS NULL").count() === 2)
+    assert(df.filter("_corrupt_record IS NOT NULL").count() === 2)
+    assert(df.filter("v = 'ok'").count() === 1)
+  }
 }
