@@ -78,6 +78,20 @@ object Dedup {
       .select(col("doc_id"), expr(
         "concat(element_at(tk, i + 1), ' ', element_at(tk, i + 2), ' ', element_at(tk, i + 3))").as("g"))
 
+  /** One row per (doc_id, hashed word n-gram occurrence) — same
+    * index-explode shape as [[shingleStream]], parameterized gram width
+    * (contamination checks use wider grams than near-dup shingling). */
+  private def gramStream(s: SparkSession, d: String, n: Int): DataFrame = {
+    val parts = (1 to n).map(j => s"element_at(tk, i + $j)").mkString(", ' ', ")
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .filter(expr(s"size(tk) >= $n"))
+      .select(col("doc_id"), col("tk"),
+        explode(expr(s"sequence(0, size(tk) - $n)")).as("i"))
+      .select(col("doc_id"),
+        expr(s"cast(conv(substring(md5(concat($parts)), 1, 15), 16, 10) as bigint)").as("gh"))
+  }
+
   /** Wide MinHash signature (doc_id, mh0..mh{k-1}) computed directly on
     * the hashed shingle SET with array folds — no explode, no shuffle:
     * the signature is a per-row computation over ~tens of elements.
@@ -219,6 +233,22 @@ object Dedup {
         .filter(col("hamming") <= 3)
     }),
 
+    // -- Benchmark decontamination: flag training documents that share
+    //    any 8-token gram with a held-out "benchmark" set (doc_id % 10
+    //    == 0 stands in for the eval suite). The benchmark gram set is
+    //    small by construction → broadcast inner join on 60-bit gram
+    //    hashes; the training side streams through it with no shuffle —
+    //    exactly how decontamination runs against a 100 TB corpus.
+    "dd08_contamination" -> ((s, d) => {
+      val grams = gramStream(s, d, 8)
+      val bench = grams.filter(col("doc_id") % 10 === 0)
+        .select(col("gh")).distinct()
+      grams.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(bench), "gh")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("gh")).as("n_shared_grams"))
+    }),
+
     // -- Embedding-cosine near-dup: IVF-style coarse blocking on `label`
     //    (the fixture's cluster id) keeps the pair join within cells.
     //    Cosine = dot/sqrt(na*nb) with sequential folds; rounded before
@@ -318,6 +348,22 @@ object Dedup {
           FROM banded a JOIN banded b
             ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+    "dd08_contamination" -> {
+      val g8 = (1 to 8).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+      s"""WITH g AS (
+            SELECT doc_id,
+              CAST(concat('0x', substr(md5(g8), 1, 15)) AS BIGINT) AS gh
+            FROM (
+              SELECT doc_id, unnest(list_transform(range(len(tk) - 7),
+                i -> $g8)) AS g8
+              FROM (SELECT doc_id, $dtoks AS tk FROM documents
+                    WHERE len($dtoks) >= 8))),
+          bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 = 0)
+          SELECT doc_id, count(DISTINCT gh) AS n_shared_grams
+          FROM g JOIN bench USING (gh)
+          WHERE doc_id % 10 <> 0
+          GROUP BY doc_id"""
+    },
     "dd07_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
          SELECT vec_a, vec_b, cos FROM (
