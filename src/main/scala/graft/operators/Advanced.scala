@@ -272,6 +272,30 @@ object Advanced {
         k = 3)
     }),
 
+    // -- Typed cogroup: the two-input per-key processor (the reference's
+    //    binary stateful MiddleFunc, SURVEY §2.3) — arbitrary Scala over
+    //    both sides' rows for one key, with both inputs shuffled to the
+    //    same partition. The declarative twin is a LEFT JOIN + group
+    //    (which the oracle computes); cogroup is the escape hatch for
+    //    per-key logic joins can't express.
+    "q47_cogroup" -> ((s, d) => {
+      import s.implicits._
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), cents(col("c_acctbal")).as("bal"))
+        .as[(Long, Long)]
+      val o = Tables.orders(s, d)
+        .select(col("o_custkey"), cents(col("o_totalprice")).as("t"))
+        .as[(Long, Long)]
+      c.groupByKey(_._1).cogroup(o.groupByKey(_._1)) { (k, cs, os) =>
+        val cl = cs.toSeq
+        if (cl.isEmpty) Iterator.empty // orders of unknown customers drop
+        else {
+          val ol = os.map(_._2).toSeq
+          Iterator((k, cl.head._2, ol.size.toLong, ol.sum))
+        }
+      }.toDF("c_custkey", "bal_cents", "n_orders", "total_cents")
+    }),
+
     // -- approx_percentile (Greenwald-Khanna sketch): the constant-memory
     //    quantile at 100 TB (q36 is the exact tier). As with q19, the
     //    sketch value is engine-specific; the oracle-checked output is
@@ -408,6 +432,14 @@ object Advanced {
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
            FROM orders) WHERE rn <= 3""",
+    // The declarative twin of the typed cogroup.
+    "q47_cogroup" ->
+      """SELECT c_custkey,
+         CAST(round(c_acctbal*100) AS BIGINT) AS bal_cents,
+         count(o_orderkey) AS n_orders,
+         CAST(coalesce(sum(CAST(round(o_totalprice*100) AS BIGINT)), 0) AS BIGINT) AS total_cents
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY 1, 2""",
     // The sketch value is engine-specific; the oracle checks group sizes
     // and that the sketch's rank guarantee held (flag TRUE).
     "q44_approx_percentile" ->
