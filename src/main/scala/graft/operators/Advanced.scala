@@ -217,6 +217,43 @@ object Advanced {
             .as("stddev_cents"))
     }),
 
+    // -- Value histogram: fixed-width binning + count — the profiling
+    //    pass every ingest pipeline runs. Integer bin ids from floor
+    //    division, so bin assignment is engine-exact.
+    "q48_histogram" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(floor(col("o_totalprice") / 50000).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"),
+             min(cents(col("o_totalprice"))).as("lo_cents"),
+             max(cents(col("o_totalprice"))).as("hi_cents"))
+    }),
+
+    // -- Exact Pearson correlation, q37's pattern generalized to two
+    //    variables: all moments as exact 128-bit integer sums (order-
+    //    free), one double formula at the end — deterministic across
+    //    engines AND partitionings, which the streaming `corr` aggregate
+    //    is not. Quantity is integral in the fixture; prices in cents.
+    "q49_exact_corr" -> ((s, d) => {
+      val x = col("x"); val y = col("y")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(38,0)").as("x"),
+          cents(col("l_extendedprice")).cast("decimal(38,0)").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+          sum(x * x).as("sxx"), sum(y * y).as("syy"))
+        .select(col("l_returnflag"), col("n"),
+          round(
+            (col("n").cast("double") * col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double"))
+            / (sqrt(col("n").cast("double") * col("sxx").cast("double")
+                - col("sx").cast("double") * col("sx").cast("double"))
+              * sqrt(col("n").cast("double") * col("syy").cast("double")
+                - col("sy").cast("double") * col("sy").cast("double"))), 6)
+            .as("corr_qty_price"))
+    }),
+
     // -- Scalar Scala UDF (the F2 escape hatch — a black box to Catalyst,
     //    which is exactly why the library prefers built-ins everywhere
     //    else). The oracle recomputes it with pure SQL, proving the two
@@ -432,6 +469,30 @@ object Advanced {
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
            FROM orders) WHERE rn <= 3""",
+    "q48_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+         count(*) AS n,
+         CAST(min(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS lo_cents,
+         CAST(max(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS hi_cents
+         FROM orders GROUP BY 1""",
+    "q49_exact_corr" ->
+      """SELECT l_returnflag, n,
+         round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS corr_qty_price
+         FROM (
+           SELECT l_returnflag, count(*) AS n,
+             sum(CAST(l_quantity AS HUGEINT)) AS sx,
+             sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS HUGEINT)) AS sy,
+             sum(CAST(l_quantity AS HUGEINT)
+               * CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS HUGEINT)) AS sxy,
+             sum(CAST(l_quantity AS HUGEINT) * CAST(l_quantity AS HUGEINT)) AS sxx,
+             sum(CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS HUGEINT)
+               * CAST(CAST(round(l_extendedprice*100) AS BIGINT) AS HUGEINT)) AS syy
+           FROM lineitem GROUP BY l_returnflag)""",
     // The declarative twin of the typed cogroup.
     "q47_cogroup" ->
       """SELECT c_custkey,
