@@ -254,6 +254,28 @@ object Advanced {
             .as("corr_qty_price"))
     }),
 
+    // -- Time-series resample / gap fill: densify per-user daily event
+    //    counts over the full date span, zero-filling missing days — the
+    //    standard pre-step for window features over sparse activity.
+    //    The day grid comes from one tiny global agg broadcast against
+    //    the distinct-user set; the left join streams the (small) grid
+    //    against pre-aggregated counts.
+    "q50_resample" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val bounds = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      val days = bounds.select(
+        explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+      val users = ev.select(col("user_id")).distinct()
+      val counts = ev.groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      users.crossJoin(broadcast(days))
+        .join(counts, Seq("user_id", "day"), "left")
+        .select(col("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
     // -- Scalar Scala UDF (the F2 escape hatch — a black box to Catalyst,
     //    which is exactly why the library prefers built-ins everywhere
     //    else). The oracle recomputes it with pure SQL, proving the two
@@ -469,6 +491,18 @@ object Advanced {
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
            FROM orders) WHERE rn <= 3""",
+    "q50_resample" ->
+      """WITH b AS (SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx
+                    FROM events),
+          days AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+                   FROM b),
+          u AS (SELECT DISTINCT user_id FROM events),
+          c AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+                FROM events GROUP BY 1, 2)
+         SELECT u.user_id, strftime(d.day, '%Y-%m-%d') AS day,
+                CAST(coalesce(c.n, 0) AS BIGINT) AS n
+         FROM u CROSS JOIN days d
+         LEFT JOIN c ON c.user_id = u.user_id AND c.day = d.day""",
     "q48_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
          count(*) AS n,
