@@ -142,6 +142,30 @@ object Dedup {
   private def jaccardOf(inter: Column, a: Column, b: Column): Column =
     round(inter.cast("double") / (size(a) + size(b) - inter), 6)
 
+  /** Verified MinHash-LSH near-dup pairs (dd03's body; also the edge set
+    * for dd09's cluster resolution). Band keys straight off the wide
+    * signature: 4 rows per doc, no aggregation — banding is a per-row
+    * reshape. */
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+    val bandKeys = (0 until 4).map(b =>
+      s"$b, md5(concat($b, '|', mh${2 * b}, '|', mh${2 * b + 1}))").mkString(", ")
+    val bands = minhashWide(s, d, 8)
+      .select(col("doc_id"), expr(s"stack(4, $bandKeys)").as(Seq("band", "bk")))
+      .select(col("doc_id"), col("bk"))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = shingleSets(s, d)
+    cand
+      .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
+      .withColumn("inter", size(array_intersect(col("x.sh"), col("y.sh"))))
+      .select(col("doc_a"), col("doc_b"),
+        jaccardOf(col("inter"), col("x.sh"), col("y.sh")).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Exact dedup: group by normalized content, keep the smallest
     //    doc_id as canonical. Single shuffle; at 100 TB group instead by
@@ -161,27 +185,7 @@ object Dedup {
     //    → candidate pairs → exact shingle-Jaccard verify (≥ 0.5). The
     //    only joins are bucket-equality self-join + two id-equality set
     //    lookups; candidate count is governed by banding, never O(n²).
-    "dd03_minhash_lsh_pairs" -> ((s, d) => {
-      // Band keys straight off the wide signature: 4 rows per doc, no
-      // aggregation — banding is a per-row reshape.
-      val bandKeys = (0 until 4).map(b =>
-        s"$b, md5(concat($b, '|', mh${2 * b}, '|', mh${2 * b + 1}))").mkString(", ")
-      val bands = minhashWide(s, d, 8)
-        .select(col("doc_id"), expr(s"stack(4, $bandKeys)").as(Seq("band", "bk")))
-        .select(col("doc_id"), col("bk"))
-      val cand = bands.as("a")
-        .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      val sets = shingleSets(s, d)
-      cand
-        .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
-        .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
-        .withColumn("inter", size(array_intersect(col("x.sh"), col("y.sh"))))
-        .select(col("doc_a"), col("doc_b"),
-          jaccardOf(col("inter"), col("x.sh"), col("y.sh")).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-    }),
+    "dd03_minhash_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
 
     // -- Blocked n-gram Jaccard: pairwise comparison only *within*
     //    (lang, source) blocks — the classic blocking design; block size,
@@ -231,6 +235,45 @@ object Dedup {
           expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
+    }),
+
+    // -- Near-dup CLUSTER resolution: the step after pair generation —
+    //    connected components over the verified LSH pair graph, each doc
+    //    labeled with its component's min doc_id (the canonical survivor
+    //    a dedup pass keeps). Iterative min-label propagation: one
+    //    (edges ⋈ labels) + min-agg per round, converging in graph-
+    //    diameter rounds (near-dup components are tiny, so a handful;
+    //    at corpus scale the same loop runs O(log n) rounds with
+    //    checkpointing — the standard distributed-CC recipe). The
+    //    per-round driver scalar is a convergence CHECK, not data
+    //    collection. Oracle: DuckDB recursive CTE computes exact
+    //    reachability — a wholly different algorithm, same answer.
+    "dd09_dedup_clusters" -> ((s, d) => {
+      val pairs = lshPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val edges = pairs
+        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+        .toDF("src", "dst").persist()
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).persist()
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+          .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+        val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+          .persist()
+        converged = next.as("n")
+          .join(labels.as("o"), col("n.id") === col("o.id"))
+          .filter(col("n.label") =!= col("o.label"))
+          .isEmpty
+        labels.unpersist(blocking = false)
+        labels = next
+        rounds += 1
+      }
+      edges.unpersist(blocking = false)
+      labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
     }),
 
     // -- Benchmark decontamination: flag training documents that share
@@ -303,28 +346,49 @@ object Dedup {
                    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
         FROM bits GROUP BY 1"""
 
+  /** dd03's oracle (also embedded as dd09's edge source). */
+  private val dPairs =
+    s"""WITH sig AS ($dSig),
+        band AS (SELECT doc_id, hid // 2 AS band,
+                   min(CASE WHEN hid % 2 = 0 THEN minhash END) AS m0,
+                   min(CASE WHEN hid % 2 = 1 THEN minhash END) AS m1
+                 FROM sig GROUP BY 1, 2),
+        bk AS (SELECT doc_id, md5(concat(band, '|', m0, '|', m1)) AS k FROM band),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bk a JOIN bk b ON a.k = b.k AND a.doc_id < b.doc_id),
+        sets AS ($dSets)
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT doc_a, doc_b,
+            round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
+          FROM cand JOIN sets x ON doc_a = x.doc_id
+                    JOIN sets y ON doc_b = y.doc_id)
+        WHERE jaccard >= 0.5"""
+
   def oracleSql: Map[String, String] = Map(
     "dd01_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY md5(lower(trim(text)))""",
     "dd02_minhash_sig" -> dSig,
-    "dd03_minhash_lsh_pairs" ->
-      s"""WITH sig AS ($dSig),
-          band AS (SELECT doc_id, hid // 2 AS band,
-                     min(CASE WHEN hid % 2 = 0 THEN minhash END) AS m0,
-                     min(CASE WHEN hid % 2 = 1 THEN minhash END) AS m1
-                   FROM sig GROUP BY 1, 2),
-          bk AS (SELECT doc_id, md5(concat(band, '|', m0, '|', m1)) AS k FROM band),
-          cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                   FROM bk a JOIN bk b ON a.k = b.k AND a.doc_id < b.doc_id),
-          sets AS ($dSets)
-          SELECT doc_a, doc_b, jaccard FROM (
-            SELECT doc_a, doc_b,
-              round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
-                / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
-            FROM cand JOIN sets x ON doc_a = x.doc_id
-                      JOIN sets y ON doc_b = y.doc_id)
-          WHERE jaccard >= 0.5""",
+    "dd03_minhash_lsh_pairs" -> dPairs,
+    // Exact reachability via recursive CTE — a wholly different CC
+    // algorithm than the Spark side's label propagation, same answer.
+    // CTE names must not collide with dPairs' INNER names (e/h/sig/...):
+    // under WITH RECURSIVE, DuckDB binds an inner reference to the outer
+    // CTE of the same name.
+    "dd09_dedup_clusters" ->
+      s"""WITH RECURSIVE ddpairs AS ($dPairs),
+          ddedges AS (SELECT doc_a AS src, doc_b AS dst FROM ddpairs
+                      UNION ALL
+                      SELECT doc_b, doc_a FROM ddpairs),
+          ddverts AS (SELECT DISTINCT src AS id FROM ddedges),
+          ddreach(id, r) AS (
+            SELECT id, id FROM ddverts
+            UNION
+            SELECT ddedges.src, ddreach.r
+            FROM ddedges JOIN ddreach ON ddreach.id = ddedges.dst)
+          SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
+          FROM ddreach GROUP BY id""",
     "dd04_ngram_jaccard" ->
       s"""WITH docs AS (SELECT doc_id, lang, source,
                           list_distinct(list_transform($dshStr,
