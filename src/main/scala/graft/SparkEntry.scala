@@ -25,6 +25,7 @@ object SparkEntry {
     graft.operators.Similarity.queries ++
     graft.operators.TextAnalysis.queries ++
     graft.operators.Multimodal.queries ++
+    graft.operators.Curation.queries ++
     graft.sources.FormatsIO.queries ++
     graft.streaming.Streams.queries
 
@@ -37,6 +38,7 @@ object SparkEntry {
     graft.operators.Similarity.oracleSql ++
     graft.operators.TextAnalysis.oracleSql ++
     graft.operators.Multimodal.oracleSql ++
+    graft.operators.Curation.oracleSql ++
     graft.sources.FormatsIO.oracleSql ++
     graft.streaming.Streams.oracleSql
 }

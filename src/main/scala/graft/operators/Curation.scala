@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** The end-to-end training-data curation pipeline, composed from the
+  * library's own operators THROUGH their public registries — the
+  * "whole job in one declarative plan" demonstration:
+  *
+  *   keep a document iff
+  *     1. language-ID says en/mixed           (ta02)
+  *     2. quality score ≥ 0.5                 (ta03)
+  *     3. not contaminated by the benchmark   (dd08)
+  *     4. canonical in its near-dup cluster   (dd09: not in any cluster,
+  *        or the cluster's min-id survivor)
+  *
+  * Each stage is itself oracle-verified; this composition is verified
+  * end-to-end against a DuckDB oracle built by composing the same
+  * stages' SQL. Catalyst sees ONE plan — stage boundaries dissolve
+  * into shared scans, pushed filters, and broadcastable semi/anti
+  * joins, which is the point of being declarative.
+  */
+object Curation {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pl01_curation" -> ((s, d) => {
+      val lang = TextAnalysis.queries("ta02_lang_id")(s, d)
+        .select(col("doc_id"), col("pred_lang"))
+      val qual = TextAnalysis.queries("ta03_quality_score")(s, d)
+        .select(col("doc_id"), col("quality"))
+      val contaminated = Dedup.queries("dd08_contamination")(s, d)
+        .select(col("doc_id"))
+      val clusters = Dedup.queries("dd09_dedup_clusters")(s, d)
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .filter(col("pred_lang").isin("en", "mixed") && col("quality") >= 0.5)
+        // Decontamination: anti join on the (small) contaminated set.
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        // Dedup survivorship: docs outside any cluster pass; inside a
+        // cluster only the canonical (min doc_id) survives.
+        .join(clusters, Seq("doc_id"), "left")
+        .filter(col("canonical_id").isNull || col("canonical_id") === col("doc_id"))
+        .select(col("doc_id"), col("pred_lang"), col("quality"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // Composed from the same stages' oracle SQL (public maps) — outer
+    // CTE names are pl_-prefixed to avoid capture of the sub-oracles'
+    // inner CTE names.
+    "pl01_curation" -> {
+      val lang = TextAnalysis.oracleSql("ta02_lang_id")
+      val qual = TextAnalysis.oracleSql("ta03_quality_score")
+      val cont = Dedup.oracleSql("dd08_contamination")
+      val canon = Dedup.oracleSql("dd09_dedup_clusters")
+      s"""WITH pl_lang AS (SELECT doc_id, pred_lang FROM ($lang)),
+          pl_qual AS (SELECT doc_id, quality FROM ($qual)),
+          pl_cont AS (SELECT doc_id FROM ($cont)),
+          pl_canon AS (SELECT doc_id, canonical_id FROM ($canon))
+          SELECT d.doc_id, pl_lang.pred_lang, pl_qual.quality
+          FROM documents d
+          JOIN pl_lang ON pl_lang.doc_id = d.doc_id
+          JOIN pl_qual ON pl_qual.doc_id = d.doc_id
+          WHERE pl_lang.pred_lang IN ('en', 'mixed') AND pl_qual.quality >= 0.5
+            AND d.doc_id NOT IN (SELECT doc_id FROM pl_cont)
+            AND (d.doc_id NOT IN (SELECT doc_id FROM pl_canon)
+                 OR EXISTS (SELECT 1 FROM pl_canon pc
+                            WHERE pc.doc_id = d.doc_id
+                              AND pc.canonical_id = d.doc_id))"""
+    }
+  )
+}
