@@ -164,6 +164,33 @@ object TextAnalysis {
              sum(expr(s"size($toks)").cast("long")).as("n_tokens"))
     }),
 
+    // -- Boilerplate detection (C4-style): word 3-grams appearing in many
+    //    DISTINCT documents are boilerplate; each doc reports how much of
+    //    it is boilerplate. One df-count shuffle over (gram, doc) pairs;
+    //    the frequent-gram set is tiny → broadcast back against the gram
+    //    stream. At 100 TB the df-count side pre-aggregates map-side and
+    //    the threshold keeps the broadcast list small.
+    "ta10_boilerplate" -> ((s, d) => {
+      val grams = Tables.documents(s, d)
+        .select(col("doc_id"), expr(toks).as("tk"))
+        .filter(expr("size(tk) >= 3"))
+        .select(col("doc_id"), col("tk"),
+          explode(expr("sequence(0, size(tk) - 3)")).as("i"))
+        .select(col("doc_id"), expr(
+          "concat(element_at(tk, i + 1), ' ', element_at(tk, i + 2), ' ', element_at(tk, i + 3))").as("g"))
+      val frequent = grams.select(col("doc_id"), col("g")).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3)
+        .select(col("g"))
+      grams
+        .join(broadcast(frequent.withColumn("is_boiler", lit(1))), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+             sum(coalesce(col("is_boiler"), lit(0))).cast("long").as("n_boiler"))
+        .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+          round(col("n_boiler").cast("double") / col("n_grams"), 6).as("boiler_ratio"))
+    }),
+
     // -- Sequence packing: documents packed into fixed token-budget bins
     //    (4096) per language shard — the training-batch construction
     //    step. Deterministic greedy-by-doc_id packing via windowed
@@ -260,6 +287,21 @@ object TextAnalysis {
                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
                 FROM documents)
           GROUP BY 1, 2""",
+    "ta10_boilerplate" ->
+      s"""WITH g AS (
+            SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+              i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g
+            FROM (SELECT doc_id, $dtoks AS tk FROM documents
+                  WHERE len($dtoks) >= 3)),
+          freq AS (SELECT g FROM (
+                     SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g)
+                   WHERE df >= 3)
+          SELECT doc_id, count(*) AS n_grams,
+            CAST(sum(CASE WHEN freq.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+            round(CAST(sum(CASE WHEN freq.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*), 6) AS boiler_ratio
+          FROM g LEFT JOIN freq USING (g)
+          GROUP BY doc_id""",
     "ta09_sequence_packing" ->
       s"""SELECT doc_id, lang, n_tokens,
           CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin FROM (
