@@ -58,6 +58,18 @@ class PlanQualitySpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("global sort plans as range-partitioned exchange, never one task") {
+    val df = spark.read.parquet(s"$sfDir/orders.parquet")
+      .orderBy(col("o_totalprice").desc)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // ORDER BY without LIMIT must distribute via range partitioning
+    // (sampled bounds), then sort within partitions — a SinglePartition
+    // exchange would serialize the entire dataset through one task.
+    assert(p.contains("rangepartitioning"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+  }
+
   test("bucketed join has no exchange on either side (q42)") {
     // q42 writes both tables bucketed on the join key; the join subplan
     // must then contain zero shuffles — the pay-once co-location that
