@@ -88,6 +88,20 @@ object Multimodal {
           md5(concat(col("doc_id"), lit(":"), col("frame_idx"))).as("frame_key"))
     }),
 
+    // -- Overlapping-window segmentation (the audio shape: 25 ms frames
+    //    at a 10 ms hop, scaled to fixture-size "samples"): windows of
+    //    40 bytes every 16, each hashed — the framing pass before any
+    //    feature extractor. Same index-explode discipline as mm03 (never
+    //    explode a constructed array).
+    "mm05_audio_windows" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(length(col("text")) >= 40)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(0, length(text) - 40, 16)")).as("win_off"))
+        .select(col("doc_id"), col("win_off"),
+          md5(expr("substring(text, win_off + 1, 40)")).as("win_md5"))
+    }),
+
     // -- Byte-range chunk index: pointer-style (offset, length, hash)
     //    rows for 100-byte chunks — the layout for large-blob processing
     //    without materializing wide rows.
@@ -125,6 +139,12 @@ object Multimodal {
       """SELECT doc_id, frame_idx, md5(concat(doc_id, ':', frame_idx)) AS frame_key FROM (
            SELECT doc_id, CAST(unnest(range(0, CAST(length(text) AS BIGINT), 25)) AS INT) AS frame_idx
            FROM documents)""",
+    "mm05_audio_windows" ->
+      """SELECT doc_id, win_off,
+         md5(substr(text, win_off + 1, 40)) AS win_md5
+         FROM (SELECT doc_id, text,
+                 CAST(unnest(range(0, CAST(length(text) AS BIGINT) - 39, 16)) AS INT) AS win_off
+               FROM documents WHERE length(text) >= 40)""",
     "mm04_chunk_index" ->
       """SELECT doc_id, chunk_off,
          CAST(least(100, length(text) - chunk_off) AS INT) AS chunk_len,

@@ -191,6 +191,24 @@ object TextAnalysis {
           round(col("n_boiler").cast("double") / col("n_grams"), 6).as("boiler_ratio"))
     }),
 
+    // -- Deterministic weighted mixture sampling: each source tier keeps
+    //    a fixed fraction of its documents (100/50/10%), with membership
+    //    decided by md5(doc_id) buckets — the training-mixture op, and
+    //    like ta08 it is reproducible across runs, partitionings, and
+    //    engines. Narrow until the per-source audit aggregation.
+    "ta11_mixture_sample" -> ((s, d) => {
+      val bucket = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
+      val tier = expr(
+        "cast(conv(substring(md5(source), 1, 8), 16, 10) as bigint) % 3")
+      Tables.documents(s, d)
+        .withColumn("rate_pct",
+          when(tier === 0, 100L).when(tier === 1, 50L).otherwise(10L))
+        .withColumn("kept", (bucket < col("rate_pct")).cast("long"))
+        .groupBy(col("source"), col("rate_pct"))
+        .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
+    }),
+
     // -- Sequence packing: documents packed into fixed token-budget bins
     //    (4096) per language shard — the training-batch construction
     //    step. Deterministic greedy-by-doc_id packing via windowed
@@ -302,6 +320,16 @@ object TextAnalysis {
               / count(*), 6) AS boiler_ratio
           FROM g LEFT JOIN freq USING (g)
           GROUP BY doc_id""",
+    "ta11_mixture_sample" ->
+      """SELECT source, rate_pct, count(*) AS n_total,
+         CAST(sum(CASE WHEN b < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM (
+           SELECT source,
+             CAST(CASE CAST(concat('0x', substr(md5(source), 1, 8)) AS BIGINT) % 3
+               WHEN 0 THEN 100 WHEN 1 THEN 50 ELSE 10 END AS BIGINT) AS rate_pct,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+           FROM documents)
+         GROUP BY 1, 2""",
     "ta09_sequence_packing" ->
       s"""SELECT doc_id, lang, n_tokens,
           CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin FROM (
