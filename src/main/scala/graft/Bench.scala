@@ -37,9 +37,13 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    // Any failure invalidates the headline number (a failed heavy query
+    // would otherwise make the run look FASTER): emit the -1 sentinel.
+    val nFailed = results.count(!_._3)
+    val total =
+      if (nFailed > 0) -1.0 else results.collect { case (_, v, true) => v }.sum
     println(s"""{"detail":"per_query","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${results.count(!_._3)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

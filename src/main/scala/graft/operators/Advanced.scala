@@ -21,8 +21,7 @@ final case class CentsStats(sum_cents: Long, max_cents: Long, n: Long)
   */
 object Advanced {
 
-  private def cents(c: org.apache.spark.sql.Column) =
-    round(c * 100, 0).cast("long")
+  import graft.Exprs.cents // shared exact-integer-cents helper
 
   /** Typed Aggregator (the reference's "stateful user aggregation inside
     * a node", SURVEY.md §2.3, as a first-class Spark UDAF): exact money

@@ -24,11 +24,7 @@ import graft.sources.Tables
   */
 object Relational {
 
-  /** Exact integer cents for a money column: per-row double→cents rounding
-    * is deterministic across engines; the integer sum is order-insensitive
-    * (exact) unlike a double sum. Scale note: sums stay in 64-bit longs —
-    * 100 TB of lineitem revenue is ~1e17 cents, still within Long range. */
-  private def cents(c: Column): Column = round(c * 100, 0).cast("long")
+  import graft.Exprs.cents // shared exact-integer-cents helper
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Aggregation (TPC-H Q1 shape): map-side partial agg + 2-stage hash agg;

@@ -171,13 +171,10 @@ object TextAnalysis {
     //    stream. At 100 TB the df-count side pre-aggregates map-side and
     //    the threshold keeps the broadcast list small.
     "ta10_boilerplate" -> ((s, d) => {
-      val grams = Tables.documents(s, d)
-        .select(col("doc_id"), expr(toks).as("tk"))
-        .filter(expr("size(tk) >= 3"))
-        .select(col("doc_id"), col("tk"),
-          explode(expr("sequence(0, size(tk) - 3)")).as("i"))
-        .select(col("doc_id"), expr(
-          "concat(element_at(tk, i + 1), ' ', element_at(tk, i + 2), ' ', element_at(tk, i + 3))").as("g"))
+      // Shared gram stream (Dedup.gramStrings): both branches below
+      // re-evaluate it — at corpus scale a curation run stages the gram
+      // index to storage once and reads it from both sides instead.
+      val grams = Dedup.gramStrings(s, d, 3)
       val frequent = grams.select(col("doc_id"), col("g")).distinct()
         .groupBy(col("g")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= 3)

@@ -84,10 +84,12 @@ final class FinalHandle[I] private[pipeline] (private[pipeline] val key: String)
   */
 final class PipelineBuilder(spark: SparkSession, options: PipeOption*) {
 
-  /** ChannelBufferLen if supplied (reference defaultOptions: unbuffered —
-    * here "unbuffered" means Spark's own defaults). */
+  /** ChannelBufferLen if supplied. The reference's 0 means "unbuffered"
+    * — its DEFAULT (pipe/options.go:8-10) — so 0 (and below) maps to
+    * "option absent" here rather than to maxFilesPerTrigger=0, which
+    * Spark would reject at stream start. */
   val channelBufferLen: Option[Int] =
-    options.collectFirst { case ChannelBufferLen(n) => n }
+    options.collectFirst { case ChannelBufferLen(n) if n > 0 => n }
 
   /** Streaming file-source start node honoring [[Pipes.ChannelBufferLen]]
     * as `maxFilesPerTrigger` — the one hop where Spark exposes a

@@ -51,8 +51,11 @@ final case class TopKPerGroupExec(
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
+  // Empty keys = global top-k: every row must reach one partition
+  // (AllTuples); ClusteredDistribution(Nil) is rejected by Spark.
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    (if (keys.isEmpty) org.apache.spark.sql.catalyst.plans.physical.AllTuples
+     else ClusteredDistribution(keys)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val schema = child.output

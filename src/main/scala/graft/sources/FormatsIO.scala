@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object FormatsIO {
 
-  private def cents(c: org.apache.spark.sql.Column) =
-    round(c * 100, 0).cast("long")
+  import graft.Exprs.cents // shared exact-integer-cents helper
 
+  /** Deterministic scratch dir per query: Spark's overwrite mode replaces
+    * it wholesale each run, so repeated harness runs don't accumulate
+    * fixture-sized copies in /tmp (a fresh createTempDirectory per run
+    * would). */
   private def tmpDir(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_${tag}_").toString
+    s"${System.getProperty("java.io.tmpdir")}/graft_$tag"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- CSV sink + source: orders key columns through header CSV.

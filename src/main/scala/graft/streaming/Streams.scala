@@ -69,8 +69,7 @@ object Streams {
     ds.sparkSession.table(name)
   }
 
-  private def cents(c: org.apache.spark.sql.Column) =
-    round(c * 100, 0).cast("long")
+  import graft.Exprs.cents // shared exact-integer-cents helper
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Streaming tumbling-window aggregation; same oracle as the batch
@@ -172,8 +171,11 @@ object Streams {
       // One driver-side scalar (the global max event time) to place the
       // cutoff — the streaming plan itself stays fully distributed.
       val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
-      val feed = Files.createTempDirectory("graft_st06_feed_").toFile
-      feed.deleteOnExit()
+      // Deterministic feed dir: the three fixed file names are replaced
+      // each run (REPLACE_EXISTING), so nothing accumulates across runs.
+      val feed = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_st06_feed")
+      feed.mkdirs()
       def dropFile(df: DataFrame, name: String, mtime: Long): Unit = {
         val tmp = new java.io.File(feed, s"_stage_$name")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -209,8 +211,11 @@ object Streams {
     //    emission per window (batch_id argmax), the same monotone-state
     //    selection st03 uses; same oracle as st01 = stream/batch parity.
     "st07_foreachbatch_sink" -> ((s, d) => {
-      import java.nio.file.Files
-      val outDir = Files.createTempDirectory("graft_st07_out_").toString
+      // Deterministic scratch dir, cleared up front: the sink appends,
+      // so stale batches from a previous harness run must not survive.
+      val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_st07_out"
+      val fsPath = new org.apache.hadoop.fs.Path(outDir)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
       val agg = eventStream(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))

@@ -44,6 +44,15 @@ class TopKPerGroupSpec extends SparkSpec {
     assert(native.nonEmpty)
   }
 
+  test("empty keys = global top-k (AllTuples distribution)") {
+    val got = TopK.topKPerGroup(orders, Seq.empty,
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc), 5)
+      .collect().map(_.getLong(1)).toSet
+    val want = orders.orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(5).collect().map(_.getLong(1)).toSet
+    assert(got === want)
+  }
+
   test("k larger than any group degenerates to the full input") {
     val n = TopK.topKPerGroup(orders, Seq(col("o_custkey")),
       Seq(col("o_orderkey").asc), Int.MaxValue).count()
