@@ -212,6 +212,19 @@ object Relational {
                 col("n"), col("total_cents"))
     }),
 
+    // -- Distribution window functions: cume_dist / percent_rank over a
+    //    unique ordering (rounded to the repo's 6-dp convention — the
+    //    underlying ratios are exact integer divisions on both engines).
+    "q51_window_dist" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+      Tables.supplier(s, d).select(
+        col("s_suppkey"), col("s_nationkey"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        round(percent_rank().over(w), 6).as("prank"))
+    }),
+
     // -- GROUPING SETS — the general form rollup/cube specialize. SQL
     //    text (like q38) since the DataFrame API has no direct builder.
     "q46_grouping_sets" -> ((s, d) => {
@@ -465,6 +478,13 @@ object Relational {
          coalesce(o_orderpriority,'ALL') AS priority,
          count(*) AS n, CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "q51_window_dist" ->
+      """SELECT s_suppkey, s_nationkey,
+         round(cume_dist() OVER w, 6) AS cdist,
+         round(percent_rank() OVER w, 6) AS prank
+         FROM supplier
+         WINDOW w AS (PARTITION BY s_nationkey
+                      ORDER BY s_acctbal DESC, s_suppkey ASC)""",
     "q46_grouping_sets" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
          coalesce(o_orderpriority, 'ALL') AS priority,
