@@ -306,6 +306,34 @@ object Dedup {
         .agg(countDistinct(col("gh")).as("n_shared_grams"))
     }),
 
+    // -- Chunk-level exact dedup: each document split into fixed 16-token
+    //    chunks; a chunk is a duplicate if the same 16 tokens appeared
+    //    earlier in the corpus (first occurrence by (doc_id, chunk_idx)
+    //    is canonical). This is the sub-document dedup pass training
+    //    pipelines run between whole-doc dedup (dd01) and fuzzy dedup
+    //    (dd03) — it catches copied passages inside otherwise-unique
+    //    docs. Scale shape: chunks hash to md5 BEFORE the shuffle (the
+    //    exchange carries 32-byte keys, not text), one window per hash
+    //    (≈ groupBy shuffle), then a per-doc rollup.
+    "dd10_chunk_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val chunks = Tables.documents(s, d)
+        .select(col("doc_id"), expr(toks).as("tk"))
+        .select(col("doc_id"), col("tk"),
+          explode(expr("sequence(0, (size(tk) - 1) div 16)")).as("c"))
+        .select(col("doc_id"), col("c"),
+          md5(expr("concat_ws(' ', slice(tk, c * 16 + 1, 16))")).as("ch"))
+      val w = Window.partitionBy(col("ch"))
+        .orderBy(col("doc_id").asc, col("c").asc)
+      chunks.withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+             sum((col("rn") > 1).cast("long")).as("n_dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6)
+            .as("dup_chunk_ratio"))
+    }),
+
     // -- Embedding-cosine near-dup: IVF-style coarse blocking on `label`
     //    (the fixture's cluster id) keeps the pair join within cells.
     //    Cosine = dot/sqrt(na*nb) with sequential folds; rounded before
@@ -442,6 +470,23 @@ object Dedup {
           WHERE doc_id % 10 <> 0
           GROUP BY doc_id"""
     },
+    "dd10_chunk_dedup" ->
+      s"""WITH chunks AS (
+            SELECT doc_id, c,
+              md5(array_to_string(tk[c * 16 + 1 : c * 16 + 16], ' ')) AS ch
+            FROM (SELECT doc_id, tk,
+                    unnest(range((len(tk) - 1) // 16 + 1)) AS c
+                  FROM (SELECT doc_id, $dtoks AS tk FROM documents))),
+          ranked AS (
+            SELECT doc_id, ch,
+              row_number() OVER (PARTITION BY ch
+                ORDER BY doc_id ASC, c ASC) AS rn
+            FROM chunks)
+          SELECT doc_id, count(*) AS n_chunks,
+            CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+            round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / count(*), 6) AS dup_chunk_ratio
+          FROM ranked GROUP BY doc_id""",
     "dd07_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
          SELECT vec_a, vec_b, cos FROM (

@@ -141,6 +141,37 @@ object Similarity {
         .filter(col("rnk") <= 3)
     }),
 
+    // -- One k-means (Lloyd) iteration over quantized embeddings — the
+    //    centroid-training step that produces ss02's IVF cells. Init
+    //    centroids = vec_id 0..9 (deterministic); assignment = argmin of
+    //    squared L2 over 1e3-quantized integer components (exact,
+    //    associative, engine-neutral — a float fold is none of those);
+    //    update = per-cluster count / inertia / first-component sum.
+    //    Scale shape: centroids broadcast (k·dim ints), assignment is a
+    //    narrow map over the corpus, and the only shuffle is the k-row
+    //    update aggregation with map-side partial combine — the plan a
+    //    distributed k-means has at any corpus size (iterate by looping
+    //    this plan, centroids re-broadcast each round).
+    "ss05_kmeans_iter" -> ((s, d) => {
+      val q = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))")
+          .as("v"))
+      val ctr = q.filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+      q.crossJoin(broadcast(ctr))
+        .select(col("vec_id"), col("cid"), expr("element_at(v, 1)").as("v0"),
+          expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+            .as("dist2"))
+        // Exact-integer argmin with cid tiebreak: min over (dist2, cid)
+        // structs; v0 rides along for the update stage.
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist2"), col("cid"), col("v0"))).as("m"))
+        .groupBy(col("m.cid").as("cid"))
+        .agg(count(lit(1)).as("n_points"),
+             sum(col("m.dist2")).as("inertia"),
+             sum(col("m.v0")).as("sum_q0"))
+    }),
+
     // -- Brute-force top-5 again, but scored with the native codegen'd
     //    VectorDot expression on the raw float arrays (graft.functions).
     //    Same widen-then-accumulate arithmetic as the HOF path, so the
@@ -221,6 +252,27 @@ object Similarity {
             FROM cand JOIN v a ON query_id = a.vec_id
                       JOIN v b ON neighbor_id = b.vec_id)
           WHERE rnk <= 3""",
+    "ss05_kmeans_iter" ->
+      """WITH q AS (
+           SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+             x -> CAST(round(x * 1000, 0) AS BIGINT)) AS v
+           FROM embeddings),
+         c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM q WHERE vec_id < 10),
+         d2 AS (
+           SELECT q.vec_id, c.cid, q.v[1] AS v0,
+             list_aggregate(list_transform(range(len(q.v)),
+               i -> (q.v[CAST(i AS INT) + 1] - c.cv[CAST(i AS INT) + 1])
+                  * (q.v[CAST(i AS INT) + 1] - c.cv[CAST(i AS INT) + 1])), 'sum') AS dist2
+           FROM q CROSS JOIN c),
+         a AS (
+           SELECT vec_id, cid, dist2, v0,
+             row_number() OVER (PARTITION BY vec_id
+               ORDER BY dist2 ASC, cid ASC) AS rn
+           FROM d2)
+         SELECT cid, count(*) AS n_points,
+           CAST(sum(dist2) AS BIGINT) AS inertia,
+           CAST(sum(v0) AS BIGINT) AS sum_q0
+         FROM a WHERE rn = 1 GROUP BY cid""",
     // Same oracle as ss01 — the native expression must be bit-identical.
     "ss04_native_topk" ->
       s"""WITH v AS ($dVecs)

@@ -206,6 +206,44 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_total"), sum(col("kept")).as("n_kept"))
     }),
 
+    // -- Blocklist redaction (PII-scrub shape): replace blocklisted terms
+    //    with a placeholder and report how much was redacted. The regex
+    //    is anchored on word boundaries and uses only RE2-compatible
+    //    syntax so Spark (java.util.regex) and DuckDB (RE2) agree
+    //    character-for-character. Narrow, codegen'd, no shuffle — the
+    //    shape a PII pass (emails/phones/IDs) takes at 100 TB; only the
+    //    pattern list differs. Redacted text is emitted as md5, not the
+    //    string: verifying content equality without shipping the corpus.
+    "ta12_blocklist_redact" -> ((s, d) => {
+      val pat = "\\b(?:customer|vector|spark)\\b"
+      // Inside a SQL literal the backslash must itself be escaped ('\b'
+      // would parse as backspace); the Column-API regexp_replace takes
+      // the pattern string verbatim.
+      val patSql = pat.replace("\\", "\\\\")
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        expr(s"size(regexp_extract_all(text, '$patSql', 0))").as("n_redacted"),
+        md5(regexp_replace(col("text"), pat, "[TERM]")).as("redacted_md5"))
+    }),
+
+    // -- Repetition signals (Gopher-style quality filters): per-doc top
+    //    bigram concentration and duplicate-bigram mass. Explode + two
+    //    hash aggs (ta03's scale shape — never a per-doc O(len²) array
+    //    scan): both aggs partial-combine map-side, so the shuffle
+    //    carries (doc, bigram) partial counts, not token streams.
+    "ta13_repetition" -> ((s, d) => {
+      Dedup.gramStrings(s, d, 2)
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bigrams"),
+             count(lit(1)).as("n_uniq"))
+        .select(col("doc_id"), col("n_bigrams").cast("long").as("n_bigrams"),
+          round(col("top_c").cast("double") / col("n_bigrams"), 6).as("top_bigram_ratio"),
+          round(lit(1d) - col("n_uniq").cast("double") / col("n_bigrams"), 6)
+            .as("dup_bigram_ratio"),
+          (col("top_c").cast("double") / col("n_bigrams") > 0.08).as("is_repetitive"))
+    }),
+
     // -- Sequence packing: documents packed into fixed token-budget bins
     //    (4096) per language shard — the training-batch construction
     //    step. Deterministic greedy-by-doc_id packing via windowed
@@ -327,6 +365,24 @@ object TextAnalysis {
              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
            FROM documents)
          GROUP BY 1, 2""",
+    "ta12_blocklist_redact" ->
+      """SELECT doc_id,
+          CAST(len(regexp_extract_all(text, '\b(?:customer|vector|spark)\b')) AS INT) AS n_redacted,
+          md5(regexp_replace(text, '\b(?:customer|vector|spark)\b', '[TERM]', 'g')) AS redacted_md5
+          FROM documents""",
+    "ta13_repetition" ->
+      s"""SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+          round(CAST(top_c AS DOUBLE) / n_bigrams, 6) AS top_bigram_ratio,
+          round(1.0 - CAST(n_uniq AS DOUBLE) / n_bigrams, 6) AS dup_bigram_ratio,
+          CAST(top_c AS DOUBLE) / n_bigrams > 0.08 AS is_repetitive
+          FROM (
+            SELECT doc_id, max(c) AS top_c, sum(c) AS n_bigrams, count(*) AS n_uniq
+            FROM (SELECT doc_id, g, count(*) AS c FROM (
+                    SELECT doc_id, unnest(list_transform(range(len($dtoks) - 1),
+                      i -> $dtoks[i+1] || ' ' || $dtoks[i+2])) AS g
+                    FROM documents WHERE len($dtoks) >= 2)
+                  GROUP BY doc_id, g)
+            GROUP BY doc_id)""",
     "ta09_sequence_packing" ->
       s"""SELECT doc_id, lang, n_tokens,
           CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin FROM (

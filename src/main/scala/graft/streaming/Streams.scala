@@ -5,6 +5,32 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import java.util.concurrent.atomic.AtomicInteger
 
+/** st12 (transformWithState) processor: per-user distinct event-type
+  * count held in a ValueState. The Spark-4 arbitrary-state API —
+  * successor to mapGroupsWithState: typed per-key state handles
+  * (value/list/map), timers, TTL — running on the RocksDB state store
+  * provider (the only provider transformWithState supports, and the one
+  * a 100 TB/day feed needs: state spills to disk instead of executor
+  * heap). Emits the running count per key per batch; n_types is
+  * monotone, so the final state is the per-key max (st03's selection). */
+final class DistinctTypesProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, String), (Long, Int)] {
+  import org.apache.spark.sql.streaming.{OutputMode => OM, TimeMode, TTLConfig, ValueState}
+  import implicits._
+  @transient private var seen: ValueState[Seq[String]] = _
+  override def init(outputMode: OM, timeMode: TimeMode): Unit =
+    seen = getHandle.getValueState[Seq[String]]("seen", TTLConfig.NONE)
+  override def handleInputRows(
+      key: Long, rows: Iterator[(Long, String)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Int)] = {
+    val prev = if (seen.exists()) seen.get() else Seq.empty[String]
+    val next = (prev ++ rows.map(_._2)).distinct
+    seen.update(next)
+    Iterator.single((key, next.size))
+  }
+}
+
 /** Per-user running aggregate state for st03 (mapGroupsWithState). */
 final case class UserAgg(n_events: Long, value_cents: Long)
 final case class UserAggOut(user_id: Long, n_events: Long, value_cents: Long)
@@ -290,6 +316,51 @@ object Streams {
       runToTable(enriched, OutputMode.Complete())
     }),
 
+    // -- Sliding event-time windows: 1-hour windows every 30 minutes —
+    //    each event lands in exactly 2 overlapping windows. Same
+    //    Complete-mode parity harness as st01; the oracle reconstructs
+    //    the two epoch-aligned window starts per event in closed form.
+    "st11_sliding_window" -> ((s, d) => {
+      val agg = eventStream(s, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"), col("n"), col("value_cents"))
+      runToTable(agg, OutputMode.Complete())
+    }),
+
+    // -- transformWithState (Spark 4 arbitrary-state API) on the RocksDB
+    //    state store: per-user distinct-type count in a ValueState —
+    //    see DistinctTypesProcessor. The provider swap is scoped to this
+    //    query and restored after (HDFS-backed remains the default for
+    //    the small-state queries).
+    "st12_transform_with_state" -> ((s, d) => {
+      import s.implicits._
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val out = eventStream(s, d)
+          .select(col("user_id"), col("event_type")).as[(Long, String)]
+          .groupByKey(_._1)
+          .transformWithState(new DistinctTypesProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "n_types")
+        val emitted = runToTable(out, OutputMode.Update())
+        // Final state per key = the monotone-max emission (st03 pattern).
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("n_types").desc)
+        emitted.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("n_types"))
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }),
+
     // -- Streaming sessionization: session_window gap-merges per user in
     //    the state store; same session semantics as the batch q28, and
     //    the oracle recomputes it with a pure-SQL gap-and-island
@@ -359,6 +430,20 @@ object Streams {
          event_type, count(*) AS n,
          CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2""",
+    // Closed-form sliding windows: each event belongs to the two
+    // epoch-aligned 30-min-grid window starts covering it.
+    "st11_sliding_window" ->
+      """SELECT strftime(ws, '%Y-%m-%d %H:%M') AS win_start, event_type,
+         count(*) AS n,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM (SELECT event_type, value,
+                 time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+                   - CAST(t.k AS INT) * INTERVAL 30 MINUTE AS ws
+               FROM events, range(2) t(k))
+         GROUP BY 1, 2""",
+    "st12_transform_with_state" ->
+      """SELECT user_id, CAST(count(DISTINCT event_type) AS INT) AS n_types
+         FROM events GROUP BY user_id""",
     "st04_stream_sessions" ->
       """SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events FROM (
            SELECT user_id, sess, count(*) AS n_events FROM (

@@ -67,6 +67,41 @@ class StreamingSpec extends SparkSpec {
     assert(sinkB.asScala.toSet === Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  // Spark-4 arbitrary-state API: per-key ValueState persists across
+  // micro-batches on the RocksDB store (the provider transformWithState
+  // requires — and the one that scales state past executor heap).
+  test("transformWithState keeps per-key state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, String)]
+      val out = mem.toDS()
+        .groupByKey(_._1)
+        .transformWithState(new DistinctTypesProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      val q = out.toDF("user_id", "n_types").writeStream.format("memory")
+        .queryName("tws_test").outputMode(OutputMode.Update()).start()
+      mem.addData((1L, "a"), (1L, "b"), (2L, "a"))
+      q.processAllAvailable()
+      // "a" was already seen for key 1 in batch 1 → only "c" is new.
+      mem.addData((1L, "a"), (1L, "c"), (2L, "b"))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws_test").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(rows === Set((1L, 2), (2L, 1), (1L, 3), (2L, 2)))
+    } finally {
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("AvailableNow streaming equals batch on the events fixture") {
     val streamed = Streams.queries("st01_stream_tumbling")(spark, sfDir)
       .collect().map(_.toSeq).toSet
