@@ -19,9 +19,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup on the smallest fixture so per-query timings
-    // measure the plan, not first-run compilation.
+    // measure the plan, not first-run compilation. One query per heavy
+    // init path: parquet/Hadoop FS setup + hash agg (dd01), join chain
+    // (q05), window exchange (q09), per-row array folds (dd02), and the
+    // streaming machinery + state store (st01) — without this, whichever
+    // query runs first absorbs ~8 s of one-time cost (measured on dd01,
+    // the alphabetical first).
+    val warmups = Seq("dd01_exact_dedup", "q05_join_chain", "q09_window_topk",
+      "dd02_minhash_sig", "st01_stream_tumbling")
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
+    warmups.foreach { n =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        try fn(spark, "/root/testdata/sf0.001")
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+      }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

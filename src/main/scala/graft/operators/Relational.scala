@@ -156,6 +156,23 @@ object Relational {
             .as("days_since_prev"))
     }),
 
+    // -- Window: interval RANGE frame — trailing-7-day spend per customer.
+    //    rangeBetween on epoch seconds (Spark's range frames are numeric);
+    //    ties on o_orderdate are frame *peers* — included regardless of
+    //    row order, so the result is deterministic without a tiebreaker
+    //    (unlike ROWS frames). Same shuffle profile as any window: one
+    //    exchange on the partition key.
+    "q52_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        // NTZ → LTZ (session TZ pinned UTC) → epoch seconds: range frames
+        // order on a numeric key in Spark.
+        .orderBy(col("o_orderdate").cast("timestamp").cast("long"))
+        .rangeBetween(-6 * 86400L, 0L)
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          sum(cents(col("o_totalprice"))).over(w).as("trailing7d_cents"))
+    }),
+
     // -- Window: rank / dense_rank / ntile with full deterministic ordering.
     "q12_window_rank" -> ((s, d) => {
       val w = Window.partitionBy(col("s_nationkey"))
@@ -448,6 +465,13 @@ object Relational {
            lag(o_orderdate, 1) OVER (PARTITION BY o_custkey
                                      ORDER BY o_orderdate ASC, o_orderkey ASC),
            o_orderdate) AS INT) AS days_since_prev
+         FROM orders""",
+    "q52_range_frame" ->
+      """SELECT o_orderkey, o_custkey,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC
+                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS trailing7d_cents
          FROM orders""",
     "q12_window_rank" ->
       """SELECT s_suppkey, s_nationkey,
