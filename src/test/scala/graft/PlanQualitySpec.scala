@@ -70,6 +70,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p.take(2000))
   }
 
+  test("range-frame window shuffles once on the partition key (q52)") {
+    val p = plan("q52_range_frame")
+    assert(p.contains("Window"), p.take(2000))
+    // Exactly one plan-required exchange (the window's partition-key
+    // shuffle); Tables.load's fixture repartition (REPARTITION_BY_NUM)
+    // is test-scale scaffolding, not part of the operator's plan.
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("ENSURE_REQUIREMENTS"))
+    assert(exchanges == 1, s"expected exactly 1 required exchange:\n${p.take(2000)}")
+  }
+
+  test("chunk dedup hashes before the shuffle — exchange carries md5 (dd10)") {
+    val p = plan("dd10_chunk_dedup")
+    // The window exchange must partition on the 32-byte chunk hash, not
+    // ship chunk text: at corpus scale the shuffle carries keys, not data.
+    assert(p.linesIterator.exists(l =>
+      l.contains("Exchange hashpartitioning(ch")), p.take(3000))
+  }
+
+  test("k-means assignment broadcasts centroids; corpus scan stays narrow (ss05)") {
+    val p = plan("ss05_kmeans_iter")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("bucketed join has no exchange on either side (q42)") {
     // q42 writes both tables bucketed on the join key; the join subplan
     // must then contain zero shuffles — the pay-once co-location that
