@@ -170,6 +170,22 @@ object Advanced {
            GROUP BY l_partkey""")
     }),
 
+    // -- LATERAL correlated table subquery: per-customer top-2 orders.
+    //    Catalyst decorrelates the correlated LIMIT into a window +
+    //    filter (DecorrelateInnerQuery) — one shuffle on the correlation
+    //    key, no nested-loop re-execution per outer row; semantically the
+    //    per-key top-k that TopKPerGroup (q43) implements natively.
+    "q53_lateral_join" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("c_q53")
+      Tables.orders(s, d).createOrReplaceTempView("o_q53")
+      s.sql(
+        """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+           FROM c_q53 c,
+           LATERAL (SELECT o_orderkey, o_totalprice FROM o_q53 o
+                    WHERE o.o_custkey = c.c_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t""")
+    }),
+
     // -- IN subquery (SQL form of the semi-join; Catalyst plans LeftSemi).
     "q39_in_subquery" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("o_q39")
@@ -458,6 +474,12 @@ object Advanced {
                                    FROM lineitem l2
                                    WHERE l2.l_partkey = l.l_partkey)
          GROUP BY l_partkey""",
+    "q53_lateral_join" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t""",
     "q39_in_subquery" ->
       """SELECT o_orderstatus, count(*) AS n
          FROM orders

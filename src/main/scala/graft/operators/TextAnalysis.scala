@@ -244,6 +244,26 @@ object TextAnalysis {
           (col("top_c").cast("double") / col("n_bigrams") > 0.08).as("is_repetitive"))
     }),
 
+    // -- Deterministic training-order shuffle: every document gets a
+    //    (shard, position) that is a pure function of doc_id — the
+    //    "global shuffle" step before sequence packing, reproducible
+    //    across runs, partitionings, and engines (a rand() shuffle is
+    //    none of those). Shard = md5 bucket; position = rank of a second,
+    //    independent md5 within the shard. At 100 TB each shard sorts
+    //    independently (the window partitions by shard — no global sort).
+    "ta14_training_order" -> ((s, d) => {
+      val shard = expr(
+        "cast(conv(substring(md5(concat('sh', cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 8")
+      val ord = expr(
+        "cast(conv(substring(md5(concat('ord', cast(doc_id as string))), 1, 15), 16, 10) as bigint)")
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("ord").asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), shard.as("shard"), ord.as("ord"))
+        .withColumn("pos", row_number().over(w) - 1)
+        .select(col("doc_id"), col("shard"), col("pos"))
+    }),
+
     // -- Sequence packing: documents packed into fixed token-budget bins
     //    (4096) per language shard — the training-batch construction
     //    step. Deterministic greedy-by-doc_id packing via windowed
@@ -383,6 +403,16 @@ object TextAnalysis {
                     FROM documents WHERE len($dtoks) >= 2)
                   GROUP BY doc_id, g)
             GROUP BY doc_id)""",
+    "ta14_training_order" ->
+      """SELECT doc_id, shard, CAST(pos AS INT) AS pos FROM (
+           SELECT doc_id, shard,
+             row_number() OVER (PARTITION BY shard
+               ORDER BY ord ASC, doc_id ASC) - 1 AS pos
+           FROM (
+             SELECT doc_id,
+               CAST(concat('0x', substr(md5(concat('sh', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8 AS shard,
+               CAST(concat('0x', substr(md5(concat('ord', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ord
+             FROM documents))""",
     "ta09_sequence_packing" ->
       s"""SELECT doc_id, lang, n_tokens,
           CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin FROM (
