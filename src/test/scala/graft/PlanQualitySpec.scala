@@ -95,6 +95,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
   }
 
+  test("AQE splits a skewed join partition at runtime (skew-join)") {
+    // The runtime complement to q34's manual salting: one hot key
+    // carries ~100× the rows of the others; with the skew thresholds
+    // scaled to fixture size, AQE must mark the sort-merge join skewed
+    // and split the oversized partition into parallel sub-tasks.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      import spark.implicits._
+      val skewed = spark.range(0, 40000)
+        .select((when(col("id") % 2 =!= 0, col("id") % 199).otherwise(7L)).as("k"),
+          col("id").as("v"))
+      val dim = spark.range(0, 199).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val joined = skewed.join(dim, "k")
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p.take(1000))
+      assert(p.contains("skew=true"), "AQE did not split the skewed partition:\n" + p.take(3000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("bucketed join has no exchange on either side (q42)") {
     // q42 writes both tables bucketed on the join key; the join subplan
     // must then contain zero shuffles — the pay-once co-location that
