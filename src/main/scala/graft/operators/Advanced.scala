@@ -186,6 +186,23 @@ object Advanced {
                     ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t""")
     }),
 
+    // -- Correlated SCALAR subqueries in the projection: Catalyst
+    //    decorrelates each into an aggregated outer join (one shuffle per
+    //    distinct correlation, never per-row re-execution). The COUNT
+    //    case exercises the null-vs-zero rewrite (empty group must yield
+    //    0, not NULL — Spark inserts the coalesce; DuckDB agrees).
+    "q54_scalar_subquery" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("c_q54")
+      Tables.orders(s, d).createOrReplaceTempView("o_q54")
+      s.sql(
+        """SELECT c_custkey,
+                  (SELECT max(o_totalprice) FROM o_q54 o
+                   WHERE o.o_custkey = c.c_custkey) AS max_price,
+                  (SELECT count(*) FROM o_q54 o
+                   WHERE o.o_custkey = c.c_custkey) AS n_orders
+           FROM c_q54 c""")
+    }),
+
     // -- IN subquery (SQL form of the semi-join; Catalyst plans LeftSemi).
     "q39_in_subquery" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("o_q39")
@@ -474,6 +491,13 @@ object Advanced {
                                    FROM lineitem l2
                                    WHERE l2.l_partkey = l.l_partkey)
          GROUP BY l_partkey""",
+    "q54_scalar_subquery" ->
+      """SELECT c_custkey,
+                (SELECT max(o_totalprice) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey) AS max_price,
+                (SELECT count(*) FROM orders o
+                 WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM customer c""",
     "q53_lateral_join" ->
       """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
          FROM customer c,

@@ -31,6 +31,36 @@ final class DistinctTypesProcessor
   }
 }
 
+/** st13 (transformWithState) processor: each user's 3 most-recent
+  * (ts, event_id) events in a ListState (bounded per-key state — the
+  * "recent activity" pattern), plus a ValueState event counter. Each
+  * batch re-emits the current top-3 tagged with the monotone seen-count,
+  * so the final rows per key are selectable after any batch split. */
+final class LastEventsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, (Long, Long, Long), (Long, Long, Int, Long)] {
+  import org.apache.spark.sql.streaming.{ListState, OutputMode => OM, TimeMode, TTLConfig, ValueState}
+  import implicits._
+  @transient private var top: ListState[(Long, Long)] = _
+  @transient private var seen: ValueState[Long] = _
+  override def init(outputMode: OM, timeMode: TimeMode): Unit = {
+    top = getHandle.getListState[(Long, Long)]("top", TTLConfig.NONE)
+    seen = getHandle.getValueState[Long]("seen", TTLConfig.NONE)
+  }
+  override def handleInputRows(
+      key: Long, rows: Iterator[(Long, Long, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Int, Long)] = {
+    val incoming = rows.map(r => (r._2, r._3)).toSeq
+    val prev = if (top.exists()) top.get().toSeq else Seq.empty
+    val n = (if (seen.exists()) seen.get() else 0L) + incoming.size
+    // Keep only the 3 latest by (ts, event_id) — state stays O(k) per key.
+    val next = (prev ++ incoming).sortBy(p => (-p._1, -p._2)).take(3)
+    top.put(next.toArray)
+    seen.update(n)
+    next.iterator.zipWithIndex.map { case ((_, eid), i) => (key, n, i + 1, eid) }
+  }
+}
+
 /** Per-user running aggregate state for st03 (mapGroupsWithState). */
 final case class UserAgg(n_events: Long, value_cents: Long)
 final case class UserAggOut(user_id: Long, n_events: Long, value_cents: Long)
@@ -361,6 +391,36 @@ object Streams {
       }
     }),
 
+    // -- transformWithState with LIST state: per-user 3 most-recent
+    //    events (see LastEventsProcessor). RocksDB provider scoped to
+    //    the query as in st12; final rows = the emission tagged with the
+    //    per-key max seen-count.
+    "st13_list_state_recent" -> ((s, d) => {
+      import s.implicits._
+      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val out = eventStream(s, d)
+          .select(col("user_id"), unix_micros(col("ts")), col("event_id"))
+          .as[(Long, Long, Long)]
+          .groupByKey(_._1)
+          .transformWithState(new LastEventsProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "n_seen", "rank", "event_id")
+        val emitted = runToTable(out, OutputMode.Update())
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+        emitted.withColumn("mx", max(col("n_seen")).over(w))
+          .filter(col("n_seen") === col("mx"))
+          .select(col("user_id"), col("rank"), col("event_id"))
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        }
+      }
+    }),
+
     // -- Streaming sessionization: session_window gap-merges per user in
     //    the state store; same session semantics as the batch q28, and
     //    the oracle recomputes it with a pure-SQL gap-and-island
@@ -444,6 +504,14 @@ object Streams {
     "st12_transform_with_state" ->
       """SELECT user_id, CAST(count(DISTINCT event_type) AS INT) AS n_types
          FROM events GROUP BY user_id""",
+    // The ListState top-3 must equal the batch per-user latest-3 ranking
+    // (ts then event_id, both descending — the processor's sort key).
+    "st13_list_state_recent" ->
+      """SELECT user_id, CAST(rank AS INT) AS rank, event_id FROM (
+           SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rank
+           FROM events) WHERE rank <= 3""",
     "st04_stream_sessions" ->
       """SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events FROM (
            SELECT user_id, sess, count(*) AS n_events FROM (
