@@ -1,28 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Dev-only perf probe (not part of the driver contract). */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val d = "/root/testdata/sf0.1"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-
-    def time(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      f
-      println(f"[probe] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
-    }
-    for (q <- Seq("dd05_simhash", "dd06_simhash_pairs", "dd09_dedup_clusters")) {
-      time(q) {
-        SparkEntry.queries(q)(spark, d).write.format("noop").mode("overwrite").save()
-      }
-    }
+    // Recursive CTE support probe: UNION (distinct) recursion over a cycle.
+    val df = spark.sql(
+      """WITH RECURSIVE r(n) AS (
+           SELECT 1
+           UNION
+           SELECT CASE WHEN n = 3 THEN 1 ELSE n + 1 END FROM r WHERE n <= 3)
+         SELECT sum(n) AS s FROM r""")
+    df.show()
     spark.stop()
   }
 }

@@ -298,6 +298,37 @@ object Dedup {
       labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
     }),
 
+    // -- k-hop neighborhoods over the near-dup graph via a RECURSIVE CTE
+    //    (Spark 4 UnionLoop): for every doc in the verified LSH pair
+    //    graph, how many distinct docs lie within 2 hops — the
+    //    "duplication blast radius" a curation pass reports. UNION ALL
+    //    recursion with an explicit depth guard terminates on cyclic
+    //    graphs (UNION-distinct recursion is not yet supported); the
+    //    walk fans out per hop and the final count dedups per start.
+    //    Each iteration is one distributed join of the frontier with the
+    //    (small, checkpointed) edge list.
+    "dd11_khop_neighborhood" -> ((s, d) => {
+      val pairs = lshPairs(s, d).select(col("doc_a"), col("doc_b"))
+      // Materialize once: the recursion references the edge list every
+      // iteration; without this the full LSH pipeline would re-run per
+      // hop (and twice more for the reversed direction).
+      pairs.localCheckpoint().createOrReplaceTempView("dd11_pairs")
+      s.sql(
+        """WITH RECURSIVE
+             e AS (SELECT doc_a AS src, doc_b AS dst FROM dd11_pairs
+                   UNION ALL
+                   SELECT doc_b, doc_a FROM dd11_pairs),
+             walk(start, node, depth) AS (
+               SELECT src, src, 0 FROM (SELECT DISTINCT src FROM e)
+               UNION ALL
+               SELECT w.start, e.dst, w.depth + 1
+               FROM walk w JOIN e ON e.src = w.node
+               WHERE w.depth < 2)
+           SELECT start AS doc_id,
+                  count(DISTINCT node) - 1 AS n_within_2hops
+           FROM walk GROUP BY start""")
+    }),
+
     // -- Benchmark decontamination: flag training documents that share
     //    any 8-token gram with a held-out "benchmark" set (doc_id % 10
     //    == 0 stands in for the eval suite). The benchmark gram set is
@@ -441,6 +472,20 @@ object Dedup {
             FROM ddedges JOIN ddreach ON ddreach.id = ddedges.dst)
           SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
           FROM ddreach GROUP BY id""",
+    "dd11_khop_neighborhood" ->
+      s"""WITH RECURSIVE ddkpairs AS ($dPairs),
+          ddke AS (SELECT doc_a AS src, doc_b AS dst FROM ddkpairs
+                   UNION ALL
+                   SELECT doc_b, doc_a FROM ddkpairs),
+          ddkwalk(start, node, depth) AS (
+            SELECT src, src, 0 FROM (SELECT DISTINCT src FROM ddke)
+            UNION ALL
+            SELECT w.start, ddke.dst, w.depth + 1
+            FROM ddkwalk w JOIN ddke ON ddke.src = w.node
+            WHERE w.depth < 2)
+          SELECT start AS doc_id,
+                 CAST(count(DISTINCT node) - 1 AS BIGINT) AS n_within_2hops
+          FROM ddkwalk GROUP BY start""",
     "dd04_ngram_jaccard" ->
       s"""WITH docs AS (SELECT doc_id, lang, source,
                           list_distinct(list_transform($dshStr,
