@@ -347,6 +347,46 @@ object Dedup {
         .agg(countDistinct(col("gh")).as("n_shared_grams"))
     }),
 
+    // -- Bloom-filter decontamination: the scale path of dd08. The
+    //    benchmark gram set is sketched into a Bloom filter (built
+    //    distributed by stat.bloomFilter's treeAggregate) and broadcast;
+    //    the training gram stream probes it executor-locally — no join
+    //    at all. This is the shape once the benchmark set outgrows a
+    //    broadcast hash relation: ~9.6 bits/item at 1% fpp means 1B
+    //    benchmark grams ≈ 1.2 GB vs ≳30 GB as a hash set. A Bloom
+    //    filter has NO false negatives, so every exact-contaminated doc
+    //    is flagged; the query proves that per doc (q19's verified-
+    //    sketch pattern): the exact join below exists only to audit the
+    //    sketch, the production pipeline runs the probe alone. The probe
+    //    UDF is the documented F2 escape hatch (SURVEY §2.4) — Spark
+    //    exposes no public SQL bloom-probe, only the programmatic
+    //    BloomFilter, and the cross-checked exact column keeps it honest.
+    "dd12_bloom_contamination" -> ((s, d) => {
+      val grams = gramStream(s, d, 8)
+      val bench = grams.filter(col("doc_id") % 10 === 0)
+        .select(col("gh")).distinct()
+      // Capacity sized far above any fixture's bench-gram count; in
+      // production this comes from corpus stats (a prior count or the
+      // table's row-count metadata). Oversizing only wastes bits.
+      val bf = bench.stat.bloomFilter("gh", 1L << 22, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      val probe = udf((h: Long) => bfB.value.mightContainLong(h))
+      grams.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(bench.withColumn("exact_hit", lit(1))), Seq("gh"), "left")
+        .select(col("doc_id"), col("gh"),
+          coalesce(col("exact_hit"), lit(0)).as("exact_hit"),
+          probe(col("gh")).cast("int").as("bloom_hit"))
+        .groupBy(col("doc_id"))
+        .agg(
+          countDistinct(when(col("exact_hit") === 1, col("gh"))).as("n_shared_grams"),
+          max(col("exact_hit")).as("exact_any"),
+          sum(when(col("exact_hit") === 1 && col("bloom_hit") === 0, 1L)
+            .otherwise(0L)).as("n_fn"))
+        .select(col("doc_id"), col("n_shared_grams"),
+          (col("exact_any") === 1).as("exact_contaminated"),
+          (col("n_fn") > 0).as("bloom_missed"))
+    }),
+
     // -- Chunk-level exact dedup: each document split into fixed 16-token
     //    chunks; a chunk is a duplicate if the same 16 tokens appeared
     //    earlier in the corpus (first occurrence by (doc_id, chunk_idx)
@@ -524,6 +564,30 @@ object Dedup {
           FROM g JOIN bench USING (gh)
           WHERE doc_id % 10 <> 0
           GROUP BY doc_id"""
+    },
+    // The exact columns re-derive dd08 over ALL training docs (clean
+    // ones included); `bloom_missed` must be FALSE everywhere because a
+    // Bloom filter cannot produce false negatives — the oracle asserts
+    // the sketch's contract, not its (unpredictable) false positives.
+    "dd12_bloom_contamination" -> {
+      val g8 = (1 to 8).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+      s"""WITH g AS (
+            SELECT doc_id,
+              CAST(concat('0x', substr(md5(g8), 1, 15)) AS BIGINT) AS gh
+            FROM (
+              SELECT doc_id, unnest(list_transform(range(len(tk) - 7),
+                i -> $g8)) AS g8
+              FROM (SELECT doc_id, $dtoks AS tk FROM documents
+                    WHERE len($dtoks) >= 8))),
+          bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 = 0)
+          SELECT g.doc_id,
+            count(DISTINCT b.gh) AS n_shared_grams,
+            max(CASE WHEN b.gh IS NOT NULL THEN 1 ELSE 0 END) = 1
+              AS exact_contaminated,
+            FALSE AS bloom_missed
+          FROM g LEFT JOIN bench b ON g.gh = b.gh
+          WHERE g.doc_id % 10 <> 0
+          GROUP BY g.doc_id"""
     },
     "dd10_chunk_dedup" ->
       s"""WITH chunks AS (

@@ -278,6 +278,38 @@ object TextAnalysis {
         // Bin by the document's starting offset within its shard.
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           ((col("cum") - col("n_tokens")) / 4096L).cast("long").as("bin"))
+    }),
+
+    // -- Character-entropy quality signal (low-entropy text = keyboard
+    //    mashing / repeated boilerplate; natural English ≈ 4.1 bits).
+    //    The 27-bin histogram (a–z + other) comes from the replace-count
+    //    trick — NO explode, NO shuffle, one codegen'd pass per doc;
+    //    exploding characters would multiply the row count by avg doc
+    //    length (500× at 100 TB). `lower(text)` and the count array are
+    //    lambda-bound (see simhash) so CollapseProject cannot inline the
+    //    26-replace pipeline once per element inside the entropy folds.
+    //    Entropy uses the
+    //    shuffle-free identity H = log2(n) − (Σ c·log2 c)/n; the quality
+    //    bucket cuts on the ROUNDED value (cross-engine determinism
+    //    convention) at thresholds no rounded value can sit on.
+    "ta15_char_entropy" -> ((s, d) => {
+      val cs26 = "transform(sequence(97, 122), c -> " +
+        "length(lt) - length(replace(lt, char(c), '')))"
+      val ent =
+        s"element_at(transform(array(lower(text)), lt -> " +
+        s"element_at(transform(array($cs26), cs -> " +
+        "element_at(transform(array(concat(cs, array(length(lt) - " +
+        "aggregate(cs, 0, (a, x) -> a + x)))), cs2 -> " +
+        "round(log2(length(lt)) - " +
+        "aggregate(cs2, cast(0 as double), (a, x) -> a + x * log2(greatest(x, 1))) " +
+        "/ length(lt), 6)), 1)), 1)), 1)"
+      Tables.documents(s, d)
+        .select(col("doc_id"), length(col("text")).as("n_chars"),
+          expr(ent).as("entropy_bits"))
+        .withColumn("quality",
+          when(col("entropy_bits") >= 3.95, "natural")
+            .when(col("entropy_bits") >= 2.95, "mixed")
+            .otherwise("low"))
     })
   )
 
@@ -420,6 +452,23 @@ object TextAnalysis {
               sum(CAST(len($dtoks) AS BIGINT)) OVER (PARTITION BY lang
                 ORDER BY doc_id ASC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-            FROM documents)"""
+            FROM documents)""",
+    // Same 27-bin histogram + left-to-right fold order as the Spark
+    // side, so the double arithmetic is bit-identical before round(6).
+    "ta15_char_entropy" ->
+      """SELECT doc_id, CAST(n AS INT) AS n_chars, ent AS entropy_bits,
+           CASE WHEN ent >= 3.95 THEN 'natural'
+                WHEN ent >= 2.95 THEN 'mixed' ELSE 'low' END AS quality
+         FROM (
+           SELECT doc_id, n,
+             round(log2(n) - list_sum(list_transform(cs2,
+               x -> x * log2(greatest(x, 1)))) / n, 6) AS ent
+           FROM (
+             SELECT doc_id, n, list_append(cs, n - list_sum(cs)) AS cs2
+             FROM (
+               SELECT doc_id, length(lt) AS n,
+                 list_transform(range(97, 123),
+                   c -> length(lt) - length(replace(lt, chr(CAST(c AS INTEGER)), ''))) AS cs
+               FROM (SELECT doc_id, lower(text) AS lt FROM documents))))"""
   )
 }

@@ -96,4 +96,42 @@ class OperatorsSpec extends SparkSpec {
     info(f"recall@3 = $recall%.3f (${(ann intersect bruteTop3).size}/${bruteTop3.size})")
     assert(recall >= 0.5, f"recall@3 = $recall%.3f below 0.5")
   }
+
+  // ta15: the replace-trick histogram must yield the same Shannon
+  // entropy as a direct Scala recomputation from the raw text, and the
+  // 27-bin entropy is bounded by log2(27).
+  test("char entropy matches a driver-side recomputation") {
+    val rows = SparkEntry.queries("ta15_char_entropy")(spark, sfDir)
+      .join(graft.sources.Tables.documents(spark, sfDir), "doc_id")
+      .select(col("doc_id"), col("entropy_bits"), col("text"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ent = r.getDouble(1)
+      assert(ent > 0.0 && ent <= math.log(27.0) / math.log(2.0) + 1e-9,
+        s"doc ${r.getLong(0)}: entropy $ent out of range")
+      val lt = r.getString(2).toLowerCase
+      val counts = ('a' to 'z').map(c => lt.count(_ == c)) :+
+        (lt.length - ('a' to 'z').map(c => lt.count(_ == c)).sum)
+      val expected = counts.filter(_ > 0).map { c =>
+        val p = c.toDouble / lt.length; -p * math.log(p) / math.log(2.0)
+      }.sum
+      assert(math.abs(ent - expected) < 1e-5,
+        s"doc ${r.getLong(0)}: $ent vs recomputed $expected")
+    }
+  }
+
+  // dd12: the Bloom sketch may add false positives but NEVER false
+  // negatives, and its exact audit columns must agree with dd08.
+  test("bloom decontamination has no false negatives and matches dd08") {
+    val d12 = SparkEntry.queries("dd12_bloom_contamination")(spark, sfDir).collect()
+    assert(d12.nonEmpty)
+    d12.foreach(r => assert(!r.getBoolean(3),
+      s"doc ${r.getLong(0)}: bloom false negative"))
+    val exact12 = d12.filter(_.getBoolean(2))
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d08 = SparkEntry.queries("dd08_contamination")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact12 === d08)
+  }
 }
