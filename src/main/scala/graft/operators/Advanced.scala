@@ -203,6 +203,27 @@ object Advanced {
            FROM c_q54 c""")
     }),
 
+    // -- SCD type-2 interval construction: each user's event history
+    //    becomes validity intervals [ts, next_ts) via lead() — the
+    //    slowly-changing-dimension build (q45 is the type-1 upsert).
+    //    One shuffle on user_id serves both the window and the rollup
+    //    (same key → Catalyst reuses the partitioning, no second
+    //    exchange). Durations are exact integer epoch-millis; the
+    //    current version is the unique lead-IS-NULL row per user.
+    "q55_scd2_intervals" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("next_ts", lead(col("ts"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_versions"),
+          sum(when(col("next_ts").isNotNull,
+              unix_millis(col("next_ts")) - unix_millis(col("ts")))
+            .otherwise(0L)).as("closed_ms"),
+          max(when(col("next_ts").isNull, col("event_type"))).as("current_type"))
+    }),
+
     // -- IN subquery (SQL form of the semi-join; Catalyst plans LeftSemi).
     "q39_in_subquery" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("o_q39")
@@ -504,6 +525,17 @@ object Advanced {
          LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                   ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t""",
+    "q55_scd2_intervals" ->
+      """SELECT user_id, count(*) AS n_versions,
+           CAST(sum(CASE WHEN next_ts IS NOT NULL
+                         THEN epoch_ms(next_ts) - epoch_ms(ts)
+                         ELSE 0 END) AS BIGINT) AS closed_ms,
+           max(CASE WHEN next_ts IS NULL THEN event_type END) AS current_type
+         FROM (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+                 lead(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS next_ts
+               FROM events)
+         GROUP BY user_id""",
     "q39_in_subquery" ->
       """SELECT o_orderstatus, count(*) AS n
          FROM orders

@@ -329,6 +329,36 @@ object Dedup {
            FROM walk GROUP BY start""")
     }),
 
+    // -- PageRank over the near-dup graph (3 unrolled damped
+    //    iterations) — the canonical iterative graph computation, here
+    //    ranking duplication hubs. Each iteration is ONE shuffle
+    //    (contributions hash-aggregated by dst, map-side partial);
+    //    the static edge+degree relation is checkpointed once
+    //    (dd09/dd11 pattern) and every iteration joins it with the new
+    //    ranks on the same key, so co-partitioning is reused. Ranks are
+    //    EXACT integer micro-units with floor division: integer sums
+    //    commute, so the result is independent of partitioning and
+    //    aggregation order AND bit-identical to the oracle — float
+    //    PageRank is neither (per-shuffle addition order). Update:
+    //    r' = 0.15·SCALE + Σ_src floor(85·r_src / (100·outdeg_src)).
+    "dd13_pagerank" -> ((s, d) => {
+      val pairs = lshPairs(s, d).select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+      val edges = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val edgesD = edges.join(deg, "src").localCheckpoint()
+      var ranks = deg.select(col("src"), lit(1000000L).as("rank"))
+      for (_ <- 1 to 3) {
+        ranks = edgesD.join(ranks, "src")
+          .select(col("dst"), expr("(rank * 85) div (outdeg * 100)").as("c"))
+          .groupBy(col("dst"))
+          .agg((lit(150000L) + sum(col("c"))).as("rank"))
+          .withColumnRenamed("dst", "src")
+      }
+      ranks.select(col("src").as("doc_id"), col("rank").as("rank_micro"))
+    }),
+
     // -- Benchmark decontamination: flag training documents that share
     //    any 8-token gram with a held-out "benchmark" set (doc_id % 10
     //    == 0 stands in for the eval suite). The benchmark gram set is
@@ -526,6 +556,31 @@ object Dedup {
           SELECT start AS doc_id,
                  CAST(count(DISTINCT node) - 1 AS BIGINT) AS n_within_2hops
           FROM ddkwalk GROUP BY start""",
+    // Same integer fixed-point arithmetic; HUGEINT intermediates are
+    // exact, only the output is cast. `//` (floor) == Spark `div`
+    // (truncate) because every operand is positive.
+    "dd13_pagerank" ->
+      s"""WITH prp AS ($dPairs),
+          pre AS (SELECT doc_a AS src, doc_b AS dst FROM prp
+                  UNION ALL SELECT doc_b, doc_a FROM prp),
+          prd AS (SELECT src, count(*) AS outdeg FROM pre GROUP BY src),
+          r0 AS (SELECT src, CAST(1000000 AS BIGINT) AS rank FROM prd),
+          r1 AS (SELECT pre.dst AS src,
+                   150000 + sum((r.rank * 85) // (d.outdeg * 100)) AS rank
+                 FROM pre JOIN r0 r ON pre.src = r.src
+                          JOIN prd d ON pre.src = d.src
+                 GROUP BY pre.dst),
+          r2 AS (SELECT pre.dst AS src,
+                   150000 + sum((r.rank * 85) // (d.outdeg * 100)) AS rank
+                 FROM pre JOIN r1 r ON pre.src = r.src
+                          JOIN prd d ON pre.src = d.src
+                 GROUP BY pre.dst),
+          r3 AS (SELECT pre.dst AS src,
+                   150000 + sum((r.rank * 85) // (d.outdeg * 100)) AS rank
+                 FROM pre JOIN r2 r ON pre.src = r.src
+                          JOIN prd d ON pre.src = d.src
+                 GROUP BY pre.dst)
+          SELECT src AS doc_id, CAST(rank AS BIGINT) AS rank_micro FROM r3""",
     "dd04_ngram_jaccard" ->
       s"""WITH docs AS (SELECT doc_id, lang, source,
                           list_distinct(list_transform($dshStr,

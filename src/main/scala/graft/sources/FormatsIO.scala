@@ -68,6 +68,26 @@ object FormatsIO {
         .filter(col("l_quantity") > 25)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // -- Hive-style partitioned layout + partition pruning: write the
+    //    documents projection partitioned by `lang`, read back filtered
+    //    to one partition. The filter never touches data — it prunes
+    //    whole directories at planning time (PartitionFilters in the
+    //    scan, asserted by PlanQualitySpec). At 100 TB this is THE
+    //    layout lever: a date/tenant/lang-partitioned corpus turns
+    //    full-table scans into single-partition reads.
+    "io04_partitioned_pruning" -> ((s, d) => {
+      val dir = tmpDir("io04")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          length(col("text")).as("text_len"))
+        .write.mode("overwrite").partitionBy("lang").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("text_len").cast("long")).as("total_len"))
     })
   )
 
@@ -82,6 +102,10 @@ object FormatsIO {
          FROM documents GROUP BY lang, source""",
     "io03_orc_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_qty
-         FROM lineitem WHERE l_quantity > 25 GROUP BY l_returnflag"""
+         FROM lineitem WHERE l_quantity > 25 GROUP BY l_returnflag""",
+    "io04_partitioned_pruning" ->
+      """SELECT source, count(*) AS n,
+         CAST(sum(length(text)) AS BIGINT) AS total_len
+         FROM documents WHERE lang = 'en' GROUP BY source"""
   )
 }

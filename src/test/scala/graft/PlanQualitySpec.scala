@@ -143,4 +143,19 @@ class PlanQualitySpec extends SparkSpec {
       assert(p.contains("SelectedBucketsCount"), p.take(2000))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("partitioned read prunes to the filtered partition (io04)") {
+    val p = plan("io04_partitioned_pruning")
+    // The lang filter must be a PartitionFilter on the scan (directory
+    // pruning at planning time), never a post-scan data filter.
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scanLine.contains("lang"), "lang not in PartitionFilters:\n" + p.take(2000))
+    // ReadSchema is the data read from files; the partition column must
+    // come from the directory, so it may not appear there. (The scan
+    // line also carries the output attrs — slice out just the schema.)
+    val readSchema = "ReadSchema: (struct<[^>]*>)".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("lang"),
+      "partition column leaked into the data schema: " + readSchema)
+  }
 }

@@ -121,6 +121,18 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  // dd13: damped fixed-point PageRank contracts rank mass — every node
+  // keeps at least the base 0.15·SCALE, and floors only lose mass, so
+  // the total never exceeds the initial n·SCALE.
+  test("pagerank ranks are bounded by the damping invariants") {
+    val rows = SparkEntry.queries("dd13_pagerank")(spark, sfDir)
+      .collect().map(_.getLong(1))
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r >= 150000L, s"rank $r below damping base"))
+    assert(rows.sum <= rows.length * 1000000L,
+      s"total mass ${rows.sum} exceeds initial ${rows.length * 1000000L}")
+  }
+
   // dd12: the Bloom sketch may add false positives but NEVER false
   // negatives, and its exact audit columns must agree with dd08.
   test("bloom decontamination has no false negatives and matches dd08") {
