@@ -158,4 +158,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(readSchema.nonEmpty && !readSchema.contains("lang"),
       "partition column leaked into the data schema: " + readSchema)
   }
+
+  // Registry-wide hygiene: a CartesianProduct anywhere is a latent
+  // 100 TB outage (O(n·m) with NO broadcast bound — unlike the
+  // deliberate, |Q|-bounded BroadcastNestedLoop in ss01/ss04). Every
+  // batch query's physical plan is scanned; streaming queries are
+  // skipped (invoking them executes the stream; their physical work is
+  // covered by their own specs and oracles).
+  test("no query in the registry plans a cartesian product") {
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.startsWith("st"))
+      .foreach { case (name, fn) =>
+        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"),
+          s"$name plans a cartesian product:\n" + p.take(2000))
+      }
+  }
 }
