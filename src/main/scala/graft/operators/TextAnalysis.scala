@@ -310,8 +310,55 @@ object TextAnalysis {
           when(col("entropy_bits") >= 3.95, "natural")
             .when(col("entropy_bits") >= 2.95, "mixed")
             .otherwise("low"))
+    }),
+
+    // -- Character-LM scoring: cross-entropy of each doc's char
+    //    distribution against a FIXED reference English model (letter
+    //    frequencies × 0.75 + 0.25 "other" mass) — the cheap tier of
+    //    perplexity-based quality filtering (a KenLM pass has the same
+    //    plan shape: per-row fold against broadcast model constants).
+    //    The model's log2-probs are precomputed on the driver and
+    //    embedded as double literals, so BOTH engines consume identical
+    //    IEEE values — no cross-engine log() discrepancy can exist.
+    //    KL(doc ‖ english) = CE − H ranks "how un-English"; same
+    //    explode-free histogram as ta15, no shuffle anywhere.
+    "ta16_english_kl" -> ((s, d) => {
+      val cs26 = "transform(sequence(97, 122), c -> " +
+        "length(lt) - length(replace(lt, char(c), '')))"
+      def bound(body: String) =
+        s"element_at(transform(array(lower(text)), lt -> " +
+        s"element_at(transform(array($cs26), cs -> " +
+        "element_at(transform(array(concat(cs, array(length(lt) - " +
+        s"aggregate(cs, 0, (a, x) -> a + x)))), cs2 -> $body), 1)), 1)), 1)"
+      val ce = bound(
+        s"round(-aggregate(zip_with(cs2, array($refLog2Lits), (c, l) -> c * l), " +
+        "cast(0 as double), (a, x) -> a + x) / length(lt), 6)")
+      val ent = bound(
+        "round(log2(length(lt)) - " +
+        "aggregate(cs2, cast(0 as double), (a, x) -> a + x * log2(greatest(x, 1))) " +
+        "/ length(lt), 6)")
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(ce).as("ce_bits"), expr(ent).as("h_bits"))
+        .withColumn("kl_bits", round(col("ce_bits") - col("h_bits"), 6))
+        .withColumn("englishness",
+          when(col("kl_bits") < 0.45, "native")
+            .when(col("kl_bits") < 1.45, "close")
+            .otherwise("far"))
+        .select(col("doc_id"), col("ce_bits"), col("kl_bits"), col("englishness"))
     })
   )
+
+  /** Reference English letter frequencies (Lewand's public corpus
+    * tables), scaled to 0.75 letter mass + 0.25 "other"; stored as the
+    * shortest-round-trip log2 literals shared by both engines. */
+  private val refLog2Lits: String = {
+    val f = Seq(0.08167, 0.01492, 0.02782, 0.04253, 0.12702, 0.02228,
+      0.02015, 0.06094, 0.06966, 0.00153, 0.00772, 0.04025, 0.02406,
+      0.06749, 0.07507, 0.01929, 0.00095, 0.05987, 0.06327, 0.09056,
+      0.02758, 0.00978, 0.02360, 0.00150, 0.01974, 0.00074)
+    (f.map(_ * 0.75) :+ 0.25).map(q => (math.log(q) / math.log(2.0)).toString)
+      .mkString(", ")
+  }
 
   private val dtoks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
@@ -469,6 +516,28 @@ object TextAnalysis {
                SELECT doc_id, length(lt) AS n,
                  list_transform(range(97, 123),
                    c -> length(lt) - length(replace(lt, chr(CAST(c AS INTEGER)), ''))) AS cs
-               FROM (SELECT doc_id, lower(text) AS lt FROM documents))))"""
+               FROM (SELECT doc_id, lower(text) AS lt FROM documents))))""",
+    // Identical histogram + identical log2 literals + identical
+    // left-to-right fold order as the Spark side.
+    "ta16_english_kl" ->
+      s"""SELECT doc_id, ce_bits, kl_bits,
+           CASE WHEN kl_bits < 0.45 THEN 'native'
+                WHEN kl_bits < 1.45 THEN 'close' ELSE 'far' END AS englishness
+         FROM (
+           SELECT doc_id, ce, round(ce - ent, 6) AS kl_bits, ce AS ce_bits
+           FROM (
+             SELECT doc_id,
+               round(-list_sum(list_transform(range(1, 28),
+                 i -> cs2[CAST(i AS INTEGER)]
+                      * ([$refLog2Lits])[CAST(i AS INTEGER)])) / n, 6) AS ce,
+               round(log2(n) - list_sum(list_transform(cs2,
+                 x -> x * log2(greatest(x, 1)))) / n, 6) AS ent
+             FROM (
+               SELECT doc_id, n, list_append(cs, n - list_sum(cs)) AS cs2
+               FROM (
+                 SELECT doc_id, length(lt) AS n,
+                   list_transform(range(97, 123),
+                     c -> length(lt) - length(replace(lt, chr(CAST(c AS INTEGER)), ''))) AS cs
+                 FROM (SELECT doc_id, lower(text) AS lt FROM documents)))))"""
   )
 }

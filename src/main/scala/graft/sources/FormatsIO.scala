@@ -88,6 +88,35 @@ object FormatsIO {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
              sum(col("text_len").cast("long")).as("total_len"))
+    }),
+
+    // -- Permissive ingestion: the reference's minigrep keeps going past
+    //    unreadable inputs (logs and continues, minigrep.go:47-61); the
+    //    Spark-native form is PERMISSIVE parse mode with a corrupt-record
+    //    column — bad rows become data you can count, quarantine, and
+    //    audit instead of a job abort. Two lines with unparseable typed
+    //    fields are injected next to the good CSV; the aggregate proves
+    //    every good row survived and both bad ones were captured. (Note
+    //    Spark's CSV parser tolerates token-COUNT mismatches silently —
+    //    only type-parse failures mark a record corrupt.)
+    "io05_permissive_csv" -> ((s, d) => {
+      val dir = tmpDir("io05")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode("overwrite").csv(dir)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "injected-corrupt.csv"),
+        "zzz,F,qqq,w\n7,H,notadouble,w\n".getBytes("UTF-8"))
+      s.read
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, " +
+          "o_totalprice DOUBLE, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(dir)
+        .agg(
+          sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+          sum(when(col("_corrupt_record").isNull, cents(col("o_totalprice")))).as("good_cents"))
     })
   )
 
@@ -106,6 +135,10 @@ object FormatsIO {
     "io04_partitioned_pruning" ->
       """SELECT source, count(*) AS n,
          CAST(sum(length(text)) AS BIGINT) AS total_len
-         FROM documents WHERE lang = 'en' GROUP BY source"""
+         FROM documents WHERE lang = 'en' GROUP BY source""",
+    "io05_permissive_csv" ->
+      """SELECT count(*) AS n_good, CAST(2 AS BIGINT) AS n_corrupt,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS good_cents
+         FROM orders"""
   )
 }
