@@ -224,6 +224,30 @@ object Advanced {
           max(when(col("next_ts").isNull, col("event_type"))).as("current_type"))
     }),
 
+    // -- Feature standardization (z-score) — the ML-prep normalization
+    //    pass. Group stats are one map-side-combined aggregation over
+    //    exact decimal sums (q37's determinism trick); the per-row
+    //    scoring then BROADCASTS those few stat rows back — each data
+    //    row is touched once in codegen, no window (a partition window
+    //    would sort 100 TB to compute a 3-number summary).
+    "q56_zscore_normalize" -> ((s, d) => {
+      val stats = Tables.orders(s, d)
+        .withColumn("c", cents(col("o_totalprice")).cast("decimal(38,0)"))
+        .groupBy(col("o_orderstatus"))
+        .agg(sum(col("c")).as("sx"), sum(col("c") * col("c")).as("sxx"),
+             count(lit(1)).as("n"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("c"))
+        .join(broadcast(stats), "o_orderstatus")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round((col("c").cast("double") - col("sx").cast("double") / col("n"))
+            / sqrt((col("n").cast("double") * col("sxx").cast("double")
+                    - col("sx").cast("double") * col("sx").cast("double"))
+                   / (col("n").cast("double") * (col("n") - 1).cast("double"))), 6)
+            .as("z"))
+    }),
+
     // -- IN subquery (SQL form of the semi-join; Catalyst plans LeftSemi).
     "q39_in_subquery" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("o_q39")
@@ -525,6 +549,20 @@ object Advanced {
          LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                   ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2) t""",
+    "q56_zscore_normalize" ->
+      """SELECT o_orderkey, o_orderstatus,
+           round((CAST(c AS DOUBLE) - CAST(sx AS DOUBLE) / n)
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 6) AS z
+         FROM (SELECT o_orderkey, o_orderstatus,
+                 CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders)
+         JOIN (SELECT o_orderstatus,
+                 sum(CAST(round(o_totalprice*100) AS BIGINT)) AS sx,
+                 sum(CAST(round(o_totalprice*100) AS BIGINT)
+                   * CAST(round(o_totalprice*100) AS BIGINT)) AS sxx,
+                 count(*) AS n
+               FROM orders GROUP BY o_orderstatus) USING (o_orderstatus)""",
     "q55_scd2_intervals" ->
       """SELECT user_id, count(*) AS n_versions,
            CAST(sum(CASE WHEN next_ts IS NOT NULL

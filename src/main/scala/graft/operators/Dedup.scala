@@ -329,6 +329,28 @@ object Dedup {
            FROM walk GROUP BY start""")
     }),
 
+    // -- Triangle counting over the near-dup graph (edge-iterator
+    //    algorithm on the a<b-oriented edge list): two equi-joins build
+    //    wedges and close them — the standard distributed formulation,
+    //    where orientation bounds wedge generation by the smaller
+    //    endpoint's degree. Per-doc triangle participation measures how
+    //    CLIQUE-like a duplication cluster is (mesh of mutual near-dups
+    //    vs a chain of pairwise borderline matches) — a curation signal
+    //    dd09's components alone can't give. Exact integers throughout.
+    "dd14_triangles" -> ((s, d) => {
+      val e = lshPairs(s, d)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .localCheckpoint()
+      e.as("e1")
+        .join(e.as("e2"), col("e1.b") === col("e2.a"))
+        .join(e.as("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .select(explode(array(col("e1.a"), col("e1.b"), col("e2.b")))
+          .as("doc_id"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
     // -- PageRank over the near-dup graph (3 unrolled damped
     //    iterations) — the canonical iterative graph computation, here
     //    ranking duplication hubs. Each iteration is ONE shuffle
@@ -559,6 +581,16 @@ object Dedup {
     // Same integer fixed-point arithmetic; HUGEINT intermediates are
     // exact, only the output is cast. `//` (floor) == Spark `div`
     // (truncate) because every operand is positive.
+    "dd14_triangles" ->
+      s"""WITH trp AS ($dPairs),
+          tri AS (SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+                  FROM trp e1
+                  JOIN trp e2 ON e1.doc_b = e2.doc_a
+                  JOIN trp e3 ON e3.doc_a = e1.doc_a
+                             AND e3.doc_b = e2.doc_b)
+          SELECT doc_id, count(*) AS n_triangles
+          FROM (SELECT unnest([x, y, z]) AS doc_id FROM tri)
+          GROUP BY doc_id""",
     "dd13_pagerank" ->
       s"""WITH prp AS ($dPairs),
           pre AS (SELECT doc_a AS src, doc_b AS dst FROM prp
