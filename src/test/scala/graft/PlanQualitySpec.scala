@@ -159,6 +159,13 @@ class PlanQualitySpec extends SparkSpec {
       "partition column leaked into the data schema: " + readSchema)
   }
 
+  test("z-score joins broadcast stats; no window sort of the data (q56)") {
+    val p = plan("q56_zscore_normalize")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Window"),
+      "a partition window would sort the whole table for a 3-number summary")
+  }
+
   // Registry-wide hygiene: a CartesianProduct anywhere is a latent
   // 100 TB outage (O(n·m) with NO broadcast bound — unlike the
   // deliberate, |Q|-bounded BroadcastNestedLoop in ss01/ss04). Every
