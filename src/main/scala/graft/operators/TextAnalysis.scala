@@ -282,30 +282,17 @@ object TextAnalysis {
 
     // -- Character-entropy quality signal (low-entropy text = keyboard
     //    mashing / repeated boilerplate; natural English ≈ 4.1 bits).
-    //    The 27-bin histogram (a–z + other) comes from the replace-count
-    //    trick — NO explode, NO shuffle, one codegen'd pass per doc;
-    //    exploding characters would multiply the row count by avg doc
-    //    length (500× at 100 TB). `lower(text)` and the count array are
-    //    lambda-bound (see simhash) so CollapseProject cannot inline the
-    //    26-replace pipeline once per element inside the entropy folds.
-    //    Entropy uses the
-    //    shuffle-free identity H = log2(n) − (Σ c·log2 c)/n; the quality
-    //    bucket cuts on the ROUNDED value (cross-engine determinism
-    //    convention) at thresholds no rounded value can sit on.
+    //    The shared 27-bin histogram (entroBound below) — NO explode,
+    //    NO shuffle, one pass per doc; exploding characters would
+    //    multiply the row count by avg doc length (500× at 100 TB).
+    //    Entropy uses the shuffle-free identity
+    //    H = log2(n) − (Σ c·log2 c)/n; the quality bucket cuts on the
+    //    ROUNDED value (cross-engine determinism convention) at
+    //    thresholds no rounded value is expected to sit on.
     "ta15_char_entropy" -> ((s, d) => {
-      val cs26 = "transform(sequence(97, 122), c -> " +
-        "length(lt) - length(replace(lt, char(c), '')))"
-      val ent =
-        s"element_at(transform(array(lower(text)), lt -> " +
-        s"element_at(transform(array($cs26), cs -> " +
-        "element_at(transform(array(concat(cs, array(length(lt) - " +
-        "aggregate(cs, 0, (a, x) -> a + x)))), cs2 -> " +
-        "round(log2(length(lt)) - " +
-        "aggregate(cs2, cast(0 as double), (a, x) -> a + x * log2(greatest(x, 1))) " +
-        "/ length(lt), 6)), 1)), 1)), 1)"
       Tables.documents(s, d)
         .select(col("doc_id"), length(col("text")).as("n_chars"),
-          expr(ent).as("entropy_bits"))
+          expr(entroBound(entroH)).as("entropy_bits"))
         .withColumn("quality",
           when(col("entropy_bits") >= 3.95, "natural")
             .when(col("entropy_bits") >= 2.95, "mixed")
@@ -318,27 +305,18 @@ object TextAnalysis {
     //    perplexity-based quality filtering (a KenLM pass has the same
     //    plan shape: per-row fold against broadcast model constants).
     //    The model's log2-probs are precomputed on the driver and
-    //    embedded as double literals, so BOTH engines consume identical
-    //    IEEE values — no cross-engine log() discrepancy can exist.
-    //    KL(doc ‖ english) = CE − H ranks "how un-English"; same
-    //    explode-free histogram as ta15, no shuffle anywhere.
+    //    embedded as CAST(… AS DOUBLE) literals, so the reference-model
+    //    side is the same IEEE value in both engines by construction;
+    //    the doc-side log2 terms remain covered by the repo-wide
+    //    round-6 convention. KL(doc ‖ english) = CE − H ranks "how
+    //    un-English"; same explode-free histogram as ta15, no shuffle.
     "ta16_english_kl" -> ((s, d) => {
-      val cs26 = "transform(sequence(97, 122), c -> " +
-        "length(lt) - length(replace(lt, char(c), '')))"
-      def bound(body: String) =
-        s"element_at(transform(array(lower(text)), lt -> " +
-        s"element_at(transform(array($cs26), cs -> " +
-        "element_at(transform(array(concat(cs, array(length(lt) - " +
-        s"aggregate(cs, 0, (a, x) -> a + x)))), cs2 -> $body), 1)), 1)), 1)"
-      val ce = bound(
+      val ce = entroBound(
         s"round(-aggregate(zip_with(cs2, array($refLog2Lits), (c, l) -> c * l), " +
-        "cast(0 as double), (a, x) -> a + x) / length(lt), 6)")
-      val ent = bound(
-        "round(log2(length(lt)) - " +
-        "aggregate(cs2, cast(0 as double), (a, x) -> a + x * log2(greatest(x, 1))) " +
-        "/ length(lt), 6)")
+        "cast(0 as double), (a, x) -> a + x) / greatest(length(lt), 1), 6)")
       Tables.documents(s, d)
-        .select(col("doc_id"), expr(ce).as("ce_bits"), expr(ent).as("h_bits"))
+        .select(col("doc_id"), expr(ce).as("ce_bits"),
+          expr(entroBound(entroH)).as("h_bits"))
         .withColumn("kl_bits", round(col("ce_bits") - col("h_bits"), 6))
         .withColumn("englishness",
           when(col("kl_bits") < 0.45, "native")
@@ -348,15 +326,36 @@ object TextAnalysis {
     })
   )
 
+  /** Shared ta15/ta16 histogram machinery: 26 replace-trick letter
+    * counts (`cs`) + an "other" bin (`cs2`), each level lambda-bound
+    * (see simhash) so CollapseProject cannot inline the 26-replace
+    * pipeline once per element inside the downstream folds. */
+  private val entroCs26 = "transform(sequence(97, 122), c -> " +
+    "length(lt) - length(replace(lt, char(c), '')))"
+  private def entroBound(body: String) =
+    s"element_at(transform(array(lower(text)), lt -> " +
+    s"element_at(transform(array($entroCs26), cs -> " +
+    "element_at(transform(array(concat(cs, array(length(lt) - " +
+    s"aggregate(cs, 0, (a, x) -> a + x)))), cs2 -> $body), 1)), 1)), 1)"
+  /** Entropy body; greatest(n, 1) guards empty docs — both engines then
+    * yield 0.0 where Spark's log2(0) is NULL but DuckDB's is an ERROR. */
+  private val entroH =
+    "round(log2(greatest(length(lt), 1)) - " +
+    "aggregate(cs2, cast(0 as double), (a, x) -> a + x * log2(greatest(x, 1))) " +
+    "/ greatest(length(lt), 1), 6)"
+
   /** Reference English letter frequencies (Lewand's public corpus
-    * tables), scaled to 0.75 letter mass + 0.25 "other"; stored as the
-    * shortest-round-trip log2 literals shared by both engines. */
+    * tables), scaled to 0.75 letter mass + 0.25 "other"; emitted as
+    * CAST(<shortest-round-trip literal> AS DOUBLE) so both engines
+    * parse the identical IEEE double (a bare decimal literal would be
+    * DECIMAL-typed in both Spark and DuckDB). */
   private val refLog2Lits: String = {
     val f = Seq(0.08167, 0.01492, 0.02782, 0.04253, 0.12702, 0.02228,
       0.02015, 0.06094, 0.06966, 0.00153, 0.00772, 0.04025, 0.02406,
       0.06749, 0.07507, 0.01929, 0.00095, 0.05987, 0.06327, 0.09056,
       0.02758, 0.00978, 0.02360, 0.00150, 0.01974, 0.00074)
-    (f.map(_ * 0.75) :+ 0.25).map(q => (math.log(q) / math.log(2.0)).toString)
+    (f.map(_ * 0.75) :+ 0.25)
+      .map(q => s"CAST(${math.log(q) / math.log(2.0)} AS DOUBLE)")
       .mkString(", ")
   }
 
@@ -503,20 +502,20 @@ object TextAnalysis {
     // Same 27-bin histogram + left-to-right fold order as the Spark
     // side, so the double arithmetic is bit-identical before round(6).
     "ta15_char_entropy" ->
-      """SELECT doc_id, CAST(n AS INT) AS n_chars, ent AS entropy_bits,
+      """SELECT doc_id, CAST(nc AS INT) AS n_chars, ent AS entropy_bits,
            CASE WHEN ent >= 3.95 THEN 'natural'
                 WHEN ent >= 2.95 THEN 'mixed' ELSE 'low' END AS quality
          FROM (
-           SELECT doc_id, n,
-             round(log2(n) - list_sum(list_transform(cs2,
-               x -> x * log2(greatest(x, 1)))) / n, 6) AS ent
+           SELECT doc_id, nc,
+             round(log2(greatest(n, 1)) - list_sum(list_transform(cs2,
+               x -> x * log2(greatest(x, 1)))) / greatest(n, 1), 6) AS ent
            FROM (
-             SELECT doc_id, n, list_append(cs, n - list_sum(cs)) AS cs2
+             SELECT doc_id, nc, n, list_append(cs, n - list_sum(cs)) AS cs2
              FROM (
-               SELECT doc_id, length(lt) AS n,
+               SELECT doc_id, length(text) AS nc, length(lt) AS n,
                  list_transform(range(97, 123),
                    c -> length(lt) - length(replace(lt, chr(CAST(c AS INTEGER)), ''))) AS cs
-               FROM (SELECT doc_id, lower(text) AS lt FROM documents))))""",
+               FROM (SELECT doc_id, text, lower(text) AS lt FROM documents))))""",
     // Identical histogram + identical log2 literals + identical
     // left-to-right fold order as the Spark side.
     "ta16_english_kl" ->
@@ -529,9 +528,9 @@ object TextAnalysis {
              SELECT doc_id,
                round(-list_sum(list_transform(range(1, 28),
                  i -> cs2[CAST(i AS INTEGER)]
-                      * ([$refLog2Lits])[CAST(i AS INTEGER)])) / n, 6) AS ce,
-               round(log2(n) - list_sum(list_transform(cs2,
-                 x -> x * log2(greatest(x, 1)))) / n, 6) AS ent
+                      * ([$refLog2Lits])[CAST(i AS INTEGER)])) / greatest(n, 1), 6) AS ce,
+               round(log2(greatest(n, 1)) - list_sum(list_transform(cs2,
+                 x -> x * log2(greatest(x, 1)))) / greatest(n, 1), 6) AS ent
              FROM (
                SELECT doc_id, n, list_append(cs, n - list_sum(cs)) AS cs2
                FROM (

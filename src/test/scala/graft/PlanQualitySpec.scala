@@ -146,10 +146,13 @@ class PlanQualitySpec extends SparkSpec {
 
   test("partitioned read prunes to the filtered partition (io04)") {
     val p = plan("io04_partitioned_pruning")
-    // The lang filter must be a PartitionFilter on the scan (directory
-    // pruning at planning time), never a post-scan data filter.
-    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
-    assert(scanLine.contains("lang"), "lang not in PartitionFilters:\n" + p.take(2000))
+    // The lang filter must be INSIDE the PartitionFilters bracket
+    // (directory pruning at planning time) — matching the whole scan
+    // line would pass vacuously on the attribute list.
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(pf.contains("lang"),
+      s"lang not in PartitionFilters [$pf]:\n" + p.take(2000))
     // ReadSchema is the data read from files; the partition column must
     // come from the directory, so it may not appear there. (The scan
     // line also carries the output attrs — slice out just the schema.)
@@ -171,7 +174,11 @@ class PlanQualitySpec extends SparkSpec {
   // deliberate, |Q|-bounded BroadcastNestedLoop in ss01/ss04). Every
   // batch query's physical plan is scanned; streaming queries are
   // skipped (invoking them executes the stream; their physical work is
-  // covered by their own specs and oracles).
+  // covered by their own specs and oracles). Two known blind spots:
+  // building some plans executes side effects (io writes, eager
+  // localCheckpoints), and subplans ABOVE a localCheckpoint print as a
+  // scan of the checkpointed RDD — those stages (dd09/dd11/dd13/dd14
+  // edge prep) are additionally covered by their own plan/oracle specs.
   test("no query in the registry plans a cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("st"))

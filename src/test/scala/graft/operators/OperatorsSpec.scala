@@ -107,8 +107,10 @@ class OperatorsSpec extends SparkSpec {
       .collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
+      assert(!r.isNullAt(1), s"doc ${r.getLong(0)}: null entropy")
       val ent = r.getDouble(1)
-      assert(ent > 0.0 && ent <= math.log(27.0) / math.log(2.0) + 1e-9,
+      // 0.0 is legitimate (single-bin text, e.g. one repeated letter).
+      assert(ent >= 0.0 && ent <= math.log(27.0) / math.log(2.0) + 1e-9,
         s"doc ${r.getLong(0)}: entropy $ent out of range")
       val lt = r.getString(2).toLowerCase
       val counts = ('a' to 'z').map(c => lt.count(_ == c)) :+
