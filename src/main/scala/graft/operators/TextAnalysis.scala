@@ -299,6 +299,29 @@ object TextAnalysis {
             .otherwise("low"))
     }),
 
+    // -- Vocabulary build + OOV scoring — the tokenizer-training prep
+    //    pass: corpus token counts (one explode → hash agg with
+    //    map-side combine), a frequency cutoff that bounds the vocab,
+    //    then each document scored for out-of-vocabulary mass against
+    //    the BROADCAST vocab. At 100 TB the cutoff is what keeps the
+    //    vocab broadcastable (heavy-hitter tokens are a tiny fraction
+    //    of distinct tokens); high-OOV docs are the noise/foreign/
+    //    garbled candidates a curation pass drops or routes.
+    "ta17_vocab_oov" -> ((s, d) => {
+      val tokens = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(toks)).as("tok"))
+      val vocab = tokens.groupBy(col("tok"))
+        .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 5)
+        .select(col("tok"))
+      tokens
+        .join(broadcast(vocab.withColumn("in_vocab", lit(1))), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+             sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+    }),
+
     // -- Character-LM scoring: cross-entropy of each doc's char
     //    distribution against a FIXED reference English model (letter
     //    frequencies × 0.75 + 0.25 "other" mass) — the cheap tier of
@@ -516,6 +539,18 @@ object TextAnalysis {
                  list_transform(range(97, 123),
                    c -> length(lt) - length(replace(lt, chr(CAST(c AS INTEGER)), ''))) AS cs
                FROM (SELECT doc_id, text, lower(text) AS lt FROM documents))))""",
+    "ta17_vocab_oov" ->
+      s"""WITH t AS (SELECT doc_id, unnest($dtoks) AS tok FROM documents),
+          v AS (SELECT tok FROM (
+                  SELECT tok, count(*) AS c FROM t GROUP BY tok)
+                WHERE c >= 5)
+          SELECT doc_id, count(*) AS n_tokens,
+            CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_oov,
+            round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*), 6) AS oov_rate
+          FROM t LEFT JOIN v ON t.tok = v.tok
+          GROUP BY doc_id""",
     // Identical histogram + identical log2 literals + identical
     // left-to-right fold order as the Spark side.
     "ta16_english_kl" ->
