@@ -43,6 +43,26 @@ object Curation {
         .join(clusters, Seq("doc_id"), "left")
         .filter(col("canonical_id").isNull || col("canonical_id") === col("doc_id"))
         .select(col("doc_id"), col("pred_lang"), col("quality"))
+    }),
+
+    // -- The embedding-side curation pipeline: near-dup pairs from dd07
+    //    (cosine ≥ 0.4 inside IVF label blocks), greedy min-id
+    //    survivorship (a vector is dropped iff it is the LARGER id of
+    //    some near-dup pair — the one-pass policy; transitive-closure
+    //    canonicalization is dd09's job on the text side), then
+    //    per-label audit counts. Outputs are exact integers only —
+    //    a mean-of-norms here would be an order-dependent float sum,
+    //    which is exactly what the repo's determinism rules forbid.
+    "pl02_embedding_curation" -> ((s, d) => {
+      val dupIds = Dedup.queries("dd07_embedding_neardup")(s, d)
+        .select(col("vec_b").as("vec_id")).distinct()
+      Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+        .join(broadcast(dupIds.withColumn("is_dup", lit(1))), Seq("vec_id"), "left")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_total"),
+             sum(coalesce(col("is_dup"), lit(0)).cast("long")).as("n_dups_dropped"))
+        .select(col("label"), col("n_total"), col("n_dups_dropped"),
+          (col("n_total") - col("n_dups_dropped")).as("n_kept"))
     })
   )
 
@@ -69,6 +89,18 @@ object Curation {
                  OR EXISTS (SELECT 1 FROM pl_canon pc
                             WHERE pc.doc_id = d.doc_id
                               AND pc.canonical_id = d.doc_id))"""
+    },
+    "pl02_embedding_curation" -> {
+      val pairs = Dedup.oracleSql("dd07_embedding_neardup")
+      s"""WITH pl2_pairs AS ($pairs),
+          pl2_dups AS (SELECT DISTINCT vec_b AS vec_id FROM pl2_pairs)
+          SELECT label, count(*) AS n_total,
+            CAST(sum(CASE WHEN du.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dups_dropped,
+            CAST(count(*) - sum(CASE WHEN du.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_kept
+          FROM embeddings e LEFT JOIN pl2_dups du ON e.vec_id = du.vec_id
+          GROUP BY label"""
     }
   )
 }
