@@ -59,15 +59,17 @@ object Dedup {
     * engine. The base hash is the first 60 bits of md5 — computed ONCE
     * per shingle; the k permutations are cheap integer ops (vs k md5
     * calls per shingle, which dominated the profile at sf0.1). */
-  /** dd12's broadcast Bloom filter, one per (SparkContext, fixture). */
-  private val bloomCache = TrieMap.empty[
-    String, org.apache.spark.broadcast.Broadcast[
-      org.apache.spark.util.sketch.BloomFilter]]
-
   private val P = 2147483647L
   private val A = Seq(1299721L, 15485863L, 32452843L, 49979687L,
                       67867967L, 86028121L, 104395301L, 122949823L)
   private val B = Seq.tabulate(8)(i => i * 999983L + 12345L)
+
+  /** dd12's broadcast Bloom filter, one per (SparkContext, fixture).
+    * Entries for other (stopped) contexts are evicted on access — a
+    * dead context's broadcast can never be reused, only leak. */
+  private val bloomCache = TrieMap.empty[
+    String, org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter]]
 
   /** One row per (doc_id, word n-gram occurrence) — THE shared gram
     * stream (ta10 reuses it). Explodes a cheap integer index and builds
@@ -429,7 +431,10 @@ object Dedup {
       // Built + broadcast ONCE per (context, fixture) — the filter is
       // deterministic, and rebuilding per invocation would rerun the
       // gram treeAggregate and leak a broadcast on every bench rep.
-      val bfB = bloomCache.getOrElseUpdate(s"${s.sparkContext.applicationId}|$d",
+      val appPrefix = s.sparkContext.applicationId + "|"
+      bloomCache.keySet.filterNot(_.startsWith(appPrefix))
+        .foreach(bloomCache.remove)
+      val bfB = bloomCache.getOrElseUpdate(appPrefix + d,
         s.sparkContext.broadcast(bench.stat.bloomFilter("gh", 1L << 22, 0.01)))
       val probe = udf((h: Long) => bfB.value.mightContainLong(h))
       grams.filter(col("doc_id") % 10 =!= 0)

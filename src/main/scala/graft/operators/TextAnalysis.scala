@@ -313,13 +313,23 @@ object TextAnalysis {
       val vocab = tokens.groupBy(col("tok"))
         .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 5)
         .select(col("tok"))
-      tokens
+      // Per-doc OOV counts (only docs that HAVE oov tokens appear) …
+      val oov = tokens
         .join(broadcast(vocab.withColumn("in_vocab", lit(1))), Seq("tok"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"),
-             sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
-        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
-          round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+        .filter(col("in_vocab").isNull)
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_oov"))
+      // … joined back onto ALL documents so token-less docs (the
+      // highest-priority garbage class) still get a row instead of
+      // silently vanishing from the curation signal. n_tokens comes
+      // from size() on the doc — no dependence on the explode stream.
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(s"size($toks)").cast("long").as("n_tokens"))
+        .join(oov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          when(col("n_tokens") > 0,
+            round(coalesce(col("n_oov"), lit(0L)).cast("double")
+              / col("n_tokens"), 6)).otherwise(0.0).as("oov_rate"))
     }),
 
     // -- Character-LM scoring: cross-entropy of each doc's char
@@ -369,16 +379,22 @@ object TextAnalysis {
 
   /** Reference English letter frequencies (Lewand's public corpus
     * tables), scaled to 0.75 letter mass + 0.25 "other"; emitted as
-    * CAST(<shortest-round-trip literal> AS DOUBLE) so both engines
-    * parse the identical IEEE double (a bare decimal literal would be
-    * DECIMAL-typed in both Spark and DuckDB). */
+    * exponent-suffixed literals (`…E0`) — an exponent literal is
+    * native DOUBLE in BOTH engines and goes through each engine's
+    * correctly-rounded decimal→binary parse, so both sides hold the
+    * identical IEEE double. (CAST(<decimal> AS DOUBLE) does NOT give
+    * that: DuckDB's DECIMAL→DOUBLE cast is off by 1 ulp for 4 of
+    * these 27 constants — verified empirically.) */
   private val refLog2Lits: String = {
     val f = Seq(0.08167, 0.01492, 0.02782, 0.04253, 0.12702, 0.02228,
       0.02015, 0.06094, 0.06966, 0.00153, 0.00772, 0.04025, 0.02406,
       0.06749, 0.07507, 0.01929, 0.00095, 0.05987, 0.06327, 0.09056,
       0.02758, 0.00978, 0.02360, 0.00150, 0.01974, 0.00074)
     (f.map(_ * 0.75) :+ 0.25)
-      .map(q => s"CAST(${math.log(q) / math.log(2.0)} AS DOUBLE)")
+      .map { q =>
+        val lit = (math.log(q) / math.log(2.0)).toString
+        if (lit.contains("E") || lit.contains("e")) lit else lit + "E0"
+      }
       .mkString(", ")
   }
 
@@ -543,14 +559,17 @@ object TextAnalysis {
       s"""WITH t AS (SELECT doc_id, unnest($dtoks) AS tok FROM documents),
           v AS (SELECT tok FROM (
                   SELECT tok, count(*) AS c FROM t GROUP BY tok)
-                WHERE c >= 5)
-          SELECT doc_id, count(*) AS n_tokens,
-            CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-              AS n_oov,
-            round(CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
-              AS DOUBLE) / count(*), 6) AS oov_rate
-          FROM t LEFT JOIN v ON t.tok = v.tok
-          GROUP BY doc_id""",
+                WHERE c >= 5),
+          o AS (SELECT doc_id, count(*) AS n_oov
+                FROM t LEFT JOIN v ON t.tok = v.tok
+                WHERE v.tok IS NULL GROUP BY doc_id)
+          SELECT d.doc_id, CAST(len($dtoks) AS BIGINT) AS n_tokens,
+            CAST(coalesce(o.n_oov, 0) AS BIGINT) AS n_oov,
+            CASE WHEN len($dtoks) > 0
+                 THEN round(CAST(coalesce(o.n_oov, 0) AS DOUBLE)
+                        / len($dtoks), 6)
+                 ELSE 0.0 END AS oov_rate
+          FROM documents d LEFT JOIN o ON d.doc_id = o.doc_id""",
     // Identical histogram + identical log2 literals + identical
     // left-to-right fold order as the Spark side.
     "ta16_english_kl" ->
@@ -558,12 +577,15 @@ object TextAnalysis {
            CASE WHEN kl_bits < 0.45 THEN 'native'
                 WHEN kl_bits < 1.45 THEN 'close' ELSE 'far' END AS englishness
          FROM (
-           SELECT doc_id, ce, round(ce - ent, 6) AS kl_bits, ce AS ce_bits
+           -- `+ 0` folds DuckDB's -0.0 to +0.0 (empty docs; kl rounding
+           -- artifacts near zero): Spark's round goes through BigDecimal,
+           -- which has no signed zero, so it always emits +0.0.
+           SELECT doc_id, ce, round(ce - ent, 6) + 0 AS kl_bits, ce AS ce_bits
            FROM (
              SELECT doc_id,
                round(-list_sum(list_transform(range(1, 28),
                  i -> cs2[CAST(i AS INTEGER)]
-                      * ([$refLog2Lits])[CAST(i AS INTEGER)])) / greatest(n, 1), 6) AS ce,
+                      * ([$refLog2Lits])[CAST(i AS INTEGER)])) / greatest(n, 1), 6) + 0 AS ce,
                round(log2(greatest(n, 1)) - list_sum(list_transform(cs2,
                  x -> x * log2(greatest(x, 1)))) / greatest(n, 1), 6) AS ent
              FROM (

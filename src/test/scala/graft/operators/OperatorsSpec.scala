@@ -112,7 +112,9 @@ class OperatorsSpec extends SparkSpec {
       // 0.0 is legitimate (single-bin text, e.g. one repeated letter).
       assert(ent >= 0.0 && ent <= math.log(27.0) / math.log(2.0) + 1e-9,
         s"doc ${r.getLong(0)}: entropy $ent out of range")
-      val lt = r.getString(2).toLowerCase
+      // Locale.ROOT: Spark's lower() is locale-independent; a Turkish
+      // default locale would map 'I' to dotless ı and diverge.
+      val lt = r.getString(2).toLowerCase(java.util.Locale.ROOT)
       val counts = ('a' to 'z').map(c => lt.count(_ == c)) :+
         (lt.length - ('a' to 'z').map(c => lt.count(_ == c)).sum)
       val expected = counts.filter(_ > 0).map { c =>
