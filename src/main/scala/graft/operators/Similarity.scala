@@ -191,6 +191,42 @@ object Similarity {
             / sqrt(col("a.nrm") * col("b.nrm")), 6).as("cos"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
+    }),
+
+    // -- Scalar-quantized (int8) retrieval + exact re-rank — the
+    //    memory-bandwidth tier real ANN deployments add below IVF/LSH:
+    //    q_i = clamp(round(x_i·127), ±127) shrinks vectors 4× and makes
+    //    candidate scoring a pure INTEGER dot product — exact,
+    //    associative, deterministic under any partitioning and engine
+    //    (the float dot it approximates is neither). The int8 score
+    //    selects a top-10 pool per query (integer ordering, id
+    //    tiebreak); true float cosine re-ranks only that pool to top-3
+    //    — the SQ8+refine pipeline as two windows. At 100 TB the
+    //    refine stage re-fetches full vectors by id; here they ride
+    //    the pool rows.
+    "ss06_sq8_topk" -> ((s, d) => {
+      val quant = "transform(e, x -> cast(greatest(-127.0D, least(127.0D, " +
+        "round(cast(x as double) * 127))) as int))"
+      val v = vecs(s, d).withColumn("qe", expr(quant))
+      val q = v.filter(col("vec_id") % 50 === 0)
+      val w1 = Window.partitionBy(col("query_id"))
+        .orderBy(col("iscore").desc, col("neighbor_id").asc)
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      broadcast(q).as("a")
+        .join(v.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+          expr("aggregate(zip_with(a.qe, b.qe, (p, r) -> p * r), 0L, " +
+            "(acc, x) -> acc + x)").as("iscore"),
+          col("a.e").as("ae"), col("a.nrm").as("an"),
+          col("b.e").as("be"), col("b.nrm").as("bn"))
+        .withColumn("rnk1", row_number().over(w1))
+        .filter(col("rnk1") <= 10)
+        .select(col("query_id"), col("neighbor_id"),
+          round(vecDot(col("ae"), col("be")) / sqrt(col("an") * col("bn")), 6)
+            .as("cos"))
+        .withColumn("rnk", row_number().over(w2))
+        .filter(col("rnk") <= 3)
     })
   )
 
@@ -198,6 +234,37 @@ object Similarity {
     "SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings"
 
   def oracleSql: Map[String, String] = Map(
+    // Same int8 quantization (round-half-away ties agree: both engines
+    // round the identical IEEE product), integer pool ranking, float
+    // re-rank. iscore stays internal — only the re-ranked rows emit.
+    "ss06_sq8_topk" ->
+      s"""WITH v AS ($dVecs),
+          qv AS (SELECT vec_id, e,
+                   list_transform(e, x -> CAST(greatest(-127.0, least(127.0,
+                     round(x * 127))) AS INTEGER)) AS qe
+                 FROM v),
+          pool AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              list_sum(list_transform(range(1, len(a.qe) + 1),
+                i -> a.qe[CAST(i AS INTEGER)] * b.qe[CAST(i AS INTEGER)]))
+                AS iscore,
+              a.e AS ae, b.e AS be
+            FROM qv a JOIN qv b
+              ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
+          top10 AS (SELECT query_id, neighbor_id, ae, be FROM (
+              SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY iscore DESC, neighbor_id ASC) AS rnk1
+              FROM pool) WHERE rnk1 <= 10)
+          SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rnk FROM (
+            SELECT query_id, neighbor_id, cos,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS rnk
+            FROM (SELECT query_id, neighbor_id,
+                    round(list_dot_product(ae, be)
+                      / sqrt(list_dot_product(ae, ae)
+                             * list_dot_product(be, be)), 6) AS cos
+                  FROM top10))
+          WHERE rnk <= 3""",
     "ss01_cosine_topk" ->
       s"""WITH v AS ($dVecs)
           SELECT query_id, neighbor_id, cos, rnk FROM (

@@ -125,6 +125,21 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  // ss06: int8 quantization + top-10 refine must recover nearly all of
+  // the true top-3 (SQ8's 127 levels lose little cosine precision).
+  test("SQ8 refine recall@3 vs brute force is >= 0.8") {
+    val sq = SparkEntry.queries("ss06_sq8_topk")(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SparkEntry.queries("ss01_cosine_topk")(spark, sfDir)
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (sq intersect brute).size.toDouble / brute.size
+    info(f"SQ8 recall@3 = $recall%.3f")
+    assert(recall >= 0.8, f"SQ8 recall@3 = $recall%.3f below 0.8")
+  }
+
   // dd13: damped fixed-point PageRank contracts rank mass — every node
   // keeps at least the base 0.15·SCALE, and floors only lose mass, so
   // the total never exceeds the initial n·SCALE.
