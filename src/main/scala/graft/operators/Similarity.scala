@@ -196,35 +196,37 @@ object Similarity {
     // -- Scalar-quantized (int8) retrieval + exact re-rank — the
     //    memory-bandwidth tier real ANN deployments add below IVF/LSH:
     //    q_i = clamp(round(x_i·127), ±127) shrinks vectors 4× and makes
-    //    candidate scoring a pure INTEGER dot product — exact,
-    //    associative, deterministic under any partitioning and engine
-    //    (the float dot it approximates is neither). The int8 score
-    //    selects a top-10 pool per query (integer ordering, id
-    //    tiebreak); true float cosine re-ranks only that pool to top-3
-    //    — the SQ8+refine pipeline as two windows. At 100 TB the
-    //    refine stage re-fetches full vectors by id; here they ride
-    //    the pool rows.
+    //    candidate scoring an exact small-integer dot — every product
+    //    (≤ 127² = 16129) and sum is exactly representable, so the
+    //    score is associative, deterministic under any partitioning
+    //    and engine (the float dot it approximates is neither). The
+    //    quantized vectors are stored as float so the native codegen'd
+    //    vecDot scores the hot loop (no interpreted HOF per pair). The
+    //    pool window ranks only (query_id, neighbor_id, iscore) — the
+    //    candidate shuffle carries ids + one number, never vectors —
+    //    and the refine joins the full vectors back BY ID for the
+    //    true-cosine top-3 (the shape a 100 TB deployment needs; the
+    //    tiny pool broadcasts into both joins).
     "ss06_sq8_topk" -> ((s, d) => {
       val quant = "transform(e, x -> cast(greatest(-127.0D, least(127.0D, " +
-        "round(cast(x as double) * 127))) as int))"
+        "round(cast(x as double) * 127))) as float))"
       val v = vecs(s, d).withColumn("qe", expr(quant))
       val q = v.filter(col("vec_id") % 50 === 0)
       val w1 = Window.partitionBy(col("query_id"))
         .orderBy(col("iscore").desc, col("neighbor_id").asc)
       val w2 = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id").asc)
-      broadcast(q).as("a")
+      val pool = broadcast(q).as("a")
         .join(v.as("b"), col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
-          expr("aggregate(zip_with(a.qe, b.qe, (p, r) -> p * r), 0L, " +
-            "(acc, x) -> acc + x)").as("iscore"),
-          col("a.e").as("ae"), col("a.nrm").as("an"),
-          col("b.e").as("be"), col("b.nrm").as("bn"))
+          vecDot(col("a.qe"), col("b.qe")).as("iscore"))
         .withColumn("rnk1", row_number().over(w1))
         .filter(col("rnk1") <= 10)
-        .select(col("query_id"), col("neighbor_id"),
-          round(vecDot(col("ae"), col("be")) / sqrt(col("an") * col("bn")), 6)
-            .as("cos"))
+        .select(col("query_id"), col("neighbor_id"))
+      pool
+        .join(vecs(s, d).as("a"), col("query_id") === col("a.vec_id"))
+        .join(vecs(s, d).as("b"), col("neighbor_id") === col("b.vec_id"))
+        .select(col("query_id"), col("neighbor_id"), cosAB.as("cos"))
         .withColumn("rnk", row_number().over(w2))
         .filter(col("rnk") <= 3)
     })
@@ -235,11 +237,13 @@ object Similarity {
 
   def oracleSql: Map[String, String] = Map(
     // Same int8 quantization (round-half-away ties agree: both engines
-    // round the identical IEEE product), integer pool ranking, float
-    // re-rank. iscore stays internal — only the re-ranked rows emit.
+    // round the identical IEEE product; integer values and products are
+    // exact in either int or double arithmetic), id-only pool ranking,
+    // then the shared-cosine refine joined back by id. iscore stays
+    // internal — only the re-ranked rows emit.
     "ss06_sq8_topk" ->
       s"""WITH v AS ($dVecs),
-          qv AS (SELECT vec_id, e,
+          qv AS (SELECT vec_id,
                    list_transform(e, x -> CAST(greatest(-127.0, least(127.0,
                      round(x * 127))) AS INTEGER)) AS qe
                  FROM v),
@@ -247,11 +251,10 @@ object Similarity {
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
               list_sum(list_transform(range(1, len(a.qe) + 1),
                 i -> a.qe[CAST(i AS INTEGER)] * b.qe[CAST(i AS INTEGER)]))
-                AS iscore,
-              a.e AS ae, b.e AS be
+                AS iscore
             FROM qv a JOIN qv b
               ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id),
-          top10 AS (SELECT query_id, neighbor_id, ae, be FROM (
+          top10 AS (SELECT query_id, neighbor_id FROM (
               SELECT *, row_number() OVER (PARTITION BY query_id
                 ORDER BY iscore DESC, neighbor_id ASC) AS rnk1
               FROM pool) WHERE rnk1 <= 10)
@@ -259,11 +262,10 @@ object Similarity {
             SELECT query_id, neighbor_id, cos,
               row_number() OVER (PARTITION BY query_id
                 ORDER BY cos DESC, neighbor_id ASC) AS rnk
-            FROM (SELECT query_id, neighbor_id,
-                    round(list_dot_product(ae, be)
-                      / sqrt(list_dot_product(ae, ae)
-                             * list_dot_product(be, be)), 6) AS cos
-                  FROM top10))
+            FROM (SELECT t.query_id, t.neighbor_id, $dCosAB AS cos
+                  FROM top10 t
+                  JOIN v a ON t.query_id = a.vec_id
+                  JOIN v b ON t.neighbor_id = b.vec_id))
           WHERE rnk <= 3""",
     "ss01_cosine_topk" ->
       s"""WITH v AS ($dVecs)
