@@ -27,13 +27,23 @@ object Bench {
     // the alphabetical first).
     val warmups = Seq("dd01_exact_dedup", "q05_join_chain", "q09_window_topk",
       "dd02_minhash_sig", "st01_stream_tumbling")
+    // Warmup runs on the smallest sibling fixture of the timed dir (so a
+    // relocated fixture root still warms up), falling back to the timed dir
+    // itself. Failures are logged, not swallowed — a silently no-op'd warmup
+    // shifts ~8 s of one-time init onto the first timed query.
+    val warmDir = {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
+      if (sibling.isDirectory) sibling.getPath else sfDir
+    }
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup entry FAILED: ${e.getMessage}") }
     warmups.foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
-        try fn(spark, "/root/testdata/sf0.001")
+        try fn(spark, warmDir)
           .write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup $n FAILED: ${e.getMessage}") }
       }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

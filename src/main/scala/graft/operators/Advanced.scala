@@ -23,6 +23,11 @@ object Advanced {
 
   import graft.Exprs.cents // shared exact-integer-cents helper
 
+  /** q42's bucketed tables, one write per (SparkContext, fixture):
+    * key = appId|fixtureDir, value = (lineitem table, orders table). */
+  private val bucketedCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
   /** Typed Aggregator (the reference's "stateful user aggregation inside
     * a node", SURVEY.md §2.3, as a first-class Spark UDAF): exact money
     * stats in integer cents. */
@@ -368,7 +373,10 @@ object Advanced {
     //    on either side — the 100 TB pattern for repeated big-big joins:
     //    pay the shuffle once at write time, never again per query.
     //    PlanQualitySpec pins the no-Exchange plan; the oracle is the
-    //    plain join (bucketing is semantics-free).
+    //    plain join (bucketing is semantics-free). The write happens
+    //    ONCE per (context, fixture) — that is the point of bucketing,
+    //    and re-writing per invocation made every bench rep measure
+    //    ~2 s of table setup instead of the exchange-free join.
     "q42_bucketed_join" -> ((s, d) => {
       // The session catalog is in-memory: a table dir left by a previous
       // JVM is unknown to it, and CTAS refuses a non-empty location —
@@ -381,14 +389,27 @@ object Advanced {
         df.write.format("parquet")
           .bucketBy(8, key).sortBy(key).saveAsTable(name)
       }
-      saveBucketed(Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
-        "graft_li_bkt", "l_orderkey")
-      saveBucketed(Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_orderpriority")),
-        "graft_ord_bkt", "o_orderkey")
-      s.table("graft_li_bkt")
-        .join(s.table("graft_ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+      // Table names carry the fixture suffix (one catalog may serve
+      // several fixtures); the evict+build is under one lock like
+      // Dedup's bloomCache — getOrElseUpdate alone is not atomic.
+      val sfx = d.replaceAll("[^A-Za-z0-9]", "_")
+      val appPrefix = s.sparkContext.applicationId + "|"
+      val (liName, ordName) = bucketedCache.synchronized {
+        bucketedCache.keySet.filterNot(_.startsWith(appPrefix))
+          .foreach(bucketedCache.remove)
+        bucketedCache.getOrElseUpdate(appPrefix + d, {
+          val li = s"graft_li_bkt_$sfx"; val ord = s"graft_ord_bkt_$sfx"
+          saveBucketed(Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice")),
+            li, "l_orderkey")
+          saveBucketed(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderpriority")),
+            ord, "o_orderkey")
+          (li, ord)
+        })
+      }
+      s.table(liName)
+        .join(s.table(ordName), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_items"),
              sum(col("l_quantity")).as("sum_qty"),
@@ -480,10 +501,12 @@ object Advanced {
 
   /** The shuffle-free bucketed join subplan (no aggregation), exposed for
     * PlanQualitySpec's no-Exchange assertion. Requires q42 to have
-    * written the bucketed tables in this session. */
-  def bucketedJoinPlan(s: SparkSession): DataFrame =
-    s.table("graft_li_bkt")
-      .join(s.table("graft_ord_bkt"), col("l_orderkey") === col("o_orderkey"))
+    * written the bucketed tables for fixture `d` in this session. */
+  def bucketedJoinPlan(s: SparkSession, d: String): DataFrame = {
+    val (liName, ordName) = bucketedCache(s.sparkContext.applicationId + "|" + d)
+    s.table(liName)
+      .join(s.table(ordName), col("l_orderkey") === col("o_orderkey"))
+  }
 
   def oracleSql: Map[String, String] = Map(
     // Join + argmax formulation — algorithmically different from the

@@ -171,10 +171,11 @@ object TextAnalysis {
     //    stream. At 100 TB the df-count side pre-aggregates map-side and
     //    the threshold keeps the broadcast list small.
     "ta10_boilerplate" -> ((s, d) => {
-      // Shared gram stream (Dedup.gramStrings): both branches below
-      // re-evaluate it — at corpus scale a curation run stages the gram
-      // index to storage once and reads it from both sides instead.
-      val grams = Dedup.gramStrings(s, d, 3)
+      // Staged write-once gram index (Dedup.stagedGrams): the df-count
+      // branch and the probe branch both scan the materialized parquet
+      // instead of re-evaluating the tokenize→shingle pipeline twice —
+      // the corpus-scale curation shape.
+      val grams = Dedup.stagedGrams(s, d, 3, hashed = false)
       val frequent = grams.select(col("doc_id"), col("g")).distinct()
         .groupBy(col("g")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= 3)

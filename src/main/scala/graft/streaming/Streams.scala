@@ -86,6 +86,13 @@ final case class EventRow(user_id: Long, cents: Long)
   * via the same `writeStream` call. The stateful shapes (windowed agg,
   * streaming dedup, mapGroupsWithState) shuffle by key into state-store
   * partitions exactly as a cluster run would.
+  *
+  * REGISTRY CONTRACT — sequential execution per SparkSession: st12/st13
+  * swap the session-wide state-store provider conf for their run (and
+  * restore it after), so two registry queries must not execute
+  * concurrently in one session. Both the driver harness and graft.Bench
+  * run queries strictly sequentially; a concurrent runner would need
+  * `SparkSession.newSession()` per query to isolate the conf.
   */
 object Streams {
 

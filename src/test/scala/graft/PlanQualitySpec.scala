@@ -134,7 +134,7 @@ class PlanQualitySpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val df = graft.operators.Advanced.bucketedJoinPlan(spark)
+      val df = graft.operators.Advanced.bucketedJoinPlan(spark, sfDir)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
       assert(p.contains("SortMergeJoin"), p.take(2000))
@@ -173,15 +173,20 @@ class PlanQualitySpec extends SparkSpec {
   // 100 TB outage (O(n·m) with NO broadcast bound — unlike the
   // deliberate, |Q|-bounded BroadcastNestedLoop in ss01/ss04). Every
   // batch query's physical plan is scanned; streaming queries are
-  // skipped (invoking them executes the stream; their physical work is
-  // covered by their own specs and oracles). Two known blind spots:
-  // building some plans executes side effects (io writes, eager
-  // localCheckpoints), and subplans ABOVE a localCheckpoint print as a
-  // scan of the checkpointed RDD — those stages (dd09/dd11/dd13/dd14
-  // edge prep) are additionally covered by their own plan/oracle specs.
+  // skipped (invoking them executes the stream). Queries whose plan
+  // CONSTRUCTION executes heavy work — the iterative-graph family's
+  // eager localCheckpoints and dd09's full convergence loop — are
+  // excluded so this stays a plan-only sweep; each of those is covered
+  // by its own plan/oracle spec, and their checkpointed subplans would
+  // print as opaque RDD scans here anyway. io04/io05's fixture writes
+  // are cheap and their plans worth scanning, so they stay in.
+  private val eagerConstruction =
+    Set("dd09_dedup_clusters", "dd11_khop_neighborhood",
+        "dd13_pagerank", "dd14_triangles")
   test("no query in the registry plans a cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("st"))
+      .filterNot(q => eagerConstruction(q._1))
       .foreach { case (name, fn) =>
         val p = fn(spark, sfDir).queryExecution.executedPlan.toString
         assert(!p.contains("CartesianProduct"),

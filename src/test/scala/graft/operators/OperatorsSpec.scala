@@ -152,6 +152,48 @@ class OperatorsSpec extends SparkSpec {
       s"total mass ${rows.sum} exceeds initial ${rows.length * 1000000L}")
   }
 
+  // dd11's scale invariant: on a clique of m near-dup docs the old
+  // UNION ALL path walk materialized m·(m-1)² depth-2 rows; the deduped
+  // frontier must stay at m·m (start × node), i.e. O(nodes) per start.
+  test("khop frontiers stay O(start x node) on a clique, not O(paths)") {
+    import spark.implicits._
+    val m = 20
+    val edges = (for {
+      a <- 0 until m; b <- 0 until m if a != b
+    } yield (a.toLong, b.toLong)).toDF("src", "dst")
+    val fronts = Dedup.khopFrontiers(edges, 2)
+    assert(fronts.size === 3)
+    assert(fronts(1).count() === m.toLong * (m - 1)) // hop 1: all others
+    val paths2 = m.toLong * (m - 1) * (m - 1)        // what the walk built
+    val front2 = fronts(2).count()
+    assert(front2 === m.toLong * m, s"hop-2 frontier $front2 != ${m * m}")
+    assert(front2 < paths2 / 10,
+      s"frontier $front2 not materially below path count $paths2")
+  }
+
+  // dd04's scale invariant: prefix-filter blocking must NOT generate
+  // within-block candidates for dissimilar docs — a hot (lang, source)
+  // block of m pairwise-disjoint docs yields zero candidates (the old
+  // bare-block join yielded m(m-1)/2), while identical docs still block
+  // together (recall is exact for j >= 0.3, proven in Dedup.scala).
+  test("ngram prefix blocking bounds hot blocks and keeps recall") {
+    import spark.implicits._
+    val m = 100
+    val disjoint = (0 until m).map { i =>
+      (i.toLong, "en", "web", (0 until 20).map(j => (i * 1000 + j).toLong).sorted.toArray)
+    }.toDF("doc_id", "lang", "source", "sh")
+    assert(Dedup.ngramCandidates(disjoint).count() === 0L,
+      "disjoint docs in one hot block must produce no candidates")
+    val dup = Seq(
+      (1L, "en", "web", (0L until 20L).toArray),
+      (2L, "en", "web", (0L until 20L).toArray),          // identical → pair
+      (3L, "en", "web", (100L until 120L).toArray),       // disjoint → none
+      (4L, "de", "web", (0L until 20L).toArray)           // other block → none
+    ).toDF("doc_id", "lang", "source", "sh")
+    val cands = Dedup.ngramCandidates(dup).as[(Long, Long)].collect().toSet
+    assert(cands === Set((1L, 2L)))
+  }
+
   // dd12: the Bloom sketch may add false positives but NEVER false
   // negatives, and its exact audit columns must agree with dd08.
   test("bloom decontamination has no false negatives and matches dd08") {
