@@ -134,6 +134,23 @@ object Streams {
 
   import graft.Exprs.cents // shared exact-integer-cents helper
 
+  /** Stage one parquet file into a multi-batch feed dir (st06/st14):
+    * write via a scratch dir, move the single part file to a FIXED name
+    * (REPLACE_EXISTING — nothing accumulates across runs), and pin the
+    * mtime so `maxFilesPerTrigger=1` + modtime ordering makes each file
+    * one deterministic micro-batch. */
+  private def stageFeedFile(
+      feed: java.io.File, df: DataFrame, name: String, mtime: Long): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val tmp = new java.io.File(feed, s"_stage_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(feed, name)
+    Files.move(part.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
+    tmp.listFiles().foreach(_.delete()); tmp.delete()
+    dst.setLastModified(mtime)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Streaming tumbling-window aggregation; same oracle as the batch
     //    q27 — stream/batch parity is the assertion.
@@ -226,7 +243,6 @@ object Streams {
     //    emits exactly the recent windows whose end ≤ the final
     //    watermark — a closed form the DuckDB oracle recomputes.
     "st06_watermark_late" -> ((s, d) => {
-      import java.nio.file.{Files, StandardCopyOption}
       // Persist: the feed build reads events four times (max + 3 splits).
       val ev = graft.sources.Tables.events(s, d)
         .select(col("ts"), col("event_type"), col("value"))
@@ -234,20 +250,11 @@ object Streams {
       // One driver-side scalar (the global max event time) to place the
       // cutoff — the streaming plan itself stays fully distributed.
       val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
-      // Deterministic feed dir: the three fixed file names are replaced
-      // each run (REPLACE_EXISTING), so nothing accumulates across runs.
       val feed = new java.io.File(
         System.getProperty("java.io.tmpdir"), "graft_st06_feed")
       feed.mkdirs()
-      def dropFile(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = new java.io.File(feed, s"_stage_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
-        val dst = new java.io.File(feed, name)
-        Files.move(part.toPath, dst.toPath, StandardCopyOption.REPLACE_EXISTING)
-        tmp.listFiles().foreach(_.delete()); tmp.delete()
-        dst.setLastModified(mtime)
-      }
+      def dropFile(df: DataFrame, name: String, mtime: Long): Unit =
+        stageFeedFile(feed, df, name, mtime)
       val cutoff = lit(mx) - expr("INTERVAL 130 MINUTES")
       val fresh = lit(mx) - expr("INTERVAL 10 MINUTES")
       val t0 = System.currentTimeMillis() - 180000
@@ -432,6 +439,45 @@ object Streams {
     //    the state store; same session semantics as the batch q28, and
     //    the oracle recomputes it with a pure-SQL gap-and-island
     //    formulation — three implementations, one answer.
+    // -- PRODUCTION-shape sessionization: session_window + watermark in
+    //    APPEND mode over a multi-batch feed — sessions close and emit
+    //    incrementally as the watermark passes their end (last event +
+    //    gap), instead of st04's Complete-mode full re-emission (which a
+    //    100 TB/day feed cannot afford). The feed is two chronologically
+    //    split files (st06's staged-file harness, maxFilesPerTrigger=1):
+    //    the split is chronological, so no row is ever late and the
+    //    result is the closed form the oracle recomputes — every
+    //    gap-and-island session whose (last_ts + 30 min) end is at or
+    //    before the final watermark (max ts - 10 min). Sessions spanning
+    //    the batch boundary exercise the state-store merge.
+    "st14_session_append" -> ((s, d) => {
+      val ev = graft.sources.Tables.events(s, d)
+        .select(col("ts"), col("user_id"))
+        .persist()
+      // One driver-side scalar to place the split (st06 pattern).
+      val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val feed = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_st14_feed")
+      feed.mkdirs()
+      val split = lit(mx) - expr("INTERVAL 60 MINUTES")
+      val t0 = System.currentTimeMillis() - 180000
+      stageFeedFile(feed, ev.filter(col("ts") <= split), "b1.parquet", t0)
+      stageFeedFile(feed, ev.filter(col("ts") > split), "b2.parquet", t0 + 60000)
+      ev.unpersist(blocking = false)
+      val agg = s.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1") // one file per micro-batch
+        .parquet(feed.toString)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("sess_start_us"),
+          unix_micros(col("session_window.end")).as("sess_end_us"),
+          col("n_events"))
+      runToTable(agg, OutputMode.Append())
+    }),
+
     "st04_stream_sessions" -> ((s, d) => {
       // The session merge is the streaming-stateful part; the per-user
       // rollup happens in batch over the materialized session table
@@ -519,6 +565,36 @@ object Streams {
              row_number() OVER (PARTITION BY user_id
                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rank
            FROM events) WHERE rank <= 3""",
+    // Closed-form append-mode session semantics: gap-and-island sessions
+    // (30-min gap), session window end = last event + gap, emitted iff
+    // the end is at or before the final watermark (max ts - 10 min).
+    // The chronological feed split guarantees no late drops, so the
+    // emitted set is exactly this filter.
+    "st14_session_append" ->
+      """WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+         e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events),
+         marks AS (
+           SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts ASC, event_id ASC) >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess,
+             event_id
+           FROM e),
+         sess AS (
+           SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM marks),
+         agg AS (
+           SELECT user_id, min(ts) AS st, max(ts) AS en, count(*) AS n_events
+           FROM sess GROUP BY user_id, sid)
+         SELECT user_id,
+           CAST(epoch_us(st) AS BIGINT) AS sess_start_us,
+           CAST(epoch_us(en + INTERVAL 30 MINUTE) AS BIGINT) AS sess_end_us,
+           CAST(n_events AS BIGINT) AS n_events
+         FROM agg, m
+         WHERE en + INTERVAL 30 MINUTE <= mx - INTERVAL 10 MINUTE""",
     "st04_stream_sessions" ->
       """SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events FROM (
            SELECT user_id, sess, count(*) AS n_events FROM (
