@@ -49,6 +49,83 @@ object Similarity {
     """round(list_dot_product(a.e, b.e)
        / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6)"""
 
+  /** ss03's signature build: L=4 independent tables of 6 md5-derived
+    * integer hyperplanes each. Plane weights are md5-derived integers
+    * and embeddings are quantized to integers for the signature dot
+    * product, so bucket assignment is an exact integer computation —
+    * associative, order-free, deterministic across partitionings AND
+    * engines (a float sum would be neither). Output: one 6-bit `sig`
+    * per (vec_id, t). */
+  private def lshSignatures(s: SparkSession, d: String): DataFrame = {
+    val L = 4
+    val v = vecs(s, d)
+    // Plane matrix: (t 0..L-1, p 0..5, i 0..63, w in [-500, 500]) —
+    // L*384 rows, broadcast; w = md5-derived pseudo-random integer.
+    val planes = s.range(L).toDF("t")
+      .select(col("t"), explode(expr("sequence(0, 5)")).as("p"))
+      .select(col("t").cast("int").as("t"), col("p"),
+        explode(expr("sequence(0, 63)")).as("i"))
+      .select(col("t"), col("p"), col("i"),
+        (expr("cast(conv(substring(md5(concat(t, ':', p, ':', i)), 1, 8), 16, 10) as bigint)") % 1001 - 500)
+          .as("w"))
+    // Quantized components: xq = round(x * 1e6) — integer dot products.
+    val comps = v.select(col("vec_id"), posexplode(col("e")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        expr("cast(round(cast(x as double) * 1000000, 0) as bigint)").as("xq"))
+    // One 6-bit signature per (vector, table): n*L bucket rows.
+    comps.join(broadcast(planes), "i")
+      .groupBy(col("vec_id"), col("t"), col("p"))
+      .agg(sum(col("xq") * col("w")).as("dot"))
+      .groupBy(col("vec_id"), col("t"))
+      .agg(sum(expr("if(dot > 0, shiftleft(cast(1 as bigint), p), cast(0 as bigint))")).as("sig"))
+  }
+
+  /** ss07's persisted index: [[lshSignatures]] written to parquet once
+    * per (application, fixture) and read back — the build/probe split.
+    * Same double-checked staging discipline as Dedup.stagedGrams. */
+  private val lshIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def lshIndex(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_lsh_idx_" + s.sparkContext.applicationId + "_" +
+        d.replaceAll("[^A-Za-z0-9]", "_"))
+    lshIndexDirs.synchronized {
+      lshIndexDirs.getOrElseUpdate(dir.getPath, {
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          lshSignatures(s, d).write.mode("overwrite").parquet(dir.getPath)
+        dir.getPath
+      })
+    }
+    s.read.parquet(dir.getPath)
+  }
+
+  /** Multi-probe LSH top-3 over a signature relation (inline for ss03,
+    * the stored index for ss07): each query probes its own bucket plus
+    * the 6 hamming-1 neighbors per table (7 probe keys, generated on
+    * the tiny query side only); OR across tables restores recall;
+    * candidates dedup before the exact float-cosine re-rank. */
+  private def lshProbeTopK(s: SparkSession, d: String, sig: DataFrame): DataFrame = {
+    val v = vecs(s, d)
+    val probes = sig.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("t"),
+        explode(expr("transform(sequence(-1, 5), " +
+          "j -> if(j = -1, sig, sig ^ shiftleft(cast(1 as bigint), j)))")).as("psig"))
+    val cand = probes.as("qa")
+      .join(sig.as("qb"),
+        col("qa.t") === col("qb.t") && col("qa.psig") === col("qb.sig") &&
+        col("qa.vec_id") =!= col("qb.vec_id"))
+      .select(col("qa.vec_id").as("query_id"), col("qb.vec_id").as("neighbor_id"))
+      .distinct()
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand
+      .join(v.as("a"), col("query_id") === col("a.vec_id"))
+      .join(v.as("b"), col("neighbor_id") === col("b.vec_id"))
+      .select(col("query_id"), col("neighbor_id"), cosAB.as("cos"))
+      .withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") <= 3)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Brute-force cosine top-5 for a fixed query set (vec_id % 50 = 0).
     //    The query side is broadcast: no shuffle of the corpus at all.
@@ -94,52 +171,20 @@ object Similarity {
     //    integer sums (exact, associative — deterministic under any
     //    partitioning). Candidates are unioned + deduped per (query,
     //    neighbor), then re-ranked with the true float cosine.
-    "ss03_lsh_ann" -> ((s, d) => {
-      val L = 4
-      val v = vecs(s, d)
-      // Plane matrix: (t 0..L-1, p 0..5, i 0..63, w in [-500, 500]) —
-      // L*384 rows, broadcast; w = md5-derived pseudo-random integer.
-      val planes = s.range(L).toDF("t")
-        .select(col("t"), explode(expr("sequence(0, 5)")).as("p"))
-        .select(col("t").cast("int").as("t"), col("p"),
-          explode(expr("sequence(0, 63)")).as("i"))
-        .select(col("t"), col("p"), col("i"),
-          (expr("cast(conv(substring(md5(concat(t, ':', p, ':', i)), 1, 8), 16, 10) as bigint)") % 1001 - 500)
-            .as("w"))
-      // Quantized components: xq = round(x * 1e6) — integer dot products.
-      val comps = v.select(col("vec_id"), posexplode(col("e")).as(Seq("i", "x")))
-        .select(col("vec_id"), col("i"),
-          expr("cast(round(cast(x as double) * 1000000, 0) as bigint)").as("xq"))
-      // One 6-bit signature per (vector, table): n*L bucket rows.
-      val sig = comps.join(broadcast(planes), "i")
-        .groupBy(col("vec_id"), col("t"), col("p"))
-        .agg(sum(col("xq") * col("w")).as("dot"))
-        .groupBy(col("vec_id"), col("t"))
-        .agg(sum(expr("if(dot > 0, shiftleft(cast(1 as bigint), p), cast(0 as bigint))")).as("sig"))
-      // Multi-probe: each query probes its own bucket (j = -1) plus the
-      // 6 buckets one bit-flip away, per table — 7 probe keys per
-      // (query, table), generated on the tiny query side only.
-      val probes = sig.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id"), col("t"),
-          explode(expr("transform(sequence(-1, 5), " +
-            "j -> if(j = -1, sig, sig ^ shiftleft(cast(1 as bigint), j)))")).as("psig"))
-      // OR-amplification: same/adjacent bucket in any table → candidate,
-      // deduped before the (expensive) exact scoring.
-      val cand = probes.as("qa")
-        .join(sig.as("qb"),
-          col("qa.t") === col("qb.t") && col("qa.psig") === col("qb.sig") &&
-          col("qa.vec_id") =!= col("qb.vec_id"))
-        .select(col("qa.vec_id").as("query_id"), col("qb.vec_id").as("neighbor_id"))
-        .distinct()
-      val w2 = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos").desc, col("neighbor_id").asc)
-      cand
-        .join(v.as("a"), col("query_id") === col("a.vec_id"))
-        .join(v.as("b"), col("neighbor_id") === col("b.vec_id"))
-        .select(col("query_id"), col("neighbor_id"), cosAB.as("cos"))
-        .withColumn("rnk", row_number().over(w2))
-        .filter(col("rnk") <= 3)
-    }),
+    "ss03_lsh_ann" -> ((s, d) =>
+      lshProbeTopK(s, d, lshSignatures(s, d))),
+
+    // -- BUILD/PROBE split — the 100 TB deployment shape for ss03: a
+    //    real retrieval service builds the index ONCE (here: the LSH
+    //    signature table, written to parquet per fixture) and every
+    //    query batch PROBES the stored index — the signature pipeline
+    //    (posexplode + plane join + two aggregations over the whole
+    //    corpus) never re-runs per query. Identical results to ss03
+    //    (same signatures, same probe), so the oracle is ss03's; what
+    //    changes is the plan: PlanQualitySpec pins that the probe scans
+    //    the index files and contains no signature recomputation.
+    "ss07_lsh_index_probe" -> ((s, d) =>
+      lshProbeTopK(s, d, lshIndex(s, d))),
 
     // -- One k-means (Lloyd) iteration over quantized embeddings — the
     //    centroid-training step that produces ss02's IVF cells. Init
@@ -286,7 +331,13 @@ object Similarity {
             FROM v a JOIN v b
               ON a.vec_id % 50 = 0 AND a.label = b.label AND a.vec_id <> b.vec_id)
           WHERE rnk <= 3""",
-    "ss03_lsh_ann" ->
+    // ss07 probes the STORED signature index; signatures and probe are
+    // identical to ss03, so the oracle is ss03's verbatim.
+    "ss07_lsh_index_probe" -> dLshAnn,
+    "ss03_lsh_ann" -> dLshAnn
+  ) ++ dOtherOracles
+
+  private lazy val dLshAnn =
       s"""WITH v AS ($dVecs),
           planes AS (
             SELECT CAST(tt.t AS INT) AS t, CAST(pp.p AS INT) AS p, CAST(ii.i AS INT) AS i,
@@ -320,7 +371,9 @@ object Similarity {
                 ORDER BY $dCosAB DESC, neighbor_id ASC) AS INT) AS rnk
             FROM cand JOIN v a ON query_id = a.vec_id
                       JOIN v b ON neighbor_id = b.vec_id)
-          WHERE rnk <= 3""",
+          WHERE rnk <= 3"""
+
+  private val dOtherOracles: Map[String, String] = Map(
     "ss05_kmeans_iter" ->
       """WITH q AS (
            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),

@@ -144,6 +144,17 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("LSH probe reads the persisted index, not the signature pipeline (ss07)") {
+    val p = plan("ss07_lsh_index_probe")
+    // The probe plan must scan the staged index parquet…
+    assert(p.contains("graft_lsh_idx"),
+      "probe does not read the persisted index:\n" + p.take(2000))
+    // …and must NOT rebuild signatures: the build pipeline's fingerprint
+    // is the md5-derived plane weights, absent from probe and re-rank.
+    assert(!p.contains("md5"),
+      "probe plan recomputes the signature pipeline:\n" + p.take(3000))
+  }
+
   test("partitioned read prunes to the filtered partition (io04)") {
     val p = plan("io04_partitioned_pruning")
     // The lang filter must be INSIDE the PartitionFilters bracket
