@@ -99,6 +99,22 @@ object FormatsIO {
     //    every good row survived and both bad ones were captured. (Note
     //    Spark's CSV parser tolerates token-COUNT mismatches silently —
     //    only type-parse failures mark a record corrupt.)
+    // -- Custom DataSourceV2 source (GenSource): the "truly external"
+    //    F1 leg — a non-file generator that participates in Catalyst
+    //    planning. The id range filter is PUSHED INTO the source (the
+    //    scan generates only [60000, 90000), SourcesSpec pins it via the
+    //    plan string) and column pruning reaches it too; the aggregate
+    //    is over the source's integer-exact closed form, which the
+    //    oracle recomputes from DuckDB's range().
+    "io06_dsv2_source" -> ((s, d) => {
+      s.read.format("graft.sources.GenSource")
+        .option("rows", "100000").option("partitions", "8").load()
+        .filter(col("id") >= 60000 && col("id") < 90000)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"),
+             min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+    }),
+
     "io05_permissive_csv" -> ((s, d) => {
       val dir = tmpDir("io05")
       Tables.orders(s, d)
@@ -139,6 +155,14 @@ object FormatsIO {
     "io05_permissive_csv" ->
       """SELECT count(*) AS n_good, CAST(2 AS BIGINT) AS n_corrupt,
          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS good_cents
-         FROM orders"""
+         FROM orders""",
+    // Same closed-form generator arithmetic over DuckDB's range().
+    "io06_dsv2_source" ->
+      """SELECT CAST(id % 10 AS INT) AS grp, count(*) AS n,
+         CAST(sum((id * 2654435761) % 1000000) AS BIGINT) AS sum_val,
+         min(id) AS min_id, max(id) AS max_id
+         FROM (SELECT range AS id FROM range(0, 100000))
+         WHERE id >= 60000 AND id < 90000
+         GROUP BY 1"""
   )
 }

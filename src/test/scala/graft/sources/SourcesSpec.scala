@@ -67,4 +67,38 @@ class SourcesSpec extends SparkSpec {
     assert(df.filter("_corrupt_record IS NOT NULL").count() === 2)
     assert(df.filter("v = 'ok'").count() === 1)
   }
+
+  // The DSv2 generator: rows match the closed form, id predicates reach
+  // the source (the scan's advertised range narrows — pushdown, not a
+  // post-scan filter over the full generate), and column pruning
+  // reaches readSchema.
+  test("DSv2 GenSource generates the closed form") {
+    val df = spark.read.format("graft.sources.GenSource")
+      .option("rows", "100").option("partitions", "4").load()
+    val rows = df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length === 100)
+    rows.foreach { case (id, grp, v) =>
+      assert(grp === (id % 10).toInt)
+      assert(v === graft.sources.GenSource.valueOf(id))
+    }
+  }
+
+  test("DSv2 GenSource pushes id range filters into the scan") {
+    val df = spark.read.format("graft.sources.GenSource")
+      .option("rows", "100000").option("partitions", "4").load()
+      .filter("id >= 60000 AND id < 90000")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("range=[60000,90000)"),
+      "id predicates did not narrow the generated range:\n" + p.take(2000))
+    assert(df.count() === 30000)
+  }
+
+  test("DSv2 GenSource prunes unrequired columns") {
+    val df = spark.read.format("graft.sources.GenSource")
+      .option("rows", "1000").load()
+      .select("grp")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("cols=grp") && !p.contains("cols=id"),
+      "column pruning did not reach the source:\n" + p.take(2000))
+  }
 }
