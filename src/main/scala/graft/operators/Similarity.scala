@@ -217,6 +217,57 @@ object Similarity {
              sum(col("m.v0")).as("sum_q0"))
     }),
 
+    // -- MULTI-ROUND k-means training (3 Lloyd iterations) — completes
+    //    ss05's story: the loop that actually produces ss02's IVF
+    //    centroids. Each round re-broadcasts the k updated centroids
+    //    (k·dim ints — the only data the driver plan ever loops on),
+    //    assignment stays a narrow map over the corpus, the update is a
+    //    (k·dim)-row aggregation with map-side combine, and the centroid
+    //    relation is localCheckpointed per round (dd13's iteration
+    //    discipline: truncate lineage at the loop boundary, so round r
+    //    never re-runs rounds 1..r-1). EXACT integer arithmetic
+    //    throughout: components are quantized to ints with a +10000
+    //    offset so every value stays positive — offsets cancel in
+    //    distance differences, and positivity makes Spark's truncating
+    //    `div` equal DuckDB's flooring `//` in the centroid mean, which
+    //    is what lets an iterative float-free algorithm stay
+    //    bit-identical across engines AND partitionings (fixed-point
+    //    discipline from dd13). Output: per-cluster size, inertia, and
+    //    first centroid component after round 3.
+    "ss08_kmeans_train" -> ((s, d) => {
+      val q = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint) + 10000)")
+          .as("v"))
+      var ctr = q.filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+        .localCheckpoint()
+      var lastAssign: DataFrame = null
+      for (_ <- 1 to 3) {
+        val a = q.crossJoin(broadcast(ctr))
+          .select(col("vec_id"), col("cid"), col("v"),
+            expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+              .as("dist2"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("dist2"), col("cid"), col("v"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cid"),
+            col("m.dist2").as("dist2"), col("m.v").as("v"))
+        // Component-wise integer mean: explode (cid, j, x), one shuffle
+        // on (cid, j) with partial aggregation, re-assemble the vector
+        // with an order-pinned collect.
+        ctr = a.select(col("cid"), posexplode(col("v")).as(Seq("j", "x")))
+          .groupBy(col("cid"), col("j"))
+          .agg(expr("sum(x) div count(1)").as("c"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(sort_array(collect_list(struct(j, c))), t -> t.c)").as("cv"))
+          .localCheckpoint()
+        lastAssign = a
+      }
+      lastAssign.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_points"), sum(col("dist2")).as("inertia"))
+        .join(ctr.select(col("cid"), expr("element_at(cv, 1)").as("c0")), "cid")
+        .select(col("cid"), col("n_points"), col("inertia"), col("c0"))
+    }),
+
     // -- Brute-force top-5 again, but scored with the native codegen'd
     //    VectorDot expression on the raw float arrays (graft.functions).
     //    Same widen-then-accumulate arithmetic as the HOF path, so the
@@ -373,7 +424,46 @@ object Similarity {
                       JOIN v b ON neighbor_id = b.vec_id)
           WHERE rnk <= 3"""
 
+  /** ss08's oracle: the same 3 Lloyd rounds unrolled as CTE chains
+    * (dd13's unrolled-iteration style). All-integer fixed point with the
+    * +10000 positivity offset, so `//` (floor) == Spark `div`
+    * (truncate) on every centroid mean and the rounds stay bit-exact. */
+  private val dKmeansTrain: String = {
+    val dim = 64
+    def round(r: Int, prevC: String) =
+      s"""d$r AS (
+            SELECT q.vec_id, c.cid, q.v,
+              list_sum(list_transform(range($dim),
+                i -> (q.v[CAST(i AS INT) + 1] - c.cv[CAST(i AS INT) + 1])
+                   * (q.v[CAST(i AS INT) + 1] - c.cv[CAST(i AS INT) + 1]))) AS dist2
+            FROM q CROSS JOIN $prevC c),
+          a$r AS (
+            SELECT vec_id, cid, v, dist2 FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY dist2 ASC, cid ASC) AS rn FROM d$r) WHERE rn = 1),
+          c$r AS (
+            SELECT cid, list(c ORDER BY j) AS cv FROM (
+              SELECT cid, CAST(t.j AS INT) AS j,
+                sum(v[CAST(t.j AS INT) + 1]) // count(*) AS c
+              FROM a$r, range($dim) t(j) GROUP BY 1, 2)
+            GROUP BY cid)"""
+    s"""WITH q AS (
+          SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+            x -> CAST(round(x * 1000, 0) AS BIGINT) + 10000) AS v
+          FROM embeddings),
+        c0 AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM q WHERE vec_id < 10),
+        ${round(1, "c0")},
+        ${round(2, "c1")},
+        ${round(3, "c2")}
+        SELECT s.cid, s.n_points, s.inertia, CAST(c.cv[1] AS BIGINT) AS c0
+        FROM (SELECT cid, count(*) AS n_points,
+                CAST(sum(dist2) AS BIGINT) AS inertia
+              FROM a3 GROUP BY cid) s
+        JOIN c3 c ON s.cid = c.cid"""
+  }
+
   private val dOtherOracles: Map[String, String] = Map(
+    "ss08_kmeans_train" -> dKmeansTrain,
     "ss05_kmeans_iter" ->
       """WITH q AS (
            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),

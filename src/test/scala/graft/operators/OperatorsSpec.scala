@@ -194,6 +194,18 @@ class OperatorsSpec extends SparkSpec {
     assert(cands === Set((1L, 2L)))
   }
 
+  // Lloyd's algorithm never increases inertia: ss08's round-3 total must
+  // be <= ss05's round-1 total (same quantization scale; ss08's +10000
+  // positivity offset cancels in every distance difference).
+  test("k-means training inertia is monotone non-increasing") {
+    val round1 = SparkEntry.queries("ss05_kmeans_iter")(spark, sfDir)
+      .agg(sum(col("inertia"))).collect()(0).getLong(0)
+    val round3 = SparkEntry.queries("ss08_kmeans_train")(spark, sfDir)
+      .agg(sum(col("inertia"))).collect()(0).getLong(0)
+    assert(round3 <= round1,
+      s"inertia rose across Lloyd rounds: $round1 -> $round3")
+  }
+
   // dd12: the Bloom sketch may add false positives but NEVER false
   // negatives, and its exact audit columns must agree with dd08.
   test("bloom decontamination has no false negatives and matches dd08") {
