@@ -8,6 +8,11 @@ import graft.sources.Tables
 final case class DecodedMeta(
   doc_id: Long, width: Int, height: Int, format: String, n_pixels: Long)
 
+/** Parsed container header produced by the real-bytes decoder (mm06). */
+final case class BinHeader(
+  doc_id: Long, magic_ok: Boolean, version: Int,
+  width: Long, height: Long, payload_md5: String)
+
 /** Multimodal-column operators (SURVEY.md §2.5).
   *
   * Media are opaque `binary` columns with typed metadata — the
@@ -102,6 +107,47 @@ object Multimodal {
           md5(expr("substring(text, win_off + 1, 40)")).as("win_md5"))
     }),
 
+    // -- Real NON-TEXT bytes through the binary column path: every other
+    //    mm query casts ASCII text to binary, so high-bit bytes never
+    //    flow through Spark's BinaryType. Here each doc gets a 25-byte
+    //    container blob built in-engine — PNG-style magic \x89 G R F
+    //    (0x89 forces a non-UTF8 first byte), 1-byte version, two
+    //    big-endian uint16 header fields, then the raw 16-byte md5
+    //    digest of the text as payload (arbitrary bytes incl. NUL) —
+    //    and a ByteBuffer header parser (a REAL binary decoder, not the
+    //    md5 fake of mm02) runs per partition and re-emits the fields.
+    //    Round-trip through parquet BINARY + the typed Dataset boundary
+    //    proves the blob plumbing carries arbitrary bytes unmangled.
+    "mm06_binary_header" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          unhex(concat(
+            lit("89475246"), // \x89 'G' 'R' 'F'
+            lit("01"),
+            lpad(hex(pmod(col("doc_id") * 7919 + 13, lit(4096))), 4, "0"),
+            lpad(hex(pmod(col("doc_id") * 104729 + 7, lit(4096))), 4, "0"),
+            md5(col("text")))).as("blob"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, blob) =>
+            val bb = java.nio.ByteBuffer.wrap(blob)
+              .order(java.nio.ByteOrder.BIG_ENDIAN)
+            val magicOk = blob.length == 25 &&
+              (bb.get() & 0xff) == 0x89 && bb.get() == 'G' &&
+              bb.get() == 'R' && bb.get() == 'F'
+            val ver = if (magicOk) bb.get().toInt else -1
+            val w   = if (magicOk) (bb.getShort.toInt & 0xffff).toLong else -1L
+            val h   = if (magicOk) (bb.getShort.toInt & 0xffff).toLong else -1L
+            val payload = new Array[Byte](16)
+            if (magicOk) bb.get(payload)
+            val hexStr = payload.map(b => f"${b & 0xff}%02x").mkString
+            BinHeader(id, magicOk, ver, w, h, hexStr)
+          }
+        }
+        .toDF()
+    }),
+
     // -- Byte-range chunk index: pointer-style (offset, length, hash)
     //    rows for 100-byte chunks — the layout for large-blob processing
     //    without materializing wide rows.
@@ -145,6 +191,23 @@ object Multimodal {
          FROM (SELECT doc_id, text,
                  CAST(unnest(range(0, CAST(length(text) AS BIGINT) - 39, 16)) AS INT) AS win_off
                FROM documents WHERE length(text) >= 40)""",
+    // Constructs the same 25-byte blob (from_hex → real BLOB) and parses
+    // it back via its hex image (DuckDB substr doesn't take BLOB).
+    "mm06_binary_header" ->
+      """WITH blobs AS (
+           SELECT doc_id, from_hex(concat('89475246', '01',
+             lpad(hex((doc_id*7919+13)%4096), 4, '0'),
+             lpad(hex((doc_id*104729+7)%4096), 4, '0'),
+             md5(text))) AS blob
+           FROM documents),
+         hx AS (SELECT doc_id, hex(blob) AS h FROM blobs)
+         SELECT doc_id,
+           substr(h, 1, 8) = '89475246' AS magic_ok,
+           CAST(concat('0x', substr(h, 9, 2)) AS INT) AS version,
+           CAST(concat('0x', substr(h, 11, 4)) AS BIGINT) AS width,
+           CAST(concat('0x', substr(h, 15, 4)) AS BIGINT) AS height,
+           lower(substr(h, 19, 32)) AS payload_md5
+         FROM hx""",
     "mm04_chunk_index" ->
       """SELECT doc_id, chunk_off,
          CAST(least(100, length(text) - chunk_off) AS INT) AS chunk_len,

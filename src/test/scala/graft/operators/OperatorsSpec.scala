@@ -219,4 +219,38 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(exact12 === d08)
   }
+
+  // mm06: the blob path must carry genuinely NON-TEXT bytes (high-bit
+  // magic, arbitrary digest payload incl. NULs) unmangled, and the
+  // ByteBuffer parse must round-trip every header field.
+  test("mm06 blobs are non-text bytes and the header parse round-trips") {
+    import spark.implicits._
+    val blobs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        unhex(concat(lit("89475246"), lit("01"),
+          lpad(hex(pmod(col("doc_id") * 7919 + 13, lit(4096))), 4, "0"),
+          lpad(hex(pmod(col("doc_id") * 104729 + 7, lit(4096))), 4, "0"),
+          md5(col("text")))).as("blob"))
+      .as[(Long, Array[Byte])].collect()
+    assert(blobs.nonEmpty)
+    blobs.foreach { case (_, b) =>
+      assert(b.length == 25)
+      assert((b(0) & 0xff) == 0x89) // non-ASCII, invalid UTF-8 lead byte
+    }
+    // digest payloads are arbitrary bytes: across the corpus some byte
+    // must be >= 0x80 and some must be 0x00 (probability ~1 at 500 docs)
+    val payload = blobs.flatMap(_._2.drop(9))
+    assert(payload.exists(b => (b & 0xff) >= 0x80))
+    assert(payload.contains(0.toByte))
+    val parsed = SparkEntry.queries("mm06_binary_header")(spark, sfDir).collect()
+    assert(parsed.length == blobs.length)
+    parsed.foreach { r =>
+      assert(r.getBoolean(1), s"doc ${r.getLong(0)}: magic mismatch")
+      assert(r.getInt(2) == 1)
+      val id = r.getLong(0)
+      assert(r.getLong(3) == (id * 7919 + 13) % 4096)
+      assert(r.getLong(4) == (id * 104729 + 7) % 4096)
+      assert(r.getString(5).length == 32)
+    }
+  }
 }
