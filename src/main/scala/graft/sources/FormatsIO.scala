@@ -115,6 +115,59 @@ object FormatsIO {
              min(col("id")).as("min_id"), max(col("id")).as("max_id"))
     }),
 
+    // -- Small-file compaction: THE operational fix at 100 TB (streaming
+    //    ingest and over-parallel writers leave millions of KB-sized
+    //    files; NameNode/listing pressure and per-file task overhead eat
+    //    the cluster). Simulate the problem (64-way fragmented write),
+    //    then compact: one round-robin repartition to a target count
+    //    derived from a per-file record budget, one rewrite. Production
+    //    uses a byte budget (sum(file sizes)/128 MiB); the record budget
+    //    here is the deterministic analog the oracle can recompute from
+    //    count(*). The output carries the MEASURED compacted-file count
+    //    and a reduction flag, so a wrong layout flips the gate red —
+    //    the compare checks the filesystem effect, not just the data.
+    "io07_compaction" -> ((s, d) => {
+      val small = tmpDir("io07_small"); val compact = tmpDir("io07_compact")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartition(64, col("o_orderkey"))
+        .write.mode("overwrite").parquet(small)
+      val in = s.read.parquet(small)
+      val target = math.max(1, math.ceil(in.count() / 5000.0).toInt)
+      in.repartition(target).write.mode("overwrite").parquet(compact)
+      def dataFiles(p: String): Int = new java.io.File(p)
+        .listFiles.count(_.getName.endsWith(".parquet"))
+      val (nSmall, nCompact) = (dataFiles(small), dataFiles(compact))
+      s.read.parquet(compact)
+        .agg(count(lit(1)).as("n"),
+             sum(cents(col("o_totalprice"))).as("total_cents"))
+        .withColumn("n_files_compacted", lit(nCompact))
+        .withColumn("files_reduced", lit(nSmall > nCompact))
+    }),
+
+    // -- Schema evolution across file generations: a 100 TB corpus is
+    //    written over months — columns get added, old files stay. The
+    //    Spark-native answer is parquet mergeSchema: v1 files (no
+    //    `quality` column) and v2 files (with it) unify into one schema,
+    //    v1 rows reading NULL. The per-file footer merge is planning-time
+    //    metadata work; data is never rewritten. The aggregate separates
+    //    count(*) from count(quality) so a dropped-or-defaulted column
+    //    (instead of true NULL backfill) flips the gate.
+    "io08_schema_merge" -> ((s, d) => {
+      val dir = tmpDir("io08")
+      val docs = Tables.documents(s, d)
+      docs.select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(dir + "/v1")
+      docs.select(col("doc_id"), col("lang"),
+          (length(col("text")) % 100).as("quality"))
+        .write.mode("overwrite").parquet(dir + "/v2")
+      s.read.option("mergeSchema", "true").parquet(dir + "/v1", dir + "/v2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+             count(col("quality")).as("n_with_quality"),
+             sum(col("quality").cast("long")).as("sum_quality"))
+    }),
+
     "io05_permissive_csv" -> ((s, d) => {
       val dir = tmpDir("io05")
       Tables.orders(s, d)
@@ -152,6 +205,22 @@ object FormatsIO {
       """SELECT source, count(*) AS n,
          CAST(sum(length(text)) AS BIGINT) AS total_len
          FROM documents WHERE lang = 'en' GROUP BY source""",
+    // Data identity + the layout contract: exactly ceil(n/5000) files
+    // after compaction, strictly fewer than the fragmented layout.
+    "io07_compaction" ->
+      """SELECT count(*) AS n,
+         CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
+         CAST(ceil(count(*) / 5000.0) AS INT) AS n_files_compacted,
+         TRUE AS files_reduced
+         FROM orders""",
+    // Both generations unioned by name; v1 rows carry NULL quality.
+    "io08_schema_merge" ->
+      """SELECT lang, count(*) AS n, count(quality) AS n_with_quality,
+         CAST(sum(quality) AS BIGINT) AS sum_quality
+         FROM (SELECT lang, NULL::INT AS quality FROM documents
+               UNION ALL
+               SELECT lang, CAST(length(text) % 100 AS INT) AS quality FROM documents)
+         GROUP BY lang""",
     "io05_permissive_csv" ->
       """SELECT count(*) AS n_good, CAST(2 AS BIGINT) AS n_corrupt,
          CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT) AS good_cents

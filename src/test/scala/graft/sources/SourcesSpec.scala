@@ -101,4 +101,24 @@ class SourcesSpec extends SparkSpec {
     assert(p.contains("cols=grp") && !p.contains("cols=id"),
       "column pruning did not reach the source:\n" + p.take(2000))
   }
+
+  test("io07 compaction hits the exact target file count") {
+    graft.SparkEntry.queries("io07_compaction")(spark, sfDir).collect()
+    def files(tag: String) = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_$tag")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    val n = Tables.orders(spark, sfDir).count()
+    assert(files("io07_compact") === math.max(1, math.ceil(n / 5000.0).toInt))
+    assert(files("io07_small") > files("io07_compact"))
+  }
+
+  test("io08 mergeSchema unifies generations with true NULL backfill") {
+    val df = graft.SparkEntry.queries("io08_schema_merge")(spark, sfDir)
+    assert(df.columns.toSeq === Seq("lang", "n", "n_with_quality", "sum_quality"))
+    // every lang: n == 2 * n_with_quality (v1 rows must read NULL quality)
+    df.collect().foreach { r =>
+      assert(r.getLong(1) === 2 * r.getLong(2),
+        s"lang ${r.getString(0)}: v1 rows did not backfill NULL")
+    }
+  }
 }
