@@ -138,6 +138,45 @@ object TextAnalysis {
         .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
     }),
 
+    // -- Exact heavy hitters (frequency > total/1000) with Misra-Gries
+    //    candidate pruning — the 2-pass plan that works at 100 TB where
+    //    a naive groupBy would shuffle the ENTIRE key domain (trillions
+    //    of distinct n-grams) to answer a question about ~1000 keys.
+    //    Pass 1: per-partition Misra-Gries summaries (k=1024 counters >
+    //    1/φ=1000, so any key with global share > φ provably survives in
+    //    at least one partition — pigeonhole over partition totals) plus
+    //    per-partition stream totals, all in one mapPartitions; the
+    //    summary relation is ≤ k+1 rows per partition and localCheckpoints
+    //    so the corpus isn't rescanned for candidates vs total. Pass 2:
+    //    exact counts for candidates only — the broadcast semi-join means
+    //    the shuffle carries candidate keys, never the domain. Output is
+    //    EXACT (candidate superset + exact verify), so the oracle is the
+    //    plain SQL answer, no error-bound columns needed. The eviction
+    //    path (domain >> k) is pinned by an adversarial spec; the fixture
+    //    vocabulary is smaller than k so the fixture checks end-to-end
+    //    plumbing, not eviction.
+    "ta18_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      def bigrams = Tables.documents(s, d)
+        .select(expr(toks).as("tk"))
+        .filter(expr("size(tk) >= 2"))
+        .select(col("tk"), explode(expr("sequence(0, size(tk) - 2)")).as("i"))
+        .select(expr("concat(element_at(tk, i + 1), ' ', element_at(tk, i + 2))").as("bigram"))
+      val summaries = bigrams.as[String].mapPartitions { it =>
+        val (np, survivors) = HeavyHitters.misraGries(it, 1024)
+        Iterator((null: String, np)) ++ survivors.iterator.map((_, 0L))
+      }.toDF("bigram", "np").localCheckpoint()
+      val total = summaries.filter(col("bigram").isNull)
+        .agg(sum(col("np")).as("total"))
+      val cands = summaries.filter(col("bigram").isNotNull)
+        .select(col("bigram")).distinct()
+      bigrams.join(broadcast(cands), "bigram")
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * 1000 > col("total"))
+        .select(col("bigram"), col("cnt"))
+    }),
+
     // -- Regex ("BPE-ish") token counting: alpha runs extracted by
     //    regexp_extract_all; counts stay exact integers.
     "ta07_regex_tokens" -> ((s, d) => {
@@ -464,6 +503,16 @@ object TextAnalysis {
               i -> $dtoks[i+1] || ' ' || $dtoks[i+2])) AS bigram
             FROM documents WHERE len($dtoks) >= 2)
           GROUP BY bigram""",
+    // Plain exact answer — the MG pruning is a plan optimization, not a
+    // semantics change, so the oracle needs no approximation slack.
+    "ta18_heavy_hitters" ->
+      s"""WITH bg AS (
+            SELECT unnest(list_transform(range(len($dtoks) - 1),
+              i -> $dtoks[i+1] || ' ' || $dtoks[i+2])) AS bigram
+            FROM documents WHERE len($dtoks) >= 2),
+          c AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram),
+          t AS (SELECT count(*) AS total FROM bg)
+          SELECT bigram, cnt FROM c, t WHERE cnt * 1000 > total""",
     "ta07_regex_tokens" ->
       """SELECT doc_id,
           CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS n_alpha_runs,

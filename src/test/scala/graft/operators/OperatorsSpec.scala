@@ -220,6 +220,42 @@ class OperatorsSpec extends SparkSpec {
     assert(exact12 === d08)
   }
 
+  // ta18's guarantee under EVICTION: the fixture vocabulary fits in the
+  // 1024 counters, so this synthetic stream (domain 200k >> k, 5 truly
+  // heavy keys, deterministic md5-interleaved order) is what actually
+  // exercises the Misra-Gries decrement path and the superset invariant.
+  test("Misra-Gries survivors superset the true heavy hitters under eviction") {
+    import spark.implicits._
+    val hot = (1 to 5).flatMap(i => Seq.fill(3000)(s"hot_$i"))
+    val cold = (1 to 200000).map(i => s"cold_$i")
+    val stream = (hot ++ cold).sortBy(x =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes).map("%02x".format(_)).mkString)
+    val n = stream.length.toLong
+    val survivors = spark.sparkContext.parallelize(stream, 4)
+      .mapPartitions(it =>
+        graft.operators.HeavyHitters.misraGries(it, 1024)._2.iterator)
+      .collect().toSet
+    assert(survivors.size <= 4 * 1024)
+    (1 to 5).foreach(i => assert(survivors.contains(s"hot_$i"),
+      s"hot_$i (count 3000 > n/1000 = ${n / 1000}) evicted from every partition"))
+    // single-partition form of the textbook invariant: count > n/(k+1)
+    val (n1, s1) = graft.operators.HeavyHitters.misraGries(stream.iterator, 1024)
+    assert(n1 === n)
+    (1 to 5).foreach(i => assert(s1.contains(s"hot_$i")))
+  }
+
+  // ta18 end-to-end equals the declarative exact answer on the fixture.
+  test("ta18 heavy hitters equal the exact filtered bigram counts") {
+    val hh = SparkEntry.queries("ta18_heavy_hitters")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = SparkEntry.queries("ta06_bigram_freq")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = counts.map(_._2).sum
+    val exact = counts.filter { case (_, c) => c * 1000 > total }.toMap
+    assert(hh === exact)
+  }
+
   // mm06: the blob path must carry genuinely NON-TEXT bytes (high-bit
   // magic, arbitrary digest payload incl. NULs) unmangled, and the
   // ByteBuffer parse must round-trip every header field.
