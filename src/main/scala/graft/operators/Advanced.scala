@@ -253,6 +253,32 @@ object Advanced {
             .as("z"))
     }),
 
+    // -- Z-order (Morton) clustering: THE multi-dimensional layout lever
+    //    at 100 TB — io04's partition pruning handles one dimension;
+    //    z-interleaving the clustering key keeps rows close in BOTH
+    //    dimensions close on disk, so per-file min/max stats prune box
+    //    queries on either axis (what Delta/Iceberg OPTIMIZE ZORDER
+    //    does). z comes from the native codegen'd ZInterleave expression
+    //    (graft.functions); the query quantifies the skipping claim as a
+    //    closed form the oracle recomputes bit-by-bit in SQL: for a thin
+    //    y-band over a 256x256 point set, distinct z-prefix tiles
+    //    touched (<= 4 of 16, structural: y<16 zeroes the y bits of the
+    //    prefix) vs distinct x-major strips touched (all 16). The
+    //    physical layout (partitionBy tile, pruned scan) is pinned by
+    //    PlanQualitySpec, not here — the gate checks the arithmetic.
+    "q57_zorder_skipping" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          (col("p_partkey") % 256).as("x"),
+          (cents(col("p_retailprice")) % 256).as("y"))
+        .withColumn("z", graft.functions.ZInterleave.zInterleave(col("x"), col("y")))
+        .filter(col("y") < 16)
+        .agg(count(lit(1)).as("n_match"),
+             sum(col("p_partkey")).as("sum_key"),
+             countDistinct(shiftright(col("z"), 12)).as("n_buckets_z"),
+             countDistinct(shiftright(col("x"), 4)).as("n_buckets_lin"))
+    }),
+
     // -- IN subquery (SQL form of the semi-join; Catalyst plans LeftSemi).
     "q39_in_subquery" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("o_q39")
@@ -597,6 +623,18 @@ object Advanced {
                    ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS next_ts
                FROM events)
          GROUP BY user_id""",
+    // Same Morton interleave, unrolled to 8 shift/mask terms per axis.
+    "q57_zorder_skipping" -> {
+      val zexpr = (0 until 8).map(i =>
+        s"(((x >> $i) & 1) * ${1L << (2 * i + 1)} + ((y >> $i) & 1) * ${1L << (2 * i)})")
+        .mkString(" + ")
+      s"""WITH pts AS (SELECT p_partkey, p_partkey % 256 AS x,
+            CAST(round(p_retailprice*100) AS BIGINT) % 256 AS y FROM part)
+          SELECT count(*) AS n_match, CAST(sum(p_partkey) AS BIGINT) AS sum_key,
+            CAST(count(DISTINCT ($zexpr) // 4096) AS BIGINT) AS n_buckets_z,
+            CAST(count(DISTINCT x // 16) AS BIGINT) AS n_buckets_lin
+          FROM pts WHERE y < 16"""
+    },
     "q39_in_subquery" ->
       """SELECT o_orderstatus, count(*) AS n
          FROM orders
