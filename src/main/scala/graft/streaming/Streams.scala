@@ -310,6 +310,38 @@ object Streams {
         .select(col("hour"), col("event_type"), col("n"), col("value_cents"))
     }),
 
+    // -- DSv2 source as a STREAM: io06's generator read through its
+    //    MicroBatchStream leg (admission control caps each trigger at
+    //    rowsPerBatch ids — the external-queue shape: offsets are
+    //    positions, batches are offset ranges, replayable from any
+    //    offset). AvailableNow drains 10000 ids in exactly 4 batches of
+    //    2500; foreachBatch stamps each batch's per-group aggregate with
+    //    its batch_id, so the output pins WHERE the batch boundaries
+    //    fell — the oracle recomputes them as id div 2500. A restart
+    //    spec (SourcesSpec) proves offset recovery mid-stream.
+    "st15_dsv2_stream" -> ((s, d) => {
+      val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_st15_out"
+      val fsPath = new org.apache.hadoop.fs.Path(outDir)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val stream = s.readStream.format("graft.sources.GenSource")
+        .option("rows", "10000").option("partitions", "4")
+        .option("rowsPerBatch", "2500").load()
+      val q = stream.writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.groupBy(col("grp"))
+            .agg(count(lit(1)).as("n"), sum(col("val")).as("sum_val"),
+                 min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outDir)
+        }.start()
+      q.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      s.read.parquet(outDir).select(col("batch_id"), col("grp"),
+        col("n"), col("sum_val"), col("min_id"), col("max_id"))
+    }),
+
     // -- Streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
     //    evicts seen-keys older than the watermark, so state is bounded
     //    by the watermark window — st02's dropDuplicates keeps every key
@@ -565,6 +597,13 @@ object Streams {
              row_number() OVER (PARTITION BY user_id
                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rank
            FROM events) WHERE rank <= 3""",
+    // Batch boundaries are the admission-control contract: id div 2500.
+    "st15_dsv2_stream" ->
+      """SELECT CAST(id // 2500 AS BIGINT) AS batch_id, CAST(id % 10 AS INT) AS grp,
+         count(*) AS n, CAST(sum((id * 2654435761) % 1000000) AS BIGINT) AS sum_val,
+         min(id) AS min_id, max(id) AS max_id
+         FROM (SELECT range AS id FROM range(0, 10000))
+         GROUP BY 1, 2""",
     // Closed-form append-mode session semantics: gap-and-island sessions
     // (30-min gap), session window end = last event + gap, emitted iff
     // the end is at or before the final watermark (max ts - 10 min).

@@ -102,6 +102,41 @@ class SourcesSpec extends SparkSpec {
       "column pruning did not reach the source:\n" + p.take(2000))
   }
 
+  test("DSv2 GenSource stream resumes from the committed offset") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_st15_restart"
+    val (ck, out) = (s"$base/ck", s"$base/out")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    def run(rows: Int): Unit = {
+      val q = spark.readStream.format("graft.sources.GenSource")
+        .option("rows", rows.toString).option("partitions", "2")
+        .option("rowsPerBatch", "2500").load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.agg(count(lit(1)).as("n"), min(col("id")).as("lo"),
+              max(col("id")).as("hi"))
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+        }.start()
+      q.awaitTermination()
+    }
+    run(5000)  // batches 0,1 cover [0,5000)
+    run(10000) // restart, SAME checkpoint: must resume at 5000, not replay
+    val got = spark.read.parquet(out)
+      .select("batch_id", "n", "lo", "hi").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size === 4)
+    (0 to 3).foreach { b =>
+      assert(got(b.toLong) === (2500L, b * 2500L, b * 2500L + 2499L),
+        s"batch $b: ${got.get(b.toLong)}")
+    }
+  }
+
   test("io07 compaction hits the exact target file count") {
     graft.SparkEntry.queries("io07_compaction")(spark, sfDir).collect()
     def files(tag: String) = new java.io.File(
