@@ -290,6 +290,33 @@ object Relational {
             <= col("n_users") * 0.05).as("approx_within_5pct"))
     }),
 
+    // -- Sketch re-aggregability — the property that makes approximate
+    //    distinct WORK at 100 TB: build per-shard (here per-day) HLL
+    //    sketches ONCE, then any rollup (week, month, ad-hoc range) is a
+    //    merge of sketch blobs — no rescan of raw data, because HLL
+    //    union is lossless (register-wise max). q19 shows the one-shot
+    //    estimate; this shows the shard→merge pipeline: daily
+    //    hll_sketch_agg (Datasketches), hll_union_agg across days per
+    //    type, estimate vs the exact distinct with the same in-query
+    //    5% bound pattern that keeps the approximate path
+    //    oracle-checkable.
+    "q58_sketch_reagg" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+      val daily = ev.groupBy(col("event_type"), col("day"))
+        .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+             count(lit(1)).as("n"))
+      val merged = daily.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
+             sum(col("n")).as("n_events"), count(lit(1)).as("n_days"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("n_users"), col("n_events"), col("n_days"),
+          (abs(col("approx_users") - col("n_users"))
+            <= col("n_users") * 0.05).as("approx_within_5pct"))
+    }),
+
     // -- Scalar string functions (all codegen'd builtins).
     "q20_string_funcs" -> ((s, d) => {
       Tables.part(s, d).select(
@@ -524,6 +551,13 @@ object Relational {
     "q19_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
          count(*) AS n_events, TRUE AS approx_within_5pct
+         FROM events GROUP BY event_type""",
+    // Exact answer + the bound flag; day count pins the shard split.
+    "q58_sketch_reagg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+         count(*) AS n_events,
+         CAST(count(DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS n_days,
+         TRUE AS approx_within_5pct
          FROM events GROUP BY event_type""",
     "q20_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS name_upper,

@@ -188,6 +188,17 @@ class PlanQualitySpec extends SparkSpec {
   // CONSTRUCTION executes heavy work — the iterative-graph family's
   // eager localCheckpoints and dd09's full convergence loop — are
   // excluded so this stays a plan-only sweep; each of those is covered
+  test("heavy-hitter verify joins broadcast candidates; no domain shuffle (ta18)") {
+    val p = plan("ta18_heavy_hitters")
+    // pass 2: candidates reach the bigram stream via a broadcast hash
+    // join — the exchange after it carries candidate keys only.
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the total joins in as a broadcast nested loop (1 row), never a
+    // cartesian product.
+    assert(p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
   // by its own plan/oracle spec, and their checkpointed subplans would
   // print as opaque RDD scans here anyway. io04/io05's fixture writes
   // are cheap and their plans worth scanning, so they stay in.
