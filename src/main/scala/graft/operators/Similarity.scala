@@ -268,6 +268,62 @@ object Similarity {
         .select(col("cid"), col("n_points"), col("inertia"), col("c0"))
     }),
 
+    // -- PRODUCT QUANTIZATION retrieval (the IVF-PQ code tier): vectors
+    //    compress to m=4 sub-space codes (one of k=8 codewords per
+    //    16-dim sub-vector — a 4-code id per vector instead of 64
+    //    floats), and query scoring is ADC (asymmetric distance
+    //    computation): per query, ONE dot product against each codeword
+    //    builds a (sp, code) -> partial-dot lookup table; scoring a
+    //    neighbor is then m table lookups + a sum — the scan reads the
+    //    tiny code relation, never the vectors. Codebook here is
+    //    deterministic sampling (vec_id < 8, the k-means-init shape;
+    //    ss08 is the training loop that would refine it). All arithmetic
+    //    is exact-integer on 1e3-quantized components (argmin encode,
+    //    LUT dots, ADC sums — associative, engine-neutral); the ADC
+    //    top-20 pool carries only (ids, iscore); the exact float-cosine
+    //    re-rank joins vectors back BY ID (ss06's discipline).
+    "ss09_pq_topk" -> ((s, d) => {
+      val (m, sub, k) = (4, 16, 8)
+      val q = Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))")
+          .as("v"))
+      val subv = q
+        .select(col("vec_id"), explode(expr(s"sequence(0, ${m - 1})")).as("sp"), col("v"))
+        .select(col("vec_id"), col("sp"), expr(s"slice(v, sp * $sub + 1, $sub)").as("sv"))
+      val codes = subv.filter(col("vec_id") < k)
+        .select(col("sp"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
+      val encoded = subv.join(broadcast(codes), "sp")
+        .select(col("vec_id"), col("sp"), col("code"),
+          expr("aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+            .as("d2"))
+        .groupBy(col("vec_id"), col("sp"))
+        .agg(min(struct(col("d2"), col("code"))).as("mn"))
+        .select(col("vec_id"), col("sp"), col("mn.code").as("code"))
+      val lut = subv.filter(col("vec_id") % 50 === 0)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(broadcast(codes), "sp")
+        .select(col("query_id"), col("sp"), col("code"),
+          expr("aggregate(zip_with(sv, cv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)")
+            .as("dotc"))
+      val w1 = Window.partitionBy(col("query_id"))
+        .orderBy(col("iscore").desc, col("neighbor_id").asc)
+      val w2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      val pool = encoded.join(broadcast(lut), Seq("sp", "code"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum(col("dotc")).as("iscore"))
+        .withColumn("rnk1", row_number().over(w1))
+        .filter(col("rnk1") <= 20)
+        .select(col("query_id"), col("neighbor_id"))
+      pool
+        .join(vecs(s, d).as("a"), col("query_id") === col("a.vec_id"))
+        .join(vecs(s, d).as("b"), col("neighbor_id") === col("b.vec_id"))
+        .select(col("query_id"), col("neighbor_id"), cosAB.as("cos"))
+        .withColumn("rnk", row_number().over(w2))
+        .filter(col("rnk") <= 3)
+    }),
+
     // -- Brute-force top-5 again, but scored with the native codegen'd
     //    VectorDot expression on the raw float arrays (graft.functions).
     //    Same widen-then-accumulate arithmetic as the HOF path, so the
@@ -462,7 +518,55 @@ object Similarity {
         JOIN c3 c ON s.cid = c.cid"""
   }
 
+  /** ss09's oracle: same integer PQ pipeline — deterministic codebook,
+    * argmin encode with (d2, code) tiebreak, LUT dots, ADC sums, pool,
+    * shared-cosine re-rank. DuckDB list slices are 1-based inclusive:
+    * [sp*16+1 : sp*16+16] == Spark's slice(v, sp*16+1, 16). */
+  private val dPqTopk: String =
+    s"""WITH v AS ($dVecs),
+        q AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                x -> CAST(round(x * 1000, 0) AS BIGINT)) AS v
+              FROM embeddings),
+        subv AS (
+          SELECT vec_id, CAST(sp.s AS INT) AS sp,
+            v[CAST(sp.s*16 + 1 AS INT) : CAST(sp.s*16 + 16 AS INT)] AS sv
+          FROM q, range(4) sp(s)),
+        codes AS (
+          SELECT sp, CAST(vec_id AS INT) AS code, sv AS cv
+          FROM subv WHERE vec_id < 8),
+        enc AS (
+          SELECT vec_id, sp, code FROM (
+            SELECT s.vec_id, s.sp, c.code,
+              row_number() OVER (PARTITION BY s.vec_id, s.sp ORDER BY
+                list_sum(list_transform(range(16),
+                  i -> (s.sv[CAST(i AS INT)+1] - c.cv[CAST(i AS INT)+1])
+                     * (s.sv[CAST(i AS INT)+1] - c.cv[CAST(i AS INT)+1]))) ASC,
+                c.code ASC) AS rn
+            FROM subv s JOIN codes c USING (sp)) WHERE rn = 1),
+        lut AS (
+          SELECT s.vec_id AS query_id, s.sp, c.code,
+            list_sum(list_transform(range(16),
+              i -> s.sv[CAST(i AS INT)+1] * c.cv[CAST(i AS INT)+1])) AS dotc
+          FROM subv s JOIN codes c USING (sp) WHERE s.vec_id % 50 = 0),
+        adc AS (
+          SELECT l.query_id, e.vec_id AS neighbor_id, sum(l.dotc) AS iscore
+          FROM enc e JOIN lut l ON e.sp = l.sp AND e.code = l.code
+          WHERE l.query_id <> e.vec_id
+          GROUP BY 1, 2),
+        pool AS (SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY iscore DESC, neighbor_id ASC) AS rnk1
+            FROM adc) WHERE rnk1 <= 20)
+        SELECT query_id, neighbor_id, cos, CAST(rnk AS INT) AS rnk FROM (
+          SELECT t.query_id, t.neighbor_id, $dCosAB AS cos,
+            row_number() OVER (PARTITION BY t.query_id
+              ORDER BY $dCosAB DESC, t.neighbor_id ASC) AS rnk
+          FROM pool t JOIN v a ON t.query_id = a.vec_id
+                      JOIN v b ON t.neighbor_id = b.vec_id)
+        WHERE rnk <= 3"""
+
   private val dOtherOracles: Map[String, String] = Map(
+    "ss09_pq_topk" -> dPqTopk,
     "ss08_kmeans_train" -> dKmeansTrain,
     "ss05_kmeans_iter" ->
       """WITH q AS (

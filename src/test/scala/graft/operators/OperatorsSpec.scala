@@ -140,6 +140,23 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.8, f"SQ8 recall@3 = $recall%.3f below 0.8")
   }
 
+  // ss09: PQ with a sampled 8-codeword book and a 20-pool is the coarse
+  // tier — the bound is calibrated loose; the oracle (exact replay of
+  // the integer PQ pipeline) is the correctness check, this pins that
+  // the ADC ordering is informative rather than noise.
+  test("PQ ADC recall@3 vs brute force is >= 0.3") {
+    val pq = SparkEntry.queries("ss09_pq_topk")(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SparkEntry.queries("ss01_cosine_topk")(spark, sfDir)
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (pq intersect brute).size.toDouble / brute.size
+    info(f"PQ recall@3 = $recall%.3f")
+    assert(recall >= 0.3, f"PQ recall@3 = $recall%.3f below 0.3")
+  }
+
   // dd13: damped fixed-point PageRank contracts rank mass — every node
   // keeps at least the base 0.15·SCALE, and floors only lose mass, so
   // the total never exceeds the initial n·SCALE.
