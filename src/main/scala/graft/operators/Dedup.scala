@@ -272,6 +272,25 @@ object Dedup {
     //    lookups; candidate count is governed by banding, never O(n²).
     "dd03_minhash_lsh_pairs" -> ((s, d) => lshPairs(s, d)),
 
+    // -- Edit-distance verification of the LSH pairs — the character-
+    //    level confirm stage fuzzy-dedup pipelines run AFTER candidate
+    //    generation (shingle jaccard is token-level; levenshtein catches
+    //    small in-token edits). Only ever computed on the CANDIDATE
+    //    relation (25 pairs here, O(dups) at corpus scale), never
+    //    all-pairs, and on a bounded 200-char prefix so the per-pair DP
+    //    cost is capped — the discipline that keeps a quadratic-cost
+    //    primitive usable at 100 TB. Exact integer DP in both engines.
+    "dd15_editdist_verify" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), expr("substring(text, 1, 200)").as("pfx"))
+      lshPairs(s, d).select(col("doc_a"), col("doc_b"))
+        .join(docs.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(docs.as("y"), col("doc_b") === col("y.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          levenshtein(col("x.pfx"), col("y.pfx")).as("edit_dist"))
+        .withColumn("confirmed", col("edit_dist") <= 60)
+    }),
+
     // -- n-gram Jaccard with PREFIX-FILTER candidate generation (the
     //    AllPairs/PPJoin design): docs block on (lang, source, prefix
     //    shingle) instead of bare (lang, source) — a hot block (e.g.
@@ -640,6 +659,16 @@ object Dedup {
          FROM documents GROUP BY md5(lower(trim(text)))""",
     "dd02_minhash_sig" -> dSig,
     "dd03_minhash_lsh_pairs" -> dPairs,
+    // Confirm stage over the same candidate relation; DuckDB's
+    // levenshtein is the same classic DP, so distances match exactly.
+    "dd15_editdist_verify" ->
+      s"""WITH p AS ($dPairs),
+          dd15_docs AS (SELECT doc_id, substr(text, 1, 200) AS pfx FROM documents)
+          SELECT p.doc_a, p.doc_b,
+            CAST(levenshtein(x.pfx, y.pfx) AS INT) AS edit_dist,
+            levenshtein(x.pfx, y.pfx) <= 60 AS confirmed
+          FROM p JOIN dd15_docs x ON p.doc_a = x.doc_id
+                 JOIN dd15_docs y ON p.doc_b = y.doc_id""",
     // Exact reachability via recursive CTE — a wholly different CC
     // algorithm than the Spark side's label propagation, same answer.
     // CTE names must not collide with dPairs' INNER names (e/h/sig/...):

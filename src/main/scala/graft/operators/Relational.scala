@@ -405,6 +405,32 @@ object Relational {
         .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
     }),
 
+    // -- Funnel / event-sequence analysis: for every click, did a
+    //    purchase follow within the hour? The Spark-first plan is the
+    //    union-and-window shape (q30's as-of discipline, forward-looking
+    //    RANGE frame instead of a self-join): one shuffle on user_id,
+    //    one ordered pass; the value-based frame [0, 3600000] ms means
+    //    the result is independent of row order within a timestamp —
+    //    deterministic under any partitioning. Exact integer millis
+    //    (unix_millis / epoch_ms truncate identically), so delays match
+    //    the oracle bit-for-bit. The naive interval self-join (q31's
+    //    shape) multiplies clicks x purchases per user; this is linear.
+    "q59_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          expr("unix_millis(ts)").as("ms"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+        .rangeBetween(0L, 3600000L)
+      ev.withColumn("next_purchase",
+          min(when(col("event_type") === "purchase", col("ms"))).over(w))
+        .filter(col("event_type") === "click")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+             count(col("next_purchase")).as("n_converted"),
+             min(col("next_purchase") - col("ms")).as("min_delay_ms"))
+    }),
+
     // -- Deterministic dedup: first event per (user_id, event_type) by
     //    event_id — the argmin pattern (window + filter, single shuffle).
     "q29_first_event" -> ((s, d) => {
@@ -618,6 +644,22 @@ object Relational {
                       THEN 1 ELSE 0 END AS new_sess
                FROM events))
            GROUP BY user_id, sess)
+         GROUP BY user_id""",
+    // Same forward-looking value-based frame; epoch_ms == unix_millis.
+    "q59_funnel" ->
+      """SELECT user_id, count(*) AS n_clicks,
+           count(next_purchase) AS n_converted,
+           CAST(min(next_purchase - ms) AS BIGINT) AS min_delay_ms
+         FROM (
+           SELECT user_id, event_type, ms,
+             min(CASE WHEN event_type = 'purchase' THEN ms END)
+               OVER (PARTITION BY user_id ORDER BY ms
+                     RANGE BETWEEN CURRENT ROW AND 3600000 FOLLOWING)
+               AS next_purchase
+           FROM (SELECT user_id, event_type,
+                   epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+                 FROM events WHERE event_type IN ('click', 'purchase')))
+         WHERE event_type = 'click'
          GROUP BY user_id""",
     "q29_first_event" ->
       """SELECT user_id, event_type, event_id, value FROM (
