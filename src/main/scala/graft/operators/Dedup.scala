@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 import scala.collection.concurrent.TrieMap
 
@@ -251,6 +252,50 @@ object Dedup {
       .filter(col("jaccard") >= 0.5)
   }
 
+  /** dd09's connected components over the verified LSH pair graph:
+    * every clustered doc labeled with its component's min doc_id (the
+    * canonical survivor). Iterative min-label propagation with an eager
+    * localCheckpoint on every iteration boundary: materializes fully
+    * AND truncates lineage. The earlier persist() version let `isEmpty`
+    * short-circuit before the round's cache was complete, so later
+    * rounds recomputed ancestor rounds through an ever-deeper lineage —
+    * measured 45 s at sf0.1; checkpointing makes each round O(edges)
+    * flat. (On a cluster: checkpoint every few rounds against reliable
+    * storage — same principle.) Shared by dd09 (the labeling) and dd16
+    * (representative selection on top of it). */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
+    val pairs = lshPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst").localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var rounds = 0
+    val maxRounds = 20
+    while (!converged && rounds < maxRounds) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      rounds += 1
+    }
+    // A silent non-converged exit would emit WRONG clusters (labels =
+    // 20-hop neighborhood minima, not component minima) — fail loudly.
+    require(converged,
+      s"dd09 label propagation did not converge in $maxRounds rounds " +
+      "(component diameter exceeds the cap; raise it or switch to " +
+      "large-star/small-star)")
+    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Exact dedup: group by normalized content, keep the smallest
     //    doc_id as canonical. Single shuffle; at 100 TB group instead by
@@ -361,44 +406,28 @@ object Dedup {
     //    per-round driver scalar is a convergence CHECK, not data
     //    collection. Oracle: DuckDB recursive CTE computes exact
     //    reachability — a wholly different algorithm, same answer.
-    "dd09_dedup_clusters" -> ((s, d) => {
-      val pairs = lshPairs(s, d).select(col("doc_a"), col("doc_b"))
-      // Eager localCheckpoint on every iteration boundary: materializes
-      // fully AND truncates lineage. The earlier persist() version let
-      // `isEmpty` short-circuit before the round's cache was complete,
-      // so later rounds recomputed ancestor rounds through an ever-
-      // deeper lineage — measured 45 s at sf0.1; checkpointing makes
-      // each round O(edges) flat. (On a cluster: checkpoint every few
-      // rounds against reliable storage — same principle.)
-      val edges = pairs
-        .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-        .toDF("src", "dst").localCheckpoint()
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id")).localCheckpoint()
-      var converged = false
-      var rounds = 0
-      val maxRounds = 20
-      while (!converged && rounds < maxRounds) {
-        val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-          .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-        val next = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-          .localCheckpoint()
-        converged = next.as("n")
-          .join(labels.as("o"), col("n.id") === col("o.id"))
-          .filter(col("n.label") =!= col("o.label"))
-          .isEmpty
-        labels = next
-        rounds += 1
-      }
-      // A silent non-converged exit would emit WRONG clusters (labels =
-      // 20-hop neighborhood minima, not component minima) — fail loudly.
-      require(converged,
-        s"dd09 label propagation did not converge in $maxRounds rounds " +
-        "(component diameter exceeds the cap; raise it or switch to " +
-        "large-star/small-star)")
-      labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+    "dd09_dedup_clusters" -> ((s, d) => clusterLabels(s, d)),
+
+    // -- Representative selection — the terminal dedup stage dd09 feeds:
+    //    per near-dup cluster, KEEP the best document (longest text,
+    //    doc_id tiebreak) and report what was dropped. The cluster
+    //    relation is |clustered docs|-sized (tiny next to the corpus),
+    //    so the doc join broadcasts it; the rank window partitions by
+    //    cluster — bounded by cluster size, never corpus-wide. Output:
+    //    one row per cluster (canonical_id, kept doc, member/char
+    //    totals) — the "keep list + audit" a 100 TB dedup pass emits.
+    "dd16_keep_best" -> ((s, d) => {
+      val labels = clusterLabels(s, d)
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+      val w = Window.partitionBy(col("canonical_id"))
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      labels.join(docs, "doc_id")
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("canonical_id"))
+        .agg(count(lit(1)).as("n_members"),
+             sum(col("n_chars")).as("total_chars"),
+             min(when(col("rn") === 1, col("doc_id"))).as("kept_doc_id"),
+             min(when(col("rn") === 1, col("n_chars"))).as("kept_chars"))
     }),
 
     // -- k-hop neighborhoods over the near-dup graph: for every doc in
@@ -687,6 +716,31 @@ object Dedup {
             FROM ddedges JOIN ddreach ON ddreach.id = ddedges.dst)
           SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
           FROM ddreach GROUP BY id""",
+    // Same component labeling as dd09 (recursive reachability), then
+    // keep-best per cluster: rank by (n_chars DESC, doc_id ASC).
+    "dd16_keep_best" ->
+      s"""WITH RECURSIVE ddpairs AS ($dPairs),
+          ddedges AS (SELECT doc_a AS src, doc_b AS dst FROM ddpairs
+                      UNION ALL
+                      SELECT doc_b, doc_a FROM ddpairs),
+          ddverts AS (SELECT DISTINCT src AS id FROM ddedges),
+          ddreach(id, r) AS (
+            SELECT id, id FROM ddverts
+            UNION
+            SELECT ddedges.src, ddreach.r
+            FROM ddedges JOIN ddreach ON ddreach.id = ddedges.dst),
+          lbl AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
+                  FROM ddreach GROUP BY id),
+          ranked AS (
+            SELECT l.canonical_id, l.doc_id, dcs.n_chars,
+              row_number() OVER (PARTITION BY l.canonical_id
+                ORDER BY dcs.n_chars DESC, l.doc_id ASC) AS rn
+            FROM lbl l JOIN documents dcs ON l.doc_id = dcs.doc_id)
+          SELECT canonical_id, count(*) AS n_members,
+            CAST(sum(n_chars) AS BIGINT) AS total_chars,
+            min(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+            min(CASE WHEN rn = 1 THEN n_chars END) AS kept_chars
+          FROM ranked GROUP BY canonical_id""",
     "dd11_khop_neighborhood" ->
       s"""WITH RECURSIVE ddkpairs AS ($dPairs),
           ddke AS (SELECT doc_a AS src, doc_b AS dst FROM ddkpairs

@@ -431,6 +431,52 @@ object Relational {
              min(col("next_purchase") - col("ms")).as("min_delay_ms"))
     }),
 
+    // -- Time-series gap fill + forward fill: per-user daily rollup,
+    //    densified to the user's full calendar span (sequence+explode —
+    //    generated from the tiny per-user span relation, never a global
+    //    driver-side calendar), zero-filled counts, and a forward-filled
+    //    running "last seen" daily total (last(ignoreNulls) over an
+    //    UNBOUNDED PRECEDING row frame). One shuffle on user_id for the
+    //    rollup; the window reuses that partitioning. Daily totals are
+    //    exact integer cents so the carried value is bit-identical
+    //    across engines. At 100 TB the output is |users|·span rows —
+    //    linear in the dense result the caller asked for, with nothing
+    //    materialized per-user on the driver.
+    "q60_gap_fill" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(expr("cast(round(value * 100) as bigint)")).as("day_cents"))
+      val cal = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+        .select(col("user_id"),
+          explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("day_cents"), ignoreNulls = true).over(w).as("filled_cents"))
+    }),
+
+    // -- Cohort retention: cohort = month of a customer's first order;
+    //    cell (cohort, month_offset) counts distinct returning
+    //    customers. Two shuffles (per-customer min, then the cell
+    //    count-distinct) — both on keys the data is naturally grouped
+    //    by; the first-order relation re-joins on o_custkey, the same
+    //    key AQE coalesces. Month arithmetic on month-truncated
+    //    timestamps is exact whole months in both engines.
+    "q61_cohort_retention" -> ((s, d) => {
+      val om = Tables.orders(s, d)
+        .select(col("o_custkey"), date_trunc("MONTH", col("o_orderdate")).as("om"))
+      val cohort = om.groupBy(col("o_custkey")).agg(min(col("om")).as("cohort"))
+      om.join(cohort, "o_custkey")
+        .select(col("o_custkey"), col("cohort"),
+          months_between(col("om"), col("cohort")).cast("int").as("month_offset"))
+        .groupBy(col("cohort"), col("month_offset"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"))
+    }),
+
     // -- Deterministic dedup: first event per (user_id, event_type) by
     //    event_id — the argmin pattern (window + filter, single shuffle).
     "q29_first_event" -> ((s, d) => {
@@ -661,6 +707,36 @@ object Relational {
                  FROM events WHERE event_type IN ('click', 'purchase')))
          WHERE event_type = 'click'
          GROUP BY user_id""",
+    "q60_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, date_trunc('day', ts) AS day,
+             count(*) AS n_events,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+           FROM events GROUP BY 1, 2),
+         cal AS (
+           SELECT user_id,
+             unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+           FROM daily GROUP BY user_id)
+         SELECT c.user_id, c.day,
+           coalesce(d.n_events, 0) AS n_events,
+           last_value(d.day_cents IGNORE NULLS)
+             OVER (PARTITION BY c.user_id ORDER BY c.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_cents
+         FROM cal c LEFT JOIN daily d
+           ON c.user_id = d.user_id AND c.day = d.day""",
+    "q61_cohort_retention" ->
+      """WITH om AS (
+           SELECT o_custkey,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS om
+           FROM orders),
+         cohort AS (
+           SELECT o_custkey, min(om) AS cohort FROM om GROUP BY o_custkey)
+         SELECT c.cohort,
+           CAST(datediff('month', c.cohort, om.om) AS INT) AS month_offset,
+           count(DISTINCT om.o_custkey) AS n_customers
+         FROM om JOIN cohort c ON om.o_custkey = c.o_custkey
+         GROUP BY 1, 2""",
     "q29_first_event" ->
       """SELECT user_id, event_type, event_id, value FROM (
            SELECT user_id, event_type, event_id, value,

@@ -324,6 +324,53 @@ object Similarity {
         .filter(col("rnk") <= 3)
     }),
 
+    // -- Distributed k-NN JOIN — the batch-retrieval shape: the query
+    //    side is a TABLE (every label<2 vector), not a handful of
+    //    broadcast literals, so this is the "for each of millions of
+    //    queries, top-3 neighbors" operator a training pipeline runs.
+    //    Real IVF geometry (unlike ss02's fixture-label cells): corpus
+    //    vectors are assigned to their nearest of 8 deterministic
+    //    centroids (exact-integer argmin, ss05's arithmetic), and each
+    //    query probes its nprobe=3 nearest cells. Candidate generation
+    //    is then an equi-join on the cell id — per-query work is
+    //    nprobe·|cell|, never the corpus — and the candidate shuffle
+    //    carries only (query_id, neighbor_id); vectors join back BY ID
+    //    for the exact float-cosine top-3 (ss06's discipline). At
+    //    100 TB the cell assignment is the staged index build (ss07's
+    //    split) and the probe join shuffles on cell id.
+    "ss10_knn_join" -> ((s, d) => {
+      val q = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))")
+          .as("v"))
+      val ctr = q.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+      val dist2 = expr(
+        "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+      val corpusCell = q.crossJoin(broadcast(ctr))
+        .select(col("vec_id"), col("cid"), dist2.as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id").as("neighbor_id"), col("m.cid").as("cell"))
+      val wq = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("cid").asc)
+      val probes = q.filter(col("label") < 2).crossJoin(broadcast(ctr))
+        .select(col("vec_id"), col("cid"), dist2.as("d2"))
+        .withColumn("pr", row_number().over(wq))
+        .filter(col("pr") <= 3)
+        .select(col("vec_id").as("query_id"), col("cid").as("cell"))
+      val v = vecs(s, d)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      probes.join(corpusCell, "cell")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"))
+        .join(v.as("a"), col("query_id") === col("a.vec_id"))
+        .join(v.as("b"), col("neighbor_id") === col("b.vec_id"))
+        .select(col("query_id"), col("neighbor_id"), cosAB.as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+    }),
+
     // -- Brute-force top-5 again, but scored with the native codegen'd
     //    VectorDot expression on the raw float arrays (graft.functions).
     //    Same widen-then-accumulate arithmetic as the HOF path, so the
@@ -567,6 +614,40 @@ object Similarity {
 
   private val dOtherOracles: Map[String, String] = Map(
     "ss09_pq_topk" -> dPqTopk,
+    // Same integer centroid assignment (ss05's arithmetic), nprobe=3
+    // probe list per query, cell equi-join, exact-cosine top-3.
+    "ss10_knn_join" ->
+      s"""WITH v AS ($dVecs),
+          q AS (SELECT vec_id, label,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> CAST(round(x * 1000, 0) AS BIGINT)) AS v
+                FROM embeddings),
+          c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM q WHERE vec_id < 8),
+          d2 AS (
+            SELECT q.vec_id, q.label, c.cid,
+              list_aggregate(list_transform(range(len(q.v)),
+                i -> (q.v[CAST(i AS INT) + 1] - c.cv[CAST(i AS INT) + 1])
+                   * (q.v[CAST(i AS INT) + 1] - c.cv[CAST(i AS INT) + 1])), 'sum') AS d2
+            FROM q CROSS JOIN c),
+          cell AS (SELECT vec_id AS neighbor_id, cid AS cell FROM (
+              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2 ASC, cid ASC) AS rn FROM d2) WHERE rn = 1),
+          probes AS (SELECT vec_id AS query_id, cid AS cell FROM (
+              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2 ASC, cid ASC) AS rn FROM d2 WHERE label < 2)
+            WHERE rn <= 3),
+          cand AS (
+            SELECT p.query_id, cc.neighbor_id
+            FROM probes p JOIN cell cc
+              ON p.cell = cc.cell AND p.query_id <> cc.neighbor_id)
+          SELECT query_id, neighbor_id, cos, rnk FROM (
+            SELECT t.query_id, t.neighbor_id, $dCosAB AS cos,
+              CAST(row_number() OVER (PARTITION BY t.query_id
+                ORDER BY $dCosAB DESC, t.neighbor_id ASC) AS INT) AS rnk
+            FROM cand t
+            JOIN v a ON t.query_id = a.vec_id
+            JOIN v b ON t.neighbor_id = b.vec_id)
+          WHERE rnk <= 3""",
     "ss08_kmeans_train" -> dKmeansTrain,
     "ss05_kmeans_iter" ->
       """WITH q AS (

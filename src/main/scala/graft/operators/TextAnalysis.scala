@@ -266,6 +266,69 @@ object TextAnalysis {
         md5(regexp_replace(col("text"), pat, "[TERM]")).as("redacted_md5"))
     }),
 
+    // -- PII detection + redaction (the production scrub pass ta12 is
+    //    the shape of): per-doc counts of emails / IPv4s / phone numbers
+    //    and an md5 of the fully-redacted text. The fixture corpus has
+    //    no PII, so both engines deterministically augment it first
+    //    (doc_id-derived emails/hosts/phones on a modular schedule) —
+    //    the scan then exercises real multi-class extraction with known
+    //    ground truth. RE2-compatible patterns only (no lookaround), so
+    //    java.util.regex and DuckDB RE2 agree character-for-character.
+    //    Narrow and codegen'd: no shuffle at any corpus size.
+    "ta19_pii_scan" -> ((s, d) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ip = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+      val phone = "\\+1-[0-9]{3}-[0-9]{4}"
+      def sqlPat(p: String) = p.replace("\\", "\\\\")
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" host 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string"), lit(" up")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" today"))).otherwise(lit("")))
+      Tables.documents(s, d)
+        .withColumn("aug", aug)
+        .select(
+          col("doc_id"),
+          expr(s"size(regexp_extract_all(aug, '${sqlPat(email)}', 0))")
+            .as("n_emails"),
+          expr(s"size(regexp_extract_all(aug, '${sqlPat(ip)}', 0))")
+            .as("n_ips"),
+          expr(s"size(regexp_extract_all(aug, '${sqlPat(phone)}', 0))")
+            .as("n_phones"),
+          md5(regexp_replace(regexp_replace(regexp_replace(
+            col("aug"), email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>"))
+            .as("redacted_md5"))
+    }),
+
+    // -- N-gram novelty (dataset-growth signal): per doc, the fraction
+    //    of its DISTINCT word 3-grams whose corpus-wide first occurrence
+    //    (min doc_id) is this doc — "how much text that no earlier doc
+    //    contributed". Reads the staged write-once gram index (ta10's
+    //    discipline) twice instead of re-tokenizing; the only shuffles
+    //    are the per-gram min (map-side combine over 32-byte keys) and
+    //    the per-doc rollup. At 100 TB the first-occurrence relation is
+    //    |vocab|-sized, not corpus-sized.
+    "ta20_ngram_novelty" -> ((s, d) => {
+      val grams = Dedup.stagedGrams(s, d, 3, hashed = false)
+        .select(col("doc_id"), col("g")).distinct()
+      val firsts = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      grams.join(firsts, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+             sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+               .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          round(col("n_novel").cast("double") / col("n_grams"), 6)
+            .as("novelty_ratio"))
+    }),
+
     // -- Repetition signals (Gopher-style quality filters): per-doc top
     //    bigram concentration and duplicate-bigram mass. Explode + two
     //    hash aggs (ta03's scale shape — never a per-doc O(len²) array
@@ -542,6 +605,21 @@ object TextAnalysis {
               / count(*), 6) AS boiler_ratio
           FROM g LEFT JOIN freq USING (g)
           GROUP BY doc_id""",
+    "ta20_ngram_novelty" ->
+      s"""WITH g AS (
+            SELECT DISTINCT doc_id, g FROM (
+              SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+                i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g
+              FROM (SELECT doc_id, $dtoks AS tk FROM documents
+                    WHERE len($dtoks) >= 3))),
+          firsts AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+          SELECT doc_id, count(*) AS n_grams,
+            CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_novel,
+            round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*), 6) AS novelty_ratio
+          FROM g JOIN firsts USING (g)
+          GROUP BY doc_id""",
     "ta11_mixture_sample" ->
       """SELECT source, rate_pct, count(*) AS n_total,
          CAST(sum(CASE WHEN b < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
@@ -557,6 +635,30 @@ object TextAnalysis {
           CAST(len(regexp_extract_all(text, '\b(?:customer|vector|spark)\b')) AS INT) AS n_redacted,
           md5(regexp_replace(text, '\b(?:customer|vector|spark)\b', '[TERM]', 'g')) AS redacted_md5
           FROM documents""",
+    "ta19_pii_scan" ->
+      """WITH a AS (
+           SELECT doc_id, concat(text,
+             CASE WHEN doc_id % 3 = 0 THEN concat(' contact user',
+               CAST(doc_id AS VARCHAR), '@example.com now') ELSE '' END,
+             CASE WHEN doc_id % 5 = 0 THEN concat(' host 10.',
+               CAST(doc_id % 256 AS VARCHAR), '.0.',
+               CAST(doc_id % 100 AS VARCHAR), ' up') ELSE '' END,
+             CASE WHEN doc_id % 7 = 0 THEN concat(' call +1-555-',
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' today')
+               ELSE '' END) AS aug
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(aug,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(aug,
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ips,
+           CAST(len(regexp_extract_all(aug,
+             '\+1-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(aug,
+             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+             '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_md5
+         FROM a""",
     "ta13_repetition" ->
       s"""SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
           round(CAST(top_c AS DOUBLE) / n_bigrams, 6) AS top_bigram_ratio,

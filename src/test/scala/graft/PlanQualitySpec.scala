@@ -204,7 +204,8 @@ class PlanQualitySpec extends SparkSpec {
   // are cheap and their plans worth scanning, so they stay in.
   private val eagerConstruction =
     Set("dd09_dedup_clusters", "dd11_khop_neighborhood",
-        "dd13_pagerank", "dd14_triangles")
+        "dd13_pagerank", "dd14_triangles",
+        "dd16_keep_best") // runs dd09's convergence loop at construction
   test("no query in the registry plans a cartesian product") {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("st"))

@@ -306,4 +306,85 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getString(5).length == 32)
     }
   }
+
+  // ss10: the nprobe=2 IVF k-NN join against the exact per-query brute
+  // force over the SAME query set (label<2 — a table, not ss01's
+  // vec_id%50 sample). 2-of-8 cells must recover a solid majority of
+  // true top-3s; the oracle pins exactness of the probe pipeline, this
+  // pins that the cell geometry is informative.
+  test("kNN join recall@3 vs brute force is >= 0.5") {
+    val knn = SparkEntry.queries("ss10_knn_join")(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val v = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding").as("e"))
+    val brute = v.filter(col("label") < 2).as("a")
+      .join(v.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        (expr("aggregate(zip_with(a.e, b.e, (x, y) -> cast(x as double) * y), 0D, (acc, z) -> acc + z)") /
+         sqrt(expr("aggregate(a.e, 0D, (acc, x) -> acc + cast(x as double) * x)") *
+              expr("aggregate(b.e, 0D, (acc, x) -> acc + cast(x as double) * x)"))).as("cos"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cos").desc, col("neighbor_id").asc)))
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (knn intersect brute).size.toDouble / brute.size
+    info(f"kNN-join recall@3 = $recall%.3f")
+    assert(recall >= 0.5, f"kNN-join recall@3 = $recall%.3f below 0.5")
+  }
+
+  // q60: the densified calendar must be gap-free per user (row count =
+  // span days), zero-fill must not invent events (sum preserved), and
+  // the forward-filled value is never null (day 1 is always an active
+  // day — it's the user's own min).
+  test("gap fill emits a dense, sum-preserving calendar") {
+    val out = SparkEntry.queries("q60_gap_fill")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(!_.isNullAt(3)), "filled_cents null after densify")
+    val byUser = out.groupBy(_.getLong(0))
+    val days = byUser.view.mapValues(_.map(_.getTimestamp(1).getTime).sorted).toMap
+    days.foreach { case (u, ds) =>
+      val expected = (ds.max - ds.min) / 86400000L + 1
+      assert(ds.length.toLong == expected, s"user $u: ${ds.length} rows, span $expected")
+      assert(ds.distinct.length == ds.length, s"user $u: duplicate days")
+    }
+    val filled = out.map(_.getLong(2)).sum
+    val raw = graft.sources.Tables.events(spark, sfDir).count()
+    assert(filled == raw, s"event mass changed: $filled vs $raw")
+  }
+
+  // ta19: the deterministic augmentation is ground truth — every
+  // doc_id%3==0 doc has exactly its injected email (the corpus has
+  // none), likewise IPs (%5) and phones (%7); the redacted text must
+  // hash differently from the raw text iff something was injected.
+  test("PII scan matches the injected ground truth") {
+    val rows = SparkEntry.queries("ta19_pii_scan")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == (if (id % 3 == 0) 1 else 0), s"doc $id emails")
+      assert(r.getInt(2) == (if (id % 5 == 0) 1 else 0), s"doc $id ips")
+      assert(r.getInt(3) == (if (id % 7 == 0) 1 else 0), s"doc $id phones")
+    }
+  }
+
+  // dd16 must agree with dd09: same clusters (member counts), kept doc
+  // is a member with the maximal n_chars in its cluster.
+  test("keep-best representatives are maximal cluster members") {
+    val labels = SparkEntry.queries("dd09_dedup_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chars = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = SparkEntry.queries("dd16_keep_best")(spark, sfDir).collect()
+    assert(kept.map(_.getLong(1)).sum == labels.size, "member counts disagree")
+    kept.foreach { r =>
+      val (cid, keptDoc) = (r.getLong(0), r.getLong(3))
+      assert(labels(keptDoc) == cid, s"kept doc $keptDoc not in cluster $cid")
+      val clusterMax = labels.collect { case (d, c) if c == cid => chars(d) }.max
+      assert(chars(keptDoc) == clusterMax, s"cluster $cid kept non-maximal doc")
+    }
+  }
 }
