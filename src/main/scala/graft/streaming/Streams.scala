@@ -510,6 +510,68 @@ object Streams {
       runToTable(agg, OutputMode.Append())
     }),
 
+    // -- LEFT-OUTER stream-stream join — the hard half of st08: matched
+    //    (click, view) pairs emit as inner results on arrival, and a
+    //    click with NO view within 5 minutes emits with a NULL view_id
+    //    only once the watermark proves no match can still arrive (state
+    //    eviction — the piece an inner join never exercises). Both sides
+    //    read the same staged feed; a second file carries two sentinel
+    //    rows (user_id = -1, ts = max + 3 h, one per side) whose only
+    //    job is to advance BOTH sides' watermarks past every real click
+    //    so all unmatched state flushes before AvailableNow terminates
+    //    (the no-data micro-batch emits it); sentinels are filtered
+    //    AFTER the join, so they never reach the result. Oracle: the
+    //    plain batch LEFT JOIN with the same interval predicate.
+    "st16_outer_join" -> ((s, d) => {
+      val ev = graft.sources.Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+        .persist()
+      val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val feed = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_st16_feed")
+      feed.mkdirs()
+      val t0 = System.currentTimeMillis() - 180000
+      stageFeedFile(feed, ev, "b1.parquet", t0)
+      // TWO sentinel batches: watermark advancement is computed from the
+      // PREVIOUS batch's max event time, and state eviction happens while
+      // processing a batch — so b2 raises the watermark past every real
+      // click and b3 is the batch that runs WITH that watermark and
+      // flushes the tail of the unmatched state (the final real click
+      // would otherwise sit in state when AvailableNow terminates).
+      def sentinels(off: String) = s.range(2).select(
+        lit(-1L).as("event_id"),
+        (lit(mx) + expr(s"INTERVAL $off HOURS")).as("ts"),
+        lit(-1L).as("user_id"),
+        when(col("id") === 0, "click").otherwise("view").as("event_type"))
+      stageFeedFile(feed, sentinels("3"), "b2.parquet", t0 + 60000)
+      stageFeedFile(feed, sentinels("6"), "b3.parquet", t0 + 120000)
+      ev.unpersist(blocking = false)
+      def feedStream = s.readStream.schema(ev.schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString)
+      val clicks = feedStream.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+        .withWatermark("cts", "1 hour")
+      val views = feedStream.filter(col("event_type") === "view")
+        .select(col("user_id").as("vuser"), col("ts").as("vts"),
+          col("event_id").as("view_id"))
+        .withWatermark("vts", "1 hour")
+      val joined = clicks.join(views,
+          expr("user_id = vuser AND vts > cts AND vts <= cts + interval 5 minutes"),
+          "left_outer")
+        .select(col("click_id"), col("view_id"), col("user_id"))
+      // Sentinels are filtered on the MATERIALIZED result, not in the
+      // streaming plan: an in-plan filter on user_id gets pushed below
+      // the EventTimeWatermark node (it doesn't reference the watermark
+      // column), which would strip the sentinel clicks before they can
+      // advance the click-side watermark — min(click WM, view WM) would
+      // then freeze 1 h behind and the final unmatched clicks would
+      // never evict.
+      runToTable(joined, OutputMode.Append())
+        .filter(col("user_id") >= 0)
+    }),
+
     "st04_stream_sessions" -> ((s, d) => {
       // The session merge is the streaming-stateful part; the per-user
       // rollup happens in batch over the materialized session table
@@ -568,6 +630,15 @@ object Streams {
       """SELECT c_nationkey, event_type, count(*) AS n
          FROM events JOIN customer ON user_id = c_custkey
          GROUP BY 1, 2""",
+    // Batch LEFT JOIN parity: matched pairs identical to st08, plus one
+    // NULL-view row per never-matched click (the watermark-evicted
+    // outer results).
+    "st16_outer_join" ->
+      """SELECT c.event_id AS click_id, e.event_id AS view_id, c.user_id
+         FROM (SELECT * FROM events WHERE event_type = 'click') c
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') e
+           ON c.user_id = e.user_id
+          AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 5 MINUTE""",
     // Same oracle as st01: the foreachBatch→parquet sink must reproduce
     // the batch aggregation exactly.
     "st07_foreachbatch_sink" ->
