@@ -45,6 +45,38 @@ object Curation {
         .select(col("doc_id"), col("pred_lang"), col("quality"))
     }),
 
+    // -- Train-ready EMISSION — the step after pl01's filtering: quality
+    //    gate, then KEEP-BEST dedup survivorship (dd16's longest-text
+    //    representative, not pl01's min-id rule — the two canonical
+    //    policies a curation stack offers), then ta08's deterministic
+    //    hash split, rolled up to the per-(split, lang) shard manifest
+    //    (doc + token counts) a training launcher consumes. One Catalyst
+    //    plan; the kept-list and cluster relations are candidate-sized
+    //    → broadcast joins against the corpus scan.
+    "pl03_train_emission" -> ((s, d) => {
+      val qual = TextAnalysis.queries("ta03_quality_score")(s, d)
+        .select(col("doc_id"), col("quality"))
+      val toks = TextAnalysis.queries("ta01_token_stats")(s, d)
+        .select(col("doc_id"), col("n_tokens"))
+      val clusters = Dedup.queries("dd09_dedup_clusters")(s, d)
+        .select(col("doc_id"))
+      val kept = Dedup.queries("dd16_keep_best")(s, d)
+        .select(col("kept_doc_id").as("doc_id"))
+      val bucket = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(qual, "doc_id").filter(col("quality") >= 0.5)
+        .join(toks, "doc_id")
+        .join(broadcast(clusters.withColumn("clustered", lit(1))), Seq("doc_id"), "left")
+        .join(broadcast(kept.withColumn("is_kept", lit(1))), Seq("doc_id"), "left")
+        .filter(col("clustered").isNull || col("is_kept") === 1)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens").cast("long")).as("n_tokens"))
+    }),
+
     // -- The embedding-side curation pipeline: near-dup pairs from dd07
     //    (cosine ≥ 0.4 inside IVF label blocks), greedy min-id
     //    survivorship (a vector is dropped iff it is the LARGER id of
@@ -89,6 +121,32 @@ object Curation {
                  OR EXISTS (SELECT 1 FROM pl_canon pc
                             WHERE pc.doc_id = d.doc_id
                               AND pc.canonical_id = d.doc_id))"""
+    },
+    "pl03_train_emission" -> {
+      val qual = TextAnalysis.oracleSql("ta03_quality_score")
+      val toks = TextAnalysis.oracleSql("ta01_token_stats")
+      val canon = Dedup.oracleSql("dd09_dedup_clusters")
+      val kept = Dedup.oracleSql("dd16_keep_best")
+      s"""WITH pl3_qual AS (SELECT doc_id, quality FROM ($qual)),
+          pl3_tok AS (SELECT doc_id, n_tokens FROM ($toks)),
+          pl3_canon AS (SELECT doc_id FROM ($canon)),
+          pl3_kept AS (SELECT kept_doc_id AS doc_id FROM ($kept)),
+          pl3_base AS (
+            SELECT d.doc_id, d.lang, t.n_tokens,
+              CASE WHEN d.b < 80 THEN 'train'
+                   WHEN d.b < 90 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id, lang,
+                    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 100 AS b
+                  FROM documents) d
+            JOIN pl3_tok t ON t.doc_id = d.doc_id
+            JOIN pl3_qual q ON q.doc_id = d.doc_id
+            WHERE q.quality >= 0.5
+              AND (d.doc_id NOT IN (SELECT doc_id FROM pl3_canon)
+                   OR d.doc_id IN (SELECT doc_id FROM pl3_kept)))
+          SELECT split, lang, count(*) AS n_docs,
+            CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+          FROM pl3_base GROUP BY 1, 2"""
     },
     "pl02_embedding_curation" -> {
       val pairs = Dedup.oracleSql("dd07_embedding_neardup")

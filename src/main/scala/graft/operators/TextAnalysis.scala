@@ -307,6 +307,36 @@ object TextAnalysis {
             .as("redacted_md5"))
     }),
 
+    // -- Train/test split LEAKAGE audit: does any held-out (val/test)
+    //    document share an 8-token gram with the training split? The
+    //    cross-split cousin of dd08's decontamination, and the audit a
+    //    training pipeline must run after ta08's hash split (dedup can
+    //    only remove near-identical docs; partial overlap still leaks).
+    //    Scale shape: the EVAL gram set (held-out suites are tiny next
+    //    to the corpus) broadcasts; the train gram stream — read from
+    //    the staged index — probes it with a broadcast hash join and
+    //    never shuffles. Output: per held-out split, gram-bearing docs
+    //    and how many leak.
+    "ta21_split_leakage" -> ((s, d) => {
+      val bucket = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
+      val grams = Dedup.stagedGrams(s, d, 8, hashed = true)
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      val evalG = grams.filter(col("split") =!= "train")
+        .select(col("split"), col("doc_id"), col("gh")).distinct()
+      val trainG = grams.filter(col("split") === "train")
+        .select(col("gh")).distinct()
+      val leaky = trainG.join(broadcast(evalG), "gh")
+        .groupBy(col("split"))
+        .agg(countDistinct(col("doc_id")).as("n_leaky"))
+      evalG.select(col("split"), col("doc_id")).distinct()
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+        .join(leaky, Seq("split"), "left")
+        .select(col("split"), col("n_docs"),
+          coalesce(col("n_leaky"), lit(0L)).as("n_leaky"))
+    }),
+
     // -- N-gram novelty (dataset-growth signal): per doc, the fraction
     //    of its DISTINCT word 3-grams whose corpus-wide first occurrence
     //    (min doc_id) is this doc — "how much text that no earlier doc
@@ -605,6 +635,34 @@ object TextAnalysis {
               / count(*), 6) AS boiler_ratio
           FROM g LEFT JOIN freq USING (g)
           GROUP BY doc_id""",
+    "ta21_split_leakage" -> {
+      val g8 = (1 to 8).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+      s"""WITH g AS (
+            SELECT doc_id,
+              CAST(concat('0x', substr(md5(g8), 1, 15)) AS BIGINT) AS gh
+            FROM (
+              SELECT doc_id, unnest(list_transform(range(len(tk) - 7),
+                i -> $g8)) AS g8
+              FROM (SELECT doc_id, $dtoks AS tk FROM documents
+                    WHERE len($dtoks) >= 8))),
+          sp AS (
+            SELECT doc_id, CASE WHEN b < 80 THEN 'train'
+                                WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 100 AS b
+                  FROM documents)),
+          gs AS (SELECT g.doc_id, sp.split, g.gh FROM g JOIN sp USING (doc_id)),
+          traing AS (SELECT DISTINCT gh FROM gs WHERE split = 'train')
+          SELECT split, count(*) AS n_docs,
+            CAST(sum(CASE WHEN leaky THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky
+          FROM (
+            SELECT split, doc_id,
+              max(CASE WHEN gh IN (SELECT gh FROM traing) THEN 1 ELSE 0 END) = 1
+                AS leaky
+            FROM gs WHERE split <> 'train' GROUP BY split, doc_id)
+          GROUP BY split"""
+    },
     "ta20_ngram_novelty" ->
       s"""WITH g AS (
             SELECT DISTINCT doc_id, g FROM (
