@@ -27,7 +27,8 @@ object SparkEntry {
     graft.operators.Multimodal.queries ++
     graft.operators.Curation.queries ++
     graft.sources.FormatsIO.queries ++
-    graft.streaming.Streams.queries
+    graft.streaming.Streams.queries ++
+    graft.pipeline.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
     graft.operators.Multimodal.oracleSql ++
     graft.operators.Curation.oracleSql ++
     graft.sources.FormatsIO.oracleSql ++
-    graft.streaming.Streams.oracleSql
+    graft.streaming.Streams.oracleSql ++
+    graft.pipeline.PipelineQueries.oracleSql
 }

@@ -95,6 +95,32 @@ object Dedup {
     gramStrings(s, d, n).select(col("doc_id"),
       expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)").as("gh"))
 
+  /** Per-doc DISTINCT hashed n-grams from ANY documents-shaped relation —
+    * including a STREAMING one (st18): the dedup happens inside the row
+    * (array_distinct on the per-doc gram array), so no stateful distinct
+    * is needed downstream. The array is built once per row in its own
+    * projection and exploded as a named column (a Generate over a child
+    * Project evaluates the construction lambda once per row, not per
+    * output element). */
+  private[graft] def distinctGramHashes(docs: DataFrame, n: Int): DataFrame = {
+    val parts = (1 to n).map(j => s"element_at(tk, i + $j)").mkString(", ' ', ")
+    docs.select(col("doc_id"), expr(toks).as("tk"))
+      .filter(expr(s"size(tk) >= $n"))
+      .select(col("doc_id"), expr(
+        s"array_distinct(transform(sequence(0, size(tk) - $n), " +
+        s"i -> cast(conv(substring(md5(concat($parts)), 1, 15), 16, 10) as bigint)))"
+      ).as("ghs"))
+      .select(col("doc_id"), explode(col("ghs")).as("gh"))
+  }
+
+  /** The benchmark (held-out) gram set dd08/dd12 decontaminate against:
+    * distinct 8-gram hashes of every doc_id % 10 == 0 document, read from
+    * the staged write-once index. Shared with the streaming leg (st18). */
+  private[graft] def benchGramSet(s: SparkSession, d: String): DataFrame =
+    stagedGrams(s, d, 8, hashed = true)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("gh")).distinct()
+
   /** STAGED gram index: the write-once/probe-many pipeline shape. A
     * decontamination or boilerplate pass reads the gram stream from TWO
     * branches (the reference/df side and the probe side); evaluating the
@@ -520,8 +546,7 @@ object Dedup {
       // parquet instead of re-deriving the tokenize→shingle→hash
       // pipeline twice ([[stagedGrams]]).
       val grams = stagedGrams(s, d, 8, hashed = true)
-      val bench = grams.filter(col("doc_id") % 10 === 0)
-        .select(col("gh")).distinct()
+      val bench = benchGramSet(s, d)
       grams.filter(col("doc_id") % 10 =!= 0)
         .join(broadcast(bench), "gh")
         .groupBy(col("doc_id"))
@@ -544,8 +569,7 @@ object Dedup {
     //    BloomFilter, and the cross-checked exact column keeps it honest.
     "dd12_bloom_contamination" -> ((s, d) => {
       val grams = stagedGrams(s, d, 8, hashed = true)
-      val bench = grams.filter(col("doc_id") % 10 === 0)
-        .select(col("gh")).distinct()
+      val bench = benchGramSet(s, d)
       // Capacity sized far above any fixture's bench-gram count; in
       // production this comes from corpus stats (a prior count or the
       // table's row-count metadata). Oversizing only wastes bits.

@@ -80,24 +80,83 @@ object Similarity {
       .agg(sum(expr("if(dot > 0, shiftleft(cast(1 as bigint), p), cast(0 as bigint))")).as("sig"))
   }
 
-  /** ss07's persisted index: [[lshSignatures]] written to parquet once
-    * per (application, fixture) and read back — the build/probe split.
-    * Same double-checked staging discipline as Dedup.stagedGrams. */
-  private val lshIndexDirs =
+  /** Persisted index artifacts — the build/probe split (write the
+    * structure to parquet ONCE per (application, fixture), every probe
+    * scans the files) shared by the LSH (ss07), IVF (ss02) and PQ (ss09)
+    * tiers. Same double-checked staging discipline as Dedup.stagedGrams:
+    * the content is deterministic, the _SUCCESS probe makes the lock
+    * idempotent, and scoping to the app id keeps a crashed run's partial
+    * write from poisoning later JVMs. `partCols` lays the artifact out
+    * partitioned (the IVF index is partitioned BY CELL, so a probe of
+    * one cell reads one directory — the on-disk meaning of an inverted
+    * file). */
+  private val stagedIdxDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  private def lshIndex(s: SparkSession, d: String): DataFrame = {
+  private def stagedIndex(s: SparkSession, d: String, tag: String,
+      partCols: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_lsh_idx_" + s.sparkContext.applicationId + "_" +
+      s"graft_${tag}_" + s.sparkContext.applicationId + "_" +
         d.replaceAll("[^A-Za-z0-9]", "_"))
-    lshIndexDirs.synchronized {
-      lshIndexDirs.getOrElseUpdate(dir.getPath, {
-        if (!new java.io.File(dir, "_SUCCESS").exists())
-          lshSignatures(s, d).write.mode("overwrite").parquet(dir.getPath)
+    stagedIdxDirs.synchronized {
+      stagedIdxDirs.getOrElseUpdate(dir.getPath, {
+        if (!new java.io.File(dir, "_SUCCESS").exists()) {
+          val w = build.write.mode("overwrite")
+          (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+            .parquet(dir.getPath)
+        }
         dir.getPath
       })
     }
     s.read.parquet(dir.getPath)
   }
+
+  /** ss07's persisted index: [[lshSignatures]] staged per fixture. */
+  private def lshIndex(s: SparkSession, d: String): DataFrame =
+    stagedIndex(s, d, "lsh_idx")(lshSignatures(s, d))
+
+  /** ss02's persisted IVF index: the corpus laid out partitioned by cell
+    * (vector + norm stored WITH the cell so a probe never recomputes
+    * either). Float arrays and the double norm roundtrip parquet exactly,
+    * so probe results are bit-identical to the inline form. */
+  private def ivfIndex(s: SparkSession, d: String): DataFrame =
+    stagedIndex(s, d, "ivf_idx", partCols = Seq("label"))(
+      vecs(s, d).select(col("vec_id"), col("e"), col("nrm"), col("label")))
+
+  // PQ geometry shared by the build and the query-side LUT.
+  private val (pqM, pqSub, pqK) = (4, 16, 8)
+
+  /** Quantized sub-vectors (vec_id, sp, sv) — the shared projection the
+    * PQ codebook, corpus encode, and query LUT all start from. */
+  private def pqSubv(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))")
+          .as("v"))
+      .select(col("vec_id"), explode(expr(s"sequence(0, ${pqM - 1})")).as("sp"), col("v"))
+      .select(col("vec_id"), col("sp"), expr(s"slice(v, sp * $pqSub + 1, $pqSub)").as("sv"))
+
+  /** ss09's persisted codebook: (sp, code, cv) — k codewords per
+    * sub-space (deterministic sampling; ss08 is the loop that would
+    * refine it). Tiny, but stored so probes and re-encodes share ONE
+    * codebook artifact — the consistency contract PQ requires. */
+  private def pqCodebook(s: SparkSession, d: String): DataFrame =
+    stagedIndex(s, d, "pq_codes")(
+      pqSubv(s, d).filter(col("vec_id") < pqK)
+        .select(col("sp"), col("vec_id").cast("int").as("code"), col("sv").as("cv")))
+
+  /** ss09's persisted code relation: every corpus vector reduced to its
+    * m=4 sub-space codes — the expensive full-corpus argmin-encode runs
+    * ONCE at build; probes scan 4 small ints per vector, never vectors. */
+  private def pqEncoded(s: SparkSession, d: String): DataFrame =
+    stagedIndex(s, d, "pq_enc") {
+      val codes = pqCodebook(s, d)
+      pqSubv(s, d).join(broadcast(codes), "sp")
+        .select(col("vec_id"), col("sp"), col("code"),
+          expr("aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+            .as("d2"))
+        .groupBy(col("vec_id"), col("sp"))
+        .agg(min(struct(col("d2"), col("code"))).as("mn"))
+        .select(col("vec_id"), col("sp"), col("mn.code").as("code"))
+    }
 
   /** Multi-probe LSH top-3 over a signature relation (inline for ss03,
     * the stored index for ss07): each query probes its own bucket plus
@@ -142,15 +201,20 @@ object Similarity {
         .filter(col("rnk") <= 5)
     }),
 
-    // -- IVF: same-cell (label) top-3. The corpus shuffles once on the
-    //    cell id; each query's work is bounded by its cell size.
+    // -- IVF: same-cell (label) top-3 probing the PERSISTED index
+    //    (ss07's build/probe split applied to the IVF tier): the corpus
+    //    with norms is staged to parquet partitioned BY CELL — the
+    //    on-disk inverted file — so a probe joins the query batch
+    //    against stored cell files and recomputes neither assignment nor
+    //    norms; at rest a single-cell probe prunes to one directory.
+    //    Each query's work is bounded by its cell size.
     "ss02_ivf_topk" -> ((s, d) => {
-      val v = vecs(s, d)
-      val q = v.filter(col("vec_id") % 50 === 0)
+      val idx = ivfIndex(s, d)
+      val q = vecs(s, d).filter(col("vec_id") % 50 === 0)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cos").desc, col("neighbor_id").asc)
       q.as("a")
-        .join(v.as("b"),
+        .join(idx.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
           cosAB.as("cos"))
@@ -282,24 +346,16 @@ object Similarity {
     //    LUT dots, ADC sums — associative, engine-neutral); the ADC
     //    top-20 pool carries only (ids, iscore); the exact float-cosine
     //    re-rank joins vectors back BY ID (ss06's discipline).
+    //    BUILD/PROBE split (ss07's discipline): the codebook and the
+    //    full-corpus code relation are STAGED artifacts ([[pqCodebook]],
+    //    [[pqEncoded]]) — the expensive encode (argmin over the codebook
+    //    for every corpus sub-vector) runs once per fixture; the probe
+    //    plan scans 4 small ints per vector and builds only the
+    //    query-side LUT fresh (the genuinely per-query-batch work).
     "ss09_pq_topk" -> ((s, d) => {
-      val (m, sub, k) = (4, 16, 8)
-      val q = Tables.embeddings(s, d).select(col("vec_id"),
-        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))")
-          .as("v"))
-      val subv = q
-        .select(col("vec_id"), explode(expr(s"sequence(0, ${m - 1})")).as("sp"), col("v"))
-        .select(col("vec_id"), col("sp"), expr(s"slice(v, sp * $sub + 1, $sub)").as("sv"))
-      val codes = subv.filter(col("vec_id") < k)
-        .select(col("sp"), col("vec_id").cast("int").as("code"), col("sv").as("cv"))
-      val encoded = subv.join(broadcast(codes), "sp")
-        .select(col("vec_id"), col("sp"), col("code"),
-          expr("aggregate(zip_with(sv, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
-            .as("d2"))
-        .groupBy(col("vec_id"), col("sp"))
-        .agg(min(struct(col("d2"), col("code"))).as("mn"))
-        .select(col("vec_id"), col("sp"), col("mn.code").as("code"))
-      val lut = subv.filter(col("vec_id") % 50 === 0)
+      val codes = pqCodebook(s, d)
+      val encoded = pqEncoded(s, d)
+      val lut = pqSubv(s, d).filter(col("vec_id") % 50 === 0)
         .withColumnRenamed("vec_id", "query_id")
         .join(broadcast(codes), "sp")
         .select(col("query_id"), col("sp"), col("code"),

@@ -312,11 +312,14 @@ object TextAnalysis {
     //    cross-split cousin of dd08's decontamination, and the audit a
     //    training pipeline must run after ta08's hash split (dedup can
     //    only remove near-identical docs; partial overlap still leaks).
-    //    Scale shape: the EVAL gram set (held-out suites are tiny next
-    //    to the corpus) broadcasts; the train gram stream — read from
-    //    the staged index — probes it with a broadcast hash join and
-    //    never shuffles. Output: per held-out split, gram-bearing docs
-    //    and how many leak.
+    //    Scale shape: the eval gram set is a CORPUS-FRACTION-sized
+    //    relation (20% of all distinct 8-grams) — far too big to
+    //    broadcast at 100 TB (multi-TB driver/executor OOM). Both sides
+    //    are already gram-keyed, so the right plan is a shuffle hash
+    //    join on `gh`: one 32-byte-key exchange per side, no sort, no
+    //    driver materialization. The hint pins that choice against
+    //    auto-broadcast at fixture scale. Output: per held-out split,
+    //    gram-bearing docs and how many leak.
     "ta21_split_leakage" -> ((s, d) => {
       val bucket = expr(
         "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
@@ -327,7 +330,7 @@ object TextAnalysis {
         .select(col("split"), col("doc_id"), col("gh")).distinct()
       val trainG = grams.filter(col("split") === "train")
         .select(col("gh")).distinct()
-      val leaky = trainG.join(broadcast(evalG), "gh")
+      val leaky = trainG.hint("shuffle_hash").join(evalG.hint("shuffle_hash"), "gh")
         .groupBy(col("split"))
         .agg(countDistinct(col("doc_id")).as("n_leaky"))
       evalG.select(col("split"), col("doc_id")).distinct()

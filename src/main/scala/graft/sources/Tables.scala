@@ -47,14 +47,36 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects (PARQUET_TYPE_ILLEGAL). Read nanos as raw long (legacy conf),
-    * then integer-divide to micros — `ts div 1000`, NOT `/1000` (double
-    * division loses precision above 2^53, and epoch-nanos ≈ 1.7e18). */
+  /** Normalize `events.ts` to session-TZ TIMESTAMP regardless of fixture
+    * vintage. The driver has shipped `events.parquet` with `ts` as parquet
+    * TIMESTAMP(NANOS) (which Spark's vectorized reader rejects —
+    * PARQUET_TYPE_ILLEGAL — unless read as raw long via the legacy conf) and
+    * later as TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ under Spark 4's NTZ
+    * inference). Branch on the *loaded* dataType so either vintage works:
+    *   - LongType (nanos-as-long): `timestamp_micros(ts div 1000)` —
+    *     integer divide, NOT `/1000` (double division loses precision above
+    *     2^53, and epoch-nanos ≈ 1.7e18);
+    *   - TIMESTAMP_NTZ: cast to TIMESTAMP — session TZ is UTC, so the
+    *     instant and all downstream output schemas are preserved;
+    *   - TIMESTAMP: already the engine-facing type; no-op.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported parquet-loaded type $other")
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
+    // Harmless when ts is already a timestamp type — the conf only changes
+    // how TIMESTAMP(NANOS) columns are decoded.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -87,29 +87,29 @@ final case class EventRow(user_id: Long, cents: Long)
   * streaming dedup, mapGroupsWithState) shuffle by key into state-store
   * partitions exactly as a cluster run would.
   *
-  * REGISTRY CONTRACT — sequential execution per SparkSession: st12/st13
-  * swap the session-wide state-store provider conf for their run (and
-  * restore it after), so two registry queries must not execute
-  * concurrently in one session. Both the driver harness and graft.Bench
-  * run queries strictly sequentially; a concurrent runner would need
-  * `SparkSession.newSession()` per query to isolate the conf.
+  * st12/st13 need a non-default state-store provider (RocksDB); they run
+  * on an isolated `SparkSession.newSession()` (own SQL conf + catalog
+  * over the shared context), so no query here mutates the caller's
+  * session and the registry is safe under a concurrent runner.
   */
 object Streams {
 
   private val nameSeq = new AtomicInteger(0)
 
   /** Events as a *stream*: schema from a batch peek (schema inference is
-    * off in production streaming), nanos→micros ts like Tables.events. */
+    * off in production streaming), ts normalized to TIMESTAMP exactly like
+    * the batch loader — `Tables.normalizeEventTs` branches on the loaded
+    * type so both fixture vintages (nanos-as-long, micros/NTZ) work. */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$d/events.parquet"
     val schema = s.read.parquet(path).schema
     // The file-stream source lists a *directory*; the fixture is a single
     // file, so stream the parent dir with a glob filter on the file name.
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.sources.Tables.normalizeEventTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
   }
 
   /** Run a streaming Dataset to completion into a memory sink; return the
@@ -407,64 +407,51 @@ object Streams {
 
     // -- transformWithState (Spark 4 arbitrary-state API) on the RocksDB
     //    state store: per-user distinct-type count in a ValueState —
-    //    see DistinctTypesProcessor. The provider swap is scoped to this
-    //    query and restored after (HDFS-backed remains the default for
-    //    the small-state queries).
-    "st12_transform_with_state" -> ((s, d) => {
-      import s.implicits._
-      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    //    see DistinctTypesProcessor. The provider conf is set on an
+    //    ISOLATED `newSession()` (shared SparkContext, own SQL conf +
+    //    catalog), so the swap can never leak into a concurrently
+    //    planning query — nothing to restore, the session is discarded.
+    "st12_transform_with_state" -> ((s0, d) => {
+      val s = s0.newSession()
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val out = eventStream(s, d)
-          .select(col("user_id"), col("event_type")).as[(Long, String)]
-          .groupByKey(_._1)
-          .transformWithState(new DistinctTypesProcessor,
-            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
-          .toDF("user_id", "n_types")
-        val emitted = runToTable(out, OutputMode.Update())
-        // Final state per key = the monotone-max emission (st03 pattern).
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id")).orderBy(col("n_types").desc)
-        emitted.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("user_id"), col("n_types"))
-      } finally {
-        prev match {
-          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        }
-      }
+      import s.implicits._
+      val out = eventStream(s, d)
+        .select(col("user_id"), col("event_type")).as[(Long, String)]
+        .groupByKey(_._1)
+        .transformWithState(new DistinctTypesProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_types")
+      val emitted = runToTable(out, OutputMode.Update())
+      // Final state per key = the monotone-max emission (st03 pattern).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_types").desc)
+      emitted.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("n_types"))
     }),
 
     // -- transformWithState with LIST state: per-user 3 most-recent
-    //    events (see LastEventsProcessor). RocksDB provider scoped to
-    //    the query as in st12; final rows = the emission tagged with the
-    //    per-key max seen-count.
-    "st13_list_state_recent" -> ((s, d) => {
-      import s.implicits._
-      val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    //    events (see LastEventsProcessor). RocksDB provider on an
+    //    isolated newSession as in st12; final rows = the emission
+    //    tagged with the per-key max seen-count.
+    "st13_list_state_recent" -> ((s0, d) => {
+      val s = s0.newSession()
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val out = eventStream(s, d)
-          .select(col("user_id"), unix_micros(col("ts")), col("event_id"))
-          .as[(Long, Long, Long)]
-          .groupByKey(_._1)
-          .transformWithState(new LastEventsProcessor,
-            org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
-          .toDF("user_id", "n_seen", "rank", "event_id")
-        val emitted = runToTable(out, OutputMode.Update())
-        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
-        emitted.withColumn("mx", max(col("n_seen")).over(w))
-          .filter(col("n_seen") === col("mx"))
-          .select(col("user_id"), col("rank"), col("event_id"))
-      } finally {
-        prev match {
-          case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-          case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
-        }
-      }
+      import s.implicits._
+      val out = eventStream(s, d)
+        .select(col("user_id"), unix_micros(col("ts")), col("event_id"))
+        .as[(Long, Long, Long)]
+        .groupByKey(_._1)
+        .transformWithState(new LastEventsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_seen", "rank", "event_id")
+      val emitted = runToTable(out, OutputMode.Update())
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      emitted.withColumn("mx", max(col("n_seen")).over(w))
+        .filter(col("n_seen") === col("mx"))
+        .select(col("user_id"), col("rank"), col("event_id"))
     }),
 
     // -- Streaming sessionization: session_window gap-merges per user in
@@ -572,6 +559,78 @@ object Streams {
         .filter(col("user_id") >= 0)
     }),
 
+    // -- STREAMING exact dedup — the ingest leg of dd01 (the reference's
+    //    model is unbounded-stream-first: every node consumes a channel,
+    //    /root/reference/pipe/node.go:12-13). A production corpus feed
+    //    dedups inside the stream, not in a nightly batch: each
+    //    micro-batch partial-dedups (groupBy content hash, min doc_id,
+    //    count — map-side combined, distributed) and APPENDS its partial
+    //    to the sink; the merge is an idempotent groupBy on read (min of
+    //    mins, sum of counts — both re-associable, so batch boundaries
+    //    and replays never change the answer). The two-file feed forces
+    //    duplicate groups to STRADDLE micro-batches, so the cross-batch
+    //    merge is actually exercised. State is ZERO: no dropDuplicates
+    //    key set to grow forever — the sink itself is the state, which
+    //    is what lets this run on a 100 TB/day feed. Oracle = dd01's:
+    //    stream/batch parity for the dedup relation itself.
+    "st17_stream_exact_dedup" -> ((s, d) => {
+      val docs = graft.sources.Tables.documents(s, d).persist()
+      val feed = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_st17_feed")
+      feed.mkdirs()
+      val t0 = System.currentTimeMillis() - 180000
+      stageFeedFile(feed, docs.filter(col("doc_id") % 2 === 0), "b1.parquet", t0)
+      stageFeedFile(feed, docs.filter(col("doc_id") % 2 =!= 0), "b2.parquet", t0 + 60000)
+      val schema = docs.schema
+      docs.unpersist(blocking = false)
+      val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_st17_out"
+      val fsPath = new org.apache.hadoop.fs.Path(outDir)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1") // one file per micro-batch
+        .parquet(feed.toString)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.groupBy(md5(lower(trim(col("text")))).as("content_key"))
+            .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      s.read.parquet(outDir)
+        .groupBy(col("content_key"))
+        .agg(min(col("doc_id")).as("doc_id"), sum(col("n")).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+    }),
+
+    // -- STREAMING decontamination — the ingest leg of dd08: incoming
+    //    training documents checked against the held-out benchmark gram
+    //    set as they arrive. The bench set is STATIC (built once from
+    //    the staged gram index) and broadcast per micro-batch — a
+    //    stream-static join holds no stream state at all. The per-doc
+    //    DISTINCT grams are computed INSIDE the row (array_distinct on
+    //    the gram array — Dedup.distinctGramHashes), so no stateful
+    //    streaming distinct is needed and Complete-mode output is just
+    //    the per-doc counts. At scale the bench set outgrows a broadcast
+    //    → swap in dd12's Bloom probe; the plumbing is identical.
+    "st18_stream_decontaminate" -> ((s, d) => {
+      val bench = graft.operators.Dedup.benchGramSet(s, d)
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(d)
+      val flagged = graft.operators.Dedup.distinctGramHashes(stream, 8)
+        .filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(bench), "gh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_grams"))
+      runToTable(flagged, OutputMode.Complete())
+    }),
+
     "st04_stream_sessions" -> ((s, d) => {
       // The session merge is the streaming-stateful part; the per-user
       // rollup happens in batch over the materialized session table
@@ -597,6 +656,29 @@ object Streams {
       """SELECT event_type, count(*) AS n_users FROM (
            SELECT DISTINCT user_id, event_type FROM events)
          GROUP BY event_type""",
+    // Stream/batch parity with dd01: the streamed, batch-split,
+    // merge-on-read dedup must equal the one-shot batch dedup.
+    "st17_stream_exact_dedup" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+         FROM documents GROUP BY md5(lower(trim(text)))""",
+    // Stream/batch parity with dd08: same gram pipeline, same bench set.
+    "st18_stream_decontaminate" -> {
+      val dtoks = "list_filter(string_split(text, ' '), x -> x <> '')"
+      val g8 = (1 to 8).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+      s"""WITH g AS (
+            SELECT doc_id,
+              CAST(concat('0x', substr(md5(g8), 1, 15)) AS BIGINT) AS gh
+            FROM (
+              SELECT doc_id, unnest(list_transform(range(len(tk) - 7),
+                i -> $g8)) AS g8
+              FROM (SELECT doc_id, $dtoks AS tk FROM documents
+                    WHERE len($dtoks) >= 8))),
+          bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 = 0)
+          SELECT doc_id, count(DISTINCT gh) AS n_shared_grams
+          FROM g JOIN bench USING (gh)
+          WHERE doc_id % 10 <> 0
+          GROUP BY doc_id"""
+    },
     "st03_stateful_running" ->
       """SELECT user_id, count(*) AS n_events,
          CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents

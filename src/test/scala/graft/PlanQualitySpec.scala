@@ -155,6 +155,24 @@ class PlanQualitySpec extends SparkSpec {
       "probe plan recomputes the signature pipeline:\n" + p.take(3000))
   }
 
+  test("IVF probe scans the persisted cell-partitioned index (ss02)") {
+    val p = plan("ss02_ivf_topk")
+    // The corpus side must come from the staged inverted file (vectors +
+    // norms stored per cell), not the live embeddings pipeline.
+    assert(p.contains("graft_ivf_idx"),
+      "probe does not read the persisted IVF index:\n" + p.take(2000))
+  }
+
+  test("PQ probe reads the stored codebook and code relation (ss09)") {
+    val p = plan("ss09_pq_topk")
+    assert(p.contains("graft_pq_enc") && p.contains("graft_pq_codes"),
+      "probe does not read the persisted PQ artifacts:\n" + p.take(2000))
+    // No corpus re-encode in the probe: the encode stage's distance
+    // attribute (d2) exists only in the build pipeline.
+    assert(!p.contains("d2#"),
+      "probe plan re-runs the corpus encode:\n" + p.take(3000))
+  }
+
   test("partitioned read prunes to the filtered partition (io04)") {
     val p = plan("io04_partitioned_pruning")
     // The lang filter must be INSIDE the PartitionFilters bracket
@@ -199,21 +217,48 @@ class PlanQualitySpec extends SparkSpec {
       p.take(2000))
   }
 
+  test("split-leakage audit never broadcasts a corpus-derived relation (ta21)") {
+    val p = plan("ta21_split_leakage")
+    // The eval gram set is ~20% of all distinct corpus 8-grams — a
+    // multi-TB relation at 100 TB. The gram-probe join must be a shuffle
+    // hash join on `gh` (32-byte keys, one exchange per side); any
+    // BroadcastHashJoin here besides the final tiny per-split counts
+    // would be a driver/executor OOM at scale. The leaky-count subtree
+    // joins back on `split` (≤2 rows) — that broadcast is fine, so we
+    // assert the gram join specifically: a ShuffledHashJoin on gh exists
+    // and no broadcast exchange feeds a join keyed on gh.
+    assert(p.linesIterator.exists(l => l.contains("ShuffledHashJoin") && l.contains("gh")),
+      "gram probe is not a shuffle hash join:\n" + p.take(3000))
+    val broadcastOnGh = p.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("BroadcastExchange")) && l.contains("gh#"))
+    assert(!broadcastOnGh, "corpus-derived gram relation is broadcast:\n" + p.take(3000))
+  }
+
   // by its own plan/oracle spec, and their checkpointed subplans would
   // print as opaque RDD scans here anyway. io04/io05's fixture writes
   // are cheap and their plans worth scanning, so they stay in.
   private val eagerConstruction =
     Set("dd09_dedup_clusters", "dd11_khop_neighborhood",
         "dd13_pagerank", "dd14_triangles",
-        "dd16_keep_best") // runs dd09's convergence loop at construction
+        "dd16_keep_best", // runs dd09's convergence loop at construction
+        "pp01_fanout_diamond") // runs the whole Runner; result = sink scans
   test("no query in the registry plans a cartesian product") {
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    // Each query is constructed under its own Try: a construction
+    // failure (e.g. a fixture-schema regression) is reported per query
+    // NAME alongside the cartesian verdicts, instead of aborting the
+    // sweep at the first unrelated exception and masking the assertion.
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.startsWith("st"))
       .filterNot(q => eagerConstruction(q._1))
-      .foreach { case (name, fn) =>
-        val p = fn(spark, sfDir).queryExecution.executedPlan.toString
-        assert(!p.contains("CartesianProduct"),
-          s"$name plans a cartesian product:\n" + p.take(2000))
+      .flatMap { case (name, fn) =>
+        scala.util.Try(fn(spark, sfDir).queryExecution.executedPlan.toString) match {
+          case scala.util.Failure(e) =>
+            Some(s"$name: construction failed: ${e.getMessage.linesIterator.next()}")
+          case scala.util.Success(p) if p.contains("CartesianProduct") =>
+            Some(s"$name: plans a cartesian product:\n" + p.take(1000))
+          case _ => None
+        }
       }
+    assert(failures.isEmpty, failures.mkString("\n"))
   }
 }
