@@ -95,22 +95,21 @@ object Dedup {
     gramStrings(s, d, n).select(col("doc_id"),
       expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)").as("gh"))
 
-  /** Per-doc DISTINCT hashed n-grams from ANY documents-shaped relation —
-    * including a STREAMING one (st18): the dedup happens inside the row
-    * (array_distinct on the per-doc gram array), so no stateful distinct
-    * is needed downstream. The array is built once per row in its own
-    * projection and exploded as a named column (a Generate over a child
-    * Project evaluates the construction lambda once per row, not per
-    * output element). */
-  private[graft] def distinctGramHashes(docs: DataFrame, n: Int): DataFrame = {
+  /** Hashed n-gram stream from ANY documents-shaped relation (st18 runs
+    * it per micro-batch inside foreachBatch). Same explode-the-integer-
+    * index shape as [[gramStrings]]: the gram text and its md5 are built
+    * in the outer projection, which whole-stage codegen compiles — an
+    * array_distinct(transform(...)) formulation keeps the md5 inside a
+    * higher-order-function lambda, which Spark evaluates interpreted
+    * (measured 2.5× slower on the fixture corpus). */
+  private[graft] def gramHashesOf(docs: DataFrame, n: Int): DataFrame = {
     val parts = (1 to n).map(j => s"element_at(tk, i + $j)").mkString(", ' ', ")
     docs.select(col("doc_id"), expr(toks).as("tk"))
       .filter(expr(s"size(tk) >= $n"))
-      .select(col("doc_id"), expr(
-        s"array_distinct(transform(sequence(0, size(tk) - $n), " +
-        s"i -> cast(conv(substring(md5(concat($parts)), 1, 15), 16, 10) as bigint)))"
-      ).as("ghs"))
-      .select(col("doc_id"), explode(col("ghs")).as("gh"))
+      .select(col("doc_id"), col("tk"),
+        explode(expr(s"sequence(0, size(tk) - $n)")).as("i"))
+      .select(col("doc_id"),
+        expr(s"cast(conv(substring(md5(concat($parts)), 1, 15), 16, 10) as bigint)").as("gh"))
   }
 
   /** The benchmark (held-out) gram set dd08/dd12 decontaminate against:

@@ -611,24 +611,47 @@ object Streams {
     //    training documents checked against the held-out benchmark gram
     //    set as they arrive. The bench set is STATIC (built once from
     //    the staged gram index) and broadcast per micro-batch — a
-    //    stream-static join holds no stream state at all. The per-doc
-    //    DISTINCT grams are computed INSIDE the row (array_distinct on
-    //    the gram array — Dedup.distinctGramHashes), so no stateful
-    //    streaming distinct is needed and Complete-mode output is just
-    //    the per-doc counts. At scale the bench set outgrows a broadcast
-    //    → swap in dd12's Bloom probe; the plumbing is identical.
+    //    stream-static probe with ZERO stream state. The gram pipeline
+    //    runs inside foreachBatch, i.e. with full BATCH semantics per
+    //    micro-batch: codegen'd explode+md5 (Dedup.gramHashesOf), batch
+    //    distinct, broadcast join, per-doc counts — legal because a
+    //    document is one row and never straddles micro-batches, so
+    //    per-batch results merge by plain append (each doc contributes
+    //    exactly one partial; the read-back sum is identity per doc).
+    //    At scale the bench set outgrows a broadcast → swap in dd12's
+    //    Bloom probe; the plumbing is identical.
     "st18_stream_decontaminate" -> ((s, d) => {
       val bench = graft.operators.Dedup.benchGramSet(s, d)
       val schema = s.read.parquet(s"$d/documents.parquet").schema
-      val stream = s.readStream.schema(schema)
+      val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_st18_out"
+      val fsPath = new org.apache.hadoop.fs.Path(outDir)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(d)
-      val flagged = graft.operators.Dedup.distinctGramHashes(stream, 8)
-        .filter(col("doc_id") % 10 =!= 0)
-        .join(broadcast(bench), "gh")
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          // Single-file fixture arrives as 1-2 input partitions;
+          // redistribute the raw doc rows so every core tokenizes
+          // (a many-file production feed never needs this).
+          val docs = batch.repartition(
+            batch.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+          graft.operators.Dedup.gramHashesOf(docs, 8)
+            .filter(col("doc_id") % 10 =!= 0)
+            .distinct()
+            .join(broadcast(bench), "gh")
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_shared"))
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      s.read.parquet(outDir)
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shared_grams"))
-      runToTable(flagged, OutputMode.Complete())
+        .agg(sum(col("n_shared")).as("n_shared_grams"))
     }),
 
     "st04_stream_sessions" -> ((s, d) => {
