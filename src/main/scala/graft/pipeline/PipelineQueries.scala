@@ -24,7 +24,71 @@ import org.apache.spark.sql.functions._
   */
 object PipelineQueries {
 
+  /** Run a streaming Dataset to completion (AvailableNow) into a memory
+    * sink, then persist the materialized table to `out` — the sink shape
+    * pp02's FinalFns use. Unique sink names keep the two concurrent
+    * Runner futures from colliding. */
+  private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def drainTo(ds: DataFrame, out: String): Unit = {
+    val name = s"graft_pp_sink_${sinkSeq.incrementAndGet()}"
+    val q = ds.writeStream.format("memory").queryName(name)
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ds.sparkSession.table(name).write.mode("overwrite").parquet(out)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- The diamond again, UNBOUNDED: the reference's model is
+    //    stream-first (every node consumes a channel, pipe/node.go:12-13)
+    //    and its diamond test runs on an unbounded generator — pp02 is
+    //    that deployment shape on Structured Streaming. A file-stream
+    //    START node (ChannelBufferLen → maxFilesPerTrigger, the F11
+    //    knob), a shared normalize middle, fan-out to two independent
+    //    windowless aggregations, each drained by its own FinalFn —
+    //    Runner.start() launches both streaming queries CONCURRENTLY.
+    //    Streaming fan-out fidelity comes from source replay, not a
+    //    persist (see PipelineBuilder.build step 5). Result = union of
+    //    both sink relations; oracle = the two batch aggregations.
+    "pp02_stream_diamond" -> ((s, d) => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val outA = s"$tmp/graft_pp02_by_type"
+      val outB = s"$tmp/graft_pp02_by_user"
+      Seq(outA, outB).foreach { dir =>
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val schema = s.read.parquet(s"$d/events.parquet").schema
+      val b = new PipelineBuilder(s, Pipes.ChannelBufferLen(1))
+      val start = b.addFileStreamStart("events", d, schema, "events.parquet")
+      val norm = b.addMiddle[Row, Row]("normalize", ds =>
+        graft.sources.Tables.normalizeEventTs(ds.toDF())
+          .asInstanceOf[org.apache.spark.sql.Dataset[Row]])
+      val byType = b.addMiddle[Row, Row]("by_type", ds =>
+        ds.toDF().groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(graft.Exprs.cents(col("value"))).as("v"))
+          .select(lit("by_type").as("metric"), col("event_type").as("k"),
+            col("n"), col("v"))
+          .asInstanceOf[org.apache.spark.sql.Dataset[Row]])
+      val byUser = b.addMiddle[Row, Row]("by_user", ds =>
+        ds.toDF().groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"), sum(graft.Exprs.cents(col("value"))).as("v"))
+          .select(lit("by_user").as("metric"),
+            col("user_id").cast("string").as("k"), col("n"), col("v"))
+          .asInstanceOf[org.apache.spark.sql.Dataset[Row]])
+      val sinkA = b.addFinal[Row]("sink_a", ds => drainTo(ds.toDF(), outA))
+      val sinkB = b.addFinal[Row]("sink_b", ds => drainTo(ds.toDF(), outB))
+      b.sendTo(start, norm)
+      b.sendTo(norm, byType, byUser) // streaming fan-out (F4 via replay)
+      b.sendTo(byType, sinkA)
+      b.sendTo(byUser, sinkB)
+      val runner = b.build().fold(e => throw e, identity)
+      runner.run() // two concurrent streaming queries
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      s.read.parquet(outA).unionByName(s.read.parquet(outB))
+    }),
+
     "pp01_fanout_diamond" -> ((s, d) => {
       val tmp = System.getProperty("java.io.tmpdir")
       val outA = s"$tmp/graft_pp01_by_source"
@@ -68,6 +132,14 @@ object PipelineQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "pp02_stream_diamond" ->
+      """SELECT 'by_type' AS metric, event_type AS k, count(*) AS n,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+         FROM events GROUP BY event_type
+         UNION ALL
+         SELECT 'by_user' AS metric, CAST(user_id AS VARCHAR) AS k, count(*) AS n,
+                CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+         FROM events GROUP BY user_id""",
     "pp01_fanout_diamond" ->
       """SELECT 'by_source' AS metric, source AS k, count(*) AS n_docs,
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars

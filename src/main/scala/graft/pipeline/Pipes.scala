@@ -228,26 +228,31 @@ final class PipelineBuilder(spark: SparkSession, options: PipeOption*) {
       return Left(BuildError(s"pipeline graph has a cycle among: ${(liveKeys -- order).mkString(", ")}"))
 
     // 5. Materialize the Dataset DAG in topo order. Multi-consumer
-    //    outputs persist (broadcast-fidelity rule, SURVEY.md §7.4).
+    //    BATCH outputs persist (broadcast-fidelity rule, SURVEY.md §7.4).
+    //    STREAMING outputs cannot persist (caching a streaming Dataset is
+    //    illegal) and don't need to: each consumer's query replays the
+    //    shared subtree from the replayable source — exactly-once source
+    //    replay IS Structured Streaming's fan-out fidelity mechanism, so
+    //    every receiver still observes every element (F4).
     //    Dataset construction is eager about analysis, so schema/type
     //    errors surface HERE, not at start() — the Build()-time check.
     val outs = mutable.Map.empty[String, Dataset[Any]]
     val persisted = mutable.ArrayBuffer.empty[Dataset[Any]]
     val sinks = mutable.ArrayBuffer.empty[(String, Dataset[Any], FinalFn[Any])]
     val fanout = liveEdges.groupBy(_._1).map { case (k, es) => k -> es.size }
+    def shareOut(k: String, ds0: Dataset[Any]): Dataset[Any] =
+      if (fanout.getOrElse(k, 0) > 1 && !ds0.isStreaming) {
+        val ds = ds0.persist(StorageLevel.MEMORY_AND_DISK); persisted += ds; ds
+      } else ds0
     try {
       for (k <- order) {
         val inputs = liveEdges.filter(_._2 == k).map(e => outs(e._1))
         resolved(k) match {
           case Some(StartDef(p)) =>
-            var ds = p().toOption.flatten.get.apply(spark)
-            if (fanout.getOrElse(k, 0) > 1) { ds = ds.persist(StorageLevel.MEMORY_AND_DISK); persisted += ds }
-            outs(k) = ds
+            outs(k) = shareOut(k, p().toOption.flatten.get.apply(spark))
           case Some(MiddleDef(p)) =>
             if (inputs.isEmpty) throw BuildError(s"middle node '$k' has no live inputs")
-            var ds = p().toOption.flatten.get.apply(inputs.reduce(_ union _))
-            if (fanout.getOrElse(k, 0) > 1) { ds = ds.persist(StorageLevel.MEMORY_AND_DISK); persisted += ds }
-            outs(k) = ds
+            outs(k) = shareOut(k, p().toOption.flatten.get.apply(inputs.reduce(_ union _)))
           case Some(FinalDef(p)) =>
             if (inputs.isEmpty) throw BuildError(s"final node '$k' has no live inputs")
             sinks += ((k, inputs.reduce(_ union _), p().toOption.flatten.get))

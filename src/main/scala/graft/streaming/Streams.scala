@@ -571,8 +571,12 @@ object Streams {
     //    duplicate groups to STRADDLE micro-batches, so the cross-batch
     //    merge is actually exercised. State is ZERO: no dropDuplicates
     //    key set to grow forever — the sink itself is the state, which
-    //    is what lets this run on a 100 TB/day feed. Oracle = dd01's:
-    //    stream/batch parity for the dedup relation itself.
+    //    is what lets this run on a 100 TB/day feed. foreachBatch is
+    //    AT-LEAST-ONCE: a replayed batch appends its partial AGAIN, so
+    //    partials carry their batch_id and the read-back collapses
+    //    (key, batch_id) duplicates BEFORE the cross-batch merge —
+    //    replays change nothing (st07's last-emission discipline).
+    //    Oracle = dd01's: stream/batch parity for the dedup relation.
     "st17_stream_exact_dedup" -> ((s, d) => {
       val docs = graft.sources.Tables.documents(s, d).persist()
       val feed = new java.io.File(
@@ -593,15 +597,21 @@ object Streams {
         .writeStream
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
           batch.groupBy(md5(lower(trim(col("text")))).as("content_key"))
             .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+            .withColumn("batch_id", lit(bid))
             .write.mode("append").parquet(outDir)
         }
         .start()
       q.awaitTermination()
       org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
       s.read.parquet(outDir)
+        // Replay collapse: a re-run batch writes byte-identical partials
+        // under the same batch_id; min/max over them is the value itself.
+        .groupBy(col("content_key"), col("batch_id"))
+        .agg(min(col("doc_id")).as("doc_id"), max(col("n")).as("n"))
+        // Cross-batch merge: min of mins, sum of per-batch counts.
         .groupBy(col("content_key"))
         .agg(min(col("doc_id")).as("doc_id"), sum(col("n")).as("n_copies"))
         .select(col("doc_id"), col("n_copies"))
@@ -615,9 +625,10 @@ object Streams {
     //    runs inside foreachBatch, i.e. with full BATCH semantics per
     //    micro-batch: codegen'd explode+md5 (Dedup.gramHashesOf), batch
     //    distinct, broadcast join, per-doc counts — legal because a
-    //    document is one row and never straddles micro-batches, so
-    //    per-batch results merge by plain append (each doc contributes
-    //    exactly one partial; the read-back sum is identity per doc).
+    //    document is one row and never straddles micro-batches, so each
+    //    doc contributes exactly one partial and the read-back MAX per
+    //    doc is the identity — and, unlike a sum, stays correct when an
+    //    at-least-once foreachBatch replay appends the partial twice.
     //    At scale the bench set outgrows a broadcast → swap in dd12's
     //    Bloom probe; the plumbing is identical.
     "st18_stream_decontaminate" -> ((s, d) => {
@@ -651,7 +662,7 @@ object Streams {
       org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
       s.read.parquet(outDir)
         .groupBy(col("doc_id"))
-        .agg(sum(col("n_shared")).as("n_shared_grams"))
+        .agg(max(col("n_shared")).as("n_shared_grams"))
     }),
 
     "st04_stream_sessions" -> ((s, d) => {
