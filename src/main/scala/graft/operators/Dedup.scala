@@ -43,8 +43,8 @@ object Dedup {
     * 100 TB the pair joins shuffle 8-byte hashes, not text. Identical
     * md5-prefix hashing on the oracle side keeps Jaccard values equal
     * (a 60-bit collision would shift both engines the same way). */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private[graft] def shingleSetsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), expr(toks).as("tk"))
       .filter(expr("size(tk) >= 3"))
       .select(col("doc_id"), expr(
@@ -53,6 +53,9 @@ object Dedup {
         "i -> concat(element_at(tk, i + 1), ' ', element_at(tk, i + 2), ' ', element_at(tk, i + 3))), " +
         "g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)))"
       ).as("sh"))
+
+  private def shingleSets(s: SparkSession, d: String): DataFrame =
+    shingleSetsOf(Tables.documents(s, d))
 
   /** MinHash permutation constants: h_i(x) = (A_i·x + B_i) mod P over a
     * 31-bit base hash. P is the Mersenne prime 2^31−1; A_i·x stays under
@@ -154,11 +157,14 @@ object Dedup {
     * the hashed shingle SET with array folds — no explode, no shuffle:
     * the signature is a per-row computation over ~tens of elements.
     * (min over the distinct set == min over the multiset.) */
-  private def minhashWide(s: SparkSession, d: String, k: Int): DataFrame = {
+  private[graft] def minhashWideOf(sets: DataFrame, k: Int): DataFrame = {
     val minCols = (0 until k).map(i => expr(
       s"array_min(transform(sh, h -> (h % $P * ${A(i)} + ${B(i)}) % $P))").as(s"mh$i"))
-    shingleSets(s, d).select(col("doc_id") +: minCols: _*)
+    sets.select(col("doc_id") +: minCols: _*)
   }
+
+  private def minhashWide(s: SparkSession, d: String, k: Int): DataFrame =
+    minhashWideOf(shingleSets(s, d), k)
 
   /** MinHash signature, long format (doc_id, hid, minhash) — the wide
     * form unpivoted (k rows per doc, post-computation). */
@@ -257,24 +263,36 @@ object Dedup {
     * for dd09's cluster resolution). Band keys straight off the wide
     * signature: 4 rows per doc, no aggregation — banding is a per-row
     * reshape. */
-  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, bk) band keys off the wide k=8 signature — 4 rows per doc,
+    * a per-row reshape shared by the batch (dd03) and streaming (st19)
+    * LSH legs. */
+  private[graft] def bandKeysOf(sig: DataFrame): DataFrame = {
     val bandKeys = (0 until 4).map(b =>
       s"$b, md5(concat($b, '|', mh${2 * b}, '|', mh${2 * b + 1}))").mkString(", ")
-    val bands = minhashWide(s, d, 8)
-      .select(col("doc_id"), expr(s"stack(4, $bandKeys)").as(Seq("band", "bk")))
+    sig.select(col("doc_id"), expr(s"stack(4, $bandKeys)").as(Seq("band", "bk")))
       .select(col("doc_id"), col("bk"))
-    val cand = bands.as("a")
-      .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val sets = shingleSets(s, d)
+  }
+
+  /** Jaccard ≥ `minJ` verification of candidate pairs against a shingle-
+    * set lookup relation — the shared confirm stage (dd03 batch, st19
+    * streaming). The intersect is computed once per pair. */
+  private[graft] def verifyPairs(
+      cand: DataFrame, sets: DataFrame, minJ: Double): DataFrame =
     cand
       .join(sets.as("x"), col("doc_a") === col("x.doc_id"))
       .join(sets.as("y"), col("doc_b") === col("y.doc_id"))
       .withColumn("inter", size(array_intersect(col("x.sh"), col("y.sh"))))
       .select(col("doc_a"), col("doc_b"),
         jaccardOf(col("inter"), col("x.sh"), col("y.sh")).as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= minJ)
+
+  private def lshPairs(s: SparkSession, d: String): DataFrame = {
+    val bands = bandKeysOf(minhashWide(s, d, 8))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(cand, shingleSets(s, d), 0.5)
   }
 
   /** dd09's connected components over the verified LSH pair graph:

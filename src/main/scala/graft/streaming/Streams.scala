@@ -665,6 +665,91 @@ object Streams {
         .agg(max(col("n_shared")).as("n_shared_grams"))
     }),
 
+    // -- STREAMING MinHash-LSH near-dup detection — the hard streaming
+    //    dedup leg: fuzzy matching needs CROSS-BATCH candidate joins,
+    //    which no bounded stream state can hold at corpus scale. The
+    //    production shape is a persisted SIGNATURE LEDGER: each
+    //    micro-batch (a) computes its docs' shingle sets, MinHash
+    //    signatures and band keys (Dedup's exact pipeline, relation-
+    //    parametric); (b) generates candidates as intra-batch band
+    //    self-join ∪ new-vs-LEDGER band join; (c) verifies exact
+    //    jaccard ≥ 0.5 against the shingle ledger and appends confirmed
+    //    pairs; (d) appends its own signatures/shingles to the ledger.
+    //    Every pair lands exactly once modulo replays — intra-batch if
+    //    the docs share a batch, else when the later doc arrives — so
+    //    the union over batches IS dd03's all-pairs result, which is the
+    //    oracle. Replay-idempotent throughout: duplicate ledger rows and
+    //    re-probes only produce duplicate identical pairs, collapsed by
+    //    the read-back distinct; self-matches are excluded by id order.
+    //    Ledger joins are band-key equi-joins (the LSH bound on
+    //    candidates) and id-keyed shingle lookups — at 100 TB the ledger
+    //    is a parquet table bucketed by band key.
+    "st19_stream_neardup" -> ((s, d) => {
+      import graft.operators.Dedup
+      val tmp = System.getProperty("java.io.tmpdir")
+      val docs = graft.sources.Tables.documents(s, d).persist()
+      val feed = new java.io.File(tmp, "graft_st19_feed")
+      feed.mkdirs()
+      val t0 = System.currentTimeMillis() - 180000
+      stageFeedFile(feed, docs.filter(col("doc_id") % 2 === 0), "b1.parquet", t0)
+      stageFeedFile(feed, docs.filter(col("doc_id") % 2 =!= 0), "b2.parquet", t0 + 60000)
+      val schema = docs.schema
+      val (bandsDir, setsDir, outDir) = (
+        s"$tmp/graft_st19_bands", s"$tmp/graft_st19_sets", s"$tmp/graft_st19_out")
+      // Seed each ledger/sink with an EMPTY correctly-typed relation so
+      // batch 0 probes a valid (empty) ledger and the read-back never
+      // hits a missing path.
+      val empty = docs.limit(0)
+      docs.unpersist(blocking = false)
+      val seedSets = Dedup.shingleSetsOf(empty)
+      Seq(
+        bandsDir -> Dedup.bandKeysOf(Dedup.minhashWideOf(seedSets, 8)),
+        setsDir  -> seedSets,
+        outDir   -> Dedup.verifyPairs(
+          seedSets.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")),
+          seedSets, 0.5)
+      ).foreach { case (dir, df) => df.write.mode("overwrite").parquet(dir) }
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          val sets = Dedup.shingleSetsOf(
+            batch.repartition(ss.sparkContext.defaultParallelism, col("doc_id")))
+            .persist()
+          val bands = Dedup.bandKeysOf(Dedup.minhashWideOf(sets, 8)).persist()
+          val intra = bands.as("a")
+            .join(bands.as("b"),
+              col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          val oldBands = ss.read.parquet(bandsDir)
+          val cross = bands.as("n")
+            .join(oldBands.as("o"),
+              col("n.bk") === col("o.bk") && col("n.doc_id") =!= col("o.doc_id"))
+            .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+                    greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+          val cand = intra.union(cross).distinct()
+          val lookup = sets.union(ss.read.parquet(setsDir))
+          Dedup.verifyPairs(cand, lookup, 0.5)
+            .write.mode("append").parquet(outDir)
+          // Ledger append AFTER the probe: this batch's docs must not
+          // cross-match themselves (intra already covered in-batch).
+          bands.write.mode("append").parquet(bandsDir)
+          sets.write.mode("append").parquet(setsDir)
+          sets.unpersist(blocking = false)
+          bands.unpersist(blocking = false)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      s.read.parquet(outDir).distinct()
+    }),
+
     "st04_stream_sessions" -> ((s, d) => {
       // The session merge is the streaming-stateful part; the per-user
       // rollup happens in batch over the materialized session table
@@ -695,6 +780,10 @@ object Streams {
     "st17_stream_exact_dedup" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
          FROM documents GROUP BY md5(lower(trim(text)))""",
+    // Stream/batch parity with dd03: the incremental ledger union over
+    // batches must equal the batch all-pairs LSH result exactly.
+    "st19_stream_neardup" ->
+      graft.operators.Dedup.oracleSql("dd03_minhash_lsh_pairs"),
     // Stream/batch parity with dd08: same gram pipeline, same bench set.
     "st18_stream_decontaminate" -> {
       val dtoks = "list_filter(string_split(text, ' '), x -> x <> '')"
