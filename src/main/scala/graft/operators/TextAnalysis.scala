@@ -82,6 +82,31 @@ object TextAnalysis {
             + (col("n_uniq").cast("double") / col("n_toks")) * 0.5, 6).as("quality"))
     }),
 
+    // -- ADAPTIVE quality gating: the threshold is not a constant (ta03's
+    //    fixed 0.5 in pl01) but each language's own exact median quality —
+    //    the per-stratum dynamic cutoff a multilingual curation run needs
+    //    (a fixed global bar over-prunes low-resource languages). Two
+    //    aggregations + a broadcast of the per-lang medians back over the
+    //    rows (q56's windowless discipline — no sort of the corpus).
+    //    Medians are rounded to 6 dp in BOTH engines before the >=
+    //    comparison (q36's cross-engine percentile convention), and
+    //    quality itself is already a 6-dp-rounded value, so the boundary
+    //    test is deterministic.
+    "ta22_adaptive_quality_gate" -> ((s, d) => {
+      val qual = queries("ta03_quality_score")(s, d)
+        .select(col("doc_id"), col("quality"))
+      val dq = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(qual, "doc_id")
+      val med = dq.groupBy(col("lang"))
+        .agg(round(expr("percentile(quality, 0.5)"), 6).as("median_q"))
+      dq.join(broadcast(med), "lang")
+        .groupBy(col("lang"), col("median_q"))
+        .agg(count(lit(1)).as("n_docs"),
+             sum(when(col("quality") >= col("median_q"), 1L).otherwise(0L))
+               .as("n_kept"))
+        .select(col("lang"), col("median_q"), col("n_docs"), col("n_kept"))
+    }),
+
     // -- Document fingerprinting: whole-doc md5, a 1024-way shard bucket
     //    from its leading 8 hex digits, and a winnowing-style min-hash
     //    over word 3-gram shingles. Narrow; md5 is codegen'd.
@@ -536,6 +561,21 @@ object TextAnalysis {
 
   private val dtoks = "list_filter(string_split(text, ' '), x -> x <> '')"
 
+  /** ta03's oracle — shared verbatim by ta22's adaptive gate. */
+  private val dQualitySql =
+    """SELECT doc_id,
+        round(least(CAST(n_toks AS DOUBLE) / 100, 1.0), 6) AS len_score,
+        round(CAST(n_uniq AS DOUBLE) / n_toks, 6) AS diversity,
+        round(CAST(max_tf AS DOUBLE) / n_toks, 6) AS max_tf_ratio,
+        round(least(CAST(n_toks AS DOUBLE) / 100, 1.0) * 0.5
+              + (CAST(n_uniq AS DOUBLE) / n_toks) * 0.5, 6) AS quality
+        FROM (
+          SELECT doc_id, max(c) AS max_tf, sum(c) AS n_toks, count(*) AS n_uniq
+          FROM (SELECT doc_id, tok, count(*) AS c FROM (
+                  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+                  FROM documents) GROUP BY doc_id, tok)
+          GROUP BY doc_id)"""
+
   def oracleSql: Map[String, String] = Map(
     "ta01_token_stats" ->
       s"""SELECT doc_id,
@@ -555,19 +595,20 @@ object TextAnalysis {
               x -> list_contains(['the','a','of','and','in','to','is'], x))) AS DOUBLE) AS hits,
             CAST(len($dtoks) AS DOUBLE) AS n
           FROM documents)""",
-    "ta03_quality_score" ->
-      """SELECT doc_id,
-          round(least(CAST(n_toks AS DOUBLE) / 100, 1.0), 6) AS len_score,
-          round(CAST(n_uniq AS DOUBLE) / n_toks, 6) AS diversity,
-          round(CAST(max_tf AS DOUBLE) / n_toks, 6) AS max_tf_ratio,
-          round(least(CAST(n_toks AS DOUBLE) / 100, 1.0) * 0.5
-                + (CAST(n_uniq AS DOUBLE) / n_toks) * 0.5, 6) AS quality
-          FROM (
-            SELECT doc_id, max(c) AS max_tf, sum(c) AS n_toks, count(*) AS n_uniq
-            FROM (SELECT doc_id, tok, count(*) AS c FROM (
-                    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
-                    FROM documents) GROUP BY doc_id, tok)
-            GROUP BY doc_id)""",
+    "ta03_quality_score" -> dQualitySql,
+    // Same quality relation, per-lang exact median (rounded 6 dp in both
+    // engines — q36's percentile convention), broadcast-back gate.
+    "ta22_adaptive_quality_gate" ->
+      s"""WITH taq AS ($dQualitySql),
+          tadq AS (SELECT d.lang, taq.quality FROM documents d
+                   JOIN taq ON taq.doc_id = d.doc_id),
+          tam AS (SELECT lang, round(quantile_cont(quality, 0.5), 6) AS median_q
+                  FROM tadq GROUP BY lang)
+          SELECT tadq.lang, tam.median_q, count(*) AS n_docs,
+            CAST(sum(CASE WHEN tadq.quality >= tam.median_q THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_kept
+          FROM tadq JOIN tam ON tadq.lang = tam.lang
+          GROUP BY tadq.lang, tam.median_q""",
     "ta04_fingerprint" ->
       s"""SELECT doc_id,
           md5(array_to_string($dtoks, ' ')) AS fp_md5,
