@@ -151,6 +151,76 @@ object Streams {
     dst.setLastModified(mtime)
   }
 
+  /** st17's per-batch partial dedup — extracted pure so the replay-
+    * idempotence claim is spec-testable (StreamingReplaySpec). */
+  private[graft] def exactDedupPartial(batch: DataFrame, bid: Long): DataFrame =
+    batch.groupBy(md5(lower(trim(col("text")))).as("content_key"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
+      .withColumn("batch_id", lit(bid))
+
+  /** st17's merge-on-read over appended partials. Replay collapse first:
+    * a re-run batch writes byte-identical partials under the same
+    * batch_id, and min/max over them is the value itself; the cross-
+    * batch merge is then min of mins / sum of per-batch counts. */
+  private[graft] def exactDedupMerge(partials: DataFrame): DataFrame =
+    partials
+      .groupBy(col("content_key"), col("batch_id"))
+      .agg(min(col("doc_id")).as("doc_id"), max(col("n")).as("n"))
+      .groupBy(col("content_key"))
+      .agg(min(col("doc_id")).as("doc_id"), sum(col("n")).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+
+  /** st19's ledger bootstrap: seed each ledger/sink with an EMPTY
+    * correctly-typed relation so batch 0 probes a valid (empty) ledger
+    * and the read-back never hits a missing path. */
+  private[graft] def neardupSeed(emptyDocs: DataFrame,
+      bandsDir: String, setsDir: String, outDir: String): Unit = {
+    import graft.operators.Dedup
+    val seedSets = Dedup.shingleSetsOf(emptyDocs)
+    Seq(
+      bandsDir -> Dedup.bandKeysOf(Dedup.minhashWideOf(seedSets, 8)),
+      setsDir  -> seedSets,
+      outDir   -> Dedup.verifyPairs(
+        seedSets.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")),
+        seedSets, 0.5)
+    ).foreach { case (dir, df) => df.write.mode("overwrite").parquet(dir) }
+  }
+
+  /** st19's per-batch incremental LSH step: probe the signature ledger
+    * (intra-batch band self-join ∪ new-vs-ledger band join), verify
+    * exact jaccard against the shingle ledger, append confirmed pairs,
+    * then append this batch's signatures/shingles. Extracted so the
+    * split-invariance and replay-idempotence claims are spec-testable. */
+  private[graft] def neardupStep(batch: DataFrame,
+      bandsDir: String, setsDir: String, outDir: String): Unit = {
+    import graft.operators.Dedup
+    val ss = batch.sparkSession
+    val sets = Dedup.shingleSetsOf(
+      batch.repartition(ss.sparkContext.defaultParallelism, col("doc_id")))
+      .persist()
+    val bands = Dedup.bandKeysOf(Dedup.minhashWideOf(sets, 8)).persist()
+    val intra = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val oldBands = ss.read.parquet(bandsDir)
+    val cross = bands.as("n")
+      .join(oldBands.as("o"),
+        col("n.bk") === col("o.bk") && col("n.doc_id") =!= col("o.doc_id"))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+              greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+    val cand = intra.union(cross).distinct()
+    val lookup = sets.union(ss.read.parquet(setsDir))
+    Dedup.verifyPairs(cand, lookup, 0.5)
+      .write.mode("append").parquet(outDir)
+    // Ledger append AFTER the probe: this batch's docs must not
+    // cross-match themselves (intra already covered in-batch).
+    bands.write.mode("append").parquet(bandsDir)
+    sets.write.mode("append").parquet(setsDir)
+    sets.unpersist(blocking = false)
+    bands.unpersist(blocking = false)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Streaming tumbling-window aggregation; same oracle as the batch
     //    q27 — stream/batch parity is the assertion.
@@ -598,23 +668,12 @@ object Streams {
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, bid: Long) =>
-          batch.groupBy(md5(lower(trim(col("text")))).as("content_key"))
-            .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n"))
-            .withColumn("batch_id", lit(bid))
-            .write.mode("append").parquet(outDir)
+          exactDedupPartial(batch, bid).write.mode("append").parquet(outDir)
         }
         .start()
       q.awaitTermination()
       org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
-      s.read.parquet(outDir)
-        // Replay collapse: a re-run batch writes byte-identical partials
-        // under the same batch_id; min/max over them is the value itself.
-        .groupBy(col("content_key"), col("batch_id"))
-        .agg(min(col("doc_id")).as("doc_id"), max(col("n")).as("n"))
-        // Cross-batch merge: min of mins, sum of per-batch counts.
-        .groupBy(col("content_key"))
-        .agg(min(col("doc_id")).as("doc_id"), sum(col("n")).as("n_copies"))
-        .select(col("doc_id"), col("n_copies"))
+      exactDedupMerge(s.read.parquet(outDir))
     }),
 
     // -- STREAMING decontamination — the ingest leg of dd08: incoming
@@ -699,16 +758,8 @@ object Streams {
       // Seed each ledger/sink with an EMPTY correctly-typed relation so
       // batch 0 probes a valid (empty) ledger and the read-back never
       // hits a missing path.
-      val empty = docs.limit(0)
+      neardupSeed(docs.limit(0), bandsDir, setsDir, outDir)
       docs.unpersist(blocking = false)
-      val seedSets = Dedup.shingleSetsOf(empty)
-      Seq(
-        bandsDir -> Dedup.bandKeysOf(Dedup.minhashWideOf(seedSets, 8)),
-        setsDir  -> seedSets,
-        outDir   -> Dedup.verifyPairs(
-          seedSets.select(col("doc_id").as("doc_a"), col("doc_id").as("doc_b")),
-          seedSets, 0.5)
-      ).foreach { case (dir, df) => df.write.mode("overwrite").parquet(dir) }
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", "1")
@@ -717,32 +768,7 @@ object Streams {
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val ss = batch.sparkSession
-          val sets = Dedup.shingleSetsOf(
-            batch.repartition(ss.sparkContext.defaultParallelism, col("doc_id")))
-            .persist()
-          val bands = Dedup.bandKeysOf(Dedup.minhashWideOf(sets, 8)).persist()
-          val intra = bands.as("a")
-            .join(bands.as("b"),
-              col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          val oldBands = ss.read.parquet(bandsDir)
-          val cross = bands.as("n")
-            .join(oldBands.as("o"),
-              col("n.bk") === col("o.bk") && col("n.doc_id") =!= col("o.doc_id"))
-            .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
-                    greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
-          val cand = intra.union(cross).distinct()
-          val lookup = sets.union(ss.read.parquet(setsDir))
-          Dedup.verifyPairs(cand, lookup, 0.5)
-            .write.mode("append").parquet(outDir)
-          // Ledger append AFTER the probe: this batch's docs must not
-          // cross-match themselves (intra already covered in-batch).
-          bands.write.mode("append").parquet(bandsDir)
-          sets.write.mode("append").parquet(setsDir)
-          sets.unpersist(blocking = false)
-          bands.unpersist(blocking = false)
-          ()
+          neardupStep(batch, bandsDir, setsDir, outDir)
         }
         .start()
       q.awaitTermination()

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.streaming.Streams
+
+/** Pins the ingest-leg guarantees the streaming dedup operators CLAIM:
+  *
+  *  - st17: merge-on-read equals the one-shot batch dedup for ANY batch
+  *    split, and is unchanged when an at-least-once foreachBatch replays
+  *    a batch (duplicate partials under the same batch_id).
+  *  - st19: the incremental signature-ledger union equals dd03's batch
+  *    all-pairs for a DIFFERENT split than the registered query uses
+  *    (3-way here vs 2-way there), and replaying a middle step changes
+  *    nothing.
+  *
+  * These are the properties that make the operators safe on a real
+  * at-least-once feed — asserted directly on the extracted per-batch
+  * functions, no streaming machinery needed.
+  */
+class StreamingReplaySpec extends SparkSpec {
+
+  private def docs = Tables.documents(spark, sfDir)
+
+  test("st17 partials merge to the batch dedup under any split + replay") {
+    val expected = docs
+      .groupBy(md5(lower(trim(col("text")))).as("content_key"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+    // 3-way split (the registered query streams a 2-way split) with
+    // batch 1 REPLAYED: its partial is appended twice, as an
+    // at-least-once foreachBatch would after a sink-commit failure.
+    val partials = Seq(
+      Streams.exactDedupPartial(docs.filter(col("doc_id") % 3 === 0), 0L),
+      Streams.exactDedupPartial(docs.filter(col("doc_id") % 3 === 1), 1L),
+      Streams.exactDedupPartial(docs.filter(col("doc_id") % 3 === 1), 1L), // replay
+      Streams.exactDedupPartial(docs.filter(col("doc_id") % 3 === 2), 2L)
+    ).reduce(_ unionByName _)
+    val merged = Streams.exactDedupMerge(partials)
+    assert(merged.count() == expected.count())
+    assert(merged.except(expected).isEmpty && expected.except(merged).isEmpty)
+  }
+
+  test("st19 ledger union equals dd03 all-pairs under a 3-way split + replay") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val (bandsDir, setsDir, outDir) = (
+      s"$tmp/graft_spec_st19_bands", s"$tmp/graft_spec_st19_sets",
+      s"$tmp/graft_spec_st19_out")
+    Streams.neardupSeed(docs.limit(0), bandsDir, setsDir, outDir)
+    val splits = (0 to 2).map(r => docs.filter(col("doc_id") % 3 === r))
+    Streams.neardupStep(splits(0), bandsDir, setsDir, outDir)
+    Streams.neardupStep(splits(1), bandsDir, setsDir, outDir)
+    Streams.neardupStep(splits(1), bandsDir, setsDir, outDir) // replay
+    Streams.neardupStep(splits(2), bandsDir, setsDir, outDir)
+    val got: DataFrame = spark.read.parquet(outDir).distinct()
+    val expected = graft.operators.Dedup
+      .queries("dd03_minhash_lsh_pairs")(spark, sfDir)
+    assert(got.count() == expected.count(),
+      s"pair counts differ: got ${got.count()}, expected ${expected.count()}")
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+}
