@@ -90,6 +90,36 @@ object FormatsIO {
              sum(col("text_len").cast("long")).as("total_len"))
     }),
 
+    // -- DYNAMIC partition pruning — the RUNTIME complement of io04's
+    //    static pruning, and the scan lever for star-schema joins at
+    //    100 TB: the fact table is partitioned by day, the selective
+    //    filter lives on the DIM side (not statically derivable for the
+    //    fact scan), and Catalyst injects a DynamicPruningSubquery into
+    //    the fact scan's PartitionFilters — the dim's broadcast result
+    //    prunes fact partitions at RUNTIME, so the fact read touches
+    //    only joined days instead of the whole table (PlanQualitySpec
+    //    pins the dynamicpruning expression). Day selection is
+    //    md5-hash-based (ta08's discipline), not calendar-based —
+    //    Spark's and DuckDB's dayofweek disagree on numbering.
+    "io09_dynamic_pruning" -> ((s, d) => {
+      val dir = tmpDir("io09")
+      Tables.events(s, d)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .select(col("event_id"), col("event_type"), col("value"), col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(dir)
+      // Read-back infers the partition column as DATE; the dim side is
+      // built as DATE too so the join key needs no cast (a cast on the
+      // partition column would block the pruning subquery insertion).
+      val fact = s.read.parquet(dir)
+      val dim = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day")).distinct()
+        .filter(expr(
+          "cast(conv(substring(md5(cast(day as string)), 1, 2), 16, 10) as bigint) % 3 = 0"))
+      fact.join(dim, "day")
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+    }),
+
     // -- Permissive ingestion: the reference's minigrep keeps going past
     //    unreadable inputs (logs and continues, minigrep.go:47-61); the
     //    Spark-native form is PERMISSIVE parse mode with a corrupt-record
@@ -205,6 +235,13 @@ object FormatsIO {
       """SELECT source, count(*) AS n,
          CAST(sum(length(text)) AS BIGINT) AS total_len
          FROM documents WHERE lang = 'en' GROUP BY source""",
+    "io09_dynamic_pruning" ->
+      """SELECT day, count(*) AS n,
+         CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
+               FROM events)
+         WHERE CAST(concat('0x', substr(md5(CAST(day AS VARCHAR)), 1, 2)) AS BIGINT) % 3 = 0
+         GROUP BY day""",
     // Data identity + the layout contract: exactly ceil(n/5000) files
     // after compaction, strictly fewer than the fragmented layout.
     "io07_compaction" ->

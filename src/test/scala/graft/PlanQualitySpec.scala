@@ -191,6 +191,16 @@ class PlanQualitySpec extends SparkSpec {
       "partition column leaked into the data schema: " + readSchema)
   }
 
+  test("fact scan gets a runtime partition filter from the dim side (io09)") {
+    val p = plan("io09_dynamic_pruning")
+    // The selective filter is on the dim relation; the fact scan must
+    // carry a DynamicPruningSubquery in its PartitionFilters — at scale
+    // this is what keeps a star-schema join from scanning every fact
+    // partition when the static planner can't prune.
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      "fact scan has no runtime partition filter:\n" + p.take(3000))
+  }
+
   test("z-score joins broadcast stats; no window sort of the data (q56)") {
     val p = plan("q56_zscore_normalize")
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
