@@ -25,6 +25,7 @@ object SparkEntry {
     graft.operators.Similarity.queries ++
     graft.operators.TextAnalysis.queries ++
     graft.operators.Multimodal.queries ++
+    graft.operators.Profile.queries ++
     graft.operators.Curation.queries ++
     graft.sources.FormatsIO.queries ++
     graft.streaming.Streams.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
     graft.operators.Similarity.oracleSql ++
     graft.operators.TextAnalysis.oracleSql ++
     graft.operators.Multimodal.oracleSql ++
+    graft.operators.Profile.oracleSql ++
     graft.operators.Curation.oracleSql ++
     graft.sources.FormatsIO.oracleSql ++
     graft.streaming.Streams.oracleSql ++

@@ -667,6 +667,36 @@ object Dedup {
           round(graft.functions.VectorFunctions.vecDot(col("a.e"), col("b.e"))
             / sqrt(col("a.nrm") * col("b.nrm")), 6).as("cos"))
         .filter(col("cos") >= 0.4)
+    }),
+
+    // -- Embedding-space decontamination — the SEMANTIC tier of the
+    //    decontamination trio (dd08 exact 8-grams, dd12 Bloom sketch,
+    //    dd17 embeddings): a held-out eval/benchmark split of the vector
+    //    table; a corpus vector is contaminated if it is near-identical
+    //    (cos >= 0.4 on the 6-dp-rounded score) to ANY eval vector.
+    //    Paraphrased contamination that shares no 8-gram still lands
+    //    here. Scale shape: the eval side is benchmark-sized (10% of
+    //    the fixture; a few thousand rows in production), so it is
+    //    BROADCAST and the probe is a map-side cell-local join on
+    //    `label` (the IVF cell id) — the corpus never shuffles; the
+    //    only exchange carries the flagged ids into the final rollup.
+    "dd17_embedding_decontamination" -> ((s, d) => {
+      val bucket = expr(
+        "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint) % 100")
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").as("e"))
+        .withColumn("nrm", graft.functions.VectorFunctions.vecDot(col("e"), col("e")))
+        .withColumn("b", bucket)
+      val evalSide = v.filter(col("b") >= 90)
+        .select(col("label"), col("e").as("ee"), col("nrm").as("enrm"))
+      v.filter(col("b") < 90)
+        .join(broadcast(evalSide), Seq("label"))
+        .select(col("vec_id"),
+          round(graft.functions.VectorFunctions.vecDot(col("e"), col("ee"))
+            / sqrt(col("nrm") * col("enrm")), 6).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_eval_matches"), max(col("cos")).as("max_cos"))
     })
   )
 
@@ -918,6 +948,22 @@ object Dedup {
              round(list_dot_product(a.e, b.e)
                / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)), 6) AS cos
            FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
-         WHERE cos >= 0.4"""
+         WHERE cos >= 0.4""",
+    "dd17_embedding_decontamination" ->
+      """WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+              CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 AS b
+            FROM embeddings),
+          ev AS (SELECT label, e FROM v WHERE b >= 90)
+          SELECT vec_id, count(*) AS n_eval_matches, max(cos) AS max_cos
+          FROM (
+            SELECT c.vec_id,
+              round(list_dot_product(c.e, ev.e)
+                / sqrt(list_dot_product(c.e, c.e) * list_dot_product(ev.e, ev.e)),
+                6) AS cos
+            FROM v c JOIN ev ON c.label = ev.label
+            WHERE c.b < 90)
+          WHERE cos >= 0.4
+          GROUP BY vec_id"""
   )
 }

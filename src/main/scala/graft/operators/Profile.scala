@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Data-quality profiling operators — the ingest-validation pass a 100 TB
+  * pipeline runs BEFORE any expensive transform (the "great-expectations"
+  * shape: assert the data looks like the contract before burning cluster
+  * hours on it). The reference's permissive-source philosophy
+  * (/root/reference/tutorial/minigrep/minigrep.go:47-61 — keep going past
+  * bad input) implies the complementary need: measure HOW MUCH of the
+  * input is bad, per column, in one pass.
+  *
+  * Scale notes (100 TB):
+  *   - dq01/dq02 are single hash-aggregations with map-side partial
+  *     combine; the only shuffle carries ONE row per aggregate — the
+  *     profile itself is O(columns), never O(rows).
+  *   - Per-column distinct counts use exact count(distinct …) here
+  *     (multiple distincts → Expand, ~k× scan rows pre-combine, k = the
+  *     profiled column count — bounded and map-side combined; the
+  *     sketch alternative at extreme cardinality is q19/q58's HLL path).
+  *   - Cross-engine determinism: no double is ever summed (order-
+  *     dependent); money flows through exact integer cents, ratios are
+  *     computed from exact integers then rounded to 6 dp.
+  */
+object Profile {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- Text-table profile: one row per profiled column with row/null/
+    //    distinct counts and length stats. One aggregation pass computes
+    //    every stat; the single result row is then unpivoted driver-side
+    //    into the per-column contract shape (stack on a 1-row relation —
+    //    zero extra scans).
+    "dq01_profile_documents" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val one = docs.agg(
+        count(lit(1)).as("n_rows"),
+        // text
+        sum(col("text").isNull.cast("long")).as("text_nulls"),
+        countDistinct(col("text")).as("text_distinct"),
+        min(length(col("text"))).as("text_min_len"),
+        max(length(col("text"))).as("text_max_len"),
+        // lang
+        sum(col("lang").isNull.cast("long")).as("lang_nulls"),
+        countDistinct(col("lang")).as("lang_distinct"),
+        min(length(col("lang"))).as("lang_min_len"),
+        max(length(col("lang"))).as("lang_max_len"),
+        // source
+        sum(col("source").isNull.cast("long")).as("source_nulls"),
+        countDistinct(col("source")).as("source_distinct"),
+        min(length(col("source"))).as("source_min_len"),
+        max(length(col("source"))).as("source_max_len"))
+      one.select(col("n_rows"), expr(
+        """stack(3,
+             'text',   text_nulls,   text_distinct,   text_min_len,   text_max_len,
+             'lang',   lang_nulls,   lang_distinct,   lang_min_len,   lang_max_len,
+             'source', source_nulls, source_distinct, source_min_len, source_max_len)
+           AS (col_name, n_nulls, n_distinct, min_len, max_len)"""))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_len"), col("max_len"))
+    }),
+
+    // -- Numeric-table profile over lineitem's measure columns: count /
+    //    nulls / distinct / min / max / exact mean. Doubles are never
+    //    summed directly — each measure becomes exact integer cents
+    //    (round(x*100) as BIGINT) before the sum, so the mean is a
+    //    deterministic integer ratio in both engines.
+    "dq02_profile_lineitem" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      def cents(c: String) = expr(s"cast(round($c * 100) as bigint)")
+      def stats(c: String) = Seq(
+        sum(col(c).isNull.cast("long")).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(cents(c)).as(s"${c}_min_c"),
+        max(cents(c)).as(s"${c}_max_c"),
+        sum(cents(c)).as(s"${c}_sum_c"))
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(stats)
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val stacked = cols.map(c =>
+        s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min_c, ${c}_max_c, ${c}_sum_c")
+        .mkString(", ")
+      one.select(col("n_rows"), expr(
+        s"""stack(${cols.size}, $stacked)
+            AS (col_name, n_nulls, n_distinct, min_cents, max_cents, sum_cents)"""))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+          col("min_cents"), col("max_cents"),
+          round(col("sum_cents").cast("double") / col("n_rows") / 100d, 6)
+            .as("mean_val"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "dq01_profile_documents" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name,
+              count(*) AS n_rows,
+              CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+              count(DISTINCT $c) AS n_distinct,
+              CAST(min(length($c)) AS INT) AS min_len,
+              CAST(max(length($c)) AS INT) AS max_len
+            FROM documents"""
+      Seq("text", "lang", "source").map(one).mkString(" UNION ALL ")
+    },
+    "dq02_profile_lineitem" -> {
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>
+        s"""SELECT '$c' AS col_name,
+              count(*) AS n_rows,
+              CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+              count(DISTINCT $c) AS n_distinct,
+              min(CAST(round($c * 100) AS BIGINT)) AS min_cents,
+              max(CAST(round($c * 100) AS BIGINT)) AS max_cents,
+              round(CAST(sum(CAST(round($c * 100) AS BIGINT)) AS DOUBLE)
+                    / count(*) / 100e0, 6) AS mean_val
+            FROM lineitem""").mkString(" UNION ALL ")
+    })
+}

@@ -517,6 +517,90 @@ object TextAnalysis {
             .when(col("kl_bits") < 1.45, "close")
             .otherwise("far"))
         .select(col("doc_id"), col("ce_bits"), col("kl_bits"), col("englishness"))
+    }),
+
+    // -- Model-based quality scoring: a fixed-weight LINEAR classifier
+    //    over in-row features (the fastText-quality-classifier shape:
+    //    featurize → w·x → squash → threshold). Features are ta03's
+    //    length/diversity signals plus ta02's stopword ratio, all
+    //    computed WITHOUT a shuffle (array_distinct instead of the
+    //    explode+agg of ta03) — the whole classifier is one narrow
+    //    codegen'd pass over the scan, which is exactly how a learned
+    //    filter runs over 100 TB: embarrassingly parallel, no state.
+    //    Cross-engine determinism BY CONSTRUCTION: every weight is an
+    //    exactly-representable binary double (2.5, 2.0, 1.5, -2.0) and
+    //    the squash is the RATIONAL sigmoid 0.5 + z/(2(1+|z|)) — only
+    //    IEEE-exact +,*,/,abs, no libm exp — so Spark and DuckDB emit
+    //    bit-identical scores before the 6-dp round even touches them.
+    "ta23_quality_classifier" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr(s"size($toks)").cast("double").as("n"),
+          expr(s"size(array_distinct($toks))").cast("double").as("u"),
+          expr(s"size(filter($toks, x -> array_contains(" +
+            "array('the','a','of','and','in','to','is'), x)))")
+            .cast("double").as("hits"))
+        .select(col("doc_id"),
+          when(col("n") > 0, least(col("n") / 100d, lit(1d))).otherwise(0d).as("f_len"),
+          when(col("n") > 0, col("u") / col("n")).otherwise(0d).as("f_div"),
+          when(col("n") > 0, col("hits") / col("n")).otherwise(0d).as("f_stop"))
+        .withColumn("z",
+          lit(-2.0d) + lit(2.5d) * col("f_len") + lit(2.0d) * col("f_div")
+            + lit(1.5d) * col("f_stop"))
+        .select(col("doc_id"),
+          round(col("f_len"), 6).as("f_len"),
+          round(col("f_div"), 6).as("f_div"),
+          round(col("f_stop"), 6).as("f_stop"),
+          round(lit(0.5d) + col("z") / (lit(2.0d) * (lit(1.0d) + abs(col("z")))), 6)
+            .as("score"))
+        .withColumn("keep", col("score") >= 0.55)
+    }),
+
+    // -- Corpus-trained bigram language model, add-one smoothing: per
+    //    doc, average surprisal -log2 P(w2|w1) where P = (c(w1 w2)+1) /
+    //    (c(w1)+V) with counts trained on THIS corpus — the KenLM-style
+    //    perplexity filter, self-trained (the production shape: train
+    //    counts on a trusted slice, score everything). Two gram-keyed
+    //    hash aggregations build the model; scoring joins each doc's
+    //    bigram stream to the model — all shuffles carry gram keys with
+    //    map-side combine, the 100 TB-safe shape (ta05/ta20's).
+    //    Cross-engine determinism: a distributed sum of doubles is
+    //    order-dependent, so each bigram's surprisal is rounded to
+    //    MICRO-BITS and cast to BIGINT first — the per-doc sum is then
+    //    exact integer arithmetic in both engines (ta16 note: log2 of
+    //    identical doubles is bit-identical across both engines' libm
+    //    on this host — the ta15/ta16 family already leans on that).
+    "ta24_bigram_lm_surprisal" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bi = docs
+        .select(col("doc_id"), expr(toks).as("tk"))
+        .filter(expr("size(tk) >= 2"))
+        .select(col("doc_id"),
+          explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] as w1, tk[i] as w2))"))
+            .as("g"))
+        .select(col("doc_id"), col("g.w1"), col("g.w2"))
+      val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val uc = bi.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+      val vocab = docs.select(explode(expr(toks)).as("w"))
+        .agg(countDistinct(col("w")).as("v"))
+      val scored = bi
+        .join(bc, Seq("w1", "w2"))
+        .join(uc, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          expr("cast(round(-log2((cb + 1) / cast(cu + v as double)) * 1e6) as bigint)")
+            .as("micro_bits"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+             sum(col("micro_bits")).as("sum_micro"))
+      docs.select(col("doc_id"))
+        .join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          when(col("n_bigrams").isNotNull,
+            round(col("sum_micro").cast("double") / 1e6 / col("n_bigrams"), 6))
+            .otherwise(0d).as("avg_bits"))
     })
   )
 
@@ -609,6 +693,54 @@ object TextAnalysis {
               AS BIGINT) AS n_kept
           FROM tadq JOIN tam ON tadq.lang = tam.lang
           GROUP BY tadq.lang, tam.median_q""",
+    // Weights and squash are IEEE-exact (+,*,/,abs only; every literal
+    // exponent-suffixed → native DOUBLE in both engines), so Spark and
+    // DuckDB scores are bit-identical before the round.
+    "ta23_quality_classifier" ->
+      s"""SELECT doc_id,
+            round(f_len, 6) AS f_len, round(f_div, 6) AS f_div,
+            round(f_stop, 6) AS f_stop,
+            round(0.5e0 + z / (2.0e0 * (1.0e0 + abs(z))), 6) AS score,
+            round(0.5e0 + z / (2.0e0 * (1.0e0 + abs(z))), 6) >= 0.55e0 AS keep
+          FROM (
+            SELECT doc_id, f_len, f_div, f_stop,
+              -2.0e0 + 2.5e0 * f_len + 2.0e0 * f_div + 1.5e0 * f_stop AS z
+            FROM (
+              SELECT doc_id,
+                CASE WHEN n > 0 THEN least(n / 100e0, 1.0e0) ELSE 0e0 END AS f_len,
+                CASE WHEN n > 0 THEN u / n ELSE 0e0 END AS f_div,
+                CASE WHEN n > 0 THEN hits / n ELSE 0e0 END AS f_stop
+              FROM (
+                SELECT doc_id,
+                  CAST(len($dtoks) AS DOUBLE) AS n,
+                  CAST(len(list_distinct($dtoks)) AS DOUBLE) AS u,
+                  CAST(len(list_filter($dtoks, x -> list_contains(
+                    ['the','a','of','and','in','to','is'], x))) AS DOUBLE) AS hits
+                FROM documents)))""",
+    // Per-bigram surprisal is integer micro-bits before the per-doc sum,
+    // so the distributed double-sum never happens in either engine.
+    "ta24_bigram_lm_surprisal" ->
+      s"""WITH ta24tk AS (SELECT doc_id, $dtoks AS tk FROM documents
+                          WHERE len($dtoks) >= 2),
+          ta24bi AS (SELECT doc_id,
+              unnest(list_transform(range(len(tk) - 1), i -> tk[i+1])) AS w1,
+              unnest(list_transform(range(len(tk) - 1), i -> tk[i+2])) AS w2
+            FROM ta24tk),
+          ta24bc AS (SELECT w1, w2, count(*) AS cb FROM ta24bi GROUP BY 1, 2),
+          ta24uc AS (SELECT w1, count(*) AS cu FROM ta24bi GROUP BY 1),
+          ta24v AS (SELECT count(DISTINCT w) AS v FROM
+              (SELECT unnest($dtoks) AS w FROM documents)),
+          ta24sc AS (SELECT doc_id, count(*) AS n_bigrams,
+              sum(CAST(round(-log2((cb + 1) / CAST(cu + v AS DOUBLE)) * 1e6)
+                  AS BIGINT)) AS sum_micro
+            FROM ta24bi JOIN ta24bc USING (w1, w2) JOIN ta24uc USING (w1), ta24v
+            GROUP BY doc_id)
+          SELECT d.doc_id,
+            coalesce(n_bigrams, 0) AS n_bigrams,
+            CASE WHEN n_bigrams IS NOT NULL
+                 THEN round(CAST(sum_micro AS DOUBLE) / 1e6 / n_bigrams, 6)
+                 ELSE 0e0 END AS avg_bits
+          FROM documents d LEFT JOIN ta24sc ON d.doc_id = ta24sc.doc_id""",
     "ta04_fingerprint" ->
       s"""SELECT doc_id,
           md5(array_to_string($dtoks, ' ')) AS fp_md5,
