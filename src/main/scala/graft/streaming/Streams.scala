@@ -776,6 +776,67 @@ object Streams {
       s.read.parquet(outDir).distinct()
     }),
 
+    // -- STREAMING embedding-space decontamination — the stream leg of
+    //    dd17 (as st18 is of dd08): incoming vectors are probed per
+    //    micro-batch against the BROADCAST held-out eval set (stream-
+    //    static, benchmark-sized — no stream state at all); matches
+    //    append (vec_id, eval_id, cos) to the sink and the read-back
+    //    distinct+rollup makes replays invisible (a re-run batch
+    //    appends byte-identical pairs). Two chronological feed files
+    //    force the probe to span micro-batches. At 100 TB this is the
+    //    ingest-time semantic contamination gate: map-side cell-local
+    //    cosine, corpus never shuffles, sink bucketable by vec_id.
+    "st20_stream_embed_decontaminate" -> ((s, d) => {
+      val tmp = System.getProperty("java.io.tmpdir")
+      val bucket = expr(
+        "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint) % 100")
+      val emb = graft.sources.Tables.embeddings(s, d).persist()
+      val v = emb.select(col("vec_id"), col("label"), col("embedding").as("e"))
+        .withColumn("nrm",
+          graft.functions.VectorFunctions.vecDot(col("e"), col("e")))
+        .withColumn("b", bucket)
+      val evalSide = v.filter(col("b") >= 90)
+        .select(col("label"), col("vec_id").as("eval_id"),
+          col("e").as("ee"), col("nrm").as("enrm"))
+      val feed = new java.io.File(tmp, "graft_st20_feed")
+      feed.mkdirs()
+      val t0 = System.currentTimeMillis() - 180000
+      stageFeedFile(feed, emb.filter(col("vec_id") % 2 === 0), "b1.parquet", t0)
+      stageFeedFile(feed, emb.filter(col("vec_id") % 2 =!= 0), "b2.parquet", t0 + 60000)
+      val schema = emb.schema
+      emb.unpersist(blocking = false)
+      val outDir = s"$tmp/graft_st20_out"
+      val fsPath = new org.apache.hadoop.fs.Path(outDir)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch
+            .select(col("vec_id"), col("label"), col("embedding").as("e"))
+            .withColumn("nrm",
+              graft.functions.VectorFunctions.vecDot(col("e"), col("e")))
+            .withColumn("b", bucket)
+            .filter(col("b") < 90)
+            .join(broadcast(evalSide), Seq("label"))
+            .select(col("vec_id"), col("eval_id"),
+              round(graft.functions.VectorFunctions.vecDot(col("e"), col("ee"))
+                / sqrt(col("nrm") * col("enrm")), 6).as("cos"))
+            .filter(col("cos") >= 0.4)
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      s.read.parquet(outDir).distinct()
+        .groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("n_eval_matches"), max(col("cos")).as("max_cos"))
+    }),
+
     "st04_stream_sessions" -> ((s, d) => {
       // The session merge is the streaming-stateful part; the per-user
       // rollup happens in batch over the materialized session table
@@ -810,6 +871,10 @@ object Streams {
     // batches must equal the batch all-pairs LSH result exactly.
     "st19_stream_neardup" ->
       graft.operators.Dedup.oracleSql("dd03_minhash_lsh_pairs"),
+    // Stream/batch parity with dd17: the union of per-batch broadcast
+    // probes must equal the batch semantic-decontamination result.
+    "st20_stream_embed_decontaminate" ->
+      graft.operators.Dedup.oracleSql("dd17_embedding_decontamination"),
     // Stream/batch parity with dd08: same gram pipeline, same bench set.
     "st18_stream_decontaminate" -> {
       val dtoks = "list_filter(string_split(text, ' '), x -> x <> '')"
