@@ -96,6 +96,30 @@ object Streams {
 
   private val nameSeq = new AtomicInteger(0)
 
+  /** Stateful streaming queries run on a shared ISOLATED session with
+    * `spark.sql.shuffle.partitions` tuned down to 8. State-store shard
+    * count is a STATE-SIZE knob, not a CPU knob: every shard pays
+    * per-micro-batch delta-commit file IO (a stream-stream join keeps 4
+    * stores per shard per side), so 32 shards over fixture-sized state
+    * spend more wall-clock in state-store commits than in the join
+    * itself — measured on this harness: st16+st08 ~29 s → ~13 s at 8
+    * shards. The same principle scales up, not just down: on a real
+    * cluster you size shards to state volume (hundreds for a TB-scale
+    * join buffer) independent of executor count, then let many
+    * executors each own a few shards. Memoized per root session so a
+    * multi-leg query (st08's click/view self-join) binds every leg to
+    * the SAME session — cross-session Dataset joins are illegal — and
+    * so the conf mutation never touches the caller's session (the
+    * st12/st13 isolation discipline, applied registry-wide). */
+  private val tunedSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def stateTuned(s0: SparkSession): SparkSession =
+    tunedSessions.computeIfAbsent(s0, s => {
+      val t = s.newSession()
+      t.conf.set("spark.sql.shuffle.partitions", 8)
+      t
+    })
+
   /** Events as a *stream*: schema from a batch peek (schema inference is
     * off in production streaming), ts normalized to TIMESTAMP exactly like
     * the batch loader — `Tables.normalizeEventTs` branches on the loaded
@@ -224,7 +248,8 @@ object Streams {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Streaming tumbling-window aggregation; same oracle as the batch
     //    q27 — stream/batch parity is the assertion.
-    "st01_stream_tumbling" -> ((s, d) => {
+    "st01_stream_tumbling" -> ((s0, d) => {
+      val s = stateTuned(s0)
       val agg = eventStream(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
@@ -235,7 +260,8 @@ object Streams {
 
     // -- Streaming dedup (dropDuplicates state) feeding an aggregation:
     //    distinct (user, event_type) pairs counted per type.
-    "st02_stream_dedup" -> ((s, d) => {
+    "st02_stream_dedup" -> ((s0, d) => {
+      val s = stateTuned(s0)
       val agg = eventStream(s, d)
         .select(col("user_id"), col("event_type"))
         .dropDuplicates("user_id", "event_type")
@@ -250,7 +276,8 @@ object Streams {
     //    mode emits one row per key per batch; n_events is monotone, so
     //    the final state per key is the max-n_events row — selected with
     //    a deterministic argmax, robust to AvailableNow batch splits.
-    "st03_stateful_running" -> ((s, d) => {
+    "st03_stateful_running" -> ((s0, d) => {
+      val s = stateTuned(s0)
       import s.implicits._
       val updates = eventStream(s, d)
         .select(col("user_id"), cents(col("value")).as("cents")).as[EventRow]
@@ -282,7 +309,8 @@ object Streams {
     //    row per (user, event_type) the first time that type is seen for
     //    the user, holding the seen-set in typed state. Equivalent to a
     //    distinct — which is exactly what the oracle computes.
-    "st05_first_seen" -> ((s, d) => {
+    "st05_first_seen" -> ((s0, d) => {
+      val s = stateTuned(s0)
       import s.implicits._
       val out = eventStream(s, d)
         .select(col("user_id"), col("event_type")).as[(Long, String)]
@@ -312,7 +340,8 @@ object Streams {
     //    is dropped (numRowsDroppedByWatermark > 0). Append mode then
     //    emits exactly the recent windows whose end ≤ the final
     //    watermark — a closed form the DuckDB oracle recomputes.
-    "st06_watermark_late" -> ((s, d) => {
+    "st06_watermark_late" -> ((s0, d) => {
+      val s = stateTuned(s0)
       // Persist: the feed build reads events four times (max + 3 splits).
       val ev = graft.sources.Tables.events(s, d)
         .select(col("ts"), col("event_type"), col("value"))
@@ -389,7 +418,8 @@ object Streams {
     //    its batch_id, so the output pins WHERE the batch boundaries
     //    fell — the oracle recomputes them as id div 2500. A restart
     //    spec (SourcesSpec) proves offset recovery mid-stream.
-    "st15_dsv2_stream" -> ((s, d) => {
+    "st15_dsv2_stream" -> ((s0, d) => {
+      val s = stateTuned(s0)
       val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_st15_out"
       val fsPath = new org.apache.hadoop.fs.Path(outDir)
       fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
@@ -418,7 +448,8 @@ object Streams {
     //    forever, which a 100 TB/day feed cannot. Single-batch
     //    AvailableNow over the fixture dedups everything, so the oracle
     //    is the plain distinct.
-    "st10_dedup_within_watermark" -> ((s, d) => {
+    "st10_dedup_within_watermark" -> ((s0, d) => {
+      val s = stateTuned(s0)
       val out = eventStream(s, d)
         .withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -432,7 +463,8 @@ object Streams {
     //    100 TB/day). Inner join in Append mode; with AvailableNow over
     //    the fixture the result equals the batch interval join, which is
     //    exactly what the oracle computes (q31's shape, pair-level).
-    "st08_stream_stream_join" -> ((s, d) => {
+    "st08_stream_stream_join" -> ((s0, d) => {
+      val s = stateTuned(s0)
       val clicks = eventStream(s, d)
         .filter(col("event_type") === "click")
         .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
@@ -452,7 +484,8 @@ object Streams {
     //    bounded dimension (customer) — the static side broadcasts per
     //    micro-batch, no stream state at all. The standard shape for
     //    dimension enrichment in a 100 TB/day feed.
-    "st09_stream_static_join" -> ((s, d) => {
+    "st09_stream_static_join" -> ((s0, d) => {
+      val s = stateTuned(s0)
       val users = graft.sources.Tables.customer(s, d)
         .select(col("c_custkey"), col("c_nationkey"))
       val enriched = eventStream(s, d)
@@ -466,7 +499,8 @@ object Streams {
     //    each event lands in exactly 2 overlapping windows. Same
     //    Complete-mode parity harness as st01; the oracle reconstructs
     //    the two epoch-aligned window starts per event in closed form.
-    "st11_sliding_window" -> ((s, d) => {
+    "st11_sliding_window" -> ((s0, d) => {
+      val s = stateTuned(s0)
       val agg = eventStream(s, d)
         .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
@@ -539,7 +573,8 @@ object Streams {
     //    gap-and-island session whose (last_ts + 30 min) end is at or
     //    before the final watermark (max ts - 10 min). Sessions spanning
     //    the batch boundary exercise the state-store merge.
-    "st14_session_append" -> ((s, d) => {
+    "st14_session_append" -> ((s0, d) => {
+      val s = stateTuned(s0)
       val ev = graft.sources.Tables.events(s, d)
         .select(col("ts"), col("user_id"))
         .persist()
@@ -579,7 +614,8 @@ object Streams {
     //    (the no-data micro-batch emits it); sentinels are filtered
     //    AFTER the join, so they never reach the result. Oracle: the
     //    plain batch LEFT JOIN with the same interval predicate.
-    "st16_outer_join" -> ((s, d) => {
+    "st16_outer_join" -> ((s0, d) => {
+      val s = stateTuned(s0)
       val ev = graft.sources.Tables.events(s, d)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
         .persist()
@@ -837,7 +873,8 @@ object Streams {
         .agg(count(lit(1)).as("n_eval_matches"), max(col("cos")).as("max_cos"))
     }),
 
-    "st04_stream_sessions" -> ((s, d) => {
+    "st04_stream_sessions" -> ((s0, d) => {
+      val s = stateTuned(s0)
       // The session merge is the streaming-stateful part; the per-user
       // rollup happens in batch over the materialized session table
       // (chaining two stateful aggs in one streaming plan trips Spark's
