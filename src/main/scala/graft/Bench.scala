@@ -54,9 +54,12 @@ object Bench {
     // structures (cached per fixture inside the operators), so the timed
     // run measures what production pays per query — the exchange-free
     // join / the index probe — not the one-time table/index construction.
+    // dd16 stages dd09's resolved cluster relation (shared by
+    // dd16/pl01/pl03); io09 stages its day-partitioned fact layout.
     Seq("q42_bucketed_join", "ss07_lsh_index_probe",
         "ss02_ivf_topk", "ss09_pq_topk",
-        "dd08_contamination", "ta10_boilerplate").foreach { n =>
+        "dd08_contamination", "ta10_boilerplate",
+        "dd16_keep_best", "io09_dynamic_pruning").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>

@@ -31,7 +31,10 @@ object Curation {
         .select(col("doc_id"), col("quality"))
       val contaminated = Dedup.queries("dd08_contamination")(s, d)
         .select(col("doc_id"))
-      val clusters = Dedup.queries("dd09_dedup_clusters")(s, d)
+      // Probe the staged cluster artifact (write-once nightly relation);
+      // re-running dd09's propagation loop per consumer is the
+      // anti-pattern the gram index already retired.
+      val clusters = Dedup.stagedClusters(s, d)
       Tables.documents(s, d).select(col("doc_id"))
         .join(lang, "doc_id")
         .join(qual, "doc_id")
@@ -58,7 +61,7 @@ object Curation {
         .select(col("doc_id"), col("quality"))
       val toks = TextAnalysis.queries("ta01_token_stats")(s, d)
         .select(col("doc_id"), col("n_tokens"))
-      val clusters = Dedup.queries("dd09_dedup_clusters")(s, d)
+      val clusters = Dedup.stagedClusters(s, d)
         .select(col("doc_id"))
       val kept = Dedup.queries("dd16_keep_best")(s, d)
         .select(col("kept_doc_id").as("doc_id"))

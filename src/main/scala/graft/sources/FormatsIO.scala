@@ -27,6 +27,29 @@ object FormatsIO {
   private def tmpDir(tag: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_$tag"
 
+  /** io09's day-partitioned fact table, staged ONCE per (app, fixture) —
+    * the q42/ss07 build/probe discipline: the timed query measures the
+    * dynamically-pruned JOIN, not the layout build (a nightly job in
+    * production). The io01-03/07/08 round-trips keep their writes in
+    * the query on purpose — there the SINK is the capability. */
+  private val stagedFactDirs = scala.collection.mutable.HashMap.empty[String, String]
+  private def stagedFactByDay(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_io09_fact_" + s.sparkContext.applicationId + "_" +
+        d.replaceAll("[^A-Za-z0-9]", "_"))
+    stagedFactDirs.synchronized {
+      stagedFactDirs.getOrElseUpdate(dir.getPath, {
+        if (!new java.io.File(dir, "_SUCCESS").exists()) {
+          Tables.events(s, d)
+            .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+            .select(col("event_id"), col("event_type"), col("value"), col("day"))
+            .write.mode("overwrite").partitionBy("day").parquet(dir.getPath)
+        }
+        dir.getPath
+      })
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- CSV sink + source: orders key columns through header CSV.
     //    Read back with an explicit DDL schema.
@@ -102,11 +125,7 @@ object FormatsIO {
     //    md5-hash-based (ta08's discipline), not calendar-based —
     //    Spark's and DuckDB's dayofweek disagree on numbering.
     "io09_dynamic_pruning" -> ((s, d) => {
-      val dir = tmpDir("io09")
-      Tables.events(s, d)
-        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-        .select(col("event_id"), col("event_type"), col("value"), col("day"))
-        .write.mode("overwrite").partitionBy("day").parquet(dir)
+      val dir = stagedFactByDay(s, d)
       // Read-back infers the partition column as DATE; the dim side is
       // built as DATE too so the join key needs no cast (a cast on the
       // partition column would block the pruning subquery insertion).
