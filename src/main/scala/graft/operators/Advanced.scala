@@ -522,6 +522,38 @@ object Advanced {
           coalesce(col("u.c_custkey"), col("d.c_custkey")).as("c_custkey"),
           coalesce(col("u.c_name"), col("d.c_name")).as("c_name"),
           coalesce(col("u.bal_cents"), col("d.bal_cents")).as("bal_cents"))
+    }),
+
+    // -- Robust anomaly detection: median + MAD (median absolute
+    //    deviation) per event_type, flagging events beyond 3 MADs —
+    //    the outlier gate that survives the outliers themselves (mean
+    //    ± k·stddev moves WITH the anomaly; the 50th percentile does
+    //    not). Shape: two exact-percentile aggregations (q36's
+    //    sorting-based tier; at 100 TB swap in approx_percentile as
+    //    documented there) with the tiny per-type medians BROADCAST
+    //    back over the rows both times — the corpus shuffles only
+    //    into the two aggs, never for the flag-back. Determinism:
+    //    values are micro-unit bigints, medians 6-dp-rounded in both
+    //    engines before the comparison (q36 convention), so the
+    //    3·MAD boundary test is exact.
+    "q62_mad_outliers" -> ((s, d) => {
+      val e = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("cast(round(value * 1e6) as bigint)").as("v"))
+      val med = e.groupBy(col("event_type"))
+        .agg(round(expr("percentile(v, 0.5)"), 6).as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("v") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("dev") > lit(3d) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          max(col("med")).as("med_micro"),
+          max(col("mad")).as("mad_micro"))
     })
   )
 
@@ -751,6 +783,21 @@ object Advanced {
          2 AS n_keys,
          p_brand AS brand,
          upper(p_type) AS type_upper
-         FROM part"""
+         FROM part""",
+    "q62_mad_outliers" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS v
+              FROM events),
+          med AS (SELECT event_type, round(quantile_cont(v, 0.5), 6) AS med
+                  FROM e GROUP BY event_type),
+          dev AS (SELECT e.event_type, abs(v - med) AS dev, med
+                  FROM e JOIN med USING (event_type)),
+          mad AS (SELECT event_type, round(quantile_cont(dev, 0.5), 6) AS mad
+                  FROM dev GROUP BY event_type)
+          SELECT d.event_type, count(*) AS n_events,
+                 CAST(count(*) FILTER (WHERE d.dev > 3 * m.mad) AS BIGINT)
+                   AS n_outliers,
+                 max(d.med) AS med_micro, max(m.mad) AS mad_micro
+          FROM dev d JOIN mad m USING (event_type)
+          GROUP BY d.event_type"""
   )
 }

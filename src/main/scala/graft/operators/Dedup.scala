@@ -719,6 +719,59 @@ object Dedup {
         .filter(col("cos") >= 0.4)
         .groupBy(col("vec_id"))
         .agg(count(lit(1)).as("n_eval_matches"), max(col("cos")).as("max_cos"))
+    }),
+
+    // -- Exact-substring span dedup (the ExactSubstr tier of Lee et al.
+    //    2022, "Deduplicating Training Data Makes Language Models
+    //    Better"): any token 8-gram occurring MORE THAN ONCE anywhere in
+    //    the corpus (another doc, or a repeat inside the same doc) marks
+    //    a duplicated region; per document, overlapping/adjacent
+    //    duplicated gram starts merge into MAXIMAL SPANS — the unit a
+    //    curation run actually cuts out (doc-level dedup like dd01/dd03
+    //    keeps boilerplate-stitched docs whole; this finds the stitched
+    //    regions). The reference's analog would be a stateful MiddleFunc
+    //    with a seen-gram map (/root/reference/pipe/node.go:19) — single
+    //    process only; the distributed shape:
+    //      1. positioned gram stream (doc_id, start, gh) — per-row
+    //         projection, gh is an 8-byte md5-prefix int;
+    //      2. occurrence counts: one gh-keyed shuffle with map-side
+    //         partial aggregation;
+    //      3. duplicated-gram set is CORPUS-FRACTION-sized → shuffle
+    //         hash join on gh (ta21's discipline — broadcasting it at
+    //         100 TB is a driver OOM), shipping only (doc_id, start);
+    //      4. span merge: gaps-and-islands per doc — one doc_id-keyed
+    //         exchange; the per-doc sort is bounded by doc length.
+    //    New span when the gap between consecutive duplicated starts
+    //    exceeds the gram width n (== the covered token ranges are
+    //    disjoint and non-adjacent). Output per doc: span count and
+    //    duplicated-token total (span [s, maxStart + n - 1] covers
+    //    maxStart - s + n tokens).
+    "dd18_substring_spans" -> ((s, d) => {
+      val n = 8
+      val parts = (1 to n).map(j => s"element_at(tk, i + $j)").mkString(", ' ', ")
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"), expr(toks).as("tk"))
+        .filter(expr(s"size(tk) >= $n"))
+        .select(col("doc_id"), col("tk"),
+          explode(expr(s"sequence(0, size(tk) - $n)")).as("i"))
+        .select(col("doc_id"), col("i"), expr(
+          s"cast(conv(substring(md5(concat($parts)), 1, 15), 16, 10) as bigint)")
+          .as("gh"))
+      val dup = g.groupBy(col("gh"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("gh"))
+      val hits = g.hint("shuffle_hash")
+        .join(dup.hint("shuffle_hash"), "gh").select(col("doc_id"), col("i"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val spans = hits
+        .withColumn("brk",
+          when(col("i") - lag(col("i"), 1).over(w) <= n, 0).otherwise(1))
+        .withColumn("island", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("i")).as("s"), (max(col("i")) + lit(n - 1)).as("e"))
+      spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("e") - col("s") + lit(1)).as("n_dup_tokens"))
     })
   )
 
@@ -986,6 +1039,33 @@ object Dedup {
             FROM v c JOIN ev ON c.label = ev.label
             WHERE c.b < 90)
           WHERE cos >= 0.4
-          GROUP BY vec_id"""
+          GROUP BY vec_id""",
+    "dd18_substring_spans" -> {
+      val g8 = (1 to 8).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+      s"""WITH g AS (
+            SELECT doc_id, i,
+              CAST(concat('0x', substr(md5($g8), 1, 15)) AS BIGINT) AS gh
+            FROM (
+              SELECT doc_id, tk, unnest(range(len(tk) - 7)) AS i
+              FROM (SELECT doc_id, $dtoks AS tk FROM documents
+                    WHERE len($dtoks) >= 8))),
+          dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+          hits AS (SELECT doc_id, i FROM g JOIN dup USING (gh)),
+          brk AS (
+            SELECT doc_id, i,
+              CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 8
+                   THEN 0 ELSE 1 END AS brk
+            FROM hits),
+          isl AS (
+            SELECT doc_id, i,
+              sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+            FROM brk),
+          spans AS (
+            SELECT doc_id, island, min(i) AS s, max(i) + 7 AS e
+            FROM isl GROUP BY doc_id, island)
+          SELECT doc_id, count(*) AS n_spans,
+                 CAST(sum(e - s + 1) AS BIGINT) AS n_dup_tokens
+          FROM spans GROUP BY doc_id"""
+    }
   )
 }

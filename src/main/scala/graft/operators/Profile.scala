@@ -88,6 +88,64 @@ object Profile {
           col("min_cents"), col("max_cents"),
           round(col("sum_cents").cast("double") / col("n_rows") / 100d, 6)
             .as("mean_val"))
+    }),
+
+    // -- Referential-integrity audit over the TPC-H star: per FK edge,
+    //    child rows / distinct child keys / ORPHANS (child keys with no
+    //    parent row) — the contract check that must precede any join-
+    //    heavy pipeline (an fk violation silently drops rows from inner
+    //    joins; better to count them up front). Shape: ONE pass per
+    //    child table, not per edge — all three lineitem edges resolve
+    //    in a single scan with parent-marker left joins (part/supplier
+    //    markers BROADCAST; the fact-fact orders edge shuffles on the
+    //    key — at 100 TB that side is the bucketed layout of q42), then
+    //    one aggregate emits every edge via stack. Orphan counting
+    //    never materializes the orphan rows; it is a null-marker sum
+    //    inside the same aggregate.
+    "dq03_referential_integrity" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey")).withColumn("o_hit", lit(1))
+      val pt = broadcast(Tables.part(s, d)
+        .select(col("p_partkey")).withColumn("p_hit", lit(1)))
+      val sp = broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey")).withColumn("s_hit", lit(1)))
+      def orphans(hit: String) =
+        sum(when(col(hit).isNull, 1L).otherwise(0L))
+      val liRows = li
+        .join(o, col("l_orderkey") === col("o_orderkey"), "left")
+        .join(pt, col("l_partkey") === col("p_partkey"), "left")
+        .join(sp, col("l_suppkey") === col("s_suppkey"), "left")
+        .agg(
+          count(lit(1)).as("n_child"),
+          countDistinct(col("l_orderkey")).as("ok_keys"),
+          countDistinct(col("l_partkey")).as("pk_keys"),
+          countDistinct(col("l_suppkey")).as("sk_keys"),
+          orphans("o_hit").as("ok_orph"),
+          orphans("p_hit").as("pk_orph"),
+          orphans("s_hit").as("sk_orph"))
+        .select(expr(
+          """stack(3,
+               'lineitem.l_orderkey->orders.o_orderkey',     n_child, ok_keys, ok_orph,
+               'lineitem.l_partkey->part.p_partkey',         n_child, pk_keys, pk_orph,
+               'lineitem.l_suppkey->supplier.s_suppkey',     n_child, sk_keys, sk_orph)
+             AS (edge, n_child, n_child_keys, n_orphans)"""))
+      def dimEdge(name: String, child: DataFrame, ck: String,
+                  parent: DataFrame, pk: String) =
+        child.select(col(ck))
+          .join(broadcast(parent.select(col(pk)).withColumn("hit", lit(1))),
+            col(ck) === col(pk), "left")
+          .agg(count(lit(1)).as("n_child"),
+            countDistinct(col(ck)).as("n_child_keys"),
+            orphans("hit").as("n_orphans"))
+          .select(lit(name).as("edge"), col("n_child"),
+            col("n_child_keys"), col("n_orphans"))
+      liRows
+        .unionAll(dimEdge("orders.o_custkey->customer.c_custkey",
+          Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey"))
+        .unionAll(dimEdge("customer.c_nationkey->nation.n_nationkey",
+          Tables.customer(s, d), "c_nationkey", Tables.nation(s, d), "n_nationkey"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -113,5 +171,27 @@ object Profile {
               round(CAST(sum(CAST(round($c * 100) AS BIGINT)) AS DOUBLE)
                     / count(*) / 100e0, 6) AS mean_val
             FROM lineitem""").mkString(" UNION ALL ")
+    },
+    "dq03_referential_integrity" -> {
+      def edge(name: String, child: String, ck: String,
+               parent: String, pk: String) =
+        s"""SELECT '$name' AS edge,
+              count(*) AS n_child,
+              count(DISTINCT c.$ck) AS n_child_keys,
+              CAST(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_orphans
+            FROM $child c LEFT JOIN $parent p ON c.$ck = p.$pk"""
+      Seq(
+        edge("lineitem.l_orderkey->orders.o_orderkey",
+          "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("lineitem.l_partkey->part.p_partkey",
+          "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem.l_suppkey->supplier.s_suppkey",
+          "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edge("orders.o_custkey->customer.c_custkey",
+          "orders", "o_custkey", "customer", "c_custkey"),
+        edge("customer.c_nationkey->nation.n_nationkey",
+          "customer", "c_nationkey", "nation", "n_nationkey")
+      ).mkString(" UNION ALL ")
     })
 }

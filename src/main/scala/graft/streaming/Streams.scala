@@ -886,6 +886,28 @@ object Streams {
         OutputMode.Complete())
       sessions.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+    }),
+
+    // -- Streaming GLOBAL TOP-K: complete-mode aggregate → sort → limit
+    //    (Spark permits sort/limit on a streaming Dataset only after an
+    //    aggregation in Complete mode — this query pins that capability).
+    //    The per-trigger cost is a re-sort of the AGGREGATE state (one
+    //    row per user — thousands, not the corpus), so the leaderboard
+    //    stays cheap even when the event stream is unbounded; the
+    //    shuffle into the agg is the only corpus-sized exchange. Spend
+    //    is an exact micro-unit integer sum (order-free → deterministic
+    //    across retriggers), ties at the k boundary broken by user_id
+    //    so the emitted SET is unique.
+    "st21_stream_topk" -> ((s0, d) => {
+      val s = stateTuned(s0)
+      runToTable(
+        eventStream(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(expr("cast(round(value * 1e6) as bigint)")).as("spend_micro"))
+          .orderBy(col("spend_micro").desc, col("user_id"))
+          .limit(10),
+        OutputMode.Complete())
     })
   )
 
@@ -899,6 +921,11 @@ object Streams {
       """SELECT event_type, count(*) AS n_users FROM (
            SELECT DISTINCT user_id, event_type FROM events)
          GROUP BY event_type""",
+    "st21_stream_topk" ->
+      """SELECT user_id, count(*) AS n_events,
+         CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS spend_micro
+         FROM events GROUP BY user_id
+         ORDER BY spend_micro DESC, user_id LIMIT 10""",
     // Stream/batch parity with dd01: the streamed, batch-split,
     // merge-on-read dedup must equal the one-shot batch dedup.
     "st17_stream_exact_dedup" ->

@@ -387,4 +387,76 @@ class OperatorsSpec extends SparkSpec {
       assert(chars(keptDoc) == clusterMax, s"cluster $cid kept non-maximal doc")
     }
   }
+
+  // dd18's distributed gaps-and-islands must equal a trivially-correct
+  // single-machine recomputation of the ExactSubstr spans (test scale).
+  test("dd18 spans equal a driver-side recomputation") {
+    val n = 8
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val occ = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val grams = docs.map { case (id, text) =>
+      val tk = text.split(" ").filter(_.nonEmpty)
+      val gs =
+        if (tk.length < n) Vector.empty[String]
+        else (0 to tk.length - n).map(i => tk.slice(i, i + n).mkString(" ")).toVector
+      gs.foreach(g => occ(g) += 1)
+      id -> gs
+    }
+    val expected = grams.flatMap { case (id, gs) =>
+      val dup = gs.zipWithIndex.collect { case (g, i) if occ(g) >= 2 => i }
+      if (dup.isEmpty) None
+      else {
+        var spans = List.empty[(Int, Int)] // (start, lastGramStart)
+        dup.foreach { i =>
+          spans match {
+            case (s0, last) :: rest if i - last <= n => spans = (s0, i) :: rest
+            case _ => spans = (i, i) :: spans
+          }
+        }
+        val dupTokens = spans.map { case (s0, last) => last + n - s0 }.sum
+        Some(id -> ((spans.size.toLong, dupTokens.toLong)))
+      }
+    }.toMap
+    val got = SparkEntry.queries("dd18_substring_spans")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected, s"span mismatch: got=${got.size} exp=${expected.size}")
+  }
+
+  // q62's two-level percentile pipeline vs a driver-side exact median/MAD.
+  test("q62 median/MAD outlier counts equal a driver-side recomputation") {
+    def medianOf(xs: Array[Double]): Double = {
+      val s = xs.sorted; val m = s.length
+      if (m % 2 == 1) s(m / 2) else (s(m / 2 - 1) + s(m / 2)) / 2.0
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = graft.sources.Tables.events(spark, sfDir)
+      .selectExpr("event_type", "cast(round(value * 1e6) as bigint) as v")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2.toDouble) }
+    val got = SparkEntry.queries("q62_mad_outliers")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    ev.foreach { case (t, vs) =>
+      val med = r6(medianOf(vs))
+      val dev = vs.map(v => math.abs(v - med))
+      val mad = r6(medianOf(dev))
+      val outliers = dev.count(_ > 3 * mad).toLong
+      assert(got(t) == ((vs.length.toLong, outliers)),
+        s"$t: got=${got(t)} exp=(${vs.length}, $outliers)")
+    }
+  }
+
+  // dq03: the generated fixtures are referentially intact — every edge
+  // audits to zero orphans, with full child counts.
+  test("dq03 finds zero orphans on the intact fixture star") {
+    val rows = SparkEntry.queries("dq03_referential_integrity")(spark, sfDir)
+      .collect()
+    assert(rows.length == 5, s"expected 5 edges, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, s"${r.getString(0)}: empty child side")
+      assert(r.getLong(3) == 0L, s"${r.getString(0)}: ${r.getLong(3)} orphans")
+    }
+  }
 }

@@ -149,4 +149,19 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got === exp, "resumed aggregation diverges from batch truth")
   }
+
+  // st21: complete-mode sort+limit on a streaming aggregate must emit
+  // exactly the batch top-10 (deterministic tie-break on user_id).
+  test("streaming complete-mode top-k equals the batch leaderboard") {
+    val got = graft.SparkEntry.queries("st21_stream_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exp = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        sum(expr("cast(round(value * 1e6) as bigint)")).as("spend_micro"))
+      .orderBy(col("spend_micro").desc, col("user_id"))
+      .limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === exp, "streaming top-k diverges from batch")
+  }
 }
