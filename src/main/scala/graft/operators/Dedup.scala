@@ -98,6 +98,22 @@ object Dedup {
     gramStrings(s, d, n).select(col("doc_id"),
       expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint)").as("gh"))
 
+  /** POSITIONED hashed gram stream (doc_id, i, gh) — dd18's ExactSubstr
+    * span merge needs gram START OFFSETS, which the positionless index
+    * drops. Same construction discipline as [[gramStrings]] (integer
+    * index explode, gram built once in the outer projection). */
+  private def gramStreamPos(s: SparkSession, d: String, n: Int): DataFrame = {
+    val parts = (1 to n).map(j => s"element_at(tk, i + $j)").mkString(", ' ', ")
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .filter(expr(s"size(tk) >= $n"))
+      .select(col("doc_id"), col("tk"),
+        explode(expr(s"sequence(0, size(tk) - $n)")).as("i"))
+      .select(col("doc_id"), col("i"), expr(
+        s"cast(conv(substring(md5(concat($parts)), 1, 15), 16, 10) as bigint)")
+        .as("gh"))
+  }
+
   /** Hashed n-gram stream from ANY documents-shaped relation (st18 runs
     * it per micro-batch inside foreachBatch). Same explode-the-integer-
     * index shape as [[gramStrings]]: the gram text and its md5 are built
@@ -135,23 +151,29 @@ object Dedup {
     * cache means one write per process; the _SUCCESS probe makes the
     * lock idempotent. */
   private val stagedGramDirs = TrieMap.empty[String, String]
-  private[operators] def stagedGrams(
-      s: SparkSession, d: String, n: Int, hashed: Boolean): DataFrame = {
-    val form = if (hashed) "h" else "t"
+  private def stagedGramForm(
+      s: SparkSession, d: String, n: Int, form: String)(
+      build: => DataFrame): DataFrame = {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_gram_idx_" + s.sparkContext.applicationId + "_" +
         d.replaceAll("[^A-Za-z0-9]", "_") + s"_$n$form")
     stagedGramDirs.synchronized {
       stagedGramDirs.getOrElseUpdate(dir.getPath, {
-        if (!new java.io.File(dir, "_SUCCESS").exists()) {
-          val src = if (hashed) gramStream(s, d, n) else gramStrings(s, d, n)
-          src.write.mode("overwrite").parquet(dir.getPath)
-        }
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          build.write.mode("overwrite").parquet(dir.getPath)
         dir.getPath
       })
     }
     s.read.parquet(dir.getPath)
   }
+  private[operators] def stagedGrams(
+      s: SparkSession, d: String, n: Int, hashed: Boolean): DataFrame =
+    stagedGramForm(s, d, n, if (hashed) "h" else "t")(
+      if (hashed) gramStream(s, d, n) else gramStrings(s, d, n))
+  /** [[gramStreamPos]] staged per fixture (form "p"). */
+  private[operators] def stagedGramsPos(
+      s: SparkSession, d: String, n: Int): DataFrame =
+    stagedGramForm(s, d, n, "p")(gramStreamPos(s, d, n))
 
   /** Wide MinHash signature (doc_id, mh0..mh{k-1}) computed directly on
     * the hashed shingle SET with array folds — no explode, no shuffle:
@@ -748,15 +770,10 @@ object Dedup {
     //    maxStart - s + n tokens).
     "dd18_substring_spans" -> ((s, d) => {
       val n = 8
-      val parts = (1 to n).map(j => s"element_at(tk, i + $j)").mkString(", ' ', ")
-      val g = Tables.documents(s, d)
-        .select(col("doc_id"), expr(toks).as("tk"))
-        .filter(expr(s"size(tk) >= $n"))
-        .select(col("doc_id"), col("tk"),
-          explode(expr(s"sequence(0, size(tk) - $n)")).as("i"))
-        .select(col("doc_id"), col("i"), expr(
-          s"cast(conv(substring(md5(concat($parts)), 1, 15), 16, 10) as bigint)")
-          .as("gh"))
+      // Staged POSITIONED gram index: the occurrence-count branch and
+      // the hit branch both scan the artifact (write-once discipline of
+      // stagedGrams); tokenize+md5 are paid at build, not per probe.
+      val g = stagedGramsPos(s, d, n)
       val dup = g.groupBy(col("gh"))
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("gh"))
       val hits = g.hint("shuffle_hash")

@@ -122,6 +122,20 @@ object Similarity {
     stagedIndex(s, d, "ivf_idx", partCols = Seq("label"))(
       vecs(s, d).select(col("vec_id"), col("e"), col("nrm"), col("label")))
 
+  /** ss06's persisted int8 relation: real ANN deployments STORE the
+    * scalar-quantized vectors (that is the whole point of the 4×
+    * shrink); deriving them per probe would also re-run the clamp/round
+    * HOF once per candidate pair wherever CollapseProject inlines the
+    * projection (the dd05/dd06 failure mode — measured here: 5.4 s →
+    * ~1 s at sf0.1). Stored as float so the native codegen'd vecDot
+    * scores the pairs; float arrays roundtrip parquet exactly, so the
+    * staged scores are bit-identical to the inline form. */
+  private def sq8Index(s: SparkSession, d: String): DataFrame =
+    stagedIndex(s, d, "sq8_idx")(
+      vecs(s, d).select(col("vec_id"), expr(
+        "transform(e, x -> cast(greatest(-127.0D, least(127.0D, " +
+        "round(cast(x as double) * 127))) as float))").as("qe")))
+
   // PQ geometry shared by the build and the query-side LUT.
   private val (pqM, pqSub, pqK) = (4, 16, 8)
 
@@ -455,17 +469,17 @@ object Similarity {
     //    (≤ 127² = 16129) and sum is exactly representable, so the
     //    score is associative, deterministic under any partitioning
     //    and engine (the float dot it approximates is neither). The
-    //    quantized vectors are stored as float so the native codegen'd
-    //    vecDot scores the hot loop (no interpreted HOF per pair). The
+    //    quantized vectors are a PERSISTED per-fixture artifact
+    //    ([[sq8Index]] — build once, probe many, like ss02/ss07/ss09),
+    //    stored as float so the native codegen'd vecDot scores the hot
+    //    loop (no interpreted HOF anywhere in the probe plan). The
     //    pool window ranks only (query_id, neighbor_id, iscore) — the
     //    candidate shuffle carries ids + one number, never vectors —
     //    and the refine joins the full vectors back BY ID for the
     //    true-cosine top-3 (the shape a 100 TB deployment needs; the
     //    tiny pool broadcasts into both joins).
     "ss06_sq8_topk" -> ((s, d) => {
-      val quant = "transform(e, x -> cast(greatest(-127.0D, least(127.0D, " +
-        "round(cast(x as double) * 127))) as float))"
-      val v = vecs(s, d).withColumn("qe", expr(quant))
+      val v = sq8Index(s, d)
       val q = v.filter(col("vec_id") % 50 === 0)
       val w1 = Window.partitionBy(col("query_id"))
         .orderBy(col("iscore").desc, col("neighbor_id").asc)

@@ -238,14 +238,18 @@ object TextAnalysis {
       // Staged write-once gram index (Dedup.stagedGrams): the df-count
       // branch and the probe branch both scan the materialized parquet
       // instead of re-evaluating the tokenize→shingle pipeline twice —
-      // the corpus-scale curation shape.
-      val grams = Dedup.stagedGrams(s, d, 3, hashed = false)
-      val frequent = grams.select(col("doc_id"), col("g")).distinct()
-        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      // the corpus-scale curation shape. HASHED form: the md5 is paid
+      // once at index build; every exchange (the df distinct, the
+      // flag-back join key) carries 8-byte longs, never gram text —
+      // identical df semantics on both engines (the oracle hashes the
+      // same way; a 60-bit collision shifts both identically).
+      val grams = Dedup.stagedGrams(s, d, 3, hashed = true)
+      val frequent = grams.select(col("doc_id"), col("gh")).distinct()
+        .groupBy(col("gh")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= 3)
-        .select(col("g"))
+        .select(col("gh"))
       grams
-        .join(broadcast(frequent.withColumn("is_boiler", lit(1))), Seq("g"), "left")
+        .join(broadcast(frequent.withColumn("is_boiler", lit(1))), Seq("gh"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
              sum(coalesce(col("is_boiler"), lit(0))).cast("long").as("n_boiler"))
@@ -368,16 +372,16 @@ object TextAnalysis {
     // -- N-gram novelty (dataset-growth signal): per doc, the fraction
     //    of its DISTINCT word 3-grams whose corpus-wide first occurrence
     //    (min doc_id) is this doc — "how much text that no earlier doc
-    //    contributed". Reads the staged write-once gram index (ta10's
-    //    discipline) twice instead of re-tokenizing; the only shuffles
-    //    are the per-gram min (map-side combine over 32-byte keys) and
-    //    the per-doc rollup. At 100 TB the first-occurrence relation is
-    //    |vocab|-sized, not corpus-sized.
+    //    contributed". Reads the staged write-once HASHED gram index
+    //    (ta10's discipline) twice instead of re-tokenizing; the only
+    //    shuffles are the per-gram min (map-side combine over 8-byte
+    //    keys) and the per-doc rollup. At 100 TB the first-occurrence
+    //    relation is |vocab|-sized, not corpus-sized.
     "ta20_ngram_novelty" -> ((s, d) => {
-      val grams = Dedup.stagedGrams(s, d, 3, hashed = false)
-        .select(col("doc_id"), col("g")).distinct()
-      val firsts = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
-      grams.join(firsts, "g")
+      val grams = Dedup.stagedGrams(s, d, 3, hashed = true)
+        .select(col("doc_id"), col("gh")).distinct()
+      val firsts = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+      grams.join(firsts, "gh")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
              sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -798,18 +802,21 @@ object TextAnalysis {
           GROUP BY 1, 2""",
     "ta10_boilerplate" ->
       s"""WITH g AS (
-            SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
-              i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g
-            FROM (SELECT doc_id, $dtoks AS tk FROM documents
-                  WHERE len($dtoks) >= 3)),
-          freq AS (SELECT g FROM (
-                     SELECT g, count(DISTINCT doc_id) AS df FROM g GROUP BY g)
+            SELECT doc_id,
+              CAST(concat('0x', substr(md5(g3), 1, 15)) AS BIGINT) AS gh
+            FROM (
+              SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+                i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g3
+              FROM (SELECT doc_id, $dtoks AS tk FROM documents
+                    WHERE len($dtoks) >= 3))),
+          freq AS (SELECT gh FROM (
+                     SELECT gh, count(DISTINCT doc_id) AS df FROM g GROUP BY gh)
                    WHERE df >= 3)
           SELECT doc_id, count(*) AS n_grams,
-            CAST(sum(CASE WHEN freq.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
-            round(CAST(sum(CASE WHEN freq.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+            CAST(sum(CASE WHEN freq.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+            round(CAST(sum(CASE WHEN freq.gh IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
               / count(*), 6) AS boiler_ratio
-          FROM g LEFT JOIN freq USING (g)
+          FROM g LEFT JOIN freq USING (gh)
           GROUP BY doc_id""",
     "ta21_split_leakage" -> {
       val g8 = (1 to 8).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
@@ -841,18 +848,20 @@ object TextAnalysis {
     },
     "ta20_ngram_novelty" ->
       s"""WITH g AS (
-            SELECT DISTINCT doc_id, g FROM (
+            SELECT DISTINCT doc_id,
+              CAST(concat('0x', substr(md5(g3), 1, 15)) AS BIGINT) AS gh
+            FROM (
               SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
-                i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g
+                i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g3
               FROM (SELECT doc_id, $dtoks AS tk FROM documents
                     WHERE len($dtoks) >= 3))),
-          firsts AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+          firsts AS (SELECT gh, min(doc_id) AS first_doc FROM g GROUP BY gh)
           SELECT doc_id, count(*) AS n_grams,
             CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
               AS n_novel,
             round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
               AS DOUBLE) / count(*), 6) AS novelty_ratio
-          FROM g JOIN firsts USING (g)
+          FROM g JOIN firsts USING (gh)
           GROUP BY doc_id""",
     "ta11_mixture_sample" ->
       """SELECT source, rate_pct, count(*) AS n_total,

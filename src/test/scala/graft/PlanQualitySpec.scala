@@ -244,6 +244,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!broadcastOnGh, "corpus-derived gram relation is broadcast:\n" + p.take(3000))
   }
 
+  test("substring-span dedup never broadcasts the duplicated-gram set (dd18)") {
+    val p = plan("dd18_substring_spans")
+    // The >1-occurrence gram set is corpus-fraction-sized (every
+    // boilerplate gram in the corpus) — ta21's discipline applies: the
+    // hit join must be a shuffle hash join on gh, and no broadcast
+    // exchange may feed a join keyed on gh. Both branches must scan the
+    // STAGED positioned index, not re-derive the gram pipeline.
+    assert(p.linesIterator.exists(l => l.contains("ShuffledHashJoin") && l.contains("gh")),
+      "dup-gram join is not a shuffle hash join:\n" + p.take(3000))
+    val broadcastOnGh = p.linesIterator.exists(l =>
+      (l.contains("BroadcastHashJoin") || l.contains("BroadcastExchange")) && l.contains("gh#"))
+    assert(!broadcastOnGh, "duplicated-gram set is broadcast:\n" + p.take(3000))
+    assert(p.contains("graft_gram_idx"),
+      "dd18 does not scan the staged positioned gram index:\n" + p.take(3000))
+  }
+
   // by its own plan/oracle spec, and their checkpointed subplans would
   // print as opaque RDD scans here anyway. io04/io05's fixture writes
   // are cheap and their plans worth scanning, so they stay in.
