@@ -13,6 +13,9 @@ final case class BinHeader(
   doc_id: Long, magic_ok: Boolean, version: Int,
   width: Long, height: Long, payload_md5: String)
 
+/** Per-blob embedding summary produced by the batched extractor (mm07). */
+final case class BatchEmbed(doc_id: Long, dim: Int, emb_sum: Long, emb_nrm2: Long)
+
 /** Multimodal-column operators (SURVEY.md §2.5).
   *
   * Media are opaque `binary` columns with typed metadata — the
@@ -160,6 +163,38 @@ object Multimodal {
           least(lit(100), length(col("text")) - col("chunk_off")).as("chunk_len"),
           md5(expr("substring(text, chunk_off + 1, 100)")).as("chunk_md5"))
         .drop("text")
+    }),
+
+    // -- BATCHED feature extraction — the GPU-inference deployment
+    //    shape (`mapInPandas` batch-UDF analog in typed Scala): one
+    //    expensive model handle per PARTITION (here the digest stands
+    //    in for a loaded encoder), inputs grouped into fixed-size
+    //    micro-batches of 32 (a real model wants a full device batch
+    //    per forward pass, not one row), outputs streamed — constant
+    //    memory, no collect, scales with partition count. The fake
+    //    "embedding" is an 8-dim int vector from the blob md5, so
+    //    results are per-item deterministic: batch boundaries and
+    //    partitioning provably cannot change the output (spec), which
+    //    is the invariance a real inference pipeline must also hold.
+    //    Swap the body of the inner map for `model.encodeBatch(batch)`
+    //    in production; schema, batching and partitioning stay as-is.
+    "mm07_batch_infer" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.grouped(32).flatMap { batch =>
+            batch.iterator.map { case (id, blob) =>
+              md.reset()
+              val h = md.digest(blob)
+              val emb = (0 until 8).map(i => ((h(i) & 0xff) - 128).toLong)
+              BatchEmbed(id, 8, emb.sum, emb.map(x => x * x).sum)
+            }
+          }
+        }
+        .toDF()
     })
   )
 
@@ -214,6 +249,18 @@ object Multimodal {
          md5(substr(text, chunk_off + 1, 100)) AS chunk_md5
          FROM (SELECT doc_id, text,
                  CAST(unnest(range(0, CAST(length(text) AS BIGINT), 100)) AS INT) AS chunk_off
-               FROM documents)"""
+               FROM documents)""",
+    // Recomputes the md5-derived fake embedding per byte: byte i of the
+    // digest is hex chars [2i+1, 2i+2], offset to [-128, 127].
+    "mm07_batch_infer" ->
+      """SELECT doc_id, CAST(8 AS INT) AS dim,
+           CAST(list_sum(list_transform(range(8), i ->
+             CAST(concat('0x', substr(md5(text), CAST(i AS INT)*2+1, 2)) AS BIGINT) - 128))
+             AS BIGINT) AS emb_sum,
+           CAST(list_sum(list_transform(range(8), i ->
+             (CAST(concat('0x', substr(md5(text), CAST(i AS INT)*2+1, 2)) AS BIGINT) - 128)
+             * (CAST(concat('0x', substr(md5(text), CAST(i AS INT)*2+1, 2)) AS BIGINT) - 128)))
+             AS BIGINT) AS emb_nrm2
+         FROM documents"""
   )
 }

@@ -448,6 +448,29 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  // mm07: the batched extractor's output must be invariant to partition
+  // and batch boundaries — repartitioning reshapes every grouped(32)
+  // micro-batch, and the results must not move.
+  test("mm07 batched inference is invariant to partitioning and batch shape") {
+    import spark.implicits._
+    val base = SparkEntry.queries("mm07_batch_infer")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(base.nonEmpty)
+    val reshaped = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .repartition(1) // one giant partition → entirely different batching
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val m = java.security.MessageDigest.getInstance("MD5")
+        it.grouped(32).flatMap(_.iterator.map { case (id, blob) =>
+          m.reset(); val h = m.digest(blob)
+          val emb = (0 until 8).map(i => ((h(i) & 0xff) - 128).toLong)
+          (id, emb.sum, emb.map(x => x * x).sum)
+        })
+      }.collect().map { case (id, s0, n2) => id -> ((s0, n2)) }.toMap
+    assert(base == reshaped, "batch boundaries changed mm07 output")
+  }
+
   // dq03: the generated fixtures are referentially intact — every edge
   // audits to zero orphans, with full child counts.
   test("dq03 finds zero orphans on the intact fixture star") {
