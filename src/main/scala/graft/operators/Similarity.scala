@@ -498,6 +498,33 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), cosAB.as("cos"))
         .withColumn("rnk", row_number().over(w2))
         .filter(col("rnk") <= 3)
+    }),
+
+    // -- FILTERED vector search (metadata-constrained ANN) — the
+    //    retrieval shape bolt-on vector stores get wrong: top-k "among
+    //    vectors whose DOCUMENT satisfies a predicate" (here lang='en',
+    //    via the vec_id = doc_id modality pairing). PRE-FILTER design:
+    //    the predicate joins into the corpus side BEFORE scoring and
+    //    ranking, so top-3 is EXACT over the allowed subset —
+    //    post-filtering a generic top-k pool silently loses recall
+    //    whenever the filter is selective (an all-'zh' pool leaves an
+    //    'en'-filtered query empty). The allowed relation is ID-ONLY
+    //    (8-byte keys, semi join — vectors never ride the filter);
+    //    corpus side scans the PERSISTED IVF artifact with same-label
+    //    cell blocking, exactly ss02's probe plus one semi join.
+    "ss11_filtered_ann" -> ((s, d) => {
+      val allowed = Tables.documents(s, d)
+        .filter(col("lang") === "en").select(col("doc_id").as("vec_id"))
+      val corpus = ivfIndex(s, d).join(allowed, Seq("vec_id"), "left_semi")
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      vecs(s, d).filter(col("vec_id") % 50 === 0).as("a")
+        .join(corpus.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+          cosAB.as("cos"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
     })
   )
 
@@ -749,6 +776,20 @@ object Similarity {
               CAST(row_number() OVER (PARTITION BY a.vec_id
                 ORDER BY $dCosAB DESC, b.vec_id ASC) AS INT) AS rnk
             FROM v a JOIN v b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id)
-          WHERE rnk <= 5"""
+          WHERE rnk <= 5""",
+    // Pre-filter exactness: rank ONLY over the allowed (lang='en')
+    // subset — identical predicate, same cell blocking as ss02.
+    "ss11_filtered_ann" ->
+      s"""WITH v AS ($dVecs),
+          allowed AS (SELECT doc_id FROM documents WHERE lang = 'en')
+          SELECT query_id, neighbor_id, cos, rnk FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              $dCosAB AS cos,
+              CAST(row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY $dCosAB DESC, b.vec_id ASC) AS INT) AS rnk
+            FROM v a JOIN v b
+              ON a.vec_id % 50 = 0 AND a.label = b.label AND a.vec_id <> b.vec_id
+            JOIN allowed al ON b.vec_id = al.doc_id)
+          WHERE rnk <= 3"""
   )
 }

@@ -30,6 +30,27 @@ object TextAnalysis {
     * same lambda works inside any surrounding expression). */
   private val toks = "filter(split(text, ' '), x -> x <> '')"
 
+  /** ta03's quality relation, parametric over the document relation so
+    * the streaming curation leg (pl04) scores each micro-batch with the
+    * SAME pipeline the batch gate uses — quality is per-doc, so batch
+    * boundaries cannot change it. */
+  private[graft] def qualityOf(docs: DataFrame): DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(expr(toks)).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("max_tf"), sum(col("c")).as("n_toks"),
+           count(lit(1)).as("n_uniq"))
+    tf.select(
+      col("doc_id"),
+      round(least(col("n_toks").cast("double") / 100d, lit(1d)), 6).as("len_score"),
+      round(col("n_uniq").cast("double") / col("n_toks"), 6).as("diversity"),
+      round(col("max_tf").cast("double") / col("n_toks"), 6).as("max_tf_ratio"),
+      round(
+        least(col("n_toks").cast("double") / 100d, lit(1d)) * 0.5
+          + (col("n_uniq").cast("double") / col("n_toks")) * 0.5, 6).as("quality"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Token statistics: counts + average token length. Narrow (no
     //    shuffle) — one pass over the scan, codegen end-to-end.
@@ -64,23 +85,7 @@ object TextAnalysis {
     // -- Quality scoring: length score, lexical diversity, max-token
     //    repetition penalty, composite. The per-doc max token frequency
     //    needs one explode + two hash aggs (both partial-agg friendly).
-    "ta03_quality_score" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val tf = docs
-        .select(col("doc_id"), explode(expr(toks)).as("tok"))
-        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"))
-        .agg(max(col("c")).as("max_tf"), sum(col("c")).as("n_toks"),
-             count(lit(1)).as("n_uniq"))
-      tf.select(
-        col("doc_id"),
-        round(least(col("n_toks").cast("double") / 100d, lit(1d)), 6).as("len_score"),
-        round(col("n_uniq").cast("double") / col("n_toks"), 6).as("diversity"),
-        round(col("max_tf").cast("double") / col("n_toks"), 6).as("max_tf_ratio"),
-        round(
-          least(col("n_toks").cast("double") / 100d, lit(1d)) * 0.5
-            + (col("n_uniq").cast("double") / col("n_toks")) * 0.5, 6).as("quality"))
-    }),
+    "ta03_quality_score" -> ((s, d) => qualityOf(Tables.documents(s, d))),
 
     // -- ADAPTIVE quality gating: the threshold is not a constant (ta03's
     //    fixed 0.5 in pl01) but each language's own exact median quality —

@@ -139,6 +139,38 @@ object FormatsIO {
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
     }),
 
+    // -- DYNAMIC partition overwrite — the incremental-restatement op: a
+    //    backfill job rewrites ONLY the partitions it produced rows for,
+    //    leaving every other partition in place (static overwrite mode
+    //    would wipe the whole table root — THE classic data-loss
+    //    footgun this mode exists to fix). The restated-day subset is
+    //    md5-hash-chosen (io09's calendar-free discipline) so no
+    //    driver-side collect picks the days; the mode is set per-WRITE
+    //    (writer option, not session conf) so the registry's static
+    //    default is untouched. The oracle proves both halves: untouched
+    //    days keep their original sums (a wipe would drop them), and
+    //    restated days carry exactly the doubled restatement values (a
+    //    non-replace append would inflate counts). At 100 TB this is
+    //    the nightly-correction shape: the write transfers one day's
+    //    bytes, never the table's.
+    "io10_partition_overwrite" -> ((s, d) => {
+      val dir = tmpDir("io10")
+      val restated =
+        "cast(conv(substring(md5(cast(day as string)), 1, 2), 16, 10) as bigint) % 5 = 1"
+      val base = Tables.events(s, d).select(
+        col("event_id"), to_date(col("ts")).as("day"),
+        cents(col("value")).as("value_cents"))
+      base.write.mode("overwrite").partitionBy("day").parquet(dir)
+      base.filter(expr(restated))
+        .withColumn("value_cents", col("value_cents") * 2)
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day").parquet(dir)
+      s.read.parquet(dir)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("value_cents"))
+    }),
+
     // -- Permissive ingestion: the reference's minigrep keeps going past
     //    unreadable inputs (logs and continues, minigrep.go:47-61); the
     //    Spark-native form is PERMISSIVE parse mode with a corrupt-record
@@ -260,6 +292,16 @@ object FormatsIO {
          FROM (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, value
                FROM events)
          WHERE CAST(concat('0x', substr(md5(CAST(day AS VARCHAR)), 1, 2)) AS BIGINT) % 3 = 0
+         GROUP BY day""",
+    // Untouched days must keep original sums; restated days exactly 2x.
+    "io10_partition_overwrite" ->
+      """SELECT day, count(*) AS n,
+         CAST(sum(CASE WHEN CAST(concat('0x',
+                substr(md5(CAST(day AS VARCHAR)), 1, 2)) AS BIGINT) % 5 = 1
+              THEN 2 * c ELSE c END) AS BIGINT) AS value_cents
+         FROM (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+                      CAST(round(value*100) AS BIGINT) AS c
+               FROM events)
          GROUP BY day""",
     // Data identity + the layout contract: exactly ceil(n/5000) files
     // after compaction, strictly fewer than the fragmented layout.

@@ -194,6 +194,45 @@ object Streams {
       .agg(min(col("doc_id")).as("doc_id"), sum(col("n")).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
 
+  /** pl04's per-batch curation partial — extracted pure (like
+    * [[exactDedupPartial]]) so the split/replay invariance of the
+    * whole streamed curation stack is spec-testable: quality (ta03),
+    * bench-gram contamination flag, batch-local min-id canonical per
+    * content key with attributes riding the min-struct. */
+  private[graft] def curationPartial(
+      batch: DataFrame, bid: Long, bench: DataFrame): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val b = batch.filter(col("doc_id") % 10 =!= 0)
+    val qual = TextAnalysis.qualityOf(b).select(col("doc_id"), col("quality"))
+    val cont = Dedup.gramHashesOf(b, 8).distinct()
+      .join(broadcast(bench), "gh")
+      .select(col("doc_id")).distinct()
+    b.select(col("doc_id"), col("lang"),
+        md5(lower(trim(col("text")))).as("content_key"))
+      .join(qual, "doc_id")
+      .join(cont.withColumn("cflag", lit(1)), Seq("doc_id"), "left")
+      .groupBy(col("content_key"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("quality"),
+        coalesce(col("cflag"), lit(0)).as("contaminated"))).as("m"))
+      .withColumn("batch_id", lit(bid))
+      .select(col("content_key"), col("batch_id"), col("m"))
+  }
+
+  /** pl04's merge-on-read: replay collapse per (key, batch), then the
+    * cross-batch canonical election, then the gate on the CANONICAL
+    * doc's attributes. min-of-min-structs is associative/idempotent, so
+    * any batch split and any replay elect the same winners. */
+  private[graft] def curationMerge(partials: DataFrame): DataFrame =
+    partials
+      .groupBy(col("content_key"), col("batch_id"))
+      .agg(min(col("m")).as("m"))
+      .groupBy(col("content_key"))
+      .agg(min(col("m")).as("m"))
+      .select(col("m.doc_id").as("doc_id"), col("m.lang").as("lang"),
+        col("m.quality").as("quality"), col("m.contaminated").as("contaminated"))
+      .filter(col("quality") >= 0.5 && col("contaminated") === 0)
+      .select(col("doc_id"), col("lang"), col("quality"))
+
   /** st19's ledger bootstrap: seed each ledger/sink with an EMPTY
     * correctly-typed relation so batch 0 probes a valid (empty) ledger
     * and the read-back never hits a missing path. */
@@ -908,6 +947,62 @@ object Streams {
           .orderBy(col("spend_micro").desc, col("user_id"))
           .limit(10),
         OutputMode.Complete())
+    }),
+
+    // -- STREAMING end-to-end curation — pl01's job as an INGEST
+    //    pipeline (the reference's stream-first model applied to the
+    //    whole curation stack, not one stage): documents arrive in
+    //    micro-batches; each batch is quality-scored (ta03's exact
+    //    pipeline — per-doc, so batch-local), decontaminated against
+    //    the static benchmark gram set (st18's zero-state broadcast
+    //    probe), exact-dedup-keyed, and appended to the sink as a
+    //    PARTIAL: one row per (content_key, batch) carrying the batch's
+    //    min-id candidate WITH its attributes inside the min-struct —
+    //    min is idempotent, so replays collapse and the cross-batch
+    //    merge (min of min-structs per key) elects the same canonical
+    //    doc any batch split would (spec'd replay/split invariance is
+    //    inherited from st17's merge shape). Benchmark members
+    //    (doc_id%10=0) never enter training. The final gate filters the
+    //    CANONICAL doc's quality/contamination — the policy pl01 uses.
+    //    At 100 TB: the sink partial is content-key-bucketable, the
+    //    merge is one key-shuffle with map-side combine, and the bench
+    //    set swaps to dd12's Bloom when it outgrows a broadcast.
+    "pl04_stream_curation" -> ((s, d) => {
+      import graft.operators.Dedup
+      val tmp = System.getProperty("java.io.tmpdir")
+      val bench = Dedup.benchGramSet(s, d)
+      val docsAll = graft.sources.Tables.documents(s, d).persist()
+      val feed = new java.io.File(tmp, "graft_pl04_feed")
+      feed.mkdirs()
+      val t0 = System.currentTimeMillis() - 180000
+      stageFeedFile(feed, docsAll.filter(col("doc_id") % 2 === 0), "b1.parquet", t0)
+      stageFeedFile(feed, docsAll.filter(col("doc_id") % 2 =!= 0), "b2.parquet", t0 + 60000)
+      val schema = docsAll.schema
+      docsAll.unpersist(blocking = false)
+      val outDir = s"$tmp/graft_pl04_out"
+      val fsPath = new org.apache.hadoop.fs.Path(outDir)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch0: DataFrame, bid: Long) =>
+          val batch = batch0
+            .repartition(batch0.sparkSession.sparkContext.defaultParallelism,
+              col("doc_id"))
+            .persist()
+          curationPartial(batch, bid, bench)
+            .write.mode("append").parquet(outDir)
+          batch.unpersist(blocking = false)
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      curationMerge(s.read.parquet(outDir))
     })
   )
 
@@ -926,6 +1021,36 @@ object Streams {
          CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS spend_micro
          FROM events GROUP BY user_id
          ORDER BY spend_micro DESC, user_id LIMIT 10""",
+    // Batch restatement of the streamed curation: same quality pipeline
+    // (ta03's oracle as a CTE), same bench gram set, min-id canonical
+    // election over the non-benchmark universe, gate on the canonical
+    // doc's attributes.
+    "pl04_stream_curation" -> {
+      val dq = graft.operators.TextAnalysis.oracleSql("ta03_quality_score")
+      val dtoks = "list_filter(string_split(text, ' '), x -> x <> '')"
+      val g8 = (1 to 8).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+      s"""WITH q AS ($dq),
+          g AS (
+            SELECT doc_id,
+              CAST(concat('0x', substr(md5(g8), 1, 15)) AS BIGINT) AS gh
+            FROM (
+              SELECT doc_id, unnest(list_transform(range(len(tk) - 7),
+                i -> $g8)) AS g8
+              FROM (SELECT doc_id, $dtoks AS tk FROM documents
+                    WHERE len($dtoks) >= 8))),
+          bench AS (SELECT DISTINCT gh FROM g WHERE doc_id % 10 = 0),
+          cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gh)
+                   WHERE g.doc_id % 10 <> 0),
+          u AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+          canon AS (SELECT min(doc_id) AS doc_id FROM u
+                    GROUP BY md5(lower(trim(text))))
+          SELECT c.doc_id, d.lang, q.quality
+          FROM canon c
+          JOIN u d ON d.doc_id = c.doc_id
+          JOIN q ON q.doc_id = c.doc_id
+          LEFT JOIN cont ON cont.doc_id = c.doc_id
+          WHERE q.quality >= 0.5 AND cont.doc_id IS NULL"""
+    },
     // Stream/batch parity with dd01: the streamed, batch-split,
     // merge-on-read dedup must equal the one-shot batch dedup.
     "st17_stream_exact_dedup" ->

@@ -60,4 +60,23 @@ class StreamingReplaySpec extends SparkSpec {
       s"pair counts differ: got ${got.count()}, expected ${expected.count()}")
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
+
+  test("pl04 curation partials merge identically under any split + replay") {
+    val benchSet = graft.operators.Dedup.benchGramSet(spark, sfDir)
+    def merged(splits: Seq[DataFrame], replayIdx: Int): DataFrame = {
+      val parts = splits.zipWithIndex.map { case (b, i) =>
+        Streams.curationPartial(b, i.toLong, benchSet)
+      }
+      val withReplay = parts :+ parts(replayIdx) // at-least-once re-append
+      Streams.curationMerge(withReplay.reduce(_ unionByName _))
+    }
+    val twoWay = merged(
+      Seq(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 =!= 0)), 0)
+    val threeWay = merged(
+      (0 to 2).map(r => docs.filter(col("doc_id") % 3 === r)), 1)
+    assert(twoWay.count() > 0)
+    assert(twoWay.except(threeWay).isEmpty && threeWay.except(twoWay).isEmpty,
+      "curation result depends on the batch split")
+  }
 }
