@@ -56,6 +56,11 @@ object Bench {
     // join / the index probe — not the one-time table/index construction.
     // dd16 stages dd09's resolved cluster relation (shared by
     // dd16/pl01/pl03); io09 stages its day-partitioned fact layout.
+    // Stream FEEDS are fixture scaffolding (production's feed is the
+    // arriving data): staged per fixture like the indexes below.
+    try graft.streaming.Streams.prepareFeeds(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] feed staging FAILED: ${e.getMessage}") }
     Seq("q42_bucketed_join", "ss07_lsh_index_probe",
         "ss02_ivf_topk", "ss09_pq_topk", "ss06_sq8_topk",
         "dd08_contamination", "ta10_boilerplate",

@@ -132,12 +132,18 @@ object Dedup {
   }
 
   /** The benchmark (held-out) gram set dd08/dd12 decontaminate against:
-    * distinct 8-gram hashes of every doc_id % 10 == 0 document, read from
-    * the staged write-once index. Shared with the streaming leg (st18). */
+    * distinct 8-gram hashes of every doc_id % 10 == 0 document. Itself
+    * a STAGED artifact (form "b", derived from the staged gram index):
+    * the distinct is a shuffle of the benchmark gram stream, and the
+    * streaming consumers (st18, pl04) would otherwise pay it once per
+    * MICRO-BATCH — a per-trigger rebuild of a static relation. Staged,
+    * every probe (batch or per-batch broadcast) scans a ready parquet
+    * of 8-byte keys. */
   private[graft] def benchGramSet(s: SparkSession, d: String): DataFrame =
-    stagedGrams(s, d, 8, hashed = true)
-      .filter(col("doc_id") % 10 === 0)
-      .select(col("gh")).distinct()
+    stagedGramForm(s, d, 8, "b")(
+      stagedGrams(s, d, 8, hashed = true)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("gh")).distinct())
 
   /** STAGED gram index: the write-once/probe-many pipeline shape. A
     * decontamination or boilerplate pass reads the gram stream from TWO

@@ -160,9 +160,15 @@ object FormatsIO {
       val base = Tables.events(s, d).select(
         col("event_id"), to_date(col("ts")).as("day"),
         cents(col("value")).as("value_cents"))
-      base.write.mode("overwrite").partitionBy("day").parquet(dir)
+      // Cluster rows by the partition column before the partitioned
+      // write: each task then writes whole days, so the layout is ~one
+      // file per day instead of (tasks × days) small files — the io07
+      // small-file discipline applied at write time.
+      base.repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(dir)
       base.filter(expr(restated))
         .withColumn("value_cents", col("value_cents") * 2)
+        .repartition(col("day"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("day").parquet(dir)

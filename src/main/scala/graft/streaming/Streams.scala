@@ -194,6 +194,129 @@ object Streams {
       .agg(min(col("doc_id")).as("doc_id"), sum(col("n")).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
 
+  /** Per-fixture STAGED stream feeds — the multi-batch chronological
+    * file sets the bounded harness streams read. Feed content is pure
+    * fixture scaffolding (production's feed is the arriving data
+    * itself), so it follows the gram-index build-once discipline:
+    * built once per (application, fixture), marker-guarded against a
+    * crashed partial build; [[prepareFeeds]] lets the bench construct
+    * them before the clock starts so timed runs measure the streaming
+    * OPERATOR, not feed construction. st17/st19/pl04 share ONE
+    * documents feed (identical odd/even split). */
+  private val stagedFeedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, java.io.File]
+  private def stagedFeed(s: SparkSession, d: String, tag: String)(
+      build: java.io.File => Unit): java.io.File = {
+    val key = tag + "|" + s.sparkContext.applicationId + "|" + d
+    stagedFeedDirs.synchronized {
+      stagedFeedDirs.getOrElseUpdate(key, {
+        val feed = new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_feed_" + tag + "_" + s.sparkContext.applicationId + "_" +
+            d.replaceAll("[^A-Za-z0-9]", "_"))
+        feed.mkdirs()
+        val marker = new java.io.File(feed, "_FEED_READY")
+        if (!marker.exists()) { build(feed); marker.createNewFile() }
+        feed
+      })
+    }
+  }
+
+  private def st06Feed(s: SparkSession, d: String) = {
+    val sel = graft.sources.Tables.events(s, d)
+      .select(col("ts"), col("event_type"), col("value"))
+    val feed = stagedFeed(s, d, "st06") { f =>
+      val ev = sel.persist()
+      // One driver-side scalar (the global max event time) places the
+      // cutoffs — the streaming plan itself stays fully distributed.
+      val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val cutoff = lit(mx) - expr("INTERVAL 130 MINUTES")
+      val fresh = lit(mx) - expr("INTERVAL 10 MINUTES")
+      val t0 = System.currentTimeMillis() - 180000
+      stageFeedFile(f, ev.filter(col("ts") > cutoff && col("ts") <= fresh),
+        "b1.parquet", t0)
+      stageFeedFile(f, ev.filter(col("ts") > fresh), "b2.parquet", t0 + 60000)
+      stageFeedFile(f, ev.filter(col("ts") <= cutoff), "b3.parquet", t0 + 120000)
+      ev.unpersist(blocking = false)
+    }
+    (feed, sel.schema)
+  }
+
+  private def st14Feed(s: SparkSession, d: String) = {
+    val sel = graft.sources.Tables.events(s, d)
+      .select(col("ts"), col("user_id"))
+    val feed = stagedFeed(s, d, "st14") { f =>
+      val ev = sel.persist()
+      val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val split = lit(mx) - expr("INTERVAL 60 MINUTES")
+      val t0 = System.currentTimeMillis() - 180000
+      stageFeedFile(f, ev.filter(col("ts") <= split), "b1.parquet", t0)
+      stageFeedFile(f, ev.filter(col("ts") > split), "b2.parquet", t0 + 60000)
+      ev.unpersist(blocking = false)
+    }
+    (feed, sel.schema)
+  }
+
+  private def st16Feed(s: SparkSession, d: String) = {
+    val sel = graft.sources.Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val feed = stagedFeed(s, d, "st16") { f =>
+      val ev = sel.persist()
+      val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
+      val t0 = System.currentTimeMillis() - 180000
+      stageFeedFile(f, ev, "b1.parquet", t0)
+      // TWO sentinel batches: watermark advancement is computed from the
+      // PREVIOUS batch's max event time, and state eviction happens while
+      // processing a batch — so b2 raises the watermark past every real
+      // click and b3 is the batch that runs WITH that watermark and
+      // flushes the tail of the unmatched state (the final real click
+      // would otherwise sit in state when AvailableNow terminates).
+      def sentinels(off: String) = s.range(2).select(
+        lit(-1L).as("event_id"),
+        (lit(mx) + expr(s"INTERVAL $off HOURS")).as("ts"),
+        lit(-1L).as("user_id"),
+        when(col("id") === 0, "click").otherwise("view").as("event_type"))
+      stageFeedFile(f, sentinels("3"), "b2.parquet", t0 + 60000)
+      stageFeedFile(f, sentinels("6"), "b3.parquet", t0 + 120000)
+      ev.unpersist(blocking = false)
+    }
+    (feed, sel.schema)
+  }
+
+  /** Shared by st17/st19/pl04: documents split odd/even into two
+    * chronological files, so duplicate/near-dup groups straddle
+    * micro-batches in every consumer. */
+  private def docsFeed(s: SparkSession, d: String) = {
+    val docs = graft.sources.Tables.documents(s, d)
+    val feed = stagedFeed(s, d, "docs2") { f =>
+      val dd = docs.persist()
+      val t0 = System.currentTimeMillis() - 180000
+      stageFeedFile(f, dd.filter(col("doc_id") % 2 === 0), "b1.parquet", t0)
+      stageFeedFile(f, dd.filter(col("doc_id") % 2 =!= 0), "b2.parquet", t0 + 60000)
+      dd.unpersist(blocking = false)
+    }
+    (feed, docs.schema)
+  }
+
+  private def embFeed(s: SparkSession, d: String) = {
+    val emb = graft.sources.Tables.embeddings(s, d)
+    val feed = stagedFeed(s, d, "emb2") { f =>
+      val ee = emb.persist()
+      val t0 = System.currentTimeMillis() - 180000
+      stageFeedFile(f, ee.filter(col("vec_id") % 2 === 0), "b1.parquet", t0)
+      stageFeedFile(f, ee.filter(col("vec_id") % 2 =!= 0), "b2.parquet", t0 + 60000)
+      ee.unpersist(blocking = false)
+    }
+    (feed, emb.schema)
+  }
+
+  /** Bench-setup hook: build every staged feed for fixture `d` so the
+    * timed streaming queries measure the operator, not the scaffold. */
+  def prepareFeeds(s: SparkSession, d: String): Unit = {
+    st06Feed(s, d); st14Feed(s, d); st16Feed(s, d)
+    docsFeed(s, d); embFeed(s, d)
+    ()
+  }
+
   /** pl04's per-batch curation partial — extracted pure (like
     * [[exactDedupPartial]]) so the split/replay invariance of the
     * whole streamed curation stack is spec-testable: quality (ta03),
@@ -381,26 +504,8 @@ object Streams {
     //    watermark — a closed form the DuckDB oracle recomputes.
     "st06_watermark_late" -> ((s0, d) => {
       val s = stateTuned(s0)
-      // Persist: the feed build reads events four times (max + 3 splits).
-      val ev = graft.sources.Tables.events(s, d)
-        .select(col("ts"), col("event_type"), col("value"))
-        .persist()
-      // One driver-side scalar (the global max event time) to place the
-      // cutoff — the streaming plan itself stays fully distributed.
-      val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
-      val feed = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_st06_feed")
-      feed.mkdirs()
-      def dropFile(df: DataFrame, name: String, mtime: Long): Unit =
-        stageFeedFile(feed, df, name, mtime)
-      val cutoff = lit(mx) - expr("INTERVAL 130 MINUTES")
-      val fresh = lit(mx) - expr("INTERVAL 10 MINUTES")
-      val t0 = System.currentTimeMillis() - 180000
-      dropFile(ev.filter(col("ts") > cutoff && col("ts") <= fresh), "b1.parquet", t0)
-      dropFile(ev.filter(col("ts") > fresh), "b2.parquet", t0 + 60000)
-      dropFile(ev.filter(col("ts") <= cutoff), "b3.parquet", t0 + 120000)
-      ev.unpersist(blocking = false)
-      val agg = s.readStream.schema(ev.schema)
+      val (feed, schema) = st06Feed(s, d)
+      val agg = s.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", "1") // one file per micro-batch
         .parquet(feed.toString)
@@ -614,20 +719,8 @@ object Streams {
     //    the batch boundary exercise the state-store merge.
     "st14_session_append" -> ((s0, d) => {
       val s = stateTuned(s0)
-      val ev = graft.sources.Tables.events(s, d)
-        .select(col("ts"), col("user_id"))
-        .persist()
-      // One driver-side scalar to place the split (st06 pattern).
-      val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
-      val feed = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_st14_feed")
-      feed.mkdirs()
-      val split = lit(mx) - expr("INTERVAL 60 MINUTES")
-      val t0 = System.currentTimeMillis() - 180000
-      stageFeedFile(feed, ev.filter(col("ts") <= split), "b1.parquet", t0)
-      stageFeedFile(feed, ev.filter(col("ts") > split), "b2.parquet", t0 + 60000)
-      ev.unpersist(blocking = false)
-      val agg = s.readStream.schema(ev.schema)
+      val (feed, schema) = st14Feed(s, d)
+      val agg = s.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", "1") // one file per micro-batch
         .parquet(feed.toString)
@@ -655,30 +748,8 @@ object Streams {
     //    plain batch LEFT JOIN with the same interval predicate.
     "st16_outer_join" -> ((s0, d) => {
       val s = stateTuned(s0)
-      val ev = graft.sources.Tables.events(s, d)
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
-        .persist()
-      val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
-      val feed = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_st16_feed")
-      feed.mkdirs()
-      val t0 = System.currentTimeMillis() - 180000
-      stageFeedFile(feed, ev, "b1.parquet", t0)
-      // TWO sentinel batches: watermark advancement is computed from the
-      // PREVIOUS batch's max event time, and state eviction happens while
-      // processing a batch — so b2 raises the watermark past every real
-      // click and b3 is the batch that runs WITH that watermark and
-      // flushes the tail of the unmatched state (the final real click
-      // would otherwise sit in state when AvailableNow terminates).
-      def sentinels(off: String) = s.range(2).select(
-        lit(-1L).as("event_id"),
-        (lit(mx) + expr(s"INTERVAL $off HOURS")).as("ts"),
-        lit(-1L).as("user_id"),
-        when(col("id") === 0, "click").otherwise("view").as("event_type"))
-      stageFeedFile(feed, sentinels("3"), "b2.parquet", t0 + 60000)
-      stageFeedFile(feed, sentinels("6"), "b3.parquet", t0 + 120000)
-      ev.unpersist(blocking = false)
-      def feedStream = s.readStream.schema(ev.schema)
+      val (feed, schema) = st16Feed(s, d)
+      def feedStream = s.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", "1")
         .parquet(feed.toString)
@@ -723,15 +794,7 @@ object Streams {
     //    replays change nothing (st07's last-emission discipline).
     //    Oracle = dd01's: stream/batch parity for the dedup relation.
     "st17_stream_exact_dedup" -> ((s, d) => {
-      val docs = graft.sources.Tables.documents(s, d).persist()
-      val feed = new java.io.File(
-        System.getProperty("java.io.tmpdir"), "graft_st17_feed")
-      feed.mkdirs()
-      val t0 = System.currentTimeMillis() - 180000
-      stageFeedFile(feed, docs.filter(col("doc_id") % 2 === 0), "b1.parquet", t0)
-      stageFeedFile(feed, docs.filter(col("doc_id") % 2 =!= 0), "b2.parquet", t0 + 60000)
-      val schema = docs.schema
-      docs.unpersist(blocking = false)
+      val (feed, schema) = docsFeed(s, d)
       val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_st17_out"
       val fsPath = new org.apache.hadoop.fs.Path(outDir)
       fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
@@ -819,22 +882,15 @@ object Streams {
     //    candidates) and id-keyed shingle lookups — at 100 TB the ledger
     //    is a parquet table bucketed by band key.
     "st19_stream_neardup" -> ((s, d) => {
-      import graft.operators.Dedup
       val tmp = System.getProperty("java.io.tmpdir")
-      val docs = graft.sources.Tables.documents(s, d).persist()
-      val feed = new java.io.File(tmp, "graft_st19_feed")
-      feed.mkdirs()
-      val t0 = System.currentTimeMillis() - 180000
-      stageFeedFile(feed, docs.filter(col("doc_id") % 2 === 0), "b1.parquet", t0)
-      stageFeedFile(feed, docs.filter(col("doc_id") % 2 =!= 0), "b2.parquet", t0 + 60000)
-      val schema = docs.schema
+      val (feed, schema) = docsFeed(s, d)
       val (bandsDir, setsDir, outDir) = (
         s"$tmp/graft_st19_bands", s"$tmp/graft_st19_sets", s"$tmp/graft_st19_out")
       // Seed each ledger/sink with an EMPTY correctly-typed relation so
       // batch 0 probes a valid (empty) ledger and the read-back never
       // hits a missing path.
-      neardupSeed(docs.limit(0), bandsDir, setsDir, outDir)
-      docs.unpersist(blocking = false)
+      neardupSeed(graft.sources.Tables.documents(s, d).limit(0),
+        bandsDir, setsDir, outDir)
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", "1")
@@ -865,21 +921,15 @@ object Streams {
       val tmp = System.getProperty("java.io.tmpdir")
       val bucket = expr(
         "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint) % 100")
-      val emb = graft.sources.Tables.embeddings(s, d).persist()
-      val v = emb.select(col("vec_id"), col("label"), col("embedding").as("e"))
+      val v = graft.sources.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"), col("embedding").as("e"))
         .withColumn("nrm",
           graft.functions.VectorFunctions.vecDot(col("e"), col("e")))
         .withColumn("b", bucket)
       val evalSide = v.filter(col("b") >= 90)
         .select(col("label"), col("vec_id").as("eval_id"),
           col("e").as("ee"), col("nrm").as("enrm"))
-      val feed = new java.io.File(tmp, "graft_st20_feed")
-      feed.mkdirs()
-      val t0 = System.currentTimeMillis() - 180000
-      stageFeedFile(feed, emb.filter(col("vec_id") % 2 === 0), "b1.parquet", t0)
-      stageFeedFile(feed, emb.filter(col("vec_id") % 2 =!= 0), "b2.parquet", t0 + 60000)
-      val schema = emb.schema
-      emb.unpersist(blocking = false)
+      val (feed, schema) = embFeed(s, d)
       val outDir = s"$tmp/graft_st20_out"
       val fsPath = new org.apache.hadoop.fs.Path(outDir)
       fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
@@ -971,14 +1021,7 @@ object Streams {
       import graft.operators.Dedup
       val tmp = System.getProperty("java.io.tmpdir")
       val bench = Dedup.benchGramSet(s, d)
-      val docsAll = graft.sources.Tables.documents(s, d).persist()
-      val feed = new java.io.File(tmp, "graft_pl04_feed")
-      feed.mkdirs()
-      val t0 = System.currentTimeMillis() - 180000
-      stageFeedFile(feed, docsAll.filter(col("doc_id") % 2 === 0), "b1.parquet", t0)
-      stageFeedFile(feed, docsAll.filter(col("doc_id") % 2 =!= 0), "b2.parquet", t0 + 60000)
-      val schema = docsAll.schema
-      docsAll.unpersist(blocking = false)
+      val (feed, schema) = docsFeed(s, d)
       val outDir = s"$tmp/graft_pl04_out"
       val fsPath = new org.apache.hadoop.fs.Path(outDir)
       fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
