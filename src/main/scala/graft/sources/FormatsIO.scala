@@ -27,6 +27,22 @@ object FormatsIO {
   private def tmpDir(tag: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_$tag"
 
+  /** io11's isolated session: DSv2 parquet reads + aggregate pushdown,
+    * memoized per root session so the shared session conf is never
+    * mutated (st12's isolation discipline). */
+  private val aggPushSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def aggPushSession(s0: SparkSession): SparkSession =
+    aggPushSessions.computeIfAbsent(s0, s => {
+      val t = s.newSession()
+      // V1 reads have no aggregate-pushdown hook: drop parquet from the
+      // V1 list so the scan plans through DSv2.
+      t.conf.set("spark.sql.sources.useV1SourceList",
+        "avro,csv,json,kafka,orc,text")
+      t.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      t
+    })
+
   /** io09's day-partitioned fact table, staged ONCE per (app, fixture) —
     * the q42/ss07 build/probe discipline: the timed query measures the
     * dynamically-pruned JOIN, not the layout build (a nightly job in
@@ -177,6 +193,29 @@ object FormatsIO {
         .agg(count(lit(1)).as("n"), sum(col("value_cents")).as("value_cents"))
     }),
 
+    // -- Parquet AGGREGATE pushdown — metadata-only aggregation: parquet
+    //    footers already carry exact row counts and per-column min/max,
+    //    so COUNT/MIN/MAX can be answered from file METADATA with zero
+    //    data pages read. At 100 TB that is the difference between a
+    //    full-table scan and a files-listing pass — the cheapest query
+    //    shape that exists, and the reason table stats jobs are nearly
+    //    free on a well-laid-out lake. Needs the DSv2 parquet reader
+    //    (V1 has no pushdown hook) + the aggregatePushdown flag, both
+    //    scoped to a memoized ISOLATED session (st12's discipline — the
+    //    registry's shared session is never mutated). The scan must be
+    //    the raw path (no repartition between scan and agg) and the
+    //    plan advertises `PushedAggregation` (PlanQualitySpec pins it).
+    "io11_agg_pushdown" -> ((s0, d) => {
+      val s = aggPushSession(s0)
+      s.read.parquet(s"$d/lineitem.parquet")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_key"),
+          max(col("l_orderkey")).as("max_key"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
+    }),
+
     // -- Permissive ingestion: the reference's minigrep keeps going past
     //    unreadable inputs (logs and continues, minigrep.go:47-61); the
     //    Spark-native form is PERMISSIVE parse mode with a corrupt-record
@@ -299,6 +338,11 @@ object FormatsIO {
                FROM events)
          WHERE CAST(concat('0x', substr(md5(CAST(day AS VARCHAR)), 1, 2)) AS BIGINT) % 3 = 0
          GROUP BY day""",
+    "io11_agg_pushdown" ->
+      """SELECT count(*) AS n_rows,
+         min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+         FROM lineitem""",
     // Untouched days must keep original sums; restated days exactly 2x.
     "io10_partition_overwrite" ->
       """SELECT day, count(*) AS n,

@@ -244,6 +244,16 @@ class PlanQualitySpec extends SparkSpec {
     assert(!broadcastOnGh, "corpus-derived gram relation is broadcast:\n" + p.take(3000))
   }
 
+  test("io11 COUNT/MIN/MAX are pushed into the parquet scan metadata") {
+    val p = plan("io11_agg_pushdown")
+    // The DSv2 scan must advertise the pushed aggregates — the scan then
+    // answers from footer stats and reads zero data pages.
+    assert(p.contains("PushedAggregation"),
+      "aggregate not pushed into the scan:\n" + p.take(3000))
+    assert(p.contains("COUNT(*)") || p.contains("count(*)"),
+      "COUNT(*) missing from pushed aggregation:\n" + p.take(3000))
+  }
+
   test("substring-span dedup never broadcasts the duplicated-gram set (dd18)") {
     val p = plan("dd18_substring_spans")
     // The >1-occurrence gram set is corpus-fraction-sized (every
