@@ -317,6 +317,36 @@ object Relational {
             <= col("n_users") * 0.05).as("approx_within_5pct"))
     }),
 
+    // -- Count-Min sketch: the bounded-memory FREQUENCY estimator that
+    //    completes the sketch family (HLL = distinct, q19/q58; GK =
+    //    quantiles, q44; Bloom = membership, dd12; Misra-Gries = heavy
+    //    hitters, ta18; CMS = point frequencies over an unbounded key
+    //    domain). eps=0.001, confidence=0.99, FIXED seed: counter
+    //    updates are integer adds — commutative and associative — so
+    //    the merged sketch and every estimate are deterministic under
+    //    any partitioning. The sketch blob is KB-sized and driver-
+    //    mergeable (dd12's Bloom discipline: ONE tiny collect of the
+    //    sketch, never of data); estimates probe it from a broadcast
+    //    closure. The oracle-checkable output asserts both CMS
+    //    contracts per key: estimates never undercount, and
+    //    overcount ≤ eps·N (the oracle expects TRUE — q19's pattern;
+    //    production uses the estimate alone).
+    "q63_countmin_freq" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val skBytes = ev
+        .select(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("sk"))
+        .head.getAs[Array[Byte]](0)
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(skBytes))
+      val slack = (0.001 * cms.totalCount()).toLong
+      val est = udf((k: String) => cms.estimateCount(k))
+      ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+        .withColumn("cms_est", est(col("event_type")))
+        .select(col("event_type"), col("n_exact"),
+          (col("cms_est") >= col("n_exact")).as("cms_never_undercounts"),
+          (col("cms_est") <= col("n_exact") + lit(slack)).as("cms_within_eps"))
+    }),
+
     // -- Scalar string functions (all codegen'd builtins).
     "q20_string_funcs" -> ((s, d) => {
       Tables.part(s, d).select(
@@ -625,6 +655,12 @@ object Relational {
          count(*) AS n_events, TRUE AS approx_within_5pct
          FROM events GROUP BY event_type""",
     // Exact answer + the bound flag; day count pins the shard split.
+    // The sketch value is engine-specific; the oracle asserts the CMS
+    // contracts hold (never undercounts, overcount within eps*N).
+    "q63_countmin_freq" ->
+      """SELECT event_type, count(*) AS n_exact,
+         TRUE AS cms_never_undercounts, TRUE AS cms_within_eps
+         FROM events GROUP BY event_type""",
     "q58_sketch_reagg" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
          count(*) AS n_events,
