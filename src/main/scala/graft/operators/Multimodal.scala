@@ -16,6 +16,11 @@ final case class BinHeader(
 /** Per-blob embedding summary produced by the batched extractor (mm07). */
 final case class BatchEmbed(doc_id: Long, dim: Int, emb_sum: Long, emb_nrm2: Long)
 
+/** Resize plan emitted by mm08 (all integer arithmetic). */
+final case class ResizedMeta(
+  doc_id: Long, width: Int, height: Int,
+  new_w: Int, new_h: Int, n_pixels_out: Long)
+
 /** Multimodal-column operators (SURVEY.md §2.5).
   *
   * Media are opaque `binary` columns with typed metadata — the
@@ -165,6 +170,32 @@ object Multimodal {
         .drop("text")
     }),
 
+    // -- RESIZE planning — the aspect-preserving downscale pass before
+    //    any vision model (fit into a 64×64 box). The decode reuses
+    //    mm02's stub; the resize arithmetic is ALL-INTEGER (truncating
+    //    division agrees between the JVM and DuckDB on positive ints),
+    //    so the plan is deterministic and oracle-checkable while the
+    //    actual pixel resampling stays stubbed with the decoder. In
+    //    production the emitted (new_w, new_h) drive the real resampler
+    //    inside the same mapPartitions; schema and partitioning hold.
+    "mm08_resize" -> ((s, d) => {
+      import s.implicits._
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { case (id, blob) =>
+            val m = fakeDecode(md)(id, blob)
+            val (nw, nh) =
+              if (m.width >= m.height) (64, m.height * 64 / m.width)
+              else (m.width * 64 / m.height, 64)
+            ResizedMeta(id, m.width, m.height, nw, nh, nw.toLong * nh)
+          }
+        }
+        .toDF()
+    }),
+
     // -- BATCHED feature extraction — the GPU-inference deployment
     //    shape (`mapInPandas` batch-UDF analog in typed Scala): one
     //    expensive model handle per PARTITION (here the digest stands
@@ -250,6 +281,24 @@ object Multimodal {
          FROM (SELECT doc_id, text,
                  CAST(unnest(range(0, CAST(length(text) AS BIGINT), 100)) AS INT) AS chunk_off
                FROM documents)""",
+    // mm02's decode oracle + the same truncating integer scale math.
+    "mm08_resize" ->
+      """WITH m AS (
+           SELECT doc_id,
+             64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) % 192 AS width,
+             64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) % 192 AS height
+           FROM documents),
+         r AS (
+           SELECT doc_id, width, height,
+             CASE WHEN width >= height THEN 64
+                  ELSE width * 64 // height END AS new_w,
+             CASE WHEN width >= height THEN height * 64 // width
+                  ELSE 64 END AS new_h
+           FROM m)
+         SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(new_w AS INT) AS new_w, CAST(new_h AS INT) AS new_h,
+           CAST(new_w * new_h AS BIGINT) AS n_pixels_out
+         FROM r""",
     // Recomputes the md5-derived fake embedding per byte: byte i of the
     // digest is hex chars [2i+1, 2i+2], offset to [-128, 127].
     "mm07_batch_infer" ->

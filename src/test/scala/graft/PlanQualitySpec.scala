@@ -208,6 +208,26 @@ class PlanQualitySpec extends SparkSpec {
       "a partition window would sort the whole table for a 3-number summary")
   }
 
+  test("MAD outlier gate broadcasts both median relations back (q62)") {
+    val p = plan("q62_mad_outliers")
+    // Two flag-back joins (per-type median, then per-type MAD) — both
+    // tiny → both broadcast; the corpus shuffles only into the aggs.
+    val n = p.linesIterator.count(_.contains("BroadcastHashJoin"))
+    assert(n >= 2, s"expected >=2 broadcast flag-backs, saw $n:\n" + p.take(2000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "median flag-back shuffled the corpus:\n" + p.take(2000))
+  }
+
+  test("filtered ANN pre-filters corpus side; query set broadcast (ss11)") {
+    val p = plan("ss11_filtered_ann")
+    // The allowed-id predicate must reach the corpus BEFORE scoring
+    // (a semi join below the scoring join), and the ~40-row query set
+    // is the broadcast side of the scoring join.
+    assert(p.contains("LeftSemi"), "allowed-id filter not a semi join:\n" + p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "query set not broadcast:\n" + p.take(2000))
+  }
+
   // Registry-wide hygiene: a CartesianProduct anywhere is a latent
   // 100 TB outage (O(n·m) with NO broadcast bound — unlike the
   // deliberate, |Q|-bounded BroadcastNestedLoop in ss01/ss04). Every
