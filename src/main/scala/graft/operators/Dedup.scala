@@ -141,7 +141,7 @@ object Dedup {
     * of 8-byte keys. */
   private[graft] def benchGramSet(s: SparkSession, d: String): DataFrame =
     stagedGramForm(s, d, 8, "b")(
-      stagedGrams(s, d, 8, hashed = true)
+      stagedGrams(s, d, 8)
         .filter(col("doc_id") % 10 === 0)
         .select(col("gh")).distinct())
 
@@ -172,14 +172,34 @@ object Dedup {
     }
     s.read.parquet(dir.getPath)
   }
+  /** Hashed staged gram index (form "h") — the only staged form in use:
+    * every consumer probes by 8-byte gram hash (text-form staging was
+    * retired when ta10/ta20 went hashed; [[gramStrings]] remains for
+    * direct in-plan use, e.g. ta13's bigrams). */
   private[operators] def stagedGrams(
-      s: SparkSession, d: String, n: Int, hashed: Boolean): DataFrame =
-    stagedGramForm(s, d, n, if (hashed) "h" else "t")(
-      if (hashed) gramStream(s, d, n) else gramStrings(s, d, n))
+      s: SparkSession, d: String, n: Int): DataFrame =
+    stagedGramForm(s, d, n, "h")(gramStream(s, d, n))
   /** [[gramStreamPos]] staged per fixture (form "p"). */
   private[operators] def stagedGramsPos(
       s: SparkSession, d: String, n: Int): DataFrame =
     stagedGramForm(s, d, n, "p")(gramStreamPos(s, d, n))
+
+  /** dd18's gaps-and-islands span merge, extracted pure for property
+    * testing: duplicated gram START offsets (doc_id, i) merge into
+    * maximal spans [s, e] — a new island starts when the gap between
+    * consecutive starts exceeds the gram width n (covered token ranges
+    * disjoint and non-adjacent). One doc_id-keyed exchange; the per-doc
+    * sort is bounded by doc length. */
+  private[graft] def substringSpans(hits: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    hits
+      .withColumn("brk",
+        when(col("i") - lag(col("i"), 1).over(w) <= n, 0).otherwise(1))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("i")).as("s"), (max(col("i")) + lit(n - 1)).as("e"))
+  }
 
   /** Wide MinHash signature (doc_id, mh0..mh{k-1}) computed directly on
     * the hashed shingle SET with array folds — no explode, no shuffle:
@@ -612,7 +632,7 @@ object Dedup {
       // Write-once gram index: both branches below scan the staged
       // parquet instead of re-deriving the tokenize→shingle→hash
       // pipeline twice ([[stagedGrams]]).
-      val grams = stagedGrams(s, d, 8, hashed = true)
+      val grams = stagedGrams(s, d, 8)
       val bench = benchGramSet(s, d)
       grams.filter(col("doc_id") % 10 =!= 0)
         .join(broadcast(bench), "gh")
@@ -635,7 +655,7 @@ object Dedup {
     //    exposes no public SQL bloom-probe, only the programmatic
     //    BloomFilter, and the cross-checked exact column keeps it honest.
     "dd12_bloom_contamination" -> ((s, d) => {
-      val grams = stagedGrams(s, d, 8, hashed = true)
+      val grams = stagedGrams(s, d, 8)
       val bench = benchGramSet(s, d)
       // Capacity sized far above any fixture's bench-gram count; in
       // production this comes from corpus stats (a prior count or the
@@ -784,15 +804,7 @@ object Dedup {
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("gh"))
       val hits = g.hint("shuffle_hash")
         .join(dup.hint("shuffle_hash"), "gh").select(col("doc_id"), col("i"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      val spans = hits
-        .withColumn("brk",
-          when(col("i") - lag(col("i"), 1).over(w) <= n, 0).otherwise(1))
-        .withColumn("island", sum(col("brk")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("doc_id"), col("island"))
-        .agg(min(col("i")).as("s"), (max(col("i")) + lit(n - 1)).as("e"))
-      spans.groupBy(col("doc_id"))
+      substringSpans(hits, n).groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_spans"),
           sum(col("e") - col("s") + lit(1)).as("n_dup_tokens"))
     })

@@ -105,12 +105,15 @@ object Profile {
     "dq03_referential_integrity" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      // Parents reduce to DISTINCT keys before the marker join: a
+      // duplicated parent PK (the very corruption this audit exists to
+      // catch) must not fan the child out and inflate n_child.
       val o = Tables.orders(s, d)
-        .select(col("o_orderkey")).withColumn("o_hit", lit(1))
+        .select(col("o_orderkey")).distinct().withColumn("o_hit", lit(1))
       val pt = broadcast(Tables.part(s, d)
-        .select(col("p_partkey")).withColumn("p_hit", lit(1)))
+        .select(col("p_partkey")).distinct().withColumn("p_hit", lit(1)))
       val sp = broadcast(Tables.supplier(s, d)
-        .select(col("s_suppkey")).withColumn("s_hit", lit(1)))
+        .select(col("s_suppkey")).distinct().withColumn("s_hit", lit(1)))
       def orphans(hit: String) =
         sum(when(col(hit).isNull, 1L).otherwise(0L))
       val liRows = li
@@ -134,7 +137,8 @@ object Profile {
       def dimEdge(name: String, child: DataFrame, ck: String,
                   parent: DataFrame, pk: String) =
         child.select(col(ck))
-          .join(broadcast(parent.select(col(pk)).withColumn("hit", lit(1))),
+          .join(broadcast(
+              parent.select(col(pk)).distinct().withColumn("hit", lit(1))),
             col(ck) === col(pk), "left")
           .agg(count(lit(1)).as("n_child"),
             countDistinct(col(ck)).as("n_child_keys"),
@@ -180,7 +184,8 @@ object Profile {
               count(DISTINCT c.$ck) AS n_child_keys,
               CAST(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                 AS n_orphans
-            FROM $child c LEFT JOIN $parent p ON c.$ck = p.$pk"""
+            FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
+              ON c.$ck = p.$pk"""
       Seq(
         edge("lineitem.l_orderkey->orders.o_orderkey",
           "lineitem", "l_orderkey", "orders", "o_orderkey"),

@@ -248,7 +248,7 @@ object TextAnalysis {
       // flag-back join key) carries 8-byte longs, never gram text —
       // identical df semantics on both engines (the oracle hashes the
       // same way; a 60-bit collision shifts both identically).
-      val grams = Dedup.stagedGrams(s, d, 3, hashed = true)
+      val grams = Dedup.stagedGrams(s, d, 3)
       val frequent = grams.select(col("doc_id"), col("gh")).distinct()
         .groupBy(col("gh")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= 3)
@@ -357,7 +357,7 @@ object TextAnalysis {
     "ta21_split_leakage" -> ((s, d) => {
       val bucket = expr(
         "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
-      val grams = Dedup.stagedGrams(s, d, 8, hashed = true)
+      val grams = Dedup.stagedGrams(s, d, 8)
         .withColumn("split",
           when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
       val evalG = grams.filter(col("split") =!= "train")
@@ -383,7 +383,7 @@ object TextAnalysis {
     //    keys) and the per-doc rollup. At 100 TB the first-occurrence
     //    relation is |vocab|-sized, not corpus-sized.
     "ta20_ngram_novelty" -> ((s, d) => {
-      val grams = Dedup.stagedGrams(s, d, 3, hashed = true)
+      val grams = Dedup.stagedGrams(s, d, 3)
         .select(col("doc_id"), col("gh")).distinct()
       val firsts = grams.groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
       grams.join(firsts, "gh")

@@ -298,7 +298,8 @@ class PlanQualitySpec extends SparkSpec {
         "dd13_pagerank", "dd14_triangles",
         "dd16_keep_best", // runs dd09's convergence loop at construction
         "pp01_fanout_diamond", // runs the whole Runner; result = sink scans
-        "pp02_stream_diamond") // runs two streaming queries at construction
+        "pp02_stream_diamond", // runs two streaming queries at construction
+        "pl04_stream_curation") // drives the full curation stream at construction
   test("no query in the registry plans a cartesian product") {
     // Each query is constructed under its own Try: a construction
     // failure (e.g. a fixture-schema regression) is reported per query

@@ -91,4 +91,28 @@ class PropertiesSpec extends AnyFunSuite {
       assert(got === want)
     }
   }
+
+  test("dd18 span merge equals a reference merge for any position set") {
+    import org.apache.spark.sql.functions.col
+    // Random (doc_id, i) duplicated-gram start sets, including adjacent,
+    // overlapping, exactly-n-apart and far-apart gaps.
+    val rows = Gen.listOfN(30,
+      Gen.zip(Gen.chooseNum(0L, 3L), Gen.chooseNum(0, 60)))
+    forAll(Gen.zip(rows, Gen.chooseNum(2, 9)), n = 10) { case (xs, w) =>
+      val data = xs.distinct
+      val df = spark.createDataset(data).toDF("doc_id", "i")
+      val got = graft.operators.Dedup.substringSpans(df, w)
+        .select(col("doc_id"), col("s"), col("e"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+      val want = data.groupBy(_._1).flatMap { case (doc, ps) =>
+        val sorted = ps.map(_._2).sorted
+        val spans = sorted.foldLeft(List.empty[(Int, Int)]) {
+          case ((s0, last) :: rest, i) if i - last <= w => (s0, i) :: rest
+          case (acc, i) => (i, i) :: acc
+        }
+        spans.map { case (s0, last) => (doc, s0, last + w - 1) }
+      }.toSet
+      assert(got === want, s"w=$w data=$data")
+    }
+  }
 }
