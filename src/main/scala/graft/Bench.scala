@@ -61,6 +61,9 @@ object Bench {
     try graft.streaming.Streams.prepareFeeds(spark, sfDir)
     catch { case e: Throwable =>
       System.err.println(s"[bench] feed staging FAILED: ${e.getMessage}") }
+    try graft.operators.Similarity.prepareQuant(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] quant staging FAILED: ${e.getMessage}") }
     Seq("q42_bucketed_join", "ss07_lsh_index_probe",
         "ss02_ivf_topk", "ss09_pq_topk", "ss06_sq8_topk",
         "dd08_contamination", "ta10_boilerplate",

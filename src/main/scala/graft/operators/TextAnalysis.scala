@@ -350,7 +350,7 @@ object TextAnalysis {
     //    relation (20% of all distinct 8-grams) — far too big to
     //    broadcast at 100 TB (multi-TB driver/executor OOM). Both sides
     //    are already gram-keyed, so the right plan is a shuffle hash
-    //    join on `gh`: one 32-byte-key exchange per side, no sort, no
+    //    join on `gh`: one 8-byte-key exchange per side, no sort, no
     //    driver materialization. The hint pins that choice against
     //    auto-broadcast at fixture scale. Output: per held-out split,
     //    gram-bearing docs and how many leak.

@@ -251,7 +251,7 @@ class PlanQualitySpec extends SparkSpec {
     val p = plan("ta21_split_leakage")
     // The eval gram set is ~20% of all distinct corpus 8-grams — a
     // multi-TB relation at 100 TB. The gram-probe join must be a shuffle
-    // hash join on `gh` (32-byte keys, one exchange per side); any
+    // hash join on `gh` (8-byte keys, one exchange per side); any
     // BroadcastHashJoin here besides the final tiny per-split counts
     // would be a driver/executor OOM at scale. The leaky-count subtree
     // joins back on `split` (≤2 rows) — that broadcast is fine, so we
