@@ -205,4 +205,30 @@ class PipesSpec extends SparkSpec {
     b.build().fold(e => fail(e.message), _.run())
     assert(batches === 3, s"expected 3 one-file micro-batches, got $batches")
   }
+
+  // In-flight pipeline observability: a MiddleFn attaches Dataset.observe
+  // (a CollectMetrics node — metrics ride the normal execution, no second
+  // scan), and the metrics are available at the F10 run boundary. The
+  // production use is a data-quality circuit breaker: a curation run
+  // checks the observed drop-rate after run() and aborts the downstream
+  // launch if the filter ate too much.
+  test("a stage can observe in-flight metrics, read at the run boundary") {
+    import org.apache.spark.sql.{Observation, functions => F}
+    val obs = new Observation("gate")
+    val b = new PipelineBuilder(spark)
+    val src = b.addStart("src", s => { import s.implicits._; s.range(0, 100).as[Long] })
+    val gate = b.addMiddle("gate", (ds: Dataset[Long]) =>
+      ds.observe(obs, F.count(F.lit(1)).as("rows_in"),
+          F.sum(F.when(F.col("id") % 5 === 0, 1L).otherwise(0L)).as("kept"))
+        .filter(F.col("id") % 5 === 0))
+    val (buf, sink) = collector()
+    val coll = b.addFinal("collector", (ds: Dataset[Long]) =>
+      sink(ds.map(_.toString)))
+    b.sendTo(src, gate); b.sendTo(gate, coll)
+    b.build().fold(e => fail(e.message), _.run())
+    val m = obs.get
+    assert(m("rows_in") === 100L, s"observed $m")
+    assert(m("kept") === 20L, s"observed $m")
+    assert(buf.size === 20)
+  }
 }
