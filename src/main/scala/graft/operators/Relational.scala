@@ -446,6 +446,30 @@ object Relational {
         .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
     }),
 
+    // -- DYNAMIC-gap sessionization: the gap is an EXPRESSION of the
+    //    event (clicks time out in 5 minutes, everything else in 30) —
+    //    the per-event-type engagement model a fixed gap can't express.
+    //    Spark's session_window(col, gapExpr) merges overlapping
+    //    [ts, ts+gap) intervals per key; the session end is the running
+    //    MAX of member ends, which is exactly what the oracle's
+    //    running-max gaps-and-islands recomputes (q28's >= boundary
+    //    convention: an event landing exactly on the session end starts
+    //    a new session in both engines). Same scale shape as q28: one
+    //    shuffle on user_id, per-key sort bounded by user history.
+    "q64_dynamic_session" -> ((s, d) => {
+      // session_window requires a CalendarIntervalType gap expression
+      // (typed INTERVAL literals are DayTimeIntervalType) — make_interval
+      // is the calendar-interval constructor.
+      val gap = when(col("event_type") === "click",
+          expr("make_interval(0, 0, 0, 0, 0, 5, 0)"))
+        .otherwise(expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+    }),
+
     // -- Funnel / event-sequence analysis: for every click, did a
     //    purchase follow within the hour? The Spark-first plan is the
     //    union-and-window shape (q30's as-of discipline, forward-looking
@@ -736,6 +760,34 @@ object Relational {
                         ORDER BY ts ASC, event_id ASC) >= INTERVAL 30 MINUTE
                       THEN 1 ELSE 0 END AS new_sess
                FROM events))
+           GROUP BY user_id, sess)
+         GROUP BY user_id""",
+    // Dynamic gaps: a session's end is the running MAX of member ends
+    // (ts + that event's own gap); a new session starts when the next
+    // event's ts reaches it (q28's >= convention).
+    "q64_dynamic_session" ->
+      """SELECT user_id, count(*) AS n_sessions,
+             CAST(sum(n_events) AS BIGINT) AS n_events FROM (
+           SELECT user_id, sess, count(*) AS n_events FROM (
+             SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             FROM (
+               SELECT user_id, ts, event_id,
+                 CASE WHEN prev_end IS NULL OR ts >= prev_end
+                      THEN 1 ELSE 0 END AS new_sess
+               FROM (
+                 SELECT user_id, ts, event_id,
+                   max(w_end) OVER (PARTITION BY user_id
+                     ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS prev_end
+                 FROM (
+                   SELECT user_id, ts, event_id,
+                     ts + CASE WHEN event_type = 'click'
+                               THEN INTERVAL 5 MINUTE
+                               ELSE INTERVAL 30 MINUTE END AS w_end
+                   FROM events))))
            GROUP BY user_id, sess)
          GROUP BY user_id""",
     // Same forward-looking value-based frame; epoch_ms == unix_millis.
