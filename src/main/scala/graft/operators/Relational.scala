@@ -452,9 +452,11 @@ object Relational {
     //    Spark's session_window(col, gapExpr) merges overlapping
     //    [ts, ts+gap) intervals per key; the session end is the running
     //    MAX of member ends, which is exactly what the oracle's
-    //    running-max gaps-and-islands recomputes (q28's >= boundary
-    //    convention: an event landing exactly on the session end starts
-    //    a new session in both engines). Same scale shape as q28: one
+    //    running-max gaps-and-islands recomputes. Boundary semantics
+    //    (spec-pinned): an event landing EXACTLY on the session end
+    //    MERGES — Spark's windows are closed intervals for the overlap
+    //    test, so the oracle's island break is STRICT (ts > prev_end).
+    //    Same scale shape as q28: one
     //    shuffle on user_id, per-key sort bounded by user history.
     "q64_dynamic_session" -> ((s, d) => {
       // session_window requires a CalendarIntervalType gap expression
@@ -757,14 +759,15 @@ object Relational {
              FROM (
                SELECT user_id, ts, event_id,
                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
-                        ORDER BY ts ASC, event_id ASC) >= INTERVAL 30 MINUTE
+                        ORDER BY ts ASC, event_id ASC) > INTERVAL 30 MINUTE
                       THEN 1 ELSE 0 END AS new_sess
                FROM events))
            GROUP BY user_id, sess)
          GROUP BY user_id""",
     // Dynamic gaps: a session's end is the running MAX of member ends
-    // (ts + that event's own gap); a new session starts when the next
-    // event's ts reaches it (q28's >= convention).
+    // (ts + that event's own gap); a new session starts only when the
+    // next event's ts STRICTLY exceeds it (boundary events merge —
+    // spec-pinned against Spark's actual session_window semantics).
     "q64_dynamic_session" ->
       """SELECT user_id, count(*) AS n_sessions,
              CAST(sum(n_events) AS BIGINT) AS n_events FROM (
@@ -774,7 +777,7 @@ object Relational {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
              FROM (
                SELECT user_id, ts, event_id,
-                 CASE WHEN prev_end IS NULL OR ts >= prev_end
+                 CASE WHEN prev_end IS NULL OR ts > prev_end
                       THEN 1 ELSE 0 END AS new_sess
                FROM (
                  SELECT user_id, ts, event_id,

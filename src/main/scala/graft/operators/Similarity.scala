@@ -143,7 +143,12 @@ object Similarity {
     * per-row HOF transform is re-evaluated at every reference site once
     * CollapseProject inlines the projection into the pair join (ss06's
     * failure mode), and ss08 re-derives it once per Lloyd round; staged,
-    * every consumer scans BIGINT arrays that roundtrip parquet exactly. */
+    * every consumer scans BIGINT arrays that roundtrip parquet exactly.
+    * The two offset variants are separate artifacts by design: deriving
+    * one from the other at read time would reintroduce a per-reference
+    * HOF transform (the cost staging removes), and the double write is
+    * a one-time KB-scale setup cost; `label` is stored in both and
+    * parquet column pruning makes it free to readers that skip it. */
   private def quantVecs(s: SparkSession, d: String, offset: Int): DataFrame =
     stagedIndex(s, d, s"kmq$offset")(
       Tables.embeddings(s, d).select(col("vec_id"), col("label"),

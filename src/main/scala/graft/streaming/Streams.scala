@@ -1214,7 +1214,7 @@ object Streams {
          marks AS (
            SELECT user_id, ts,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
-                    ORDER BY ts ASC, event_id ASC) >= INTERVAL 30 MINUTE
+                    ORDER BY ts ASC, event_id ASC) > INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_sess,
              event_id
            FROM e),
@@ -1242,7 +1242,7 @@ object Streams {
              FROM (
                SELECT user_id, ts, event_id,
                  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
-                        ORDER BY ts ASC, event_id ASC) >= INTERVAL 30 MINUTE
+                        ORDER BY ts ASC, event_id ASC) > INTERVAL 30 MINUTE
                       THEN 1 ELSE 0 END AS new_sess
                FROM events))
            GROUP BY user_id, sess)

@@ -471,6 +471,40 @@ class OperatorsSpec extends SparkSpec {
     assert(base == reshaped, "batch boundaries changed mm07 output")
   }
 
+  // Pins the session-window BOUNDARY semantics q28/q64's oracles must
+  // mirror: an event landing exactly on the session end (ts == prev
+  // event's ts + gap).
+  test("session_window boundary: event at exactly ts+gap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", "click"), // dyn gap 5m -> end 00:05
+      (1L, "2024-01-01 00:05:00", "view"),  // exactly on the end
+      (2L, "2024-01-01 00:00:00", "view"),  // 30m -> end 00:30
+      (2L, "2024-01-01 00:30:00", "view"),  // exactly on the end
+      (3L, "2024-01-01 00:00:00", "click"),
+      (3L, "2024-01-01 00:04:59", "view")   // strictly inside
+    ).toDF("user_id", "ts_s", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp"))
+    val dynGap = when(col("event_type") === "click",
+        expr("make_interval(0,0,0,0,0,5,0)"))
+      .otherwise(expr("make_interval(0,0,0,0,0,30,0)"))
+    def sessions(gapped: org.apache.spark.sql.DataFrame) = gapped
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dyn = sessions(df.groupBy(session_window(col("ts"), dynGap), col("user_id"))
+      .agg(count(lit(1))))
+    val stat = sessions(df.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1))))
+    // Spark MERGES an event landing exactly on the session end (the
+    // overlap test treats the window as a closed interval), so the
+    // q28/q64/st04/st14 oracles must break islands STRICTLY
+    // (`ts > prev_end -> new`). Verified here for both gap forms; this
+    // spec exists because the fixtures' sub-second-random timestamps
+    // never exercise the boundary, so the oracle gate alone can't.
+    assert(dyn === Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"dynamic: $dyn")
+    assert(stat === Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"static 30m: $stat")
+  }
+
   // dq03: the generated fixtures are referentially intact — every edge
   // audits to zero orphans, with full child counts.
   test("dq03 finds zero orphans on the intact fixture star") {
