@@ -102,9 +102,9 @@ object Dedup {
     * span merge needs gram START OFFSETS, which the positionless index
     * drops. Same construction discipline as [[gramStrings]] (integer
     * index explode, gram built once in the outer projection). */
-  private def gramStreamPos(s: SparkSession, d: String, n: Int): DataFrame = {
+  private[graft] def gramStreamPosOf(docs: DataFrame, n: Int): DataFrame = {
     val parts = (1 to n).map(j => s"element_at(tk, i + $j)").mkString(", ' ', ")
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), expr(toks).as("tk"))
       .filter(expr(s"size(tk) >= $n"))
       .select(col("doc_id"), col("tk"),
@@ -113,6 +113,8 @@ object Dedup {
         s"cast(conv(substring(md5(concat($parts)), 1, 15), 16, 10) as bigint)")
         .as("gh"))
   }
+  private def gramStreamPos(s: SparkSession, d: String, n: Int): DataFrame =
+    gramStreamPosOf(Tables.documents(s, d), n)
 
   /** Hashed n-gram stream from ANY documents-shaped relation (st18 runs
     * it per micro-batch inside foreachBatch). Same explode-the-integer-
@@ -183,6 +185,31 @@ object Dedup {
   private[operators] def stagedGramsPos(
       s: SparkSession, d: String, n: Int): DataFrame =
     stagedGramForm(s, d, n, "p")(gramStreamPos(s, d, n))
+
+  /** dd19's content-defined chunker, extracted pure so the CDC
+    * RE-SYNCHRONIZATION property (an insertion shifts only chunks up to
+    * the first following boundary; fixed-grid chunking shifts ALL of
+    * them) is spec-testable on synthetic edits. `grams` must be the
+    * positioned hash stream of `docs` (doc_id, i, gh). Returns one row
+    * per chunk: (doc_id, cs, ce, ch = md5 of the chunk's tokens). */
+  private[graft] def cdcChunksOf(
+      docs: DataFrame, grams: DataFrame, n: Int): DataFrame = {
+    val tkDf = docs
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .filter(expr(s"size(tk) >= $n"))
+    val starts = grams.filter(pmod(col("gh"), lit(64)) === 0)
+      .select(col("doc_id"), col("i"))
+      .unionAll(tkDf.select(col("doc_id"), lit(0).as("i")))
+      .distinct()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    starts
+      .withColumn("nxt", lead(col("i"), 1).over(w))
+      .join(tkDf, "doc_id")
+      .select(col("doc_id"), col("i").as("cs"),
+        coalesce(col("nxt"), expr("size(tk)")).as("ce"), col("tk"))
+      .select(col("doc_id"), col("cs"), col("ce"),
+        md5(concat_ws(" ", expr("slice(tk, cs + 1, ce - cs)"))).as("ch"))
+  }
 
   /** dd18's gaps-and-islands span merge, extracted pure for property
     * testing: duplicated gram START offsets (doc_id, i) merge into
@@ -807,6 +834,35 @@ object Dedup {
       substringSpans(hits, n).groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_spans"),
           sum(col("e") - col("s") + lit(1)).as("n_dup_tokens"))
+    }),
+
+    // -- CONTENT-DEFINED chunking dedup (the rsync/LBFS trick): chunk
+    //    boundaries fall where the rolling 8-token window hash ≡ 0
+    //    (mod 64), so boundaries depend only on LOCAL content — an
+    //    insertion early in a document shifts every fixed-grid chunk
+    //    (dd10's blind spot) but CDC boundaries RE-SYNCHRONIZE right
+    //    after the edit, and the unchanged tail still dedups. Avg chunk
+    //    ≈ 64 tokens by construction. Shape: boundary positions filter
+    //    the staged positioned gram index (the "rolling hash" is the
+    //    same md5-window hash dd18 staged — shared artifact, zero new
+    //    scan); per-doc lead() window forms chunk spans (one doc-keyed
+    //    exchange); chunk content hashes join the corpus-wide ≥2-
+    //    occurrence set via shuffle-hash on the 32-byte md5 (ta21's
+    //    no-broadcast discipline). Output per doc: chunk count +
+    //    cross-corpus duplicated-chunk count.
+    "dd19_cdc_chunks" -> ((s, d) => {
+      val n = 8
+      val chunks = cdcChunksOf(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        stagedGramsPos(s, d, n), n)
+      val dup = chunks.groupBy(col("ch"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2).select(col("ch"))
+      chunks.hint("shuffle_hash")
+        .join(dup.hint("shuffle_hash").withColumn("is_dup", lit(1)),
+          Seq("ch"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(coalesce(col("is_dup"), lit(0)).cast("long")).as("n_dup_chunks"))
     })
   )
 
@@ -1101,6 +1157,37 @@ object Dedup {
           SELECT doc_id, count(*) AS n_spans,
                  CAST(sum(e - s + 1) AS BIGINT) AS n_dup_tokens
           FROM spans GROUP BY doc_id"""
+    },
+    "dd19_cdc_chunks" -> {
+      val g8 = (1 to 8).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+      s"""WITH tkd AS (
+            SELECT doc_id, $dtoks AS tk FROM documents
+            WHERE len($dtoks) >= 8),
+          g AS (
+            SELECT doc_id, i,
+              CAST(concat('0x', substr(md5($g8), 1, 15)) AS BIGINT) AS gh
+            FROM (SELECT doc_id, tk, unnest(range(len(tk) - 7)) AS i
+                  FROM tkd)),
+          starts AS (
+            SELECT DISTINCT doc_id, i FROM (
+              SELECT doc_id, i FROM g WHERE gh % 64 = 0
+              UNION ALL SELECT doc_id, 0 FROM tkd)),
+          spans AS (
+            SELECT doc_id, i AS cs,
+              lead(i) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+            FROM starts),
+          chunks AS (
+            SELECT s.doc_id, cs,
+              md5(array_to_string(
+                t.tk[cs + 1 : CAST(coalesce(nxt, len(t.tk)) AS INT)], ' '))
+                AS ch
+            FROM spans s JOIN tkd t USING (doc_id)),
+          dup AS (SELECT ch FROM chunks GROUP BY ch HAVING count(*) >= 2)
+          SELECT doc_id, count(*) AS n_chunks,
+            CAST(sum(CASE WHEN dup.ch IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_dup_chunks
+          FROM chunks LEFT JOIN dup USING (ch)
+          GROUP BY doc_id"""
     }
   )
 }

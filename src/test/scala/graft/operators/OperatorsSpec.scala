@@ -471,6 +471,35 @@ class OperatorsSpec extends SparkSpec {
     assert(base == reshaped, "batch boundaries changed mm07 output")
   }
 
+  // The property that justifies dd19's content-defined chunking over
+  // dd10's fixed grid: after an insertion, CDC boundaries re-synchronize
+  // and the unchanged tail still dedups; fixed-grid chunks ALL shift.
+  test("dd19 CDC chunks re-synchronize after an insertion; fixed grid does not") {
+    import spark.implicits._
+    val words = (0 until 1200).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).take(2).map(b => f"${b & 0xff}%02x").mkString)
+    val orig = words.mkString(" ")
+    val edited = ("EDITEDTOKEN" +: words).mkString(" ")
+    val docs = Seq((1L, orig), (2L, edited)).toDF("doc_id", "text")
+    val chunks = graft.operators.Dedup.cdcChunksOf(
+      docs, graft.operators.Dedup.gramStreamPosOf(docs, 8), 8)
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    val a = chunks.filter(_._1 == 1L).map(_._2)
+    val b = chunks.filter(_._1 == 2L).map(_._2).toSet
+    val shared = a.count(b.contains)
+    // Everything after the first boundary following the edit is
+    // identical: expect nearly all of doc 1's chunks to reappear.
+    assert(a.length >= 5, s"degenerate chunking: ${a.length} chunks")
+    assert(shared >= a.length - 2,
+      s"CDC did not re-synchronize: ${shared}/${a.length} chunks shared")
+    // The fixed 64-token grid shares NOTHING once everything shifts by 1.
+    val fixedA = words.grouped(64).map(_.mkString(" ")).toSet
+    val fixedB = ("EDITEDTOKEN" +: words).grouped(64).map(_.mkString(" ")).toSet
+    assert(fixedA.intersect(fixedB).isEmpty,
+      "fixed-grid chunks unexpectedly survived the shift")
+  }
+
   // Pins the session-window BOUNDARY semantics q28/q64's oracles must
   // mirror: an event landing exactly on the session end (ts == prev
   // event's ts + gap).
