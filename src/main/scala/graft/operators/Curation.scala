@@ -54,8 +54,10 @@ object Curation {
     //    policies a curation stack offers), then ta08's deterministic
     //    hash split, rolled up to the per-(split, lang) shard manifest
     //    (doc + token counts) a training launcher consumes. One Catalyst
-    //    plan; the kept-list and cluster relations are candidate-sized
-    //    → broadcast joins against the corpus scan.
+    //    plan. The cluster-membership and kept relations are CORPUS
+    //    FRACTIONS at real web-dup rates (30-60% of docs sit in near-dup
+    //    clusters), so they must never be broadcast — shuffle-hash join
+    //    on doc_id, dd18/ta21's discipline.
     "pl03_train_emission" -> ((s, d) => {
       val qual = TextAnalysis.queries("ta03_quality_score")(s, d)
         .select(col("doc_id"), col("quality"))
@@ -67,11 +69,17 @@ object Curation {
         .select(col("kept_doc_id").as("doc_id"))
       val bucket = expr(
         "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
+      // qual and toks are PER-DOCUMENT relations — corpus-sized, same
+      // no-broadcast rule as the cluster/kept sets. All four joins key
+      // on doc_id, so the shuffle-hash exchanges line up and AQE can
+      // reuse the partitioning across them.
       Tables.documents(s, d).select(col("doc_id"), col("lang"))
-        .join(qual, "doc_id").filter(col("quality") >= 0.5)
-        .join(toks, "doc_id")
-        .join(broadcast(clusters.withColumn("clustered", lit(1))), Seq("doc_id"), "left")
-        .join(broadcast(kept.withColumn("is_kept", lit(1))), Seq("doc_id"), "left")
+        .join(qual.hint("shuffle_hash"), "doc_id").filter(col("quality") >= 0.5)
+        .join(toks.hint("shuffle_hash"), "doc_id")
+        .join(clusters.withColumn("clustered", lit(1)).hint("shuffle_hash"),
+              Seq("doc_id"), "left")
+        .join(kept.withColumn("is_kept", lit(1)).hint("shuffle_hash"),
+              Seq("doc_id"), "left")
         .filter(col("clustered").isNull || col("is_kept") === 1)
         .withColumn("split",
           when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
@@ -89,10 +97,13 @@ object Curation {
     //    a mean-of-norms here would be an order-dependent float sum,
     //    which is exactly what the repo's determinism rules forbid.
     "pl02_embedding_curation" -> ((s, d) => {
+      // The dropped-id set is a corpus fraction under heavy duplication
+      // — shuffle-hash join on vec_id, never a broadcast (ta21/dd18).
       val dupIds = Dedup.queries("dd07_embedding_neardup")(s, d)
         .select(col("vec_b").as("vec_id")).distinct()
       Tables.embeddings(s, d).select(col("vec_id"), col("label"))
-        .join(broadcast(dupIds.withColumn("is_dup", lit(1))), Seq("vec_id"), "left")
+        .join(dupIds.withColumn("is_dup", lit(1)).hint("shuffle_hash"),
+              Seq("vec_id"), "left")
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_total"),
              sum(coalesce(col("is_dup"), lit(0)).cast("long")).as("n_dups_dropped"))

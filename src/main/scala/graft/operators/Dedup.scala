@@ -551,9 +551,11 @@ object Dedup {
     // -- Representative selection — the terminal dedup stage dd09 feeds:
     //    per near-dup cluster, KEEP the best document (longest text,
     //    doc_id tiebreak) and report what was dropped. The cluster
-    //    relation is |clustered docs|-sized (tiny next to the corpus),
-    //    so the doc join broadcasts it; the rank window partitions by
-    //    cluster — bounded by cluster size, never corpus-wide. Output:
+    //    relation covers 30-60% of documents at real web-corpus dup
+    //    rates — a corpus FRACTION, so the doc join must shuffle on
+    //    doc_id (ta21/dd18's no-broadcast discipline), never broadcast;
+    //    the rank window partitions by cluster — bounded by cluster
+    //    size, never corpus-wide. Output:
     //    one row per cluster (canonical_id, kept doc, member/char
     //    totals) — the "keep list + audit" a 100 TB dedup pass emits.
     "dd16_keep_best" -> ((s, d) => {
@@ -561,7 +563,7 @@ object Dedup {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
       val w = Window.partitionBy(col("canonical_id"))
         .orderBy(col("n_chars").desc, col("doc_id").asc)
-      labels.join(docs, "doc_id")
+      labels.hint("shuffle_hash").join(docs.hint("shuffle_hash"), "doc_id")
         .withColumn("rn", row_number().over(w))
         .groupBy(col("canonical_id"))
         .agg(count(lit(1)).as("n_members"),
@@ -758,8 +760,13 @@ object Dedup {
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"), col("embedding").as("e"))
         .withColumn("nrm", graft.functions.VectorFunctions.vecDot(col("e"), col("e")))
-      v.as("a")
-        .join(v.as("b"), col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      // Both sides of the block self-join are the CORPUS — shuffle on
+      // the block key (label = IVF cell id) so pairs form cell-locally
+      // after one exchange per side; broadcasting either side would ship
+      // the whole vector table to every executor at 100 TB.
+      v.as("a").hint("shuffle_hash")
+        .join(v.as("b").hint("shuffle_hash"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           round(graft.functions.VectorFunctions.vecDot(col("a.e"), col("b.e"))
             / sqrt(col("a.nrm") * col("b.nrm")), 6).as("cos"))

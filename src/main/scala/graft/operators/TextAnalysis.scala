@@ -134,9 +134,14 @@ object TextAnalysis {
             "g -> md5(g)))").as("min_shingle_md5"))
     }),
 
-    // -- TF-IDF top-3 terms per document. Two hash aggs + one broadcast-
-    //    able df join (vocab ≪ corpus at any scale); ranking happens on
-    //    the rounded score so both engines agree on ties.
+    // -- TF-IDF top-3 terms per document. Two hash aggs + a term-keyed
+    //    SHUFFLE join with the document-frequency relation: the distinct-
+    //    term count of a web corpus is billions (heavy tail), beyond any
+    //    broadcast, even though token MASS concentrates in a small head.
+    //    The tf side already shuffles on (doc_id, term), so the df join
+    //    costs one term-keyed exchange per side and has no size ceiling.
+    //    Ranking happens on the rounded score so both engines agree on
+    //    ties; the 1-row doc count stays a broadcast nested loop.
     "ta05_tfidf_top3" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val term = docs.select(col("doc_id"), explode(expr(toks)).as("term"))
@@ -144,7 +149,8 @@ object TextAnalysis {
       val df_ = term.select(col("doc_id"), col("term")).distinct()
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
       val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
-      val scored = tf.join(broadcast(df_), "term").crossJoin(broadcast(n))
+      val scored = tf.hint("shuffle_hash").join(df_.hint("shuffle_hash"), "term")
+        .crossJoin(broadcast(n))
         .select(col("doc_id"), col("term"),
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
       val w = Window.partitionBy(col("doc_id"))

@@ -290,6 +290,48 @@ class PlanQualitySpec extends SparkSpec {
       "dd18 does not scan the staged positioned gram index:\n" + p.take(3000))
   }
 
+  test("curation rollups never broadcast cluster/dup-derived relations (pl02/pl03)") {
+    // At real web-corpus dup rates 30-60% of documents sit in near-dup
+    // clusters, so the cluster-membership, kept and dropped-id relations
+    // are corpus FRACTIONS — a broadcast there is a driver OOM at 100 TB
+    // (the exact defect class ta21 was cured of). The survivorship joins
+    // must be shuffle hash joins on doc_id/vec_id, and no broadcast
+    // exchange may feed a join keyed on them. pl03's dim-sized lang/split
+    // rollup and the 1-row doc count may still broadcast — we assert on
+    // the keyed joins specifically.
+    val p3 = plan("pl03_train_emission")
+    assert(p3.linesIterator.exists(l =>
+        l.contains("ShuffledHashJoin") && l.contains("doc_id")),
+      "pl03 survivorship join is not a shuffle hash join:\n" + p3.take(3000))
+    assert(!p3.linesIterator.exists(l =>
+        (l.contains("BroadcastHashJoin") || l.contains("BroadcastExchange")) &&
+          l.contains("doc_id#")),
+      "pl03 broadcasts a doc_id-keyed corpus-fraction relation:\n" + p3.take(3000))
+    val p2 = plan("pl02_embedding_curation")
+    assert(p2.linesIterator.exists(l =>
+        l.contains("ShuffledHashJoin") && l.contains("vec_id")),
+      "pl02 dup-id join is not a shuffle hash join:\n" + p2.take(3000))
+    assert(!p2.linesIterator.exists(l =>
+        (l.contains("BroadcastHashJoin") || l.contains("BroadcastExchange")) &&
+          l.contains("vec_id#")),
+      "pl02 broadcasts the vec_id-keyed dropped set:\n" + p2.take(3000))
+  }
+
+  test("TF-IDF joins the document-frequency relation by shuffle, not broadcast (ta05)") {
+    // Distinct-term count of a web corpus is billions (heavy tail) —
+    // |vocab| is NOT broadcastable even though token mass concentrates.
+    // The df join must shuffle on term; the 1-row n_docs broadcast
+    // nested loop is fine.
+    val p = plan("ta05_tfidf_top3")
+    assert(p.linesIterator.exists(l =>
+        l.contains("ShuffledHashJoin") && l.contains("term")),
+      "ta05 df join is not a shuffle hash join:\n" + p.take(3000))
+    assert(!p.linesIterator.exists(l =>
+        (l.contains("BroadcastHashJoin") || l.contains("BroadcastExchange")) &&
+          l.contains("term#")),
+      "ta05 broadcasts the term-keyed df relation:\n" + p.take(3000))
+  }
+
   // by its own plan/oracle spec, and their checkpointed subplans would
   // print as opaque RDD scans here anyway. io04/io05's fixture writes
   // are cheap and their plans worth scanning, so they stay in.
