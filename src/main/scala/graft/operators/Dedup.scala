@@ -162,6 +162,7 @@ object Dedup {
   private def stagedGramForm(
       s: SparkSession, d: String, n: Int, form: String)(
       build: => DataFrame): DataFrame = {
+    graft.sources.Scratch.cleanupStale(s) // reap prior JVMs' artifacts
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_gram_idx_" + s.sparkContext.applicationId + "_" +
         d.replaceAll("[^A-Za-z0-9]", "_") + s"_$n$form")
@@ -201,14 +202,33 @@ object Dedup {
       .select(col("doc_id"), col("i"))
       .unionAll(tkDf.select(col("doc_id"), lit(0).as("i")))
       .distinct()
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-    starts
-      .withColumn("nxt", lead(col("i"), 1).over(w))
-      .join(tkDf, "doc_id")
-      .select(col("doc_id"), col("i").as("cs"),
-        coalesce(col("nxt"), expr("size(tk)")).as("ce"), col("tk"))
-      .select(col("doc_id"), col("cs"), col("ce"),
-        md5(concat_ws(" ", expr("slice(tk, cs + 1, ce - cs)"))).as("ch"))
+    // Chunk content WITHOUT joining the token array per chunk (which
+    // copies a T-token array into ~T/64 chunk rows — O(T²/64) bytes per
+    // document through the join, degrading on a 1M-token outlier).
+    // Instead: explode tokens once (T rows), union in the boundary
+    // markers, and label every token with its chunk start cs = running
+    // max of boundary positions ≤ pos (markers sort before the token at
+    // the same position, so a boundary token starts its own chunk).
+    // One doc_id-keyed window + one (doc_id, cs) aggregation, all O(T).
+    val tkPos = tkDf.select(col("doc_id"),
+      posexplode(col("tk")).as(Seq("pos", "tok")))
+      .withColumn("m", lit(0))
+    val markers = starts.select(col("doc_id"), col("i").as("pos"),
+      lit(null).cast("string").as("tok"), lit(1).as("m"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("pos").asc, col("m").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tkPos.unionByName(markers)
+      .withColumn("cs", max(when(col("m") === 1, col("pos"))).over(w))
+      .filter(col("m") === 0)
+      .groupBy(col("doc_id"), col("cs"))
+      .agg((max(col("pos")) + 1).as("ce"),
+        // Ordered reassembly: sort the (pos, tok) structs, project the
+        // tokens, space-join — identical bytes to the old slice form.
+        md5(concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(pos, tok))), x -> x.tok)")))
+          .as("ch"))
+      .select(col("doc_id"), col("cs"), col("ce"), col("ch"))
   }
 
   /** dd18's gaps-and-islands span merge, extracted pure for property
