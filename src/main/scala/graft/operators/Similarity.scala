@@ -94,6 +94,7 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[String, String]
   private def stagedIndex(s: SparkSession, d: String, tag: String,
       partCols: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
+    graft.sources.Scratch.cleanupStale(s) // reap prior JVMs' artifacts
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_${tag}_" + s.sparkContext.applicationId + "_" +
         d.replaceAll("[^A-Za-z0-9]", "_"))

@@ -20,12 +20,12 @@ object FormatsIO {
 
   import graft.Exprs.cents // shared exact-integer-cents helper
 
-  /** Deterministic scratch dir per query: Spark's overwrite mode replaces
-    * it wholesale each run, so repeated harness runs don't accumulate
-    * fixture-sized copies in /tmp (a fresh createTempDirectory per run
-    * would). */
-  private def tmpDir(tag: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_$tag"
+  /** Scratch dir per query, scoped by (application, fixture) with
+    * stale-dir reaping — [[Scratch]]'s discipline. A FIXED shared path
+    * here let two concurrent processes interleave io10's static
+    * overwrite, dynamic overwrite and read-back into corrupt results. */
+  private def tmpDir(s: SparkSession, d: String, tag: String): String =
+    Scratch.dir(s, d, tag)
 
   /** io11's isolated session: DSv2 parquet reads + aggregate pushdown,
     * memoized per root session so the shared session conf is never
@@ -70,7 +70,7 @@ object FormatsIO {
     // -- CSV sink + source: orders key columns through header CSV.
     //    Read back with an explicit DDL schema.
     "io01_csv_roundtrip" -> ((s, d) => {
-      val dir = tmpDir("io01")
+      val dir = tmpDir(s, d, "io01")
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .write.mode("overwrite").option("header", "true").csv(dir)
@@ -84,7 +84,7 @@ object FormatsIO {
 
     // -- JSON sink + source: documents metadata through JSON lines.
     "io02_json_roundtrip" -> ((s, d) => {
-      val dir = tmpDir("io02")
+      val dir = tmpDir(s, d, "io02")
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"), length(col("text")).as("text_len"))
         .write.mode("overwrite").json(dir)
@@ -99,7 +99,7 @@ object FormatsIO {
     // -- ORC sink + source: lineitem slice through ORC (columnar like
     //    parquet — pushdown and pruning still apply on read-back).
     "io03_orc_roundtrip" -> ((s, d) => {
-      val dir = tmpDir("io03")
+      val dir = tmpDir(s, d, "io03")
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
         .write.mode("overwrite").orc(dir)
@@ -117,7 +117,7 @@ object FormatsIO {
     //    layout lever: a date/tenant/lang-partitioned corpus turns
     //    full-table scans into single-partition reads.
     "io04_partitioned_pruning" -> ((s, d) => {
-      val dir = tmpDir("io04")
+      val dir = tmpDir(s, d, "io04")
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("source"),
           length(col("text")).as("text_len"))
@@ -170,7 +170,7 @@ object FormatsIO {
     //    the nightly-correction shape: the write transfers one day's
     //    bytes, never the table's.
     "io10_partition_overwrite" -> ((s, d) => {
-      val dir = tmpDir("io10")
+      val dir = tmpDir(s, d, "io10")
       val restated =
         "cast(conv(substring(md5(cast(day as string)), 1, 2), 16, 10) as bigint) % 5 = 1"
       val base = Tables.events(s, d).select(
@@ -253,7 +253,7 @@ object FormatsIO {
     //    and a reduction flag, so a wrong layout flips the gate red —
     //    the compare checks the filesystem effect, not just the data.
     "io07_compaction" -> ((s, d) => {
-      val small = tmpDir("io07_small"); val compact = tmpDir("io07_compact")
+      val small = tmpDir(s, d, "io07_small"); val compact = tmpDir(s, d, "io07_compact")
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .repartition(64, col("o_orderkey"))
@@ -280,7 +280,7 @@ object FormatsIO {
     //    count(*) from count(quality) so a dropped-or-defaulted column
     //    (instead of true NULL backfill) flips the gate.
     "io08_schema_merge" -> ((s, d) => {
-      val dir = tmpDir("io08")
+      val dir = tmpDir(s, d, "io08")
       val docs = Tables.documents(s, d)
       docs.select(col("doc_id"), col("lang"))
         .write.mode("overwrite").parquet(dir + "/v1")
@@ -295,7 +295,7 @@ object FormatsIO {
     }),
 
     "io05_permissive_csv" -> ((s, d) => {
-      val dir = tmpDir("io05")
+      val dir = tmpDir(s, d, "io05")
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .write.mode("overwrite").csv(dir)

@@ -207,6 +207,7 @@ object Streams {
     scala.collection.concurrent.TrieMap.empty[String, java.io.File]
   private def stagedFeed(s: SparkSession, d: String, tag: String)(
       build: java.io.File => Unit): java.io.File = {
+    graft.sources.Scratch.cleanupStale(s) // reap prior JVMs' artifacts
     val key = tag + "|" + s.sparkContext.applicationId + "|" + d
     stagedFeedDirs.synchronized {
       stagedFeedDirs.getOrElseUpdate(key, {
@@ -526,7 +527,7 @@ object Streams {
     "st07_foreachbatch_sink" -> ((s, d) => {
       // Deterministic scratch dir, cleared up front: the sink appends,
       // so stale batches from a previous harness run must not survive.
-      val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_st07_out"
+      val outDir = graft.sources.Scratch.dir(s, d, "st07_out")
       val fsPath = new org.apache.hadoop.fs.Path(outDir)
       fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
       val agg = eventStream(s, d)
@@ -564,7 +565,7 @@ object Streams {
     //    spec (SourcesSpec) proves offset recovery mid-stream.
     "st15_dsv2_stream" -> ((s0, d) => {
       val s = stateTuned(s0)
-      val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_st15_out"
+      val outDir = graft.sources.Scratch.dir(s, d, "st15_out")
       val fsPath = new org.apache.hadoop.fs.Path(outDir)
       fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
       val stream = s.readStream.format("graft.sources.GenSource")
@@ -795,7 +796,7 @@ object Streams {
     //    Oracle = dd01's: stream/batch parity for the dedup relation.
     "st17_stream_exact_dedup" -> ((s, d) => {
       val (feed, schema) = docsFeed(s, d)
-      val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_st17_out"
+      val outDir = graft.sources.Scratch.dir(s, d, "st17_out")
       val fsPath = new org.apache.hadoop.fs.Path(outDir)
       fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
       val q = s.readStream.schema(schema)
@@ -831,7 +832,7 @@ object Streams {
     "st18_stream_decontaminate" -> ((s, d) => {
       val bench = graft.operators.Dedup.benchGramSet(s, d)
       val schema = s.read.parquet(s"$d/documents.parquet").schema
-      val outDir = s"${System.getProperty("java.io.tmpdir")}/graft_st18_out"
+      val outDir = graft.sources.Scratch.dir(s, d, "st18_out")
       val fsPath = new org.apache.hadoop.fs.Path(outDir)
       fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
       val q = s.readStream.schema(schema)
@@ -882,10 +883,11 @@ object Streams {
     //    candidates) and id-keyed shingle lookups — at 100 TB the ledger
     //    is a parquet table bucketed by band key.
     "st19_stream_neardup" -> ((s, d) => {
-      val tmp = System.getProperty("java.io.tmpdir")
       val (feed, schema) = docsFeed(s, d)
       val (bandsDir, setsDir, outDir) = (
-        s"$tmp/graft_st19_bands", s"$tmp/graft_st19_sets", s"$tmp/graft_st19_out")
+        graft.sources.Scratch.dir(s, d, "st19_bands"),
+        graft.sources.Scratch.dir(s, d, "st19_sets"),
+        graft.sources.Scratch.dir(s, d, "st19_out"))
       // Seed each ledger/sink with an EMPTY correctly-typed relation so
       // batch 0 probes a valid (empty) ledger and the read-back never
       // hits a missing path.
@@ -918,7 +920,6 @@ object Streams {
     //    ingest-time semantic contamination gate: map-side cell-local
     //    cosine, corpus never shuffles, sink bucketable by vec_id.
     "st20_stream_embed_decontaminate" -> ((s, d) => {
-      val tmp = System.getProperty("java.io.tmpdir")
       val bucket = expr(
         "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint) % 100")
       val v = graft.sources.Tables.embeddings(s, d)
@@ -930,7 +931,7 @@ object Streams {
         .select(col("label"), col("vec_id").as("eval_id"),
           col("e").as("ee"), col("nrm").as("enrm"))
       val (feed, schema) = embFeed(s, d)
-      val outDir = s"$tmp/graft_st20_out"
+      val outDir = graft.sources.Scratch.dir(s, d, "st20_out")
       val fsPath = new org.apache.hadoop.fs.Path(outDir)
       fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
       val q = s.readStream.schema(schema)
@@ -1019,10 +1020,9 @@ object Streams {
     //    set swaps to dd12's Bloom when it outgrows a broadcast.
     "pl04_stream_curation" -> ((s, d) => {
       import graft.operators.Dedup
-      val tmp = System.getProperty("java.io.tmpdir")
       val bench = Dedup.benchGramSet(s, d)
       val (feed, schema) = docsFeed(s, d)
-      val outDir = s"$tmp/graft_pl04_out"
+      val outDir = graft.sources.Scratch.dir(s, d, "pl04_out")
       val fsPath = new org.apache.hadoop.fs.Path(outDir)
       fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
       val q = s.readStream.schema(schema)

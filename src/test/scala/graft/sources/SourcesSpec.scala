@@ -140,7 +140,7 @@ class SourcesSpec extends SparkSpec {
   test("io07 compaction hits the exact target file count") {
     graft.SparkEntry.queries("io07_compaction")(spark, sfDir).collect()
     def files(tag: String) = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_$tag")
+      graft.sources.Scratch.dir(spark, sfDir, tag))
       .listFiles.count(_.getName.endsWith(".parquet"))
     val n = Tables.orders(spark, sfDir).count()
     assert(files("io07_compact") === math.max(1, math.ceil(n / 5000.0).toInt))
