@@ -46,17 +46,49 @@ final case class ResizedMeta(
   */
 object Multimodal {
 
-  /** STUB decoder: stands in for image decode (no media libs in this
-    * environment). Deterministic: all outputs derive from md5(blob). */
-  private def fakeDecode(md: java.security.MessageDigest)(
-      id: Long, blob: Array[Byte]): DecodedMeta = {
-    md.reset()
-    val h = md.digest(blob)
-    val b0 = h(0) & 0xff; val b1 = h(1) & 0xff; val b2 = h(2) & 0xff
-    val w = 64 + b0 % 192
-    val ht = 64 + b1 % 192
-    val fmt = Seq("jpeg", "png", "webp")(b2 % 3)
-    DecodedMeta(id, w, ht, fmt, w.toLong * ht)
+  /** The GRF-v2 container blob mm02/mm08 decode — 25 bytes built
+    * IN-ENGINE per doc (mm06's construction discipline, extended with a
+    * real format tag): bytes 0-2 magic \x89 'G' 'R' (0x89 forces a
+    * non-UTF8 first byte), byte 3 a format TAG byte 'J'|'P'|'W' (the
+    * way real decoders sniff jpeg/png/webp from magic bytes), byte 4
+    * version 0x02, two big-endian uint16 dimensions (16 + closed-form
+    * residues, always ≥ 16 so resize math never divides by zero), then
+    * the raw 16-byte md5 digest of the text as payload. */
+  private def grf2Blobs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        unhex(concat(
+          lit("894752"), // \x89 'G' 'R'
+          expr("element_at(array('4A', '50', '57'), cast(doc_id % 3 as int) + 1)"),
+          lit("02"),
+          lpad(hex(pmod(col("doc_id") * 7919 + 13, lit(4080)) + 16), 4, "0"),
+          lpad(hex(pmod(col("doc_id") * 104729 + 7, lit(4080)) + 16), 4, "0"),
+          md5(col("text")))).as("blob"))
+
+  /** REAL decoder for [[grf2Blobs]]: a ByteBuffer header parse — magic
+    * check, format sniffed from the tag byte, big-endian uint16 dims —
+    * nothing derived from hashes. This replaced the round-5 md5 "fake
+    * decode": the decode→resize→batch-infer path now parses actual
+    * bytes end-to-end; a production deployment swaps this parser for an
+    * image library's, with partitioning, schema and batch shape
+    * unchanged. Malformed blobs surface loudly (format "invalid",
+    * -1 dims) instead of poisoning downstream arithmetic. */
+  private[graft] def decodeGrf2(id: Long, blob: Array[Byte]): DecodedMeta = {
+    val bb = java.nio.ByteBuffer.wrap(blob)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    val magicOk = blob.length == 25 &&
+      (bb.get() & 0xff) == 0x89 && bb.get() == 'G' && bb.get() == 'R'
+    val fmt = if (!magicOk) "invalid" else (bb.get().toChar match {
+      case 'J' => "jpeg"; case 'P' => "png"; case 'W' => "webp"
+      case _ => "invalid"
+    })
+    if (fmt == "invalid") DecodedMeta(id, -1, -1, fmt, 0L)
+    else {
+      bb.get() // version
+      val w = bb.getShort.toInt & 0xffff
+      val h = bb.getShort.toInt & 0xffff
+      DecodedMeta(id, w, h, fmt, w.toLong * h)
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -72,18 +104,17 @@ object Multimodal {
           md5(col("blob")).as("content_md5"))
     }),
 
-    // -- Typed mapPartitions decode: one digest (≈ decoder/model) per
-    //    partition, streamed over the iterator — constant memory, no
-    //    collect, scales with partition count.
+    // -- Typed mapPartitions decode over REAL container bytes: each doc
+    //    carries a GRF-v2 blob ([[grf2Blobs]]) and [[decodeGrf2]] parses
+    //    magic / format tag / big-endian dims out of the bytes — the
+    //    actual decode shape, not an md5 stand-in. Streamed over the
+    //    iterator: constant memory, no collect, scales with partition
+    //    count. The oracle recomputes the header fields in closed form.
     "mm02_decode_meta" -> ((s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      grf2Blobs(s, d)
         .as[(Long, Array[Byte])]
-        .mapPartitions { it =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          it.map { case (id, blob) => fakeDecode(md)(id, blob) }
-        }
+        .mapPartitions(_.map { case (id, blob) => decodeGrf2(id, blob) })
         .toDF()
     }),
 
@@ -171,28 +202,26 @@ object Multimodal {
     }),
 
     // -- RESIZE planning — the aspect-preserving downscale pass before
-    //    any vision model (fit into a 64×64 box). The decode reuses
-    //    mm02's stub; the resize arithmetic is ALL-INTEGER (truncating
-    //    division agrees between the JVM and DuckDB on positive ints),
-    //    so the plan is deterministic and oracle-checkable while the
-    //    actual pixel resampling stays stubbed with the decoder. In
-    //    production the emitted (new_w, new_h) drive the real resampler
-    //    inside the same mapPartitions; schema and partitioning hold.
+    //    any vision model (fit into a 64×64 box). The decode is mm02's
+    //    REAL header parse ([[decodeGrf2]]); the resize arithmetic is
+    //    ALL-INTEGER (truncating division agrees between the JVM and
+    //    DuckDB on positive ints, short side clamped to ≥ 1 like every
+    //    real fit-into-box resampler), so the plan is deterministic and
+    //    oracle-checkable while only the pixel RESAMPLING itself stays
+    //    out of scope (no media libs here). In production the emitted
+    //    (new_w, new_h) drive the resampler inside the same
+    //    mapPartitions; schema and partitioning hold.
     "mm08_resize" -> ((s, d) => {
       import s.implicits._
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      grf2Blobs(s, d)
         .as[(Long, Array[Byte])]
-        .mapPartitions { it =>
-          val md = java.security.MessageDigest.getInstance("MD5")
-          it.map { case (id, blob) =>
-            val m = fakeDecode(md)(id, blob)
-            val (nw, nh) =
-              if (m.width >= m.height) (64, m.height * 64 / m.width)
-              else (m.width * 64 / m.height, 64)
-            ResizedMeta(id, m.width, m.height, nw, nh, nw.toLong * nh)
-          }
-        }
+        .mapPartitions(_.map { case (id, blob) =>
+          val m = decodeGrf2(id, blob)
+          val (nw, nh) =
+            if (m.width >= m.height) (64, math.max(1, m.height * 64 / m.width))
+            else (math.max(1, m.width * 64 / m.height), 64)
+          ResizedMeta(id, m.width, m.height, nw, nh, nw.toLong * nh)
+        })
         .toDF()
     }),
 
@@ -238,14 +267,16 @@ object Multimodal {
          upper(hex(substr(text, 1, 4))) AS magic_hex,
          md5(text) AS content_md5
          FROM documents""",
+    // The header fields the Spark side PARSES out of the GRF-v2 bytes,
+    // recomputed in closed form (mm06's oracle discipline).
     "mm02_decode_meta" ->
       """SELECT doc_id,
-         CAST(64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) % 192 AS INT) AS width,
-         CAST(64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) % 192 AS INT) AS height,
-         CASE CAST(concat('0x', substr(md5(text), 5, 2)) AS INT) % 3
-           WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'webp' END AS format,
-         CAST((64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) % 192)
-            * (64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) % 192) AS BIGINT) AS n_pixels
+         CAST(16 + (doc_id*7919+13) % 4080 AS INT) AS width,
+         CAST(16 + (doc_id*104729+7) % 4080 AS INT) AS height,
+         CASE doc_id % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+           ELSE 'webp' END AS format,
+         CAST((16 + (doc_id*7919+13) % 4080)
+            * (16 + (doc_id*104729+7) % 4080) AS BIGINT) AS n_pixels
          FROM documents""",
     "mm03_frame_sample" ->
       """SELECT doc_id, frame_idx, md5(concat(doc_id, ':', frame_idx)) AS frame_key FROM (
@@ -281,18 +312,19 @@ object Multimodal {
          FROM (SELECT doc_id, text,
                  CAST(unnest(range(0, CAST(length(text) AS BIGINT), 100)) AS INT) AS chunk_off
                FROM documents)""",
-    // mm02's decode oracle + the same truncating integer scale math.
+    // mm02's header closed form + the same truncating integer scale
+    // math (short side clamped to ≥ 1, as in the Spark-side parser).
     "mm08_resize" ->
       """WITH m AS (
            SELECT doc_id,
-             64 + CAST(concat('0x', substr(md5(text), 1, 2)) AS INT) % 192 AS width,
-             64 + CAST(concat('0x', substr(md5(text), 3, 2)) AS INT) % 192 AS height
+             16 + (doc_id*7919+13) % 4080 AS width,
+             16 + (doc_id*104729+7) % 4080 AS height
            FROM documents),
          r AS (
            SELECT doc_id, width, height,
              CASE WHEN width >= height THEN 64
-                  ELSE width * 64 // height END AS new_w,
-             CASE WHEN width >= height THEN height * 64 // width
+                  ELSE greatest(1, width * 64 // height) END AS new_w,
+             CASE WHEN width >= height THEN greatest(1, height * 64 // width)
                   ELSE 64 END AS new_h
            FROM m)
          SELECT doc_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,

@@ -242,9 +242,11 @@ object Streams {
     (feed, sel.schema)
   }
 
+  /** Shared by st14 (fixed gap) and st23 (dynamic gap — needs
+    * event_type; st14 simply ignores the extra column). */
   private def st14Feed(s: SparkSession, d: String) = {
     val sel = graft.sources.Tables.events(s, d)
-      .select(col("ts"), col("user_id"))
+      .select(col("ts"), col("user_id"), col("event_type"))
     val feed = stagedFeed(s, d, "st14") { f =>
       val ev = sel.persist()
       val mx = ev.agg(max(col("ts"))).collect()(0).getTimestamp(0)
@@ -733,6 +735,81 @@ object Streams {
           unix_micros(col("session_window.end")).as("sess_end_us"),
           col("n_events"))
       runToTable(agg, OutputMode.Append())
+    }),
+
+    // -- APPEND-mode DYNAMIC-GAP sessionization — q64's per-event-type
+    //    engagement model (clicks time out in 5 minutes, everything else
+    //    in 30) running in st14's production harness: session_window
+    //    with a CalendarInterval gap EXPRESSION + watermark, sessions
+    //    emitted incrementally as the watermark passes their end (the
+    //    running MAX of member `ts + gap(event)` ends). The feed is
+    //    st14's chronological two-file split, so no row is late and the
+    //    closed form is exact: every q64-style gaps-and-islands session
+    //    whose merged end is at or before the final watermark
+    //    (max ts − 10 min); sessions spanning the batch boundary
+    //    exercise the dynamic-gap state-store merge. Same scale shape
+    //    as st14: state is per-open-session, bounded by the watermark.
+    "st23_dynamic_session_append" -> ((s0, d) => {
+      val s = stateTuned(s0)
+      val (feed, schema) = st14Feed(s, d)
+      // make_interval: session_window's gap expression must be
+      // CalendarIntervalType (q64's discipline).
+      val gap = when(col("event_type") === "click",
+          expr("make_interval(0, 0, 0, 0, 0, 5, 0)"))
+        .otherwise(expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+      val agg = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), gap), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("sess_start_us"),
+          unix_micros(col("session_window.end")).as("sess_end_us"),
+          col("n_events"))
+      runToTable(agg, OutputMode.Append())
+    }),
+
+    // -- STREAMING ANN SERVING — the retrieval-service deployment shape
+    //    (the reference model is unbounded-first,
+    //    /root/reference/pipe/node.go:12-13): a query stream probes the
+    //    PERSISTED IVF artifact per micro-batch. st09's stream-static
+    //    join shape applied to ss02's stored inverted file: the index is
+    //    built ONCE (outside the stream — [[graft.operators.Similarity
+    //    .ivfIndex]]), each arriving batch of query vectors norms
+    //    itself batch-locally and runs the SAME probe plan fragment ss02
+    //    runs (`ivfServePartial` — shared code, not parallel code), and
+    //    each query's complete top-3 appends to the sink. Stream state
+    //    is ZERO (the index is the state, on disk); replays append
+    //    byte-identical rows, erased by the read-back distinct — st17's
+    //    sink-as-state discipline. Each query lands in exactly one
+    //    micro-batch and probes the full static index, so the union over
+    //    batches IS ss02's batch answer: the oracle is ss02's verbatim.
+    //    At 100 TB the artifact is cell-partitioned on disk, so a
+    //    micro-batch touching few cells reads few directories.
+    "st22_stream_ann_serve" -> ((s, d) => {
+      import graft.operators.Similarity
+      val idx = Similarity.ivfIndex(s, d)
+      val (feed, schema) = embFeed(s, d)
+      val outDir = graft.sources.Scratch.dir(s, d, "st22_out")
+      val fsPath = new org.apache.hadoop.fs.Path(outDir)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Similarity.ivfServePartial(batch, idx)
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      s.read.parquet(outDir).distinct()
     }),
 
     // -- LEFT-OUTER stream-stream join — the hard half of st08: matched
@@ -1233,6 +1310,46 @@ object Streams {
            CAST(n_events AS BIGINT) AS n_events
          FROM agg, m
          WHERE en + INTERVAL 30 MINUTE <= mx - INTERVAL 10 MINUTE""",
+    // st14's watermark-closure form × q64's dynamic-gap running-max
+    // islands: per-event end = ts + gap(event_type), session end = the
+    // running MAX of member ends, island break STRICT (ts > prev_end —
+    // the spec-pinned boundary semantics), and only sessions whose
+    // merged end is at or before the final watermark (max ts − 10 min)
+    // have been emitted when AvailableNow terminates.
+    "st23_dynamic_session_append" ->
+      """WITH m AS (SELECT max(CAST(ts AS TIMESTAMP)) AS mx FROM events),
+         e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+                 CAST(ts AS TIMESTAMP) + CASE WHEN event_type = 'click'
+                      THEN INTERVAL 5 MINUTE
+                      ELSE INTERVAL 30 MINUTE END AS w_end
+               FROM events),
+         pe AS (SELECT user_id, ts, event_id, w_end,
+                  max(w_end) OVER (PARTITION BY user_id
+                    ORDER BY ts ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_end
+                FROM e),
+         marks AS (SELECT user_id, ts, event_id, w_end,
+                     CASE WHEN prev_end IS NULL OR ts > prev_end
+                          THEN 1 ELSE 0 END AS new_sess
+                   FROM pe),
+         sess AS (SELECT user_id, ts, w_end,
+                    sum(new_sess) OVER (PARTITION BY user_id
+                      ORDER BY ts ASC, event_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                  FROM marks),
+         agg AS (SELECT user_id, min(ts) AS st, max(w_end) AS en,
+                   count(*) AS n_events
+                 FROM sess GROUP BY user_id, sid)
+         SELECT user_id,
+           CAST(epoch_us(st) AS BIGINT) AS sess_start_us,
+           CAST(epoch_us(en) AS BIGINT) AS sess_end_us,
+           CAST(n_events AS BIGINT) AS n_events
+         FROM agg, m
+         WHERE en <= mx - INTERVAL 10 MINUTE""",
+    // st22 unions per-micro-batch probes of the static stored index —
+    // exactly ss02's batch answer, so the oracle is ss02's verbatim.
+    "st22_stream_ann_serve" -> graft.operators.Similarity.dIvfTopk,
     "st04_stream_sessions" ->
       """SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events FROM (
            SELECT user_id, sess, count(*) AS n_events FROM (

@@ -317,6 +317,35 @@ class PlanQualitySpec extends SparkSpec {
       "pl02 broadcasts the vec_id-keyed dropped set:\n" + p2.take(3000))
   }
 
+  test("refreshed-IVF probe scans the compacted artifact (ss12)") {
+    val p = plan("ss12_ivf_refresh")
+    // The probe must read the COMPACTED refreshed index (ivf_rfc), and
+    // must not fall back to the write-once artifact or the live
+    // embeddings pipeline for the corpus side.
+    assert(p.contains("graft_ivf_rfc"),
+      "ss12 probe does not read the compacted refreshed index:\n" + p.take(2000))
+  }
+
+  test("streaming ANN serve's per-batch plan probes the stored index (st22)") {
+    import graft.operators.Similarity
+    // st22's foreachBatch body is the extracted ivfServePartial; plan it
+    // with a stand-in micro-batch (the raw embeddings relation has the
+    // arriving-row schema) against the persisted index.
+    val probe = Similarity.ivfServePartial(
+      graft.sources.Tables.embeddings(spark, sfDir),
+      Similarity.ivfIndex(spark, sfDir))
+    val p = probe.queryExecution.executedPlan.toString
+    // Corpus side comes from the cell-partitioned artifact…
+    assert(p.contains("graft_ivf_idx"),
+      "serving probe does not scan the persisted IVF index:\n" + p.take(2000))
+    // …with stored norms READ, not recomputed: the index-side scan's
+    // schema must include nrm (only the batch-sized query side may
+    // compute its own norms).
+    val idxScan = p.linesIterator.filter(_.contains("graft_ivf_idx")).mkString
+    assert(idxScan.contains("nrm"),
+      "index scan does not read the stored norm column:\n" + idxScan.take(1000))
+  }
+
   test("TF-IDF joins the document-frequency relation by shuffle, not broadcast (ta05)") {
     // Distinct-term count of a web corpus is billions (heavy tail) —
     // |vocab| is NOT broadcastable even though token mass concentrates.

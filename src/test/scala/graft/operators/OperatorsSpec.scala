@@ -534,6 +534,46 @@ class OperatorsSpec extends SparkSpec {
     assert(stat === Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"static 30m: $stat")
   }
 
+  // ss12: the index-maintenance lifecycle must change LAYOUT, never
+  // ANSWERS — probe parity across base+delta (pre-compaction) and the
+  // compacted artifact, and compaction must actually leave one file per
+  // cell directory (the small-file debt the op exists to pay down).
+  test("ss12 refresh: compaction is answer-preserving and one-file-per-cell") {
+    val (raw, compacted) = Similarity.ivfRefreshedDirs(spark, sfDir)
+    def cellFiles(p: String): Map[String, Int] =
+      new java.io.File(p).listFiles
+        .filter(f => f.isDirectory && f.getName.startsWith("label="))
+        .map(cd => cd.getName -> cd.listFiles.count(_.getName.endsWith(".parquet")))
+        .toMap
+    val rawF = cellFiles(raw); val cF = cellFiles(compacted)
+    assert(rawF.keySet == cF.keySet, s"cell set changed: $rawF vs $cF")
+    assert(cF.values.forall(_ == 1), s"compacted cells not single-file: $cF")
+    assert(rawF.values.sum > cF.values.sum,
+      s"compaction did not reduce files: $rawF -> $cF")
+    // Probe parity through st22's serving partial (same shared probe).
+    def probe(dir: String) =
+      Similarity.ivfServePartial(
+        graft.sources.Tables.embeddings(spark, sfDir), spark.read.parquet(dir))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(probe(raw) == probe(compacted),
+      "compaction changed probe answers")
+  }
+
+  // mm02's decoder is a real byte parser now — the malformed-input path
+  // (which the well-formed fixture can never exercise) must fail loudly
+  // with the sentinel row, not poison downstream arithmetic.
+  test("mm02 GRF-v2 decoder rejects corrupt blobs with the sentinel") {
+    val good = Array[Byte](0x89.toByte, 'G', 'R', 'P', 2,
+      0, 100, 0, 50) ++ new Array[Byte](16)
+    val g = Multimodal.decodeGrf2(7L, good)
+    assert(g == DecodedMeta(7L, 100, 50, "png", 5000L), g.toString)
+    val badMagic = good.clone(); badMagic(0) = 0x42
+    assert(Multimodal.decodeGrf2(7L, badMagic).format == "invalid")
+    val badTag = good.clone(); badTag(3) = 'X'
+    assert(Multimodal.decodeGrf2(7L, badTag).format == "invalid")
+    assert(Multimodal.decodeGrf2(7L, good.take(10)).format == "invalid")
+  }
+
   // dq03: the generated fixtures are referentially intact — every edge
   // audits to zero orphans, with full child counts.
   test("dq03 finds zero orphans on the intact fixture star") {
