@@ -194,6 +194,31 @@ object Streams {
       .agg(min(col("doc_id")).as("doc_id"), sum(col("n")).as("n_copies"))
       .select(col("doc_id"), col("n_copies"))
 
+  /** st24's per-batch index delta: norm the arriving vectors (batch-
+    * local, cheap) and append them into the cell directories — the
+    * ledger-append write shape. Extracted pure so replay/split
+    * invariance is spec-testable (StreamingReplaySpec). */
+  private[graft] def indexIngestBatch(batch: DataFrame, idxDir: String): Unit =
+    batch
+      .select(col("vec_id"), col("embedding").as("e"),
+        graft.functions.VectorFunctions
+          .vecDot(col("embedding"), col("embedding")).as("nrm"),
+        col("label"))
+      .write.mode("append").partitionBy("label").parquet(idxDir)
+
+  /** st24's compaction: one pass that (a) collapses at-least-once
+    * replays — a re-run batch appended byte-identical vector rows, and
+    * an index keyed by vec_id keeps exactly one — and (b) rewrites each
+    * cell to a single file (io07's small-file discipline; the
+    * repartition is BY CELL, so the exchange is the partition layout,
+    * not a global sort). */
+  private[graft] def indexCompact(
+      s: SparkSession, idxDir: String, dest: String): Unit =
+    s.read.parquet(idxDir)
+      .dropDuplicates("vec_id")
+      .repartition(col("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(dest)
+
   /** Per-fixture STAGED stream feeds — the multi-batch chronological
     * file sets the bounded harness streams read. Feed content is pure
     * fixture scaffolding (production's feed is the arriving data
@@ -812,6 +837,48 @@ object Streams {
       s.read.parquet(outDir).distinct()
     }),
 
+    // -- STREAMING INDEX INGEST — the WRITE side of the index lifecycle
+    //    (ss12 is the batch refresh, st22 the read-side serving; this is
+    //    the arrival path): each micro-batch of vectors norms itself and
+    //    APPENDS a delta file set into the cell directories of a fresh
+    //    index ([[indexIngestBatch]] — st19's ledger-append applied to
+    //    the inverted file; no stream state, no rewrite, readers see
+    //    base+delta immediately). After the feed drains, one
+    //    [[indexCompact]] pass collapses the accumulated per-batch
+    //    small files to one file per cell AND collapses at-least-once
+    //    replays (a re-run batch appends byte-identical vector rows;
+    //    dropDuplicates on vec_id is the merge-on-read discipline moved
+    //    to compaction time, where a real ingest pays it). The streamed-
+    //    in index then serves ss02's exact probe: oracle = ss02's
+    //    verbatim — an index built from a stream answers identically to
+    //    one built in batch.
+    "st24_stream_index_ingest" -> ((s, d) => {
+      import graft.operators.Similarity
+      val (feed, schema) = embFeed(s, d)
+      val idxDir = graft.sources.Scratch.dir(s, d, "st24_idx")
+      val compactDir = graft.sources.Scratch.dir(s, d, "st24_idxc")
+      Seq(idxDir, compactDir).foreach { p =>
+        val fsPath = new org.apache.hadoop.fs.Path(p)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      }
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          indexIngestBatch(batch, idxDir)
+        }
+        .start()
+      q.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      indexCompact(s, idxDir, compactDir)
+      Similarity.ivfServePartial(
+        graft.sources.Tables.embeddings(s, d), s.read.parquet(compactDir))
+    }),
+
     // -- LEFT-OUTER stream-stream join — the hard half of st08: matched
     //    (click, view) pairs emit as inner results on arrival, and a
     //    click with NO view within 5 minutes emits with a NULL view_id
@@ -1350,6 +1417,9 @@ object Streams {
     // st22 unions per-micro-batch probes of the static stored index —
     // exactly ss02's batch answer, so the oracle is ss02's verbatim.
     "st22_stream_ann_serve" -> graft.operators.Similarity.dIvfTopk,
+    // st24's streamed-in, compacted index answers ss02's probe
+    // identically — the oracle is ss02's verbatim again.
+    "st24_stream_index_ingest" -> graft.operators.Similarity.dIvfTopk,
     "st04_stream_sessions" ->
       """SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events FROM (
            SELECT user_id, sess, count(*) AS n_events FROM (

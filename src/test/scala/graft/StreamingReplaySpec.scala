@@ -61,6 +61,38 @@ class StreamingReplaySpec extends SparkSpec {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("st24 streamed index ingest is split- and replay-invariant at compaction") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val tmp = System.getProperty("java.io.tmpdir")
+    def build(tag: String, splits: Seq[DataFrame], replayIdx: Int): DataFrame = {
+      val raw = s"$tmp/graft_spec_st24_${tag}_raw"
+      val dest = s"$tmp/graft_spec_st24_${tag}_c"
+      Seq(raw, dest).foreach { p =>
+        val h = new org.apache.hadoop.fs.Path(p)
+        h.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(h, true)
+      }
+      (splits :+ splits(replayIdx)) // at-least-once re-append
+        .foreach(b => Streams.indexIngestBatch(b, raw))
+      Streams.indexCompact(spark, raw, dest)
+      spark.read.parquet(dest)
+    }
+    val twoWay = build("a",
+      Seq(emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 =!= 0)), 0)
+    val threeWay = build("b",
+      (0 to 2).map(r => emb.filter(col("vec_id") % 3 === r)), 1)
+    // Same index CONTENT regardless of split or replay…
+    assert(twoWay.count() == emb.count(), "replay rows survived compaction")
+    assert(twoWay.select(col("vec_id"), col("label"), col("nrm"))
+      .except(threeWay.select(col("vec_id"), col("label"), col("nrm"))).isEmpty,
+      "index content depends on the batch split")
+    // …and identical probe answers through st22's serving partial.
+    def probe(idx: DataFrame) =
+      graft.operators.Similarity.ivfServePartial(emb, idx)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).sorted.toSeq
+    assert(probe(twoWay) == probe(threeWay))
+  }
+
   test("pl04 curation partials merge identically under any split + replay") {
     val benchSet = graft.operators.Dedup.benchGramSet(spark, sfDir)
     def merged(splits: Seq[DataFrame], replayIdx: Int): DataFrame = {
