@@ -43,6 +43,26 @@ object FormatsIO {
       t
     })
 
+  /** io12's isolated session: runtime Bloom-filter join pruning
+    * (memoized, never mutates the shared session — st12's discipline).
+    * Two gates are adjusted to exhibit the 100 TB plan shape on a
+    * fixture: broadcasts are disabled (the scenario IS the big-big join
+    * where no side fits in memory — at 100 TB that's reality, on the
+    * fixture it must be forced), and the application-side scan-size
+    * threshold drops from its 10 GB production default (row-level
+    * filtering only pays on big scans; the fixture scan is MBs). */
+  private val bloomSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def bloomSession(s0: SparkSession): SparkSession =
+    bloomSessions.computeIfAbsent(s0, s => {
+      val t = s.newSession()
+      t.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      t.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      t.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      t
+    })
+
   /** io09's day-partitioned fact table, staged ONCE per (app, fixture) —
     * the q42/ss07 build/probe discipline: the timed query measures the
     * dynamically-pruned JOIN, not the layout build (a nightly job in
@@ -153,6 +173,39 @@ object FormatsIO {
       fact.join(dim, "day")
         .groupBy(col("day"))
         .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_cents"))
+    }),
+
+    // -- RUNTIME BLOOM-FILTER join pruning — the ROW-level complement of
+    //    io09's partition-level dynamic pruning, and the scan lever when
+    //    the selective predicate lives on the dim side but the join key
+    //    is NOT the fact table's partition column (io09's mechanism has
+    //    nothing to prune then). Catalyst's InjectRuntimeFilter builds a
+    //    Bloom filter over the filtered creation side's join keys
+    //    (bloom_filter_agg subquery) and pushes BloomFilterMightContain
+    //    into the application side BELOW its shuffle — at 100 TB the
+    //    big-big join (neither side broadcastable — forced here, reality
+    //    there) then shuffles only the ~surviving fraction of fact rows
+    //    instead of all of them. Semi-join reduction with a sketch:
+    //    false positives only, so the join result is EXACTLY the plain
+    //    join's (the oracle), whatever the filter drops or keeps.
+    //    PlanQualitySpec pins both the might_contain probe and that it
+    //    sits below the application-side exchange.
+    "io12_runtime_bloom_join" -> ((s0, d) => {
+      val s = bloomSession(s0)
+      // RAW scans (io11's discipline): InjectRuntimeFilter pattern-matches
+      // filter-over-scan on the creation side and a plain scan under the
+      // application side's shuffle — Tables.load's fixture repartition
+      // would sit between them and block both (at 100 TB the scan has
+      // thousands of row-groups and that repartition never exists).
+      val fact = s.read.parquet(s"$d/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_extendedprice"))
+      val dim = s.read.parquet(s"$d/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+             sum(cents(col("l_extendedprice"))).as("rev_cents"))
     }),
 
     // -- DYNAMIC partition overwrite — the incremental-restatement op: a
@@ -338,6 +391,14 @@ object FormatsIO {
                FROM events)
          WHERE CAST(concat('0x', substr(md5(CAST(day AS VARCHAR)), 1, 2)) AS BIGINT) % 3 = 0
          GROUP BY day""",
+    // The Bloom filter is false-positive-only row pruning: the join
+    // result equals the plain join's, so the oracle IS the plain join.
+    "io12_runtime_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS rev_cents
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE o_orderpriority = '1-URGENT'
+         GROUP BY l_returnflag""",
     "io11_agg_pushdown" ->
       """SELECT count(*) AS n_rows,
          min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,

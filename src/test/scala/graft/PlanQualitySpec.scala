@@ -317,6 +317,26 @@ class PlanQualitySpec extends SparkSpec {
       "pl02 broadcasts the vec_id-keyed dropped set:\n" + p2.take(3000))
   }
 
+  test("runtime Bloom filter prunes the fact side below its shuffle (io12)") {
+    val df = SparkEntry.queries("io12_runtime_bloom_join")(spark, sfDir)
+    df.collect() // AQE: assert on the FINAL executed plan
+    val p = df.queryExecution.executedPlan.toString
+    // The dim side's filtered keys build a bloom_filter_agg subquery…
+    assert(p.contains("bloom_filter_agg"),
+      "no runtime bloom filter was injected:\n" + p.take(3000))
+    // …whose might_contain probe filters the fact rows BELOW the fact
+    // side's exchange (prune before shuffling). The plan tree prints
+    // top-down, so the probe Filter line must come AFTER the fact
+    // side's hashpartitioning exchange on the join key.
+    val lines = p.linesIterator.toVector
+    val factExchIdx = lines.indexWhere(l =>
+      l.contains("Exchange hashpartitioning(l_orderkey"))
+    val probeIdx = lines.indexWhere(_.contains("might_contain"))
+    assert(probeIdx >= 0, "fact side carries no bloom probe:\n" + p.take(3000))
+    assert(factExchIdx >= 0 && probeIdx > factExchIdx,
+      "bloom probe is not below the fact-side exchange:\n" + p.take(3000))
+  }
+
   test("refreshed-IVF probe scans the compacted artifact (ss12)") {
     val p = plan("ss12_ivf_refresh")
     // The probe must read the COMPACTED refreshed index (ivf_rfc), and
