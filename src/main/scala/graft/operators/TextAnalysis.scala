@@ -616,6 +616,33 @@ object TextAnalysis {
           when(col("n_bigrams").isNotNull,
             round(col("sum_micro").cast("double") / 1e6 / col("n_bigrams"), 6))
             .otherwise(0d).as("avg_bits"))
+    }),
+
+    // -- UNICODE NFC NORMALIZATION — the canonicalization pass every
+    //    ingest pipeline runs before content hashing: composed (é =
+    //    U+00E9) and decomposed (e + U+0301) spellings of the same text
+    //    would otherwise fingerprint as DIFFERENT documents through
+    //    dd01/ta04's md5 keys. Spark has no normalizer built-in, so this
+    //    runs the native codegen'd [[graft.functions.NfcNormalize]]
+    //    expression (a UDF would fence whole-stage codegen) — one narrow
+    //    per-row pass, no shuffle, with an already-normalized quick-
+    //    check fast path. The ASCII fixture is trivially NFC, so each
+    //    doc is AUGMENTED with a byte-pinned decomposed suffix
+    //    (65 CC 81 = 'e' + COMBINING ACUTE, ta19's injected-ground-truth
+    //    discipline): NFC must compose it to é, shrinking the text by
+    //    exactly one codepoint and changing the md5 — both engines
+    //    (Normalizer.NFC here, DuckDB nfc_normalize there) must agree
+    //    byte-for-byte on the result.
+    "ta25_unicode_normalize" -> ((s, d) => {
+      import graft.functions.NfcNormalize.nfc
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"),
+            expr("cast(unhex('65CC81') as string)")).as("aug"))
+        .select(col("doc_id"),
+          length(col("aug")).as("n_chars_raw"),
+          length(nfc(col("aug"))).as("n_chars_nfc"),
+          md5(nfc(col("aug"))).as("nfc_md5"))
     })
   )
 
@@ -756,6 +783,15 @@ object TextAnalysis {
                  THEN round(CAST(sum_micro AS DOUBLE) / 1e6 / n_bigrams, 6)
                  ELSE 0e0 END AS avg_bits
           FROM documents d LEFT JOIN ta24sc ON d.doc_id = ta24sc.doc_id""",
+    // Same byte-pinned decomposed suffix; DuckDB's nfc_normalize is the
+    // reference twin of the native NfcNormalize expression.
+    "ta25_unicode_normalize" ->
+      """SELECT doc_id,
+          CAST(length(aug) AS INT) AS n_chars_raw,
+          CAST(length(nfc_normalize(aug)) AS INT) AS n_chars_nfc,
+          md5(nfc_normalize(aug)) AS nfc_md5
+         FROM (SELECT doc_id, text || decode(from_hex('65CC81')) AS aug
+               FROM documents)""",
     "ta04_fingerprint" ->
       s"""SELECT doc_id,
           md5(array_to_string($dtoks, ' ')) AS fp_md5,
