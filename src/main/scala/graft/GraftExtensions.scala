@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{RewriteSelfDot, VectorDot}
+import graft.functions.{NfcNormalize, RewriteSelfDot, VectorDot}
 
 /** Spark extension entry point: makes graft's native expressions
   * available to pure SQL. Production wiring:
@@ -22,6 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VectorDot(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        NfcNormalize(children.head)))
     ext.injectOptimizerRule(_ => RewriteSelfDot)
     // Whole-operator extension (§7.3 rung c): the bounded-heap top-k
     // physical operator. Runtime attachment: graft.plans.TopK.install.

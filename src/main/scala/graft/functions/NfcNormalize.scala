@@ -57,4 +57,10 @@ object NfcNormalize {
   /** Column-API entry point. */
   def nfc(c: Column): Column =
     CatalystBridge.column(NfcNormalize(CatalystBridge.expression(c)))
+
+  /** Make `nfc_normalize` callable from SQL text on an existing session
+    * (session-build-time wiring: [[graft.GraftExtensions]]). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    CatalystBridge.registerFunction(spark, "nfc_normalize",
+      children => NfcNormalize(children.head))
 }

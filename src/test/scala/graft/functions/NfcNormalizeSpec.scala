@@ -49,6 +49,14 @@ class NfcNormalizeSpec extends SparkSpec {
     }
   }
 
+  test("nfc_normalize is callable from SQL after registration") {
+    NfcNormalize.register(spark)
+    val got = spark.sql(
+      "SELECT nfc_normalize(cast(unhex('65CC81') as string)) AS n")
+      .collect()(0).getString(0)
+    assert(got == "\u00e9")
+  }
+
   test("codegen and interpreted eval agree over the documents fixture") {
     // Whole-stage codegen path (projection over the scan)…
     val aug = concat(col("text"), expr("cast(unhex('65CC81') as string)"))
