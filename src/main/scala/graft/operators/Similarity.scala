@@ -146,16 +146,26 @@ object Similarity {
   /** st22's per-micro-batch serving step, extracted pure (st17's
     * `exactDedupPartial` discipline) so streaming/batch parity is
     * spec- and plan-testable: prepare the arriving raw embedding rows
-    * (norm computed batch-locally — cheap, batch-sized) and run the
-    * shared [[ivfProbe]] against the stored index. Per-query output is
-    * self-contained (its full top-3), so batch boundaries cannot change
-    * the union and a replayed batch appends byte-identical rows. */
-  private[graft] def ivfServePartial(batch: DataFrame, idx: DataFrame): DataFrame =
-    ivfProbe(
-      batch.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id"), col("label"), col("embedding").as("e"))
-        .withColumn("nrm", vecDot(col("e"), col("e"))),
-      idx)
+    * (norm computed batch-locally — cheap, batch-sized), ROUTE to the
+    * touched cells, and run the shared [[ivfProbe]] against the stored
+    * index. Cell routing is what makes per-batch cost O(touched cells)
+    * instead of O(index): the batch's distinct-label set is one tiny
+    * driver-side scalar per batch (bounded by the CELL COUNT — the
+    * retrieval-service shard-routing step, same documented class as the
+    * feed-staging max(ts) sentinels) and becomes a static IN filter on
+    * the artifact's partition column, so planning-time partition
+    * pruning reads only those cell directories (PlanQualitySpec pins
+    * PartitionFilters). Semantically a no-op: the probe join already
+    * restricts to equal labels. Per-query output is self-contained
+    * (its full top-3), so batch boundaries cannot change the union and
+    * a replayed batch appends byte-identical rows. */
+  private[graft] def ivfServePartial(batch: DataFrame, idx: DataFrame): DataFrame = {
+    val q = batch.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("label"), col("embedding").as("e"))
+      .withColumn("nrm", vecDot(col("e"), col("e")))
+    val cells = q.select(col("label")).distinct().collect().map(_.getInt(0))
+    ivfProbe(q, idx.filter(col("label").isin(cells.toSeq: _*)))
+  }
 
   /** ss12's INCREMENTALLY MAINTAINED IVF index — the write path a 100 TB
     * deployment needs around the write-once artifact: (1) base build of

@@ -364,6 +364,14 @@ class PlanQualitySpec extends SparkSpec {
     val idxScan = p.linesIterator.filter(_.contains("graft_ivf_idx")).mkString
     assert(idxScan.contains("nrm"),
       "index scan does not read the stored norm column:\n" + idxScan.take(1000))
+    // …and cell routing prunes it: the batch's label set must appear as
+    // a PartitionFilter (planning-time directory pruning — per-batch
+    // cost O(touched cells), not O(index)).
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(idxScan).map(_.group(1)).getOrElse("")
+    assert(pf.contains("label"),
+      s"batch cell set not in the index scan's PartitionFilters [$pf]:\n" +
+        idxScan.take(1000))
   }
 
   test("TF-IDF joins the document-frequency relation by shuffle, not broadcast (ta05)") {
