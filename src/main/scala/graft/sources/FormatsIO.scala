@@ -63,6 +63,57 @@ object FormatsIO {
       t
     })
 
+  /** io13's isolated session: AQE skew-join re-plan (memoized; never
+    * mutates the shared session). Broadcasts off — the scenario is the
+    * big-big join — and the skew thresholds scaled to fixture bytes:
+    * the FACTOR (1.5 × median) is the production-meaningful knob and
+    * carries across scale factors; the absolute floor drops from its
+    * 256 MB default for the same reason io12 lowers its 10 GB gate.
+    * Partition coalescing is disabled so the demo isolates the skew
+    * mechanism (at these sizes coalescing would merge every partition
+    * first). */
+  private val skewSessions =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+  private def skewSession(s0: SparkSession): SparkSession =
+    skewSessions.computeIfAbsent(s0, s => {
+      val t = s.newSession()
+      t.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      t.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+      t.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+      t.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.5")
+      t.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      t
+    })
+
+  /** io13's staged SKEWED fact: lineitem keyed by a SENTINEL-collapsed
+    * join key (every third order key folds to 0 — the classic
+    * "unknown member" hot key every real fact table has), written
+    * FRAGMENTED (16 files) because AQE splits a skewed reduce partition
+    * by MAP ranges: a single-row-group fixture file is one map task and
+    * nothing can split (a 100 TB scan has thousands of splits, so this
+    * never binds in production — learned by measurement here). Staged
+    * once per (app, fixture), io09's build/probe discipline. */
+  private val stagedSkewDirs = scala.collection.mutable.HashMap.empty[String, String]
+  private def stagedSkewFact(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_io13_fact_" + s.sparkContext.applicationId + "_" +
+        d.replaceAll("[^A-Za-z0-9]", "_"))
+    stagedSkewDirs.synchronized {
+      stagedSkewDirs.getOrElseUpdate(dir.getPath, {
+        if (!new java.io.File(dir, "_SUCCESS").exists()) {
+          Tables.lineitem(s, d)
+            .select(when(col("l_orderkey") % 3 === 0, 0L)
+              .otherwise(col("l_orderkey")).as("k"),
+              col("l_extendedprice"))
+            .repartition(16)
+            .write.mode("overwrite").parquet(dir.getPath)
+        }
+        dir.getPath
+      })
+    }
+    dir.getPath
+  }
+
   /** io09's day-partitioned fact table, staged ONCE per (app, fixture) —
     * the q42/ss07 build/probe discipline: the timed query measures the
     * dynamically-pruned JOIN, not the layout build (a nightly job in
@@ -206,6 +257,37 @@ object FormatsIO {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"),
              sum(cents(col("l_extendedprice"))).as("rev_cents"))
+    }),
+
+    // -- AQE SKEW-JOIN re-plan — the RUNTIME answer to the hot key that
+    //    q34 solves by hand with salting: the staged fact collapses
+    //    every third order key onto sentinel 0 (the "unknown member"
+    //    bucket every production fact table has), so one reduce
+    //    partition carries ~1/3 of the table and a static plan would
+    //    bottleneck the whole stage on that one task. AQE reads the
+    //    actual map-output sizes at the stage boundary and SPLITS the
+    //    skewed partition across tasks (SortMergeJoin(skew=true) —
+    //    PlanQualitySpec pins it on the final plan), replicating the
+    //    matching dim rows per split. LEFT join so the sentinel rows —
+    //    which match no order — stay visible as an UNMATCHED group
+    //    instead of silently vanishing; split side = stream side, the
+    //    one AQE may split under left-outer. The oracle is the plain
+    //    join: runtime re-planning must never change answers.
+    "io13_aqe_skew_join" -> ((s0, d) => {
+      val s = skewSession(s0)
+      val fact = s.read.parquet(stagedSkewFact(s, d))
+      // RAW dim scan (io11/io12's discipline, for a subtler reason:
+      // Tables.load's fixture repartition keys on o_orderkey, which
+      // SATISFIES the join's required distribution — the dim side's
+      // shuffle then carries REPARTITION_BY_COL origin, and
+      // OptimizeSkewedJoin only rewrites ENSURE_REQUIREMENTS shuffles,
+      // vetoing the whole join. Learned by measurement.)
+      val dim = s.read.parquet(s"$d/orders.parquet")
+        .select(col("o_orderkey").as("k"), col("o_orderpriority"))
+      fact.join(dim, Seq("k"), "left_outer")
+        .groupBy(coalesce(col("o_orderpriority"), lit("UNMATCHED")).as("priority"))
+        .agg(count(lit(1)).as("n"),
+             sum(cents(col("l_extendedprice"))).as("cents"))
     }),
 
     // -- DYNAMIC partition overwrite — the incremental-restatement op: a
@@ -399,6 +481,17 @@ object FormatsIO {
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          WHERE o_orderpriority = '1-URGENT'
          GROUP BY l_returnflag""",
+    // AQE re-planning must never change answers: the oracle is the
+    // plain sentinel-keyed left join.
+    "io13_aqe_skew_join" ->
+      """SELECT coalesce(o_orderpriority, 'UNMATCHED') AS priority,
+         count(*) AS n,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS cents
+         FROM (SELECT CASE WHEN l_orderkey % 3 = 0 THEN 0
+                           ELSE l_orderkey END AS k, l_extendedprice
+               FROM lineitem) f
+         LEFT JOIN orders ON f.k = o_orderkey
+         GROUP BY 1""",
     "io11_agg_pushdown" ->
       """SELECT count(*) AS n_rows,
          min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,

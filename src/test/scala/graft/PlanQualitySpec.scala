@@ -337,6 +337,15 @@ class PlanQualitySpec extends SparkSpec {
       "bloom probe is not below the fact-side exchange:\n" + p.take(3000))
   }
 
+  test("AQE splits the skewed sentinel partition at runtime (io13)") {
+    val df = SparkEntry.queries("io13_aqe_skew_join")(spark, sfDir)
+    df.collect() // skew re-plan happens at stage boundaries — final plan only
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(500))
+    assert(p.contains("skew=true"),
+      "AQE did not split the skewed join partition:\n" + p.take(3000))
+  }
+
   test("refreshed-IVF probe scans the compacted artifact (ss12)") {
     val p = plan("ss12_ivf_refresh")
     // The probe must read the COMPACTED refreshed index (ivf_rfc), and
