@@ -179,6 +179,29 @@ object Similarity {
     * (pre-compaction dir, compacted dir); probes read the compacted
     * artifact. Build runs once per (application, fixture) under the
     * same double-checked staging lock as every other index. */
+  /** Budgeted per-cell compaction (ss12 / st24's [[graft.streaming
+    * Streams.indexCompact]]): rewrite each cell directory into
+    * ceil(cellRows / rowsPerFile) files. The naive `repartition(cell)`
+    * writes each cell in ONE task — at 100 TB a hot cell is a
+    * straggler-or-OOM — so rows bucket within their cell by a row
+    * budget (io07's record-budget discipline applied per cell): write
+    * parallelism is Σ per-cell file counts, probes still prune by cell
+    * directory, and the per-cell size relation is #cells rows
+    * (broadcast). Fixture cells sit far under one budget, so the layout
+    * degenerates to the single-file-per-cell the spec pins. */
+  private[graft] def compactCells(src: DataFrame, dest: String,
+      rowsPerFile: Long = 500000L): Unit = {
+    val sizes = src.groupBy(col("label")).agg(count(lit(1)).as("_n"))
+      .select(col("label"),
+        greatest(ceil(col("_n").cast("double") / rowsPerFile), lit(1))
+          .cast("int").as("_nf"))
+    src.join(broadcast(sizes), "label")
+      .withColumn("_b", pmod(hash(col("vec_id")), col("_nf")))
+      .repartition(col("label"), col("_b"))
+      .drop("_nf", "_b")
+      .write.mode("overwrite").partitionBy("label").parquet(dest)
+  }
+
   private[graft] def ivfRefreshedDirs(s: SparkSession, d: String): (String, String) = {
     graft.sources.Scratch.cleanupStale(s)
     val slug = s.sparkContext.applicationId + "_" +
@@ -193,9 +216,7 @@ object Similarity {
             .write.mode("overwrite").partitionBy("label").parquet(raw.getPath)
           all.filter(col("vec_id") % 2 =!= 0)
             .write.mode("append").partitionBy("label").parquet(raw.getPath)
-          s.read.parquet(raw.getPath)
-            .repartition(col("label"))
-            .write.mode("overwrite").partitionBy("label").parquet(compacted.getPath)
+          compactCells(s.read.parquet(raw.getPath), compacted.getPath)
         }
         compacted.getPath
       })

@@ -209,15 +209,14 @@ object Streams {
   /** st24's compaction: one pass that (a) collapses at-least-once
     * replays — a re-run batch appended byte-identical vector rows, and
     * an index keyed by vec_id keeps exactly one — and (b) rewrites each
-    * cell to a single file (io07's small-file discipline; the
-    * repartition is BY CELL, so the exchange is the partition layout,
-    * not a global sort). */
+    * cell under a per-file row budget (ss12's [[graft.operators
+    * .Similarity.compactCells]]: write parallelism scales with cell
+    * size instead of one task per cell; fixture cells degenerate to
+    * one file each). */
   private[graft] def indexCompact(
       s: SparkSession, idxDir: String, dest: String): Unit =
-    s.read.parquet(idxDir)
-      .dropDuplicates("vec_id")
-      .repartition(col("label"))
-      .write.mode("overwrite").partitionBy("label").parquet(dest)
+    graft.operators.Similarity.compactCells(
+      s.read.parquet(idxDir).dropDuplicates("vec_id"), dest)
 
   /** Per-fixture STAGED stream feeds — the multi-batch chronological
     * file sets the bounded harness streams read. Feed content is pure
