@@ -337,6 +337,17 @@ class PlanQualitySpec extends SparkSpec {
       "bloom probe is not below the fact-side exchange:\n" + p.take(3000))
   }
 
+  test("native NFC normalization runs inside whole-stage codegen (ta25)") {
+    val df = SparkEntry.queries("ta25_unicode_normalize")(spark, sfDir)
+    df.collect() // finalize AQE so codegen stage markers appear
+    val p = df.queryExecution.executedPlan.toString
+    // The expression must sit in a codegen'd Project (`*(n)` marker) —
+    // the reason it is an Expression and not a UDF.
+    assert(p.linesIterator.exists(l =>
+        l.contains("*(") && l.contains("nfc_normalize")),
+      "nfc_normalize is not inside a WholeStageCodegen stage:\n" + p.take(2000))
+  }
+
   test("AQE splits the skewed sentinel partition at runtime (io13)") {
     val df = SparkEntry.queries("io13_aqe_skew_join")(spark, sfDir)
     df.collect() // skew re-plan happens at stage boundaries — final plan only
