@@ -195,11 +195,21 @@ object Similarity {
       .select(col("label"),
         greatest(ceil(col("_n").cast("double") / rowsPerFile), lit(1))
           .cast("int").as("_nf"))
+      .persist()
+    // Shuffle width = the TOTAL file budget (one driver-side scalar per
+    // compaction run — the documented one-row class): with the default
+    // partition count, several buckets of one cell can hash into one
+    // task, which writes them as ONE oversized file and silently
+    // defeats the budget. Width Σ_nf gives ~every bucket its own task
+    // (birthday collisions merge a few — bounded small multiples).
+    val width = sizes.agg(sum(col("_nf"))).collect()(0).getLong(0).toInt
     src.join(broadcast(sizes), "label")
       .withColumn("_b", pmod(hash(col("vec_id")), col("_nf")))
-      .repartition(col("label"), col("_b"))
+      .repartition(math.max(1, width), col("label"), col("_b"))
       .drop("_nf", "_b")
       .write.mode("overwrite").partitionBy("label").parquet(dest)
+    sizes.unpersist(blocking = false)
+    ()
   }
 
   private[graft] def ivfRefreshedDirs(s: SparkSession, d: String): (String, String) = {
