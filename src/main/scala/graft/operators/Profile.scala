@@ -150,6 +150,56 @@ object Profile {
           Tables.orders(s, d), "o_custkey", Tables.customer(s, d), "c_custkey"))
         .unionAll(dimEdge("customer.c_nationkey->nation.n_nationkey",
           Tables.customer(s, d), "c_nationkey", Tables.nation(s, d), "n_nationkey"))
+    }),
+
+    // -- CROSS-MODAL pairing audit: the vec_id = doc_id contract that
+    //    the multimodal stack SILENTLY relies on (ss11's filtered ANN
+    //    joins text metadata to vectors by it; dd17/pl02 drop documents
+    //    by vector identity) — an unpaired row means a document that can
+    //    never be semantically deduplicated or a vector that can never
+    //    be provenance-traced. One id-only full-outer join (both sides
+    //    reduced to DISTINCT keys first — dq03's duplicated-PK
+    //    discipline), one single-row aggregate; at 100 TB the shuffle
+    //    carries 8-byte ids only.
+    "dq04_modality_pairing" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id")).distinct().withColumn("has_doc", lit(1))
+      val vecs = Tables.embeddings(s, d)
+        .select(col("vec_id").as("doc_id")).distinct().withColumn("has_vec", lit(1))
+      docs.join(vecs, Seq("doc_id"), "full_outer")
+        .agg(
+          sum(coalesce(col("has_doc"), lit(0)).cast("long")).as("n_docs"),
+          sum(coalesce(col("has_vec"), lit(0)).cast("long")).as("n_vecs"),
+          sum((col("has_doc").isNotNull && col("has_vec").isNotNull)
+            .cast("long")).as("n_paired"),
+          sum(col("has_vec").isNull.cast("long")).as("n_text_only"),
+          sum(col("has_doc").isNull.cast("long")).as("n_vec_only"))
+    }),
+
+    // -- PRIMARY-KEY uniqueness audit — the corruption dq03 defends its
+    //    joins against, measured directly: one row per declared key with
+    //    row count, distinct-key count and the duplicate surplus. A
+    //    nonzero surplus upstream of any equi-join silently multiplies
+    //    rows (and a NULL key counts into the surplus — also a defect).
+    //    One aggregation pass per table, single-row outputs unioned —
+    //    O(tables) result, map-side combined, never O(rows).
+    "dq05_pk_uniqueness" -> ((s, d) => {
+      def pk(name: String, df: DataFrame, keys: String*) =
+        df.agg(count(lit(1)).as("n_rows"),
+            countDistinct(keys.head, keys.tail: _*).as("n_keys"))
+          .select(lit(name).as("pk"), col("n_rows"), col("n_keys"),
+            (col("n_rows") - col("n_keys")).as("n_dup_rows"))
+      pk("orders.o_orderkey", Tables.orders(s, d), "o_orderkey")
+        .unionAll(pk("customer.c_custkey", Tables.customer(s, d), "c_custkey"))
+        .unionAll(pk("part.p_partkey", Tables.part(s, d), "p_partkey"))
+        .unionAll(pk("supplier.s_suppkey", Tables.supplier(s, d), "s_suppkey"))
+        .unionAll(pk("nation.n_nationkey", Tables.nation(s, d), "n_nationkey"))
+        .unionAll(pk("region.r_regionkey", Tables.region(s, d), "r_regionkey"))
+        .unionAll(pk("lineitem.(l_orderkey,l_linenumber)",
+          Tables.lineitem(s, d), "l_orderkey", "l_linenumber"))
+        .unionAll(pk("documents.doc_id", Tables.documents(s, d), "doc_id"))
+        .unionAll(pk("embeddings.vec_id", Tables.embeddings(s, d), "vec_id"))
+        .unionAll(pk("events.event_id", Tables.events(s, d), "event_id"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -197,6 +247,50 @@ object Profile {
           "orders", "o_custkey", "customer", "c_custkey"),
         edge("customer.c_nationkey->nation.n_nationkey",
           "customer", "c_nationkey", "nation", "n_nationkey")
+      ).mkString(" UNION ALL ")
+    },
+    "dq04_modality_pairing" ->
+      """SELECT
+           CAST(sum(CASE WHEN has_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN has_vec THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs,
+           CAST(sum(CASE WHEN has_doc AND has_vec THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_paired,
+           CAST(sum(CASE WHEN has_doc AND NOT has_vec THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_text_only,
+           CAST(sum(CASE WHEN has_vec AND NOT has_doc THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_vec_only
+         FROM (
+           SELECT dd.doc_id IS NOT NULL AS has_doc,
+                  vv.doc_id IS NOT NULL AS has_vec
+           FROM (SELECT DISTINCT doc_id FROM documents) dd
+           FULL JOIN (SELECT DISTINCT vec_id AS doc_id FROM embeddings) vv
+             ON dd.doc_id = vv.doc_id)""",
+    // NULL-key semantics note: Spark's count(DISTINCT a, b) and this
+    // DuckDB subquery both operate on the fixture's null-free keys; a
+    // null key would land in n_dup_rows in either engine's n_rows −
+    // n_keys arithmetic (count(*) includes it, distinct-count drops it
+    // on the Spark side), which is the right direction — a null PK is
+    // itself the defect the audit reports.
+    "dq05_pk_uniqueness" -> {
+      def one(name: String, table: String, keys: String) =
+        s"""SELECT '$name' AS pk, count(*) AS n_rows, n_keys,
+              count(*) - n_keys AS n_dup_rows
+            FROM $table,
+              (SELECT CAST(count(*) AS BIGINT) AS n_keys
+               FROM (SELECT DISTINCT $keys FROM $table))
+            GROUP BY n_keys"""
+      Seq(
+        one("orders.o_orderkey", "orders", "o_orderkey"),
+        one("customer.c_custkey", "customer", "c_custkey"),
+        one("part.p_partkey", "part", "p_partkey"),
+        one("supplier.s_suppkey", "supplier", "s_suppkey"),
+        one("nation.n_nationkey", "nation", "n_nationkey"),
+        one("region.r_regionkey", "region", "r_regionkey"),
+        one("lineitem.(l_orderkey,l_linenumber)", "lineitem",
+          "l_orderkey, l_linenumber"),
+        one("documents.doc_id", "documents", "doc_id"),
+        one("embeddings.vec_id", "embeddings", "vec_id"),
+        one("events.event_id", "events", "event_id")
       ).mkString(" UNION ALL ")
     })
 }
