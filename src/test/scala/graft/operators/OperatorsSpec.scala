@@ -534,6 +534,38 @@ class OperatorsSpec extends SparkSpec {
     assert(stat === Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"static 30m: $stat")
   }
 
+  // dq05's value proven POSITIVELY: the driver's generator emits
+  // duplicate (l_orderkey, l_linenumber) pairs — a real composite-key
+  // defect in the fixture itself (143k surplus rows at sf0.1) that this
+  // audit exists to surface — while every single-column PK is clean.
+  // A vacuous all-zeros audit would prove nothing.
+  test("dq05 detects the fixture's real lineitem composite-key duplication") {
+    val rows = SparkEntry.queries("dq05_pk_uniqueness")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.size == 10, s"expected 10 audited keys, got ${rows.size}")
+    rows.filterNot(_._1.startsWith("lineitem")).foreach {
+      case (k, (_, _, dup)) =>
+        assert(dup == 0L, s"$k: unexpected $dup duplicate-key rows")
+    }
+    val (n, dk, dup) = rows("lineitem.(l_orderkey,l_linenumber)")
+    assert(dup > 0L && dup == n - dk,
+      s"lineitem composite-key duplication not detected (n=$n keys=$dk dup=$dup)")
+  }
+
+  // dq04: every vector must trace to a document (the provenance
+  // direction the curation stack depends on); the reverse direction may
+  // legitimately be partial (the generator embeds a doc subset at
+  // larger SFs), so text-only is only bounded, not pinned to zero.
+  test("dq04: every embedding pairs with a document") {
+    val r = SparkEntry.queries("dq04_modality_pairing")(spark, sfDir).collect()(0)
+    val (docs, vecs, paired, textOnly, vecOnly) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(vecOnly == 0L, s"$vecOnly vectors have no source document")
+    assert(paired == vecs, s"paired=$paired != vecs=$vecs")
+    assert(textOnly == docs - paired)
+  }
+
   // ss12: the index-maintenance lifecycle must change LAYOUT, never
   // ANSWERS — probe parity across base+delta (pre-compaction) and the
   // compacted artifact, and compaction must actually leave one file per
