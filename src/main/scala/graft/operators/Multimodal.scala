@@ -26,22 +26,24 @@ final case class ResizedMeta(
   * Media are opaque `binary` columns with typed metadata — the
   * pointer-style layout that survives 100 TB (wide blobs stay in object
   * storage; rows carry bytes or (path, offset, length) pointers). The
-  * fixture has no real media, so the *decode* step is a deterministic
-  * fake (documented below); everything Spark-side is real and tested:
-  * binary casting, schema, per-partition batch processing via typed
-  * `mapPartitions`, frame-index expansion, and byte-range chunking.
+  * fixture has no real media files, so each doc carries an in-engine
+  * GRF-v2 container blob ([[grf2Blobs]]) and the decode is a REAL
+  * byte parser ([[decodeGrf2]] — magic sniff, format tag, big-endian
+  * dims); only the pixel-level resampling itself stays out of scope
+  * (no media libraries in this environment). Everything Spark-side is
+  * real and tested: binary columns through parquet, schema,
+  * per-partition batch processing via typed `mapPartitions`,
+  * frame-index expansion, and byte-range chunking.
   *
   *   - mm01: blob ingestion — byte length, magic prefix, content hash.
   *   - mm02: the decode pattern: `Dataset[(id, bytes)].mapPartitions`
-  *     with one expensive resource (here a MessageDigest standing in for
-  *     an image decoder / model) initialized once per partition — the
-  *     Scala analog of the `mapInPandas` batch-UDF shape. The "decode"
-  *     derives width/height/format from the blob's md5, so the DuckDB
-  *     oracle can verify the plumbing end-to-end.
+  *     streaming a real header parse over the iterator — the Scala
+  *     analog of the `mapInPandas` batch-UDF shape; the oracle
+  *     recomputes the header fields in closed form.
   *   - mm03: frame sampling — one row per sampled frame index.
   *   - mm04: byte-range chunk index — (offset, length, chunk hash).
   *
-  * A real deployment swaps the body of [[fakeDecode]] for the actual
+  * A real deployment swaps [[decodeGrf2]] for an image library's
   * decoder; partitioning, schema and batch shape stay identical.
   */
 object Multimodal {
