@@ -173,9 +173,9 @@ object Similarity {
     * (2) refresh — later arrivals APPEND a delta file set into the same
     * cell directories (st19's ledger-append applied to the vector
     * index; no rewrite of existing data, readers see base+delta
-    * immediately); (3) compaction — an io07-style per-cell rewrite
-    * (repartition by cell → one file per cell directory) that removes
-    * the accumulated small files without changing content. Returns
+    * immediately); (3) compaction — [[compactCells]]'s budgeted
+    * per-cell rewrite that removes the accumulated small files without
+    * changing content (fixture cells degenerate to one file). Returns
     * (pre-compaction dir, compacted dir); probes read the compacted
     * artifact. Build runs once per (application, fixture) under the
     * same double-checked staging lock as every other index. */

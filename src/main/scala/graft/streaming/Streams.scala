@@ -844,7 +844,7 @@ object Streams {
     //    the inverted file; no stream state, no rewrite, readers see
     //    base+delta immediately). After the feed drains, one
     //    [[indexCompact]] pass collapses the accumulated per-batch
-    //    small files to one file per cell AND collapses at-least-once
+    //    small files under a per-file row budget AND collapses at-least-once
     //    replays (a re-run batch appends byte-identical vector rows;
     //    dropDuplicates on vec_id is the merge-on-read discipline moved
     //    to compaction time, where a real ingest pays it). The streamed-
