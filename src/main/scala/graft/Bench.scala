@@ -86,7 +86,7 @@ object Bench {
     Seq("q42_bucketed_join", "ss07_lsh_index_probe",
         "ss02_ivf_topk", "ss12_ivf_refresh", "ss09_pq_topk", "ss06_sq8_topk",
         "dd08_contamination", "ta10_boilerplate",
-        "dd16_keep_best", "io09_dynamic_pruning",
+        "dd16_keep_best", "io09_dynamic_pruning", "io13_aqe_skew_join",
         "dd18_substring_spans").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
