@@ -20,13 +20,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vec_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VectorDot(children(0), children(1))))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          s"vec_dot requires exactly 2 arguments, got ${children.length}")
+        VectorDot(children(0), children(1))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        NfcNormalize(children.head)))
+      NfcNormalize.build _))
     ext.injectOptimizerRule(_ => RewriteSelfDot)
     // Whole-operator extension (§7.3 rung c): the bounded-heap top-k
     // physical operator. Runtime attachment: graft.plans.TopK.install.

@@ -58,9 +58,19 @@ object NfcNormalize {
   def nfc(c: Column): Column =
     CatalystBridge.column(NfcNormalize(CatalystBridge.expression(c)))
 
+  /** Builder shared by both SQL registration paths: validates arity at
+    * analysis time (zero args would otherwise surface as a raw
+    * NoSuchElementException, and extra args would be silently dropped). */
+  private[graft] def build(
+      children: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : NfcNormalize = {
+    require(children.length == 1,
+      s"nfc_normalize requires exactly 1 argument, got ${children.length}")
+    NfcNormalize(children.head)
+  }
+
   /** Make `nfc_normalize` callable from SQL text on an existing session
     * (session-build-time wiring: [[graft.GraftExtensions]]). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    CatalystBridge.registerFunction(spark, "nfc_normalize",
-      children => NfcNormalize(children.head))
+    CatalystBridge.registerFunction(spark, "nfc_normalize", build)
 }

@@ -88,6 +88,9 @@ object VectorFunctions {
   /** Make `vec_dot` callable from SQL text on an existing session (for
     * session-build-time wiring use `graft.GraftExtensions`). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    CatalystBridge.registerFunction(spark, "vec_dot",
-      children => VectorDot(children(0), children(1)))
+    CatalystBridge.registerFunction(spark, "vec_dot", { children =>
+      require(children.length == 2,
+        s"vec_dot requires exactly 2 arguments, got ${children.length}")
+      VectorDot(children(0), children(1))
+    })
 }

@@ -84,9 +84,10 @@ object Multimodal {
       case 'J' => "jpeg"; case 'P' => "png"; case 'W' => "webp"
       case _ => "invalid"
     })
-    if (fmt == "invalid") DecodedMeta(id, -1, -1, fmt, 0L)
+    // Version byte must be 0x02 (GRF-v2): any other value fails loudly
+    // to the sentinel row, matching the magic/format-tag handling.
+    if (fmt == "invalid" || bb.get() != 0x02) DecodedMeta(id, -1, -1, "invalid", 0L)
     else {
-      bb.get() // version
       val w = bb.getShort.toInt & 0xffff
       val h = bb.getShort.toInt & 0xffff
       DecodedMeta(id, w, h, fmt, w.toLong * h)

@@ -265,20 +265,25 @@ object Profile {
            FROM (SELECT DISTINCT doc_id FROM documents) dd
            FULL JOIN (SELECT DISTINCT vec_id AS doc_id FROM embeddings) vv
              ON dd.doc_id = vv.doc_id)""",
-    // NULL-key semantics note: Spark's count(DISTINCT a, b) and this
-    // DuckDB subquery both operate on the fixture's null-free keys; a
-    // null key would land in n_dup_rows in either engine's n_rows −
-    // n_keys arithmetic (count(*) includes it, distinct-count drops it
-    // on the Spark side), which is the right direction — a null PK is
-    // itself the defect the audit reports.
+    // NULL-key semantics pinned EXPLICITLY (not just on the null-free
+    // fixture): Spark's count(DISTINCT a, b) drops any row with a null
+    // key column, so the oracle's distinct subquery filters nulls the
+    // same way — a null PK lands in n_dup_rows in both engines (the
+    // right direction: a null PK is itself the defect the audit
+    // reports). Scalar subqueries instead of a cross-join GROUP BY so
+    // an EMPTY table still emits its zero row, matching Spark's
+    // ungrouped aggregate.
     "dq05_pk_uniqueness" -> {
-      def one(name: String, table: String, keys: String) =
-        s"""SELECT '$name' AS pk, count(*) AS n_rows, n_keys,
-              count(*) - n_keys AS n_dup_rows
-            FROM $table,
-              (SELECT CAST(count(*) AS BIGINT) AS n_keys
-               FROM (SELECT DISTINCT $keys FROM $table))
-            GROUP BY n_keys"""
+      def one(name: String, table: String, keys: String) = {
+        val notNull = keys.split(",").map(_.trim)
+          .map(k => s"$k IS NOT NULL").mkString(" AND ")
+        s"""SELECT '$name' AS pk, n_rows, n_keys,
+              n_rows - n_keys AS n_dup_rows
+            FROM (SELECT
+              (SELECT count(*) FROM $table) AS n_rows,
+              (SELECT count(*) FROM
+                (SELECT DISTINCT $keys FROM $table WHERE $notNull)) AS n_keys)"""
+      }
       Seq(
         one("orders.o_orderkey", "orders", "o_orderkey"),
         one("customer.c_custkey", "customer", "c_custkey"),

@@ -202,7 +202,11 @@ object Similarity {
     // task, which writes them as ONE oversized file and silently
     // defeats the budget. Width Σ_nf gives ~every bucket its own task
     // (birthday collisions merge a few — bounded small multiples).
-    val width = sizes.agg(sum(col("_nf"))).collect()(0).getLong(0).toInt
+    // Empty source: sum(_nf) is NULL — default the budget to one file
+    // so a drained feed still produces a valid (empty) artifact instead
+    // of an NPE at the scalar read.
+    val widthRow = sizes.agg(sum(col("_nf"))).collect()(0)
+    val width = if (widthRow.isNullAt(0)) 1 else widthRow.getLong(0).toInt
     src.join(broadcast(sizes), "label")
       .withColumn("_b", pmod(hash(col("vec_id")), col("_nf")))
       .repartition(math.max(1, width), col("label"), col("_b"))

@@ -242,9 +242,12 @@ object TextAnalysis {
     // -- Boilerplate detection (C4-style): word 3-grams appearing in many
     //    DISTINCT documents are boilerplate; each doc reports how much of
     //    it is boilerplate. One df-count shuffle over (gram, doc) pairs;
-    //    the frequent-gram set is tiny → broadcast back against the gram
-    //    stream. At 100 TB the df-count side pre-aggregates map-side and
-    //    the threshold keeps the broadcast list small.
+    //    the frequent-gram set is CORPUS-DERIVED (at web scale every
+    //    template/navigation gram clears a df threshold — the set grows
+    //    with the corpus, like ta21's eval grams), so the flag-back is a
+    //    SHUFFLE HASH join on the 8-byte gram key, never a broadcast:
+    //    both sides are already gram-keyed, one exchange each, no size
+    //    ceiling, no driver materialization (PlanQualitySpec pins it).
     "ta10_boilerplate" -> ((s, d) => {
       // Staged write-once gram index (Dedup.stagedGrams): the df-count
       // branch and the probe branch both scan the materialized parquet
@@ -259,8 +262,9 @@ object TextAnalysis {
         .groupBy(col("gh")).agg(count(lit(1)).as("df"))
         .filter(col("df") >= 3)
         .select(col("gh"))
-      grams
-        .join(broadcast(frequent.withColumn("is_boiler", lit(1))), Seq("gh"), "left")
+      grams.hint("shuffle_hash")
+        .join(frequent.withColumn("is_boiler", lit(1)).hint("shuffle_hash"),
+          Seq("gh"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
              sum(coalesce(col("is_boiler"), lit(0))).cast("long").as("n_boiler"))
@@ -479,10 +483,13 @@ object TextAnalysis {
     //    pass: corpus token counts (one explode → hash agg with
     //    map-side combine), a frequency cutoff that bounds the vocab,
     //    then each document scored for out-of-vocabulary mass against
-    //    the BROADCAST vocab. At 100 TB the cutoff is what keeps the
-    //    vocab broadcastable (heavy-hitter tokens are a tiny fraction
-    //    of distinct tokens); high-OOV docs are the noise/foreign/
-    //    garbled candidates a curation pass drops or routes.
+    //    the vocab. The vocab is CORPUS-DERIVED and grows ~Heaps-law
+    //    with corpus size (a df cutoff thins the tail but the kept head
+    //    still scales with |corpus|), so the flag-back is a SHUFFLE
+    //    HASH anti join on the token key — ta05's df-join discipline,
+    //    one token-keyed exchange per side, no broadcast ceiling
+    //    (PlanQualitySpec pins it). High-OOV docs are the noise/
+    //    foreign/garbled candidates a curation pass drops or routes.
     "ta17_vocab_oov" -> ((s, d) => {
       val tokens = Tables.documents(s, d)
         .select(col("doc_id"), explode(expr(toks)).as("tok"))
@@ -490,9 +497,8 @@ object TextAnalysis {
         .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= 5)
         .select(col("tok"))
       // Per-doc OOV counts (only docs that HAVE oov tokens appear) …
-      val oov = tokens
-        .join(broadcast(vocab.withColumn("in_vocab", lit(1))), Seq("tok"), "left")
-        .filter(col("in_vocab").isNull)
+      val oov = tokens.hint("shuffle_hash")
+        .join(vocab.hint("shuffle_hash"), Seq("tok"), "left_anti")
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_oov"))
       // … joined back onto ALL documents so token-less docs (the
       // highest-priority garbage class) still get a row instead of

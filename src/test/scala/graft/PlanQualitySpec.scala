@@ -394,6 +394,32 @@ class PlanQualitySpec extends SparkSpec {
         idxScan.take(1000))
   }
 
+  test("boilerplate flag-back joins the frequent-gram set by shuffle, not broadcast (ta10)") {
+    // The frequent-gram set is corpus-derived (every template gram in a
+    // web corpus clears df >= 3) — same class as dd18's duplicated-gram
+    // set: shuffle hash join on gh, no broadcast exchange on the key.
+    val p = plan("ta10_boilerplate")
+    assert(p.linesIterator.exists(l => l.contains("ShuffledHashJoin") && l.contains("gh")),
+      "ta10 flag-back is not a shuffle hash join:\n" + p.take(3000))
+    assert(!p.linesIterator.exists(l =>
+        (l.contains("BroadcastHashJoin") || l.contains("BroadcastExchange")) &&
+          l.contains("gh#")),
+      "ta10 broadcasts the corpus-derived frequent-gram set:\n" + p.take(3000))
+  }
+
+  test("OOV scoring joins the vocabulary by shuffle, not broadcast (ta17)") {
+    // The vocabulary is corpus-derived (Heaps-law growth; a frequency
+    // cutoff thins the tail but the kept head still scales with the
+    // corpus) — ta05's df-relation discipline applies to the anti join.
+    val p = plan("ta17_vocab_oov")
+    assert(p.linesIterator.exists(l => l.contains("ShuffledHashJoin") && l.contains("tok")),
+      "ta17 vocab flag-back is not a shuffle hash join:\n" + p.take(3000))
+    assert(!p.linesIterator.exists(l =>
+        (l.contains("BroadcastHashJoin") || l.contains("BroadcastExchange")) &&
+          l.contains("tok#")),
+      "ta17 broadcasts the corpus-derived vocabulary:\n" + p.take(3000))
+  }
+
   test("TF-IDF joins the document-frequency relation by shuffle, not broadcast (ta05)") {
     // Distinct-term count of a web corpus is billions (heavy tail) —
     // |vocab| is NOT broadcastable even though token mass concentrates.
