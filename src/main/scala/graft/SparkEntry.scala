@@ -24,6 +24,7 @@ object SparkEntry {
     graft.operators.Dedup.queries ++
     graft.operators.Similarity.queries ++
     graft.operators.TextAnalysis.queries ++
+    graft.operators.Bpe.queries ++
     graft.operators.Multimodal.queries ++
     graft.operators.Profile.queries ++
     graft.operators.Curation.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
     graft.operators.Dedup.oracleSql ++
     graft.operators.Similarity.oracleSql ++
     graft.operators.TextAnalysis.oracleSql ++
+    graft.operators.Bpe.oracleSql ++
     graft.operators.Multimodal.oracleSql ++
     graft.operators.Profile.oracleSql ++
     graft.operators.Curation.oracleSql ++

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.concurrent.TrieMap
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -446,14 +448,21 @@ object TextAnalysis {
 
     // -- Sequence packing: documents packed into fixed token-budget bins
     //    (4096) per language shard — the training-batch construction
-    //    step. Deterministic greedy-by-doc_id packing via windowed
+    //    step. The budget counts BPE SUBWORD tokens (ta26's trained
+    //    tokenizer — what a training batch actually holds), read from
+    //    the staged dictionary's per-doc encoding, not whitespace
+    //    tokens. Deterministic greedy-by-doc_id packing via windowed
     //    cumulative sum; partitioned by lang so no global window (the
     //    single-partition trap) — at 100 TB shards are the parallel unit.
     "ta09_sequence_packing" -> ((s, d) => {
       val w = Window.partitionBy(col("lang")).orderBy(col("doc_id").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.documents(s, d)
-        .select(col("doc_id"), col("lang"), expr(s"size($toks)").cast("long").as("n_tokens"))
+        .select(col("doc_id"), col("lang")).hint("shuffle_hash")
+        .join(Bpe.docSubwords(s, d).select(col("doc_id"), col("n_subwords"))
+            .hint("shuffle_hash"),
+          Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("n_subwords").as("n_tokens"))
         .withColumn("cum", sum(col("n_tokens")).over(w))
         // Bin by the document's starting offset within its shard.
         .select(col("doc_id"), col("lang"), col("n_tokens"),
@@ -624,6 +633,48 @@ object TextAnalysis {
             .otherwise(0d).as("avg_bits"))
     }),
 
+    // -- C4-STYLE INTRA-DOCUMENT LINE DEDUP — among the most-used
+    //    curation passes: lines occurring in >= 3 DISTINCT documents
+    //    (navigation / footer / subscribe boilerplate) are removed from
+    //    every document, and each doc is REASSEMBLED from its surviving
+    //    lines in order (C4's "discard any line repeated across the
+    //    corpus" rule — dd18 finds cross-doc spans; this one REWRITES
+    //    the docs). The fixture corpus has no newlines, so line
+    //    structure is INJECTED deterministically on both engines
+    //    (ta19's ground-truth discipline): content lines = the doc's
+    //    tokens in 10-token chunks, plus known boilerplate lines on a
+    //    modular doc_id schedule — the detector must drop exactly
+    //    those. Scale shape: the positioned line-hash index
+    //    (doc_id, idx, lh) is a STAGED write-once artifact (dd18's
+    //    discipline) probed by both the df branch and the reassembly
+    //    branch; every exchange carries 8-byte hashes or integer
+    //    indexes, NEVER line text (plan-spec-pinned) — the kept-line
+    //    text is re-derived in-row from the original doc at the end,
+    //    where the join is doc_id-keyed. The drop set and the kept-
+    //    index relation are corpus-derived → shuffle hash joins.
+    "ta27_line_dedup" -> ((s, d) => {
+      val idx = lineIndex(s, d)
+      val dropSet = idx.select(col("doc_id"), col("lh")).distinct()
+        .groupBy(col("lh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3).select(col("lh"))
+      val kept = idx.hint("shuffle_hash")
+        .join(dropSet.hint("shuffle_hash"), Seq("lh"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("idx"))).as("kept_idx"))
+      linedDocs(s, d).hint("shuffle_hash")
+        .join(kept.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .withColumn("ki",
+          coalesce(col("kept_idx"), expr("cast(array() as array<int>)")))
+        .select(col("doc_id"),
+          size(col("lines")).as("n_lines"),
+          size(col("ki")).as("n_kept"),
+          // concat_ws skips the NULLs the index filter leaves behind,
+          // so the reassembled text is the kept lines '\n'-joined.
+          md5(concat_ws("\n", expr(
+            "transform(lines, (x, i) -> IF(array_contains(ki, i), x, NULL))")))
+            .as("kept_md5"))
+    }),
+
     // -- UNICODE NFC NORMALIZATION — the canonicalization pass every
     //    ingest pipeline runs before content hashing: composed (é =
     //    U+00E9) and decomposed (e + U+0301) spellings of the same text
@@ -651,6 +702,56 @@ object TextAnalysis {
           md5(nfc(col("aug"))).as("nfc_md5"))
     })
   )
+
+  /** ta27's injected boilerplate lines (known ground truth — every
+    * doc_id % 2 == 0 doc gets [[lineBoiler1]] prepended, every
+    * doc_id % 3 == 0 doc gets [[lineBoiler2]] appended; with >= 3 docs
+    * in the corpus both clear the df threshold and MUST be dropped). */
+  private val lineBoiler1 = "subscribe to our newsletter today"
+  private val lineBoiler2 = "all rights reserved by the site owner"
+
+  /** Line-structured view of the corpus: (doc_id, lines array<string>).
+    * Content lines = 10-token chunks of the doc; boilerplate injected
+    * per the modular schedule. Narrow, codegen'd, no shuffle. */
+  private[graft] def linedDocs(s: SparkSession, d: String): DataFrame = {
+    val lineArr =
+      s"""concat(
+          CASE WHEN doc_id % 2 = 0 THEN array('$lineBoiler1')
+               ELSE cast(array() as array<string>) END,
+          CASE WHEN size(tk) = 0 THEN cast(array() as array<string>) ELSE
+            transform(sequence(0, cast(ceil(size(tk) / 10.0) as int) - 1),
+              i -> concat_ws(' ', slice(tk, i * 10 + 1, 10))) END,
+          CASE WHEN doc_id % 3 = 0 THEN array('$lineBoiler2')
+               ELSE cast(array() as array<string>) END)"""
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .select(col("doc_id"), expr(lineArr).as("lines"))
+  }
+
+  /** ta27's STAGED positioned line-hash index (doc_id, idx, lh) —
+    * write-once per (application, fixture), probed by the df branch and
+    * the reassembly branch (dd18's staged-gram-index discipline). Only
+    * 8-byte hashes and integer positions hit storage or any exchange. */
+  private val stagedLineDirs = TrieMap.empty[String, String]
+  private[graft] def lineIndex(s: SparkSession, d: String): DataFrame = {
+    graft.sources.Scratch.cleanupStale(s)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_line_idx_" + s.sparkContext.applicationId + "_" +
+        d.replaceAll("[^A-Za-z0-9]", "_"))
+    stagedLineDirs.synchronized {
+      stagedLineDirs.getOrElseUpdate(dir.getPath, {
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          linedDocs(s, d)
+            .select(col("doc_id"), posexplode(col("lines")).as(Seq("idx", "line")))
+            .select(col("doc_id"), col("idx"),
+              expr("cast(conv(substring(md5(line), 1, 15), 16, 10) as bigint)")
+                .as("lh"))
+            .write.mode("overwrite").parquet(dir.getPath)
+        dir.getPath
+      })
+    }
+    s.read.parquet(dir.getPath)
+  }
 
   /** Shared ta15/ta16 histogram machinery: 26 replace-trick letter
     * counts (`cs`) + an "other" bin (`cs2`), each level lambda-bound
@@ -789,6 +890,42 @@ object TextAnalysis {
                  THEN round(CAST(sum_micro AS DOUBLE) / 1e6 / n_bigrams, 6)
                  ELSE 0e0 END AS avg_bits
           FROM documents d LEFT JOIN ta24sc ON d.doc_id = ta24sc.doc_id""",
+    // Same injected line structure; the df filter and ordered
+    // reassembly mirror the Spark side (string_agg ORDER BY idx).
+    "ta27_line_dedup" ->
+      s"""WITH l27d AS (
+            SELECT doc_id,
+              (CASE WHEN doc_id % 2 = 0 THEN ['$lineBoiler1']
+                    ELSE []::VARCHAR[] END
+               || CASE WHEN len(tk) = 0 THEN []::VARCHAR[] ELSE
+                    list_transform(range(CAST(ceil(len(tk) / 10.0) AS INT)),
+                      i -> array_to_string(tk[i*10+1:i*10+10], ' ')) END
+               || CASE WHEN doc_id % 3 = 0 THEN ['$lineBoiler2']
+                    ELSE []::VARCHAR[] END) AS lines
+            FROM (SELECT doc_id, $dtoks AS tk FROM documents)),
+          l27x AS (
+            SELECT doc_id,
+              unnest(range(len(lines))) AS idx,
+              unnest(lines) AS line
+            FROM l27d),
+          l27h AS (
+            SELECT doc_id, idx, line,
+              CAST(concat('0x', substr(md5(line), 1, 15)) AS BIGINT) AS lh
+            FROM l27x),
+          l27df AS (
+            SELECT lh FROM (
+              SELECT lh, count(DISTINCT doc_id) AS df FROM l27h GROUP BY lh)
+            WHERE df >= 3),
+          l27k AS (
+            SELECT h.doc_id, count(*) AS n_kept,
+              md5(string_agg(h.line, chr(10) ORDER BY h.idx)) AS kept_md5
+            FROM l27h h LEFT JOIN l27df f ON h.lh = f.lh
+            WHERE f.lh IS NULL GROUP BY h.doc_id)
+          SELECT d.doc_id, CAST(len(d.lines) AS INT) AS n_lines,
+            CAST(coalesce(k.n_kept, 0) AS INT) AS n_kept,
+            coalesce(k.kept_md5, md5('')) AS kept_md5
+          FROM l27d d LEFT JOIN l27k k ON d.doc_id = k.doc_id""",
+
     // Same byte-pinned decomposed suffix; DuckDB's nfc_normalize is the
     // reference twin of the native NfcNormalize expression.
     "ta25_unicode_normalize" ->
@@ -978,14 +1115,17 @@ object TextAnalysis {
                CAST(concat('0x', substr(md5(concat('sh', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 8 AS shard,
                CAST(concat('0x', substr(md5(concat('ord', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) AS ord
              FROM documents))""",
+    // Packs ta26's BPE subword counts (shared CTE stack from Bpe).
     "ta09_sequence_packing" ->
-      s"""SELECT doc_id, lang, n_tokens,
+      s"""${Bpe.withSqlPrefix}
+          SELECT doc_id, lang, n_tokens,
           CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin FROM (
-            SELECT doc_id, lang, CAST(len($dtoks) AS BIGINT) AS n_tokens,
-              sum(CAST(len($dtoks) AS BIGINT)) OVER (PARTITION BY lang
-                ORDER BY doc_id ASC
+            SELECT d.doc_id, d.lang,
+              CAST(coalesce(b.n_subwords, 0) AS BIGINT) AS n_tokens,
+              sum(CAST(coalesce(b.n_subwords, 0) AS BIGINT))
+                OVER (PARTITION BY d.lang ORDER BY d.doc_id ASC
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-            FROM documents)""",
+            FROM documents d LEFT JOIN bpe_doc b ON d.doc_id = b.doc_id)""",
     // Same 27-bin histogram + left-to-right fold order as the Spark
     // side, so the double arithmetic is bit-identical before round(6).
     "ta15_char_entropy" ->

@@ -420,6 +420,38 @@ class PlanQualitySpec extends SparkSpec {
       "ta17 broadcasts the corpus-derived vocabulary:\n" + p.take(3000))
   }
 
+  test("BPE encode joins the trained dictionary by shuffle, not broadcast (ta26)") {
+    // The dictionary is the corpus vocabulary (Heaps-law growth) and the
+    // per-doc relation is corpus-sized — both joins must shuffle.
+    val p = plan("ta26_bpe_tokenize")
+    assert(p.linesIterator.exists(l => l.contains("ShuffledHashJoin") && l.contains("word")),
+      "ta26 dict join is not a shuffle hash join:\n" + p.take(3000))
+    assert(!p.linesIterator.exists(l =>
+        (l.contains("BroadcastHashJoin") || l.contains("BroadcastExchange")) &&
+          (l.contains("word#") || l.contains("doc_id#"))),
+      "ta26 broadcasts a corpus-derived relation:\n" + p.take(3000))
+  }
+
+  test("line dedup's hash exchanges never carry line text (ta27)") {
+    val p = plan("ta27_line_dedup")
+    // Both the df branch and the reassembly branch read the STAGED
+    // positioned line-hash index — (doc_id, idx, lh) only; line text
+    // exists nowhere above it until the final doc_id-keyed rewrite join
+    // re-derives lines in-row from the original documents.
+    assert(p.contains("graft_line_idx"),
+      "ta27 does not scan the staged line-hash index:\n" + p.take(3000))
+    val idxScans = p.linesIterator.filter(_.contains("graft_line_idx")).mkString("\n")
+    assert(!idxScans.contains("line#") && !idxScans.contains("lines#"),
+      "staged line index scan carries line text:\n" + idxScans.take(1000))
+    // The drop-set anti join is lh-keyed shuffle hash, never broadcast.
+    assert(p.linesIterator.exists(l => l.contains("ShuffledHashJoin") && l.contains("lh")),
+      "ta27 drop-set join is not a shuffle hash join:\n" + p.take(3000))
+    assert(!p.linesIterator.exists(l =>
+        (l.contains("BroadcastHashJoin") || l.contains("BroadcastExchange")) &&
+          l.contains("lh#")),
+      "ta27 broadcasts the corpus-derived drop set:\n" + p.take(3000))
+  }
+
   test("TF-IDF joins the document-frequency relation by shuffle, not broadcast (ta05)") {
     // Distinct-term count of a web corpus is billions (heavy tail) —
     // |vocab| is NOT broadcastable even though token mass concentrates.

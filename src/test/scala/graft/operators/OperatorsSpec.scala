@@ -370,6 +370,41 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  // ta27: full driver-side recomputation of the C4 line-dedup pass —
+  // same injected line structure, corpus df counts, >= 3-distinct-doc
+  // drop rule, ordered reassembly md5. Also pins the ground truth: the
+  // injected boilerplate lines MUST be in the drop set.
+  test("ta27 line dedup equals a driver-side recomputation") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val boiler1 = "subscribe to our newsletter today"
+    val boiler2 = "all rights reserved by the site owner"
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val lined = docs.map { case (id, text) =>
+      val tk = text.split(" ").filter(_.nonEmpty)
+      val content = tk.grouped(10).map(_.mkString(" ")).toVector
+      val pre = if (id % 2 == 0) Vector(boiler1) else Vector()
+      val post = if (id % 3 == 0) Vector(boiler2) else Vector()
+      id -> (pre ++ content ++ post)
+    }.toMap
+    val df = lined.toSeq.flatMap { case (id, ls) => ls.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).distinct.size }
+    val drop = df.collect { case (l, n) if n >= 3 => l }.toSet
+    assert(drop.contains(boiler1) && drop.contains(boiler2),
+      "injected boilerplate did not clear the df threshold")
+    val got = SparkEntry.queries("ta27_line_dedup")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(got.keySet == lined.keySet)
+    lined.foreach { case (id, ls) =>
+      val kept = ls.filterNot(drop)
+      val exp = (ls.size, kept.size, md5hex(kept.mkString("\n")))
+      assert(got(id) == exp, s"doc $id: got ${got(id)}, expected $exp")
+    }
+  }
+
   // dd16 must agree with dd09: same clusters (member counts), kept doc
   // is a member with the maximal n_chars in its cluster.
   test("keep-best representatives are maximal cluster members") {
