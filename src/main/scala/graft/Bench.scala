@@ -104,6 +104,21 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // Per-query history (best known seconds per query, JSON object):
+    // the regression-vs-noise adjudication baseline. Missing/corrupt
+    // history degrades to "no flagging", never to a failure.
+    // Keyed by SF slug: a dev run at sf0.01 must never become the
+    // baseline a driver run at sf0.1 is flagged against.
+    val sfSlug = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+    val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
+      s"/root/repo/tools/bench_history_$sfSlug.json")
+    val history: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(histPath)), "UTF-8")
+        "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Exception => Map.empty }
     val calibPre = calibrate()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (sec, ok) = timeOne(name, fn)
@@ -116,10 +131,41 @@ object Bench {
     // so a driver run whose headline total disagrees with these medians
     // is noise, not a code change.
     val heavy = results.filter(_._3).sortBy(-_._2).take(10)
-    val medians = heavy.map { case (name, first, _) =>
+    // Regression flagging: any query slower than 1.4x its best recorded
+    // time gets the same median-of-3 treatment, so mid-tier regressions
+    // (below the top-10 radar) are adjudicable from the JSON alone.
+    // Cap at 12 (worst excess first): a globally-noisy run would flag
+    // everything and triple the bench; the calibration markers already
+    // identify that case.
+    val flagged = results.filter { case (name, sec, ok) =>
+      ok && history.get(name).exists(prev => sec > 1.4 * prev)
+    }.filterNot(r => heavy.exists(_._1 == r._1))
+      .sortBy { case (name, sec, _) => -sec / history(name) }
+      .take(12)
+    def median3(name: String, first: Double): Double = {
       val reps = Seq(first, timeOne(name, SparkEntry.queries(name))._1,
         timeOne(name, SparkEntry.queries(name))._1).sorted
-      (name, reps(1))
+      reps(1)
+    }
+    val medians = heavy.map { case (name, first, _) => (name, median3(name, first)) }
+    val flaggedMedians = flagged.map { case (name, first, _) =>
+      (name, history(name), first, median3(name, first))
+    }
+    // History update: best-known (min) per query — Probe's min-of-reps
+    // philosophy, so co-tenant noise can only tighten future baselines'
+    // flagging, never loosen it. Best-effort write (read-only checkouts
+    // must not fail the bench).
+    val newHist = (results.filter(_._3).map { case (name, sec, _) =>
+      val measured = medians.toMap.get(name)
+        .orElse(flaggedMedians.collectFirst { case (n, _, _, m) if n == name => m })
+        .getOrElse(sec)
+      name -> math.min(history.getOrElse(name, Double.MaxValue), measured)
+    }).sortBy(_._1)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(histPath),
+      newHist.map { case (k, v) => "\"" + k + "\": " + v }
+        .mkString("{\n", ",\n", "\n}\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] history write skipped: ${e.getMessage}")
     }
     // Per-query detail on its own line; the driver-parsed metric line is
     // kept short and LAST (a single giant line overflows its tail capture).
@@ -134,9 +180,13 @@ object Bench {
       if (nFailed > 0) -1.0 else results.collect { case (_, v, true) => v }.sum
     val med = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val flagJson = flaggedMedians.map { case (k, prev, first, m) =>
+      "\"" + k + "\":{\"prev\":" + prev + ",\"first\":" + first +
+        ",\"median\":" + m + "}"
+    }.mkString("{", ",", "}")
     val warnJson = warnings.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"detail":"per_query","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
-    println(s"""{"detail":"noise_guard","medians3_top10":$med,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"warnings":$warnJson}""")
+    println(s"""{"detail":"noise_guard","medians3_top10":$med,"medians3_flagged":$flagJson,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"warnings":$warnJson}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"n_warnings":${warnings.size},"calib_sec":${(calibPre + calibPost) / 2},"sf":"$sfDir"}""")
     spark.stop()
   }

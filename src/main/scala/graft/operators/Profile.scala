@@ -200,7 +200,57 @@ object Profile {
         .unionAll(pk("documents.doc_id", Tables.documents(s, d), "doc_id"))
         .unionAll(pk("embeddings.vec_id", Tables.embeddings(s, d), "vec_id"))
         .unionAll(pk("events.event_id", Tables.events(s, d), "event_id"))
+    }),
+
+    // -- SCHEMA-DRIFT AUDIT — the production form of the r4 lesson
+    //    (a fixture regeneration changed physical types and broke 27
+    //    queries at analysis time): compare each table's OBSERVED
+    //    parquet footer schema against the DECLARED contract and emit
+    //    one row per column with an ok / type_drift / missing /
+    //    unexpected verdict. Pure metadata — O(columns) footer reads,
+    //    zero data pages scanned at any corpus size (the audit a
+    //    100 TB ingest runs before anything else touches the data).
+    //    `events` is deliberately excluded: its physical timestamp
+    //    unit is fixture-variant by design (see Tables.events), so it
+    //    has no single declared physical contract to audit against.
+    "dq06_schema_drift" -> ((s, d) => {
+      val tables = Seq("documents", "embeddings", "nation", "region")
+      val observed = tables.flatMap { t =>
+        s.read.parquet(s"$d/$t.parquet").schema.fields
+          .map(f => (t, f.name, f.dataType.simpleString))
+      }
+      schemaDrift(s, declaredContract, observed)
     }))
+
+  /** dq06's declared physical contract (the TESTDATA.md truth). */
+  private[graft] val declaredContract: Seq[(String, String, String)] = Seq(
+    ("documents", "doc_id", "bigint"), ("documents", "text", "string"),
+    ("documents", "lang", "string"), ("documents", "source", "string"),
+    ("documents", "n_chars", "bigint"),
+    ("embeddings", "vec_id", "bigint"),
+    ("embeddings", "embedding", "array<float>"),
+    ("embeddings", "label", "int"),
+    ("nation", "n_nationkey", "int"), ("nation", "n_name", "string"),
+    ("nation", "n_regionkey", "int"),
+    ("region", "r_regionkey", "int"), ("region", "r_name", "string"))
+
+  /** dq06's drift join, extracted pure so the spec can feed a
+    * synthetically drifted observed schema and assert detection. */
+  private[graft] def schemaDrift(
+      s: SparkSession,
+      declared: Seq[(String, String, String)],
+      observed: Seq[(String, String, String)]): DataFrame = {
+    import s.implicits._
+    val dd = declared.toDF("tbl", "col_name", "declared_type")
+    val oo = observed.toDF("tbl", "col_name", "observed_type")
+    dd.join(oo, Seq("tbl", "col_name"), "full_outer")
+      .select(col("tbl"), col("col_name"),
+        col("declared_type"), col("observed_type"),
+        when(col("declared_type").isNull, "unexpected")
+          .when(col("observed_type").isNull, "missing")
+          .when(col("declared_type") === col("observed_type"), "ok")
+          .otherwise("type_drift").as("status"))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "dq01_profile_documents" -> {
@@ -297,5 +347,34 @@ object Profile {
         one("embeddings.vec_id", "embeddings", "vec_id"),
         one("events.event_id", "events", "event_id")
       ).mkString(" UNION ALL ")
+    },
+    // DuckDB observes the SAME tables via information_schema over the
+    // registered views; its type names map onto the declared canonical
+    // forms (Spark simpleString) through a fixed dictionary.
+    "dq06_schema_drift" -> {
+      val declaredRows = declaredContract
+        .map { case (t, c, ty) => s"('$t', '$c', '$ty')" }.mkString(", ")
+      s"""WITH dq6d(tbl, col_name, declared_type) AS (VALUES $declaredRows),
+          dq6o AS (
+            SELECT lower(table_name) AS tbl, column_name AS col_name,
+              CASE data_type
+                WHEN 'BIGINT' THEN 'bigint'
+                WHEN 'VARCHAR' THEN 'string'
+                WHEN 'INTEGER' THEN 'int'
+                WHEN 'DOUBLE' THEN 'double'
+                WHEN 'FLOAT[]' THEN 'array<float>'
+                ELSE lower(data_type) END AS observed_type
+            FROM information_schema.columns
+            WHERE lower(table_name) IN
+              ('documents', 'embeddings', 'nation', 'region'))
+          SELECT coalesce(d.tbl, o.tbl) AS tbl,
+            coalesce(d.col_name, o.col_name) AS col_name,
+            d.declared_type, o.observed_type,
+            CASE WHEN d.declared_type IS NULL THEN 'unexpected'
+                 WHEN o.observed_type IS NULL THEN 'missing'
+                 WHEN d.declared_type = o.observed_type THEN 'ok'
+                 ELSE 'type_drift' END AS status
+          FROM dq6d d FULL JOIN dq6o o
+            ON d.tbl = o.tbl AND d.col_name = o.col_name"""
     })
 }

@@ -675,6 +675,58 @@ object TextAnalysis {
             .as("kept_md5"))
     }),
 
+    // -- HTML/MARKUP BOILERPLATE EXTRACTION — the structural extractor
+    //    that runs BEFORE ta10's statistical detector in any web-corpus
+    //    pipeline: strip tags per block, keep blocks whose TEXT DENSITY
+    //    is high and whose LINK-TEXT share is low (the boilerpipe/
+    //    text-density family, public literature). The fixture has no
+    //    markup, so each doc is wrapped in deterministic HTML on both
+    //    engines (ta19's injected-ground-truth discipline): title/nav/
+    //    ad/footer boilerplate blocks around two content paragraphs
+    //    holding the real text — extraction must recover EXACTLY the
+    //    original token stream (OperatorsSpec pins it). Density tests
+    //    are integer-exact (2·txt >= raw, 2·link <= txt): no doubles,
+    //    no cross-engine rounding. The whole operator is ONE narrow
+    //    codegen'd pass — per-block metrics live in higher-order
+    //    functions over the block array, so there is NO shuffle at any
+    //    corpus size (the 100 TB shape: embarrassingly parallel,
+    //    like ta23's classifier).
+    "ta28_html_extract" -> ((s, d) => {
+      val nav = """<div class="nav"><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></div>"""
+      val ad = """<div class="ad">buy now <a href="/shop">click here for great deals</a></div>"""
+      val footer = """<div class="footer"><a href="/terms">terms of service</a> | <a href="/privacy">privacy policy</a></div>"""
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(toks).as("tk"))
+        .withColumn("half", expr("cast(ceil(size(tk) / 2.0) as int)"))
+        .withColumn("p1", expr("concat_ws(' ', slice(tk, 1, half))"))
+        .withColumn("p2",
+          expr("concat_ws(' ', slice(tk, half + 1, greatest(size(tk) - half, 0)))"))
+        .withColumn("html", concat_ws("\n",
+          concat(lit("<html><head><title>document "),
+            col("doc_id").cast("string"), lit("</title></head><body>")),
+          lit(nav),
+          concat(lit("<p>"), col("p1"), lit("</p>")),
+          lit(ad),
+          concat(lit("<p>"), col("p2"), lit("</p>")),
+          lit(footer),
+          lit("</body></html>")))
+        .withColumn("bs", expr(
+          """transform(split(html, '\n'), b -> struct(
+               regexp_replace(b, '<[^>]*>', '') AS txt,
+               length(b) AS raw_len,
+               aggregate(regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1),
+                 0, (a, x) -> a + length(x)) AS link_len))"""))
+        .withColumn("kept", expr(
+          "filter(bs, s -> 2 * length(s.txt) >= s.raw_len AND 2 * s.link_len <= length(s.txt))"))
+        .select(col("doc_id"),
+          size(col("bs")).as("n_blocks"),
+          size(col("kept")).as("n_content"),
+          expr("length(concat_ws(' ', transform(kept, s -> s.txt)))")
+            .as("content_chars"),
+          md5(expr("concat_ws(' ', transform(kept, s -> s.txt))"))
+            .as("content_md5"))
+    }),
+
     // -- UNICODE NFC NORMALIZATION — the canonicalization pass every
     //    ingest pipeline runs before content hashing: composed (é =
     //    U+00E9) and decomposed (e + U+0301) spellings of the same text
@@ -925,6 +977,48 @@ object TextAnalysis {
             CAST(coalesce(k.n_kept, 0) AS INT) AS n_kept,
             coalesce(k.kept_md5, md5('')) AS kept_md5
           FROM l27d d LEFT JOIN l27k k ON d.doc_id = k.doc_id""",
+
+    // Same injected markup; integer-exact density tests; regexp_replace
+    // needs the 'g' flag (DuckDB default replaces first match only).
+    "ta28_html_extract" -> {
+      val nav = """<div class="nav"><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></div>"""
+      val ad = """<div class="ad">buy now <a href="/shop">click here for great deals</a></div>"""
+      val footer = """<div class="footer"><a href="/terms">terms of service</a> | <a href="/privacy">privacy policy</a></div>"""
+      s"""WITH h28 AS (
+            SELECT doc_id,
+              concat_ws(chr(10),
+                concat('<html><head><title>document ', CAST(doc_id AS VARCHAR),
+                       '</title></head><body>'),
+                '$nav',
+                concat('<p>', array_to_string(tk[1:half], ' '), '</p>'),
+                '$ad',
+                concat('<p>', array_to_string(tk[half+1:len(tk)], ' '), '</p>'),
+                '$footer',
+                '</body></html>') AS html
+            FROM (SELECT doc_id, tk, CAST(ceil(len(tk) / 2.0) AS INT) AS half
+                  FROM (SELECT doc_id, $dtoks AS tk FROM documents))),
+          b28 AS (
+            SELECT doc_id, bs,
+              list_filter(bs, s -> 2 * length(s.txt) >= s.raw_len
+                              AND 2 * s.link_len <= length(s.txt)) AS kept
+            FROM (
+              SELECT doc_id,
+                list_transform(string_split(html, chr(10)), b -> struct_pack(
+                  txt := regexp_replace(b, '<[^>]*>', '', 'g'),
+                  raw_len := length(b),
+                  link_len := coalesce(list_aggregate(list_transform(
+                    regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1),
+                    x -> length(x)), 'sum'), 0))) AS bs
+              FROM h28))
+          SELECT doc_id,
+            CAST(len(bs) AS INT) AS n_blocks,
+            CAST(len(kept) AS INT) AS n_content,
+            CAST(length(array_to_string(list_transform(kept, s -> s.txt), ' '))
+              AS INT) AS content_chars,
+            md5(array_to_string(list_transform(kept, s -> s.txt), ' '))
+              AS content_md5
+          FROM b28"""
+    },
 
     // Same byte-pinned decomposed suffix; DuckDB's nfc_normalize is the
     // reference twin of the native NfcNormalize expression.

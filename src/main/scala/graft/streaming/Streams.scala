@@ -878,6 +878,63 @@ object Streams {
         graft.sources.Tables.embeddings(s, d), s.read.parquet(compactDir))
     }),
 
+    // -- INDEX LIFECYCLE END-TO-END — st24's ingest and st22's serving
+    //    COMPOSED in one pipeline, with compaction landing MID-STREAM:
+    //    batch 0 appends into a raw delta dir and is immediately
+    //    compacted into the live dir; batch 1 appends its delta
+    //    STRAIGHT into the live dir's cell directories. The serving
+    //    stream then probes the live dir — a BASE+DELTA layout (each
+    //    cell holds compacted base files plus fresh append files), the
+    //    state every real index serves from most of the time.
+    //    Compaction writes to a DIFFERENT directory than the raw
+    //    deltas it collapses, so a reader of the live dir can never
+    //    see a vector twice mid-compaction (StreamingSpec pins
+    //    exactly-once visibility + the mixed layout). Each query lands
+    //    in one serving micro-batch and probes the complete index, so
+    //    the union over batches IS ss02's batch answer — the oracle is
+    //    ss02's verbatim.
+    "st25_stream_lifecycle" -> ((s, d) => {
+      import graft.operators.Similarity
+      val (feed, schema) = embFeed(s, d)
+      val rawDir = graft.sources.Scratch.dir(s, d, "st25_raw")
+      val liveDir = graft.sources.Scratch.dir(s, d, "st25_live")
+      val outDir = graft.sources.Scratch.dir(s, d, "st25_out")
+      Seq(rawDir, liveDir, outDir).foreach { p =>
+        val fsPath = new org.apache.hadoop.fs.Path(p)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      }
+      def feedStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString)
+      // Phase A: ingest, compacting after the first delta lands.
+      val qi = feedStream.writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          if (bid == 0L) {
+            indexIngestBatch(batch, rawDir)
+            indexCompact(s, rawDir, liveDir)
+          } else indexIngestBatch(batch, liveDir)
+        }
+        .start()
+      qi.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      // Phase B: serve every query batch against the base+delta index.
+      val idx = s.read.parquet(liveDir)
+      val qs = feedStream.writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Similarity.ivfServePartial(batch, idx)
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      qs.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      s.read.parquet(outDir).distinct()
+    }),
+
     // -- LEFT-OUTER stream-stream join — the hard half of st08: matched
     //    (click, view) pairs emit as inner results on arrival, and a
     //    click with NO view within 5 minutes emits with a NULL view_id
@@ -1416,6 +1473,8 @@ object Streams {
     // st22 unions per-micro-batch probes of the static stored index —
     // exactly ss02's batch answer, so the oracle is ss02's verbatim.
     "st22_stream_ann_serve" -> graft.operators.Similarity.dIvfTopk,
+    // st25's ingest→compact→delta-append→serve lifecycle answers ss02
+    "st25_stream_lifecycle" -> graft.operators.Similarity.dIvfTopk,
     // st24's streamed-in, compacted index answers ss02's probe
     // identically — the oracle is ss02's verbatim again.
     "st24_stream_index_ingest" -> graft.operators.Similarity.dIvfTopk,

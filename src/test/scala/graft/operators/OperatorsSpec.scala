@@ -405,6 +405,68 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  // ta28: the injected markup is ground truth — extraction must keep
+  // EXACTLY the two content paragraphs (never the title/nav/ad/footer),
+  // i.e. the extracted text equals the doc's normalized token stream.
+  test("ta28 extraction recovers exactly the injected content blocks") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+      .toMap
+    val got = SparkEntry.queries("ta28_html_extract")(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val tk = texts(id)
+      assert(r.getInt(1) == 7, s"doc $id: block count")
+      // Both paragraphs are content on this fixture (docs are >= 10
+      // tokens, so each paragraph clears the density bar).
+      assert(r.getInt(2) == 2, s"doc $id: content block count ${r.getInt(2)}")
+      // p1 + ' ' + p2 rejoins to exactly the normalized token stream.
+      val norm = tk.mkString(" ")
+      assert(r.getInt(3) == norm.length, s"doc $id: content_chars")
+      assert(r.getString(4) == md5hex(norm), s"doc $id: content md5")
+    }
+  }
+
+  // dq06: a synthetically drifted parquet (narrowed key type, dropped
+  // column, extra column) must surface exactly the right verdicts —
+  // the r4 fixture-regeneration lesson as an executable check.
+  test("dq06 detects a synthetic type change, drop and addition") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_dq06_spec").toFile
+    try {
+      graft.sources.Tables.documents(spark, sfDir)
+        .selectExpr("cast(doc_id as int) as doc_id", "text", "lang",
+          "source", "1.5 as extra_col")
+        .write.mode("overwrite").parquet(dir.getPath + "/documents.parquet")
+      val observed = spark.read.parquet(dir.getPath + "/documents.parquet")
+        .schema.fields.map(f => ("documents", f.name, f.dataType.simpleString)).toSeq
+      val declared = Profile.declaredContract.filter(_._1 == "documents")
+      val st = Profile.schemaDrift(spark, declared, observed)
+        .collect().map(r => r.getString(1) -> r.getString(4)).toMap
+      assert(st("doc_id") == "type_drift", st.toString)
+      assert(st("n_chars") == "missing", st.toString)
+      assert(st("extra_col") == "unexpected", st.toString)
+      assert(st("text") == "ok" && st("lang") == "ok" && st("source") == "ok")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir)
+    }
+  }
+
+  // dq06 on the intact fixture: every declared column checks out ok.
+  test("dq06 reports all-ok on the intact fixture") {
+    val rows = SparkEntry.queries("dq06_schema_drift")(spark, sfDir).collect()
+    assert(rows.length == Profile.declaredContract.length)
+    assert(rows.forall(_.getString(4) == "ok"),
+      rows.filterNot(_.getString(4) == "ok").mkString(", "))
+  }
+
   // dd16 must agree with dd09: same clusters (member counts), kept doc
   // is a member with the maximal n_chars in its cluster.
   test("keep-best representatives are maximal cluster members") {

@@ -150,6 +150,34 @@ class StreamingSpec extends SparkSpec {
     assert(got === exp, "resumed aggregation diverges from batch truth")
   }
 
+  // st25: the composed lifecycle must (a) leave a live index in which
+  // every vector is visible EXACTLY once despite mid-stream compaction
+  // (compaction writes to a different dir than the raw deltas it
+  // collapses, so no reader ever sees a cell twice), (b) actually hold
+  // the mixed base+delta layout the operator claims to serve from, and
+  // (c) answer byte-identically to ss02's batch probe.
+  test("st25 lifecycle: exactly-once visibility over base+delta, parity with ss02") {
+    val got = graft.SparkEntry.queries("st25_stream_lifecycle")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val liveDir = graft.sources.Scratch.dir(spark, sfDir, "st25_live")
+    val live = spark.read.parquet(liveDir)
+    val n = live.count()
+    assert(n == live.select("vec_id").distinct().count(),
+      "a vector is visible more than once in the live index")
+    assert(n == graft.sources.Tables.embeddings(spark, sfDir).count(),
+      "live index is missing vectors")
+    // Mixed layout: at least one cell dir holds both the compacted base
+    // file and a later delta append (file count >= 2).
+    val cells = new java.io.File(liveDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("label="))
+    assert(cells.nonEmpty, "live index is not cell-partitioned")
+    assert(cells.exists(_.listFiles().count(_.getName.endsWith(".parquet")) >= 2),
+      "no cell shows the base+delta layout the lifecycle claims")
+    val exp = graft.SparkEntry.queries("ss02_ivf_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === exp, "lifecycle serving diverges from the batch probe")
+  }
+
   // st21: complete-mode sort+limit on a streaming aggregate must emit
   // exactly the batch top-10 (deterministic tie-break on user_id).
   test("streaming complete-mode top-k equals the batch leaderboard") {
