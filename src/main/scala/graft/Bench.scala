@@ -87,7 +87,10 @@ object Bench {
         "ss02_ivf_topk", "ss12_ivf_refresh", "ss09_pq_topk", "ss06_sq8_topk",
         "dd08_contamination", "ta10_boilerplate",
         "dd16_keep_best", "io09_dynamic_pruning", "io13_aqe_skew_join",
-        "dd18_substring_spans").foreach { n =>
+        "dd18_substring_spans",
+        // ta26 trains + stages the BPE dictionary (shared by ta09);
+        // ta27 stages the positioned line-hash index.
+        "ta26_bpe_tokenize", "ta27_line_dedup").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => warn(s"setup $n FAILED: ${e.getMessage}") }
