@@ -83,14 +83,25 @@ object Bpe {
       "CASE WHEN x = b AND endswith(acc, concat('|', a)) " +
       "THEN concat(acc, x) ELSE concat(acc, '|', x) END)"
 
-  /** BPE training: (word, freq, s) after [[Rounds]] greedy merges. */
-  private def trainDict(s: SparkSession, d: String): DataFrame = {
+  /** Exposed for the property spec: the fold merge as a Column over
+    * input columns (s, a, b). */
+  private[graft] def applyMergeCol = expr(applyMergeSql)
+
+  /** BPE training: the final (word, freq, s) dictionary after [[Rounds]]
+    * greedy merges, plus the ranked merge table itself — the artifact a
+    * tokenizer ships. Each round's winning pair is a 1-row
+    * localCheckpoint read once for the merge log (a bounded driver
+    * scalar, the documented class) and once as the broadcast riding the
+    * vocab rewrite — no recomputation of the pair aggregation. */
+  private def trainAll(
+      s: SparkSession, d: String): (DataFrame, Seq[(Int, String, String)]) = {
     val words0 = tokenStream(s, d)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
       .withColumn("s",
         concat(lit("|"), array_join(expr("split(word, '')"), "|")))
     var words = words0.localCheckpoint()
-    for (_ <- 1 to Rounds) {
+    val merges = Seq.newBuilder[(Int, String, String)]
+    for (r <- 1 to Rounds) {
       val pairs = words
         .select(col("freq"), expr(arr).as("tk"))
         .filter(expr("size(tk) >= 2"))
@@ -106,31 +117,46 @@ object Bpe {
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(1)
         .select(col("a"), col("b"))
+        .localCheckpoint()
+      val t = top.collect()(0)
+      merges += ((r, t.getString(0), t.getString(1)))
       words = words.crossJoin(broadcast(top))
         .select(col("word"), col("freq"), expr(applyMergeSql).as("s"))
         .localCheckpoint()
     }
-    words
+    (words, merges.result())
   }
 
-  /** Staged trained dictionary — write-once per (application, fixture),
+  /** Staged trained artifacts — write-once per (application, fixture),
     * the gram-index discipline (Dedup.stagedGramForm's double-checked
-    * lock + _SUCCESS idempotence). */
+    * lock + _SUCCESS idempotence). Layout: <dir>/merges (rank, a, b)
+    * written first, <dir>/dict (word, freq, s) last — the dict's
+    * _SUCCESS gates the whole artifact, so a crashed partial build is
+    * rebuilt wholesale. */
   private val stagedDictDirs = TrieMap.empty[String, String]
-  private[graft] def bpeDict(s: SparkSession, d: String): DataFrame = {
+  private def bpeArtifacts(s: SparkSession, d: String): String = {
     graft.sources.Scratch.cleanupStale(s)
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_bpe_dict_" + s.sparkContext.applicationId + "_" +
         d.replaceAll("[^A-Za-z0-9]", "_"))
     stagedDictDirs.synchronized {
       stagedDictDirs.getOrElseUpdate(dir.getPath, {
-        if (!new java.io.File(dir, "_SUCCESS").exists())
-          trainDict(s, d).write.mode("overwrite").parquet(dir.getPath)
+        if (!new java.io.File(new java.io.File(dir, "dict"), "_SUCCESS").exists()) {
+          val (words, merges) = trainAll(s, d)
+          import s.implicits._
+          merges.toDF("rank", "a", "b")
+            .write.mode("overwrite").parquet(new java.io.File(dir, "merges").getPath)
+          words.write.mode("overwrite").parquet(new java.io.File(dir, "dict").getPath)
+        }
         dir.getPath
       })
     }
-    s.read.parquet(dir.getPath)
+    dir.getPath
   }
+  private[graft] def bpeDict(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(new java.io.File(bpeArtifacts(s, d), "dict").getPath)
+  private[graft] def bpeMerges(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(new java.io.File(bpeArtifacts(s, d), "merges").getPath)
 
   /** Per-document encoding stats: every doc_id (token-less docs get
     * zeros), subword counts and an order-independent 40-bit-hash
@@ -161,7 +187,15 @@ object Bpe {
     //    with it, report per-doc word/subword counts + an encoding
     //    checksum. The DuckDB oracle re-runs the identical training
     //    (unrolled rounds generated from the same constants).
-    "ta26_bpe_tokenize" -> ((s, d) => docSubwords(s, d)))
+    "ta26_bpe_tokenize" -> ((s, d) => docSubwords(s, d)),
+
+    // -- The trained merge table itself, in rank order — the artifact a
+    //    tokenizer SHIPS (encode-side deployments load exactly this
+    //    relation). Reads the staged parquet; the oracle re-derives each
+    //    round's argmax from its own unrolled training CTEs.
+    "ta29_bpe_merges" -> ((s, d) =>
+      bpeMerges(s, d).select(col("rank").cast("int").as("rank"),
+        col("a"), col("b"))))
 
   /** The shared DuckDB training+encoding CTE stack (ta26's oracle and
     * ta09's packing oracle both consume `bpe_doc`). Generated from the
@@ -217,5 +251,12 @@ object Bpe {
             CAST(coalesce(b.n_words, 0) AS BIGINT) AS n_words,
             CAST(coalesce(b.n_subwords, 0) AS BIGINT) AS n_subwords,
             CAST(coalesce(b.enc_checksum, 0) AS BIGINT) AS enc_checksum
-          FROM documents d LEFT JOIN bpe_doc b ON d.doc_id = b.doc_id""")
+          FROM documents d LEFT JOIN bpe_doc b ON d.doc_id = b.doc_id""",
+    "ta29_bpe_merges" -> {
+      val ranks = (1 to Rounds).map(r =>
+        s"SELECT CAST($r AS INT) AS rank, a, b FROM bpe_t$r")
+        .mkString(" UNION ALL ")
+      s"""$withSqlPrefix
+          $ranks"""
+    })
 }

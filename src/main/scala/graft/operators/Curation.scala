@@ -88,6 +88,75 @@ object Curation {
              sum(col("n_tokens").cast("long")).as("n_tokens"))
     }),
 
+    // -- WEB-CORPUS CURATION — the round-7 operators composed into the
+    //    pipeline a raw web crawl actually goes through, in ONE plan:
+    //      1. markup extraction   (ta28's block density/link gates)
+    //      2. paragraph-level corpus dedup (ta27's >=3-distinct-doc
+    //         drop rule over extracted block hashes — C4's pass)
+    //      3. quality gate        (ta03's quality formula, computed
+    //         shuffle-free in-row: the gate needs only token count and
+    //         distinct count, so the explode+aggs ta03 needs for
+    //         max_tf are unnecessary — same value, better plan)
+    //      4. exact dedup         (dd01's rule: min-doc_id canonical
+    //         per content key among the passing docs)
+    //    Injected ground truth: every doc's markup carries TWO plain-
+    //    text boilerplate paragraphs (present in every doc → dropped by
+    //    stage 2) around the two content paragraphs; tag-only blocks
+    //    fall to stage 1. Output is the per-language shard audit (all
+    //    exact integers). Scale notes: block hashes shuffle as 8-byte
+    //    keys (never block text), every doc-keyed/content-keyed join is
+    //    shuffle hash (corpus-sized relations), and stages 1+3 are
+    //    narrow in-row passes — the only exchanges are the dedup
+    //    aggregations themselves.
+    "pl05_web_curation" -> ((s, d) => {
+      val blocksDf = webBlocks(s, d)
+      val bh = blocksDf
+        .select(col("doc_id"), posexplode(col("blocks")).as(Seq("idx", "blk")))
+        .select(col("doc_id"), col("idx"),
+          expr("cast(conv(substring(md5(blk), 1, 15), 16, 10) as bigint)").as("bh"))
+      val dropSet = bh.select(col("doc_id"), col("bh")).distinct()
+        .groupBy(col("bh")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 3).select(col("bh"))
+      val kept = bh.hint("shuffle_hash")
+        .join(dropSet.hint("shuffle_hash"), Seq("bh"), "left_anti")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("idx"))).as("kept_idx"))
+      val cleaned = blocksDf.hint("shuffle_hash")
+        .join(kept.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .withColumn("ki",
+          coalesce(col("kept_idx"), expr("cast(array() as array<int>)")))
+        .select(col("doc_id"), col("lang"),
+          size(col("blocks")).as("n_blocks"),
+          size(col("ki")).as("n_kept"),
+          concat_ws(" ", expr(
+            "transform(blocks, (x, i) -> IF(array_contains(ki, i), x, NULL))"))
+            .as("txt"))
+      // ta03's quality formula over the CLEANED text, in-row.
+      val scored = cleaned
+        .withColumn("n", expr("size(filter(split(txt, ' '), x -> x <> ''))").cast("double"))
+        .withColumn("u", expr("size(array_distinct(filter(split(txt, ' '), x -> x <> '')))").cast("double"))
+        .withColumn("q",
+          when(col("n") > 0, round(
+            least(col("n") / 100d, lit(1d)) * 0.5 + (col("u") / col("n")) * 0.5, 6))
+            .otherwise(0d))
+      val pass = scored.filter(col("q") >= 0.5)
+        .withColumn("ck", md5(col("txt")))
+      val canon = pass.groupBy(col("ck")).agg(min(col("doc_id")).as("canon_id"))
+      val passRollup = pass.hint("shuffle_hash")
+        .join(canon.hint("shuffle_hash"), "ck")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pass"),
+          sum((col("doc_id") === col("canon_id")).cast("long")).as("n_canonical"))
+      cleaned.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_blocks").cast("long")).as("n_blocks"),
+          sum(col("n_kept").cast("long")).as("n_kept_blocks"))
+        .join(passRollup, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("n_blocks"), col("n_kept_blocks"),
+          coalesce(col("n_pass"), lit(0L)).as("n_pass"),
+          coalesce(col("n_canonical"), lit(0L)).as("n_canonical"))
+    }),
+
     // -- The embedding-side curation pipeline: near-dup pairs from dd07
     //    (cosine ≥ 0.4 inside IVF label blocks), greedy min-id
     //    survivorship (a vector is dropped iff it is the LARGER id of
@@ -112,7 +181,130 @@ object Curation {
     })
   )
 
+  /** pl05's injected markup constants — shared verbatim by the oracle
+    * builder so both engines wrap identically. */
+  private val p5Nav = """<div class="nav"><a href="/">home</a> <a href="/about">about</a> <a href="/contact">contact</a></div>"""
+  private val p5Ad = """<div class="ad">buy now <a href="/shop">click here for great deals</a></div>"""
+  private val p5Footer = """<div class="footer"><a href="/terms">terms of service</a> | <a href="/privacy">privacy policy</a></div>"""
+  private val p5Boiler1 = "subscribe to our newsletter today"
+  private val p5Boiler2 = "all rights reserved by the site owner"
+
+  /** Stage 1+2 of pl05: wrap each doc in markup (ta28's layout plus the
+    * two plain-text boilerplate paragraphs) and extract the text blocks
+    * that clear the density/link gates — (doc_id, lang, blocks), one
+    * narrow codegen'd pass. */
+  private def webBlocks(s: SparkSession, d: String): DataFrame = {
+    val toks = "filter(split(text, ' '), x -> x <> '')"
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), expr(toks).as("tk"))
+      .withColumn("half", expr("cast(ceil(size(tk) / 2.0) as int)"))
+      .withColumn("p1", expr("concat_ws(' ', slice(tk, 1, half))"))
+      .withColumn("p2",
+        expr("concat_ws(' ', slice(tk, half + 1, greatest(size(tk) - half, 0)))"))
+      .withColumn("html", concat_ws("\n",
+        concat(lit("<html><head><title>document "),
+          col("doc_id").cast("string"), lit("</title></head><body>")),
+        lit(p5Nav),
+        lit(s"<p>$p5Boiler1</p>"),
+        concat(lit("<p>"), col("p1"), lit("</p>")),
+        lit(p5Ad),
+        concat(lit("<p>"), col("p2"), lit("</p>")),
+        lit(s"<p>$p5Boiler2</p>"),
+        lit(p5Footer),
+        lit("</body></html>")))
+      .select(col("doc_id"), col("lang"), expr(
+        """transform(filter(transform(split(html, '\n'), b -> struct(
+             regexp_replace(b, '<[^>]*>', '') AS txt,
+             length(b) AS raw_len,
+             aggregate(regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1),
+               0, (a, x) -> a + length(x)) AS link_len)),
+           s -> 2 * length(s.txt) >= s.raw_len AND 2 * s.link_len <= length(s.txt)),
+           s -> s.txt)""").as("blocks"))
+  }
+
   def oracleSql: Map[String, String] = Map(
+    // Composed from the same constants; each stage is the SQL twin of
+    // the Spark stage (ta28's gates, ta27's drop rule, ta03's quality
+    // formula in-row, dd01's min-id canonical).
+    "pl05_web_curation" -> {
+      val dtoks = "list_filter(string_split(text, ' '), x -> x <> '')"
+      s"""WITH p5h AS (
+            SELECT doc_id, lang,
+              concat_ws(chr(10),
+                concat('<html><head><title>document ', CAST(doc_id AS VARCHAR),
+                       '</title></head><body>'),
+                '$p5Nav',
+                '<p>$p5Boiler1</p>',
+                concat('<p>', array_to_string(tk[1:half], ' '), '</p>'),
+                '$p5Ad',
+                concat('<p>', array_to_string(tk[half+1:len(tk)], ' '), '</p>'),
+                '<p>$p5Boiler2</p>',
+                '$p5Footer',
+                '</body></html>') AS html
+            FROM (SELECT doc_id, lang, tk, CAST(ceil(len(tk) / 2.0) AS INT) AS half
+                  FROM (SELECT doc_id, lang, $dtoks AS tk FROM documents))),
+          p5b AS (
+            SELECT doc_id, lang,
+              list_transform(list_filter(
+                list_transform(string_split(html, chr(10)), b -> struct_pack(
+                  txt := regexp_replace(b, '<[^>]*>', '', 'g'),
+                  raw_len := length(b),
+                  link_len := coalesce(list_aggregate(list_transform(
+                    regexp_extract_all(b, '<a [^>]*>([^<]*)</a>', 1),
+                    x -> length(x)), 'sum'), 0))),
+                s -> 2 * length(s.txt) >= s.raw_len
+                     AND 2 * s.link_len <= length(s.txt)),
+                s -> s.txt) AS blocks
+            FROM p5h),
+          p5x AS (
+            SELECT doc_id,
+              unnest(range(len(blocks))) AS idx,
+              unnest(blocks) AS blk
+            FROM p5b),
+          p5hh AS (
+            SELECT doc_id, idx, blk,
+              CAST(concat('0x', substr(md5(blk), 1, 15)) AS BIGINT) AS bh
+            FROM p5x),
+          p5drop AS (
+            SELECT bh FROM (
+              SELECT bh, count(DISTINCT doc_id) AS df FROM p5hh GROUP BY bh)
+            WHERE df >= 3),
+          p5k AS (
+            SELECT h.doc_id, count(*) AS n_kept,
+              string_agg(h.blk, ' ' ORDER BY h.idx) AS txt
+            FROM p5hh h LEFT JOIN p5drop f ON h.bh = f.bh
+            WHERE f.bh IS NULL GROUP BY h.doc_id),
+          p5c AS (
+            SELECT b.doc_id, b.lang, len(b.blocks) AS n_blocks,
+              coalesce(k.n_kept, 0) AS n_kept, coalesce(k.txt, '') AS txt
+            FROM p5b b LEFT JOIN p5k k ON b.doc_id = k.doc_id),
+          p5s AS (
+            SELECT *, CASE WHEN n > 0 THEN
+                round(least(n / 100e0, 1.0e0) * 0.5 + (u / n) * 0.5, 6)
+              ELSE 0e0 END AS q
+            FROM (SELECT doc_id, lang, n_blocks, n_kept, txt,
+                CAST(len(list_filter(string_split(txt, ' '), x -> x <> ''))
+                  AS DOUBLE) AS n,
+                CAST(len(list_distinct(list_filter(string_split(txt, ' '),
+                  x -> x <> ''))) AS DOUBLE) AS u
+              FROM p5c)),
+          p5p AS (SELECT *, md5(txt) AS ck FROM p5s WHERE q >= 0.5),
+          p5canon AS (SELECT ck, min(doc_id) AS canon_id FROM p5p GROUP BY ck),
+          p5pr AS (
+            SELECT p.lang, count(*) AS n_pass,
+              CAST(sum(CASE WHEN p.doc_id = c.canon_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_canonical
+            FROM p5p p JOIN p5canon c ON p.ck = c.ck
+            GROUP BY p.lang)
+          SELECT c.lang, count(*) AS n_docs,
+            CAST(sum(c.n_blocks) AS BIGINT) AS n_blocks,
+            CAST(sum(c.n_kept) AS BIGINT) AS n_kept_blocks,
+            CAST(coalesce(any_value(r.n_pass), 0) AS BIGINT) AS n_pass,
+            CAST(coalesce(any_value(r.n_canonical), 0) AS BIGINT) AS n_canonical
+          FROM p5c c LEFT JOIN p5pr r ON c.lang = r.lang
+          GROUP BY c.lang"""
+    },
+
     // Composed from the same stages' oracle SQL (public maps) — outer
     // CTE names are pl_-prefixed to avoid capture of the sub-oracles'
     // inner CTE names.

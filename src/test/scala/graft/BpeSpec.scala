@@ -66,6 +66,14 @@ class BpeSpec extends SparkSpec {
     assert(bad.isEmpty, s"encoding mismatch (first 5): ${bad.take(5)}")
   }
 
+  test("ta29 merge table equals the sequential reference's merges in rank order") {
+    val (refMerges, _) = refTrain(fixtureFreqs, 8)
+    val got = graft.SparkEntry.queries("ta29_bpe_merges")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).map(t => (t._2, t._3)).toList
+    assert(got == refMerges, s"got $got\nexpected $refMerges")
+  }
+
   test("training actually merges: dictionary contains multi-char symbols") {
     val dict = Bpe.bpeDict(spark, sfDir)
     val merged = dict

@@ -452,6 +452,18 @@ class PlanQualitySpec extends SparkSpec {
       "ta27 broadcasts the corpus-derived drop set:\n" + p.take(3000))
   }
 
+  test("web curation shuffles its dedup relations, never broadcasts them (pl05)") {
+    // The block-hash drop set, the kept-index relation and the
+    // content-key canonical relation are all corpus-derived.
+    val p = plan("pl05_web_curation")
+    assert(p.linesIterator.exists(l => l.contains("ShuffledHashJoin") && l.contains("bh")),
+      "pl05 block-dedup join is not a shuffle hash join:\n" + p.take(3000))
+    assert(!p.linesIterator.exists(l =>
+        (l.contains("BroadcastHashJoin") || l.contains("BroadcastExchange")) &&
+          (l.contains("bh#") || l.contains("ck#") || l.contains("doc_id#"))),
+      "pl05 broadcasts a corpus-derived relation:\n" + p.take(3000))
+  }
+
   test("TF-IDF joins the document-frequency relation by shuffle, not broadcast (ta05)") {
     // Distinct-term count of a web corpus is billions (heavy tail) —
     // |vocab| is NOT broadcastable even though token mass concentrates.

@@ -115,4 +115,28 @@ class PropertiesSpec extends AnyFunSuite {
       assert(got === want, s"w=$w data=$data")
     }
   }
+
+  test("BPE fold merge equals sequential greedy merge for any symbol sequence") {
+    // Adversarial alphabet: single- and multi-char symbols whose
+    // concatenations collide ("ab" vs a·b), plus self-overlapping
+    // pairs like (a, a) on runs "a a a a" — the cases where a naive
+    // string replace diverges from greedy left-to-right BPE.
+    def ref(syms: List[String], a: String, b: String): List[String] =
+      syms match {
+        case x :: y :: rest if x == a && y == b => (a + b) :: ref(rest, a, b)
+        case x :: rest => x :: ref(rest, a, b)
+        case Nil => Nil
+      }
+    val symGen = Gen.listOfN(12, Gen.oneOf("a", "b", "ab", "ba", "aa"))
+    val pairGen = Gen.oneOf(("a", "a"), ("a", "b"), ("b", "a"),
+      ("ab", "a"), ("a", "ab"), ("aa", "aa"), ("b", "ba"))
+    forAll(Gen.zip(symGen, pairGen), n = 12) { case (xs, (a, b)) =>
+      val df = spark.createDataset(Seq((xs.mkString("|", "|", ""), a, b)))
+        .toDF("s", "a", "b")
+      val got = df.select(graft.operators.Bpe.applyMergeCol.as("r"))
+        .head().getString(0)
+      val want = ref(xs, a, b).mkString("|", "|", "")
+      assert(got == want, s"syms=$xs pair=($a,$b)")
+    }
+  }
 }

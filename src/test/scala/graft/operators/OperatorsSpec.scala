@@ -467,6 +467,57 @@ class OperatorsSpec extends SparkSpec {
       rows.filterNot(_.getString(4) == "ok").mkString(", "))
   }
 
+  // pl05: full driver-side recomputation of the composed web-curation
+  // pipeline (extract -> paragraph dedup -> quality gate -> exact
+  // dedup) — the structural ground truth (4 extracted blocks per doc,
+  // both injected boilerplate paragraphs dropped everywhere) falls out
+  // of the recompute matching.
+  test("pl05 web curation equals a driver-side recomputation") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ").filter(_.nonEmpty)))
+    // Stage 1: extraction keeps exactly [boiler1, p1, p2, boiler2].
+    val boiler1 = "subscribe to our newsletter today"
+    val boiler2 = "all rights reserved by the site owner"
+    val blocks = docs.map { case (id, lang, tk) =>
+      val half = math.ceil(tk.length / 2.0).toInt
+      (id, lang, Vector(boiler1, tk.take(half).mkString(" "),
+        tk.drop(half).mkString(" "), boiler2))
+    }
+    // Stage 2: drop blocks in >= 3 distinct docs.
+    val df = blocks.flatMap { case (id, _, bs) => bs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).distinct.size }
+    val drop = df.collect { case (b, n) if n >= 3 => b }.toSet
+    assert(drop.contains(boiler1) && drop.contains(boiler2))
+    val cleaned = blocks.map { case (id, lang, bs) =>
+      (id, lang, bs.filterNot(drop).mkString(" "))
+    }
+    // Stage 3: ta03's quality formula; stage 4: min-id canonical.
+    def quality(txt: String): Double = {
+      val tk = txt.split(" ").filter(_.nonEmpty)
+      if (tk.isEmpty) 0d
+      else {
+        val n = tk.length.toDouble; val u = tk.distinct.length.toDouble
+        BigDecimal(math.min(n / 100d, 1d) * 0.5 + (u / n) * 0.5)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    val pass = cleaned.filter { case (_, _, txt) => quality(txt) >= 0.5 }
+    val canon = pass.groupBy(_._3).map { case (_, xs) => xs.map(_._1).min }.toSet
+    val expect = cleaned.groupBy(_._2).map { case (lang, xs) =>
+      val p = pass.filter(_._2 == lang)
+      lang -> ((xs.size.toLong, 4L * xs.size,
+        xs.map { case (id, _, txt) =>
+          blocks.find(_._1 == id).get._3.count(b => !drop(b)).toLong }.sum,
+        p.size.toLong, p.count(x => canon(x._1)).toLong))
+    }
+    val got = SparkEntry.queries("pl05_web_curation")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expect, s"got $got\nexpected $expect")
+  }
+
   // dd16 must agree with dd09: same clusters (member counts), kept doc
   // is a member with the maximal n_chars in its cluster.
   test("keep-best representatives are maximal cluster members") {
@@ -700,6 +751,8 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decodeGrf2(7L, badMagic).format == "invalid")
     val badTag = good.clone(); badTag(3) = 'X'
     assert(Multimodal.decodeGrf2(7L, badTag).format == "invalid")
+    val badVersion = good.clone(); badVersion(4) = 3
+    assert(Multimodal.decodeGrf2(7L, badVersion).format == "invalid")
     assert(Multimodal.decodeGrf2(7L, good.take(10)).format == "invalid")
   }
 
