@@ -3,6 +3,7 @@ package graft.operators
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -158,12 +159,20 @@ object Bpe {
   private[graft] def bpeMerges(s: SparkSession, d: String): DataFrame =
     s.read.parquet(new java.io.File(bpeArtifacts(s, d), "merges").getPath)
 
-  /** Per-document encoding stats: every doc_id (token-less docs get
-    * zeros), subword counts and an order-independent 40-bit-hash
-    * checksum of the encoded symbol strings. */
-  private[graft] def docSubwords(s: SparkSession, d: String): DataFrame = {
-    val dict = bpeDict(s, d).select(col("word"), col("s"))
-    val enc = tokenStream(s, d).hint("shuffle_hash")
+  /** The encode step over any (doc_id, text) relation against a trained
+    * (word, s) dict — extracted pure (exactDedupPartial's discipline) so
+    * it is both ta26's whole-corpus body and st26's per-micro-batch
+    * step. A document is one row and never straddles micro-batches, so
+    * each doc emits exactly one SELF-CONTAINED stats row (token-less
+    * docs included, with zeros): batch boundaries can't change the
+    * union, and an at-least-once replay appends byte-identical rows
+    * that a read-back distinct collapses. The dict side is corpus-
+    * derived (vocab-sized) → shuffle-hash join, never broadcast. */
+  private[graft] def subwordsPartial(batch: DataFrame, dict: DataFrame): DataFrame = {
+    val tok = batch
+      .select(col("doc_id"), explode(expr(toks)).as("word"))
+      .filter(!col("word").contains("|"))
+    val enc = tok.hint("shuffle_hash")
       .join(dict.hint("shuffle_hash"), Seq("word"), "left")
       .select(col("doc_id"),
         coalesce(col("s"), concat(lit("|"), col("word"))).as("s"))
@@ -172,15 +181,22 @@ object Bpe {
         sum(expr("size(split(s, '[|]')) - 1")).as("n_subwords"),
         sum(expr("cast(conv(substring(md5(s), 1, 10), 16, 10) as bigint)"))
           .as("enc_checksum"))
-    // perDoc is CORPUS-sized (one row per doc) — the completion join is
+    // perDoc is input-sized (one row per doc) — the completion join is
     // doc_id-keyed shuffle hash, same discipline as the dict join.
-    Tables.documents(s, d).select(col("doc_id")).hint("shuffle_hash")
+    batch.select(col("doc_id")).hint("shuffle_hash")
       .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
         coalesce(col("n_subwords"), lit(0L)).as("n_subwords"),
         coalesce(col("enc_checksum"), lit(0L)).as("enc_checksum"))
   }
+
+  /** Per-document encoding stats: every doc_id (token-less docs get
+    * zeros), subword counts and an order-independent 40-bit-hash
+    * checksum of the encoded symbol strings. */
+  private[graft] def docSubwords(s: SparkSession, d: String): DataFrame =
+    subwordsPartial(Tables.documents(s, d),
+      bpeDict(s, d).select(col("word"), col("s")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Train a BPE tokenizer on the corpus, encode every document
@@ -195,7 +211,27 @@ object Bpe {
     //    round's argmax from its own unrolled training CTEs.
     "ta29_bpe_merges" -> ((s, d) =>
       bpeMerges(s, d).select(col("rank").cast("int").as("rank"),
-        col("a"), col("b"))))
+        col("a"), col("b"))),
+
+    // -- The VOCABULARY artifact — merges (ta29) map text to symbols;
+    //    the vocab maps symbols to integer token ids, and a training
+    //    launcher sizes its embedding matrix from exactly this relation.
+    //    Corpus symbol frequencies come from the staged DICT, weighted
+    //    by word frequency — a vocab-sized input (Heaps-law sublinear),
+    //    NOT a corpus rescan: freq-weighted symbol counts over the dict
+    //    equal encoded-corpus symbol counts exactly, because every
+    //    non-delimiter token is a dict word. Ids are assigned by
+    //    (freq desc, symbol asc) — deterministic cross-engine. The
+    //    global row_number runs over the VOCAB relation only (the
+    //    shipped artifact is bounded — real tokenizers cap it at ~100k
+    //    entries), the documented bounded-relation class.
+    "ta30_bpe_vocab" -> ((s, d) => {
+      val w = Window.orderBy(col("freq").desc, col("symbol").asc)
+      bpeDict(s, d)
+        .select(col("freq").as("wf"), explode(expr(arr)).as("symbol"))
+        .groupBy(col("symbol")).agg(sum(col("wf")).as("freq"))
+        .select(row_number().over(w).as("token_id"), col("symbol"), col("freq"))
+    }))
 
   /** The shared DuckDB training+encoding CTE stack (ta26's oracle and
     * ta09's packing oracle both consume `bpe_doc`). Generated from the
@@ -258,5 +294,15 @@ object Bpe {
         .mkString(" UNION ALL ")
       s"""$withSqlPrefix
           $ranks"""
-    })
+    },
+    "ta30_bpe_vocab" ->
+      s"""$withSqlPrefix
+          SELECT CAST(row_number() OVER (ORDER BY freq DESC, symbol ASC) AS INT)
+              AS token_id,
+            symbol, freq
+          FROM (
+            SELECT symbol, CAST(sum(freq) AS BIGINT) AS freq FROM (
+              SELECT freq, unnest(string_split(s[2:], '|')) AS symbol
+              FROM bpe_w$Rounds)
+            GROUP BY symbol)""")
 }

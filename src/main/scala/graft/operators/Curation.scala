@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -155,6 +156,46 @@ object Curation {
         .select(col("lang"), col("n_docs"), col("n_blocks"), col("n_kept_blocks"),
           coalesce(col("n_pass"), lit(0L)).as("n_pass"),
           coalesce(col("n_canonical"), lit(0L)).as("n_canonical"))
+    }),
+
+    // -- RAG CONTEXT ASSEMBLY — the serving-side pipeline that consumes
+    //    everything the curation stack produced: for each query vector,
+    //    retrieve top-3 neighbors from the STAGED IVF index (ss02's
+    //    probe, verbatim), resolve neighbor ids to documents through the
+    //    vec_id = doc_id contract dq04 audits, and pack a context under
+    //    a MODEL-TOKEN budget (ta26's BPE subword counts — real context
+    //    windows are measured in tokenizer tokens, not whitespace
+    //    words): keep neighbors in rank order while the running total
+    //    stays ≤ 400, always keeping rank 1 (the standard never-empty-
+    //    context rule; the running total is monotone, so the kept set
+    //    is a rank prefix). Output: per query, kept-doc count, packed
+    //    token total, and an md5 of the rank-ordered assembled context
+    //    (collect_list sorted by the riding rnk — order pinned, never
+    //    collection order). Scale: the probe is cell-bounded (ss02);
+    //    the neighbor→document resolve keys on doc_id — the document
+    //    side is corpus-sized and the retrieved side is
+    //    queries×k (a corpus fraction at serving volume), so it is a
+    //    SHUFFLE-HASH join, never a broadcast; the window and rollup
+    //    partition by query_id — k rows per partition, no skew.
+    "pl06_rag_context" -> ((s, d) => {
+      val topk = Similarity.queries("ss02_ivf_topk")(s, d)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      val docTokens = Bpe.docSubwords(s, d)
+        .select(col("doc_id").as("neighbor_id"), col("n_subwords"))
+      val docText = Tables.documents(s, d)
+        .select(col("doc_id").as("neighbor_id"), col("text"))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("rnk"))
+      topk
+        .join(docTokens.hint("shuffle_hash"), Seq("neighbor_id"))
+        .join(docText.hint("shuffle_hash"), Seq("neighbor_id"))
+        .withColumn("cum_tokens", sum(col("n_subwords")).over(w))
+        .filter(col("cum_tokens") <= 400 || col("rnk") === 1)
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_ctx_docs"),
+          sum(col("n_subwords")).as("n_ctx_tokens"),
+          expr("""md5(array_join(transform(
+                    array_sort(collect_list(struct(rnk, text))),
+                    x -> x.text), ' '))""").as("ctx_md5"))
     }),
 
     // -- The embedding-side curation pipeline: near-dup pairs from dd07
@@ -354,6 +395,28 @@ object Curation {
             CAST(sum(n_tokens) AS BIGINT) AS n_tokens
           FROM pl3_base GROUP BY 1, 2"""
     },
+    // Composed from ss02's probe oracle and ta26's BPE encode CTEs —
+    // the same artifacts, re-derived in DuckDB.
+    "pl06_rag_context" -> {
+      val topk = Similarity.dIvfTopk
+      s"""${Bpe.withSqlPrefix},
+          pl6_topk AS (SELECT query_id, neighbor_id, rnk FROM ($topk)),
+          pl6_tok AS (
+            SELECT d.doc_id AS neighbor_id,
+              CAST(coalesce(b.n_subwords, 0) AS BIGINT) AS n_subwords, d.text
+            FROM documents d LEFT JOIN bpe_doc b ON d.doc_id = b.doc_id),
+          pl6_j AS (
+            SELECT t.query_id, t.rnk, k.n_subwords, k.text,
+              sum(k.n_subwords) OVER (PARTITION BY t.query_id ORDER BY t.rnk)
+                AS cum
+            FROM pl6_topk t JOIN pl6_tok k ON t.neighbor_id = k.neighbor_id),
+          pl6_k AS (SELECT * FROM pl6_j WHERE cum <= 400 OR rnk = 1)
+          SELECT query_id, count(*) AS n_ctx_docs,
+            CAST(sum(n_subwords) AS BIGINT) AS n_ctx_tokens,
+            md5(string_agg(text, ' ' ORDER BY rnk)) AS ctx_md5
+          FROM pl6_k GROUP BY query_id"""
+    },
+
     "pl02_embedding_curation" -> {
       val pairs = Dedup.oracleSql("dd07_embedding_neardup")
       s"""WITH pl2_pairs AS ($pairs),

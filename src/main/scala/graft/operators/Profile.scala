@@ -220,7 +220,50 @@ object Profile {
           .map(f => (t, f.name, f.dataType.simpleString))
       }
       schemaDrift(s, declaredContract, observed)
-    }))
+    }),
+
+    // -- EMBEDDING-CONTRACT audit — the vector-side analog of dq01:
+    //    everything the similarity/ANN stack SILENTLY assumes about the
+    //    embeddings table (uniform declared dimension, finite
+    //    components, no zero vectors — a zero vector makes every cosine
+    //    NULL/NaN downstream, the one corruption the ANN operators
+    //    cannot survive), measured in ONE aggregation pass. NULL
+    //    semantics pinned explicitly (the dq05 lesson): a NULL
+    //    embedding counts ONLY as null_embedding — the per-component
+    //    checks skip it rather than double-reporting. One hash
+    //    aggregation with map-side combine; the shuffle carries one
+    //    row. O(rows·dim) compute, O(1) result at any corpus size.
+    "dq07_embedding_contract" -> ((s, d) =>
+      embeddingContract(Tables.embeddings(s, d), dim = 64)))
+
+  /** dq07's audit, extracted pure over any (vec_id, embedding, label)
+    * relation so the spec can feed synthetically corrupted vectors and
+    * assert positive detection (dq06's drifted-schema discipline). */
+  private[graft] def embeddingContract(emb: DataFrame, dim: Int): DataFrame = {
+    val e = col("embedding")
+    val one = emb.agg(
+      count(lit(1)).as("n_rows"),
+      sum(e.isNull.cast("long")).as("null_embedding"),
+      sum((e.isNotNull && size(e) =!= dim).cast("long")).as("wrong_dim"),
+      sum((e.isNotNull && expr(
+        "exists(embedding, x -> isnan(x) OR abs(x) = cast('Infinity' as float))"))
+        .cast("long")).as("nonfinite_component"),
+      sum((e.isNotNull && expr(
+        "size(filter(embedding, x -> x <> cast(0 as float))) = 0"))
+        .cast("long")).as("zero_vector"),
+      sum(col("label").isNull.cast("long")).as("null_label"),
+      sum(col("vec_id").isNull.cast("long")).as("null_vec_id"))
+    one.select(col("n_rows"), expr(
+      """stack(6,
+           'null_embedding',      null_embedding,
+           'wrong_dim',           wrong_dim,
+           'nonfinite_component', nonfinite_component,
+           'zero_vector',         zero_vector,
+           'null_label',          null_label,
+           'null_vec_id',         null_vec_id)
+         AS (check_name, n_violations)"""))
+      .select(col("check_name"), col("n_rows"), col("n_violations"))
+  }
 
   /** dq06's declared physical contract (the TESTDATA.md truth). */
   private[graft] val declaredContract: Seq[(String, String, String)] = Seq(
@@ -376,5 +419,29 @@ object Profile {
                  ELSE 'type_drift' END AS status
           FROM dq6d d FULL JOIN dq6o o
             ON d.tbl = o.tbl AND d.col_name = o.col_name"""
+    },
+    // The same one-pass aggregate + per-check unpivot; NULL embeddings
+    // are excluded from per-component checks in both engines.
+    "dq07_embedding_contract" -> {
+      val checks = Seq(
+        "null_embedding" -> "embedding IS NULL",
+        "wrong_dim" -> "embedding IS NOT NULL AND len(embedding) <> 64",
+        "nonfinite_component" -> ("embedding IS NOT NULL AND len(list_filter(" +
+          "embedding, x -> isnan(x) OR isinf(x))) > 0"),
+        "zero_vector" -> ("embedding IS NOT NULL AND len(list_filter(" +
+          "embedding, x -> x <> 0)) = 0"),
+        "null_label" -> "label IS NULL",
+        "null_vec_id" -> "vec_id IS NULL")
+      val aggs = checks.map { case (n, p) =>
+        s"CAST(sum(CASE WHEN $p THEN 1 ELSE 0 END) AS BIGINT) AS $n"
+      }.mkString(",\n              ")
+      val rows = checks.map { case (n, _) =>
+        s"SELECT '$n' AS check_name, n_rows, $n AS n_violations FROM dq7"
+      }.mkString(" UNION ALL ")
+      s"""WITH dq7 AS (
+            SELECT count(*) AS n_rows,
+              $aggs
+            FROM embeddings)
+          $rows"""
     })
 }

@@ -935,6 +935,42 @@ object Streams {
       s.read.parquet(outDir).distinct()
     }),
 
+    // -- STREAMING BPE encode — the serving leg of ta26 (as st18 is of
+    //    dd08): documents arriving on the feed are tokenized and
+    //    resolved against the TRAINED dict artifact (ta29's staged
+    //    parquet — train once, encode forever: the deployment shape of
+    //    every production tokenizer) per micro-batch, with ZERO stream
+    //    state. The per-batch step is ta26's extracted
+    //    [[graft.operators.Bpe.subwordsPartial]]: a doc is one row and
+    //    never straddles batches, so each doc appends exactly one
+    //    self-contained stats row; replays append byte-identical rows,
+    //    collapsed by the read-back distinct. The dict join stays
+    //    SHUFFLE-HASH inside the batch (vocab grows Heaps-law with the
+    //    training corpus — the no-broadcast class). Oracle = ta26's:
+    //    stream/batch encode parity is the claim.
+    "st26_stream_bpe_encode" -> ((s, d) => {
+      val dict = graft.operators.Bpe.bpeDict(s, d).select(col("word"), col("s"))
+      val (feed, schema) = docsFeed(s, d)
+      val outDir = graft.sources.Scratch.dir(s, d, "st26_out")
+      val fsPath = new org.apache.hadoop.fs.Path(outDir)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Bpe.subwordsPartial(batch, dict)
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      s.read.parquet(outDir).distinct()
+    }),
+
     // -- LEFT-OUTER stream-stream join — the hard half of st08: matched
     //    (click, view) pairs emit as inner results on arrival, and a
     //    click with NO view within 5 minutes emits with a NULL view_id
@@ -1478,6 +1514,10 @@ object Streams {
     // st24's streamed-in, compacted index answers ss02's probe
     // identically — the oracle is ss02's verbatim again.
     "st24_stream_index_ingest" -> graft.operators.Similarity.dIvfTopk,
+    // st26 unions per-micro-batch encodes against the staged dict —
+    // exactly ta26's batch answer, so the oracle is ta26's verbatim.
+    "st26_stream_bpe_encode" ->
+      graft.operators.Bpe.oracleSql("ta26_bpe_tokenize"),
     "st04_stream_sessions" ->
       """SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events FROM (
            SELECT user_id, sess, count(*) AS n_events FROM (

@@ -97,6 +97,29 @@ class BpeSpec extends SparkSpec {
     assert(got == expectSubwords, s"doc 0: got $got, expected $expectSubwords")
   }
 
+  test("ta30 vocab equals the sequential reference's weighted symbol counts") {
+    val freqs = fixtureFreqs
+    val (_, refDict) = refTrain(freqs, 8)
+    val refVocab = refDict.toSeq
+      .flatMap { case (w, syms) => syms.map(_ -> freqs(w)) }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val got = graft.SparkEntry.queries("ta30_bpe_vocab")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.map(t => t._2 -> t._3).toMap == refVocab, "symbol frequencies differ")
+    // Ids are 1..N in (freq desc, symbol asc) order — the embedding-
+    // matrix contract.
+    val sorted = got.sortBy(_._1)
+    assert(sorted.map(_._1).toList == (1 to got.length).toList)
+    assert(sorted.sliding(2).forall {
+      case Array((_, s1, f1), (_, s2, f2)) => f1 > f2 || (f1 == f2 && s1 < s2)
+      case _ => true
+    }, "token ids not in (freq desc, symbol asc) order")
+    // Total vocab mass equals the encoded corpus's subword count (ta26).
+    val totalSubwords = Bpe.docSubwords(spark, sfDir)
+      .agg(sum(col("n_subwords"))).head().getLong(0)
+    assert(got.map(_._3).sum == totalSubwords)
+  }
+
   test("sentinel keeps exhausted training stable (degenerate corpus)") {
     // All single-char words: round 1 finds no pairs, the sentinel wins
     // every round, and the dictionary must come through unchanged.

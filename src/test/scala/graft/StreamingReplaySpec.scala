@@ -93,6 +93,20 @@ class StreamingReplaySpec extends SparkSpec {
     assert(probe(twoWay) == probe(threeWay))
   }
 
+  test("st26 encode partials union to ta26's batch answer under split + replay") {
+    val dict = graft.operators.Bpe.bpeDict(spark, sfDir)
+      .select(col("word"), col("s"))
+    // 3-way split (the registered query streams a 2-way split), middle
+    // batch replayed — byte-identical rows the read-back distinct kills.
+    val partials = Seq(0, 1, 1, 2).map(r =>
+      graft.operators.Bpe.subwordsPartial(
+        docs.filter(col("doc_id") % 3 === r), dict))
+      .reduce(_ unionByName _).distinct()
+    val expected = graft.operators.Bpe.docSubwords(spark, sfDir)
+    assert(partials.count() == expected.count())
+    assert(partials.except(expected).isEmpty && expected.except(partials).isEmpty)
+  }
+
   test("pl04 curation partials merge identically under any split + replay") {
     val benchSet = graft.operators.Dedup.benchGramSet(spark, sfDir)
     def merged(splits: Seq[DataFrame], replayIdx: Int): DataFrame = {

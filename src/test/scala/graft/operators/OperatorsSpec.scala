@@ -467,6 +467,70 @@ class OperatorsSpec extends SparkSpec {
       rows.filterNot(_.getString(4) == "ok").mkString(", "))
   }
 
+  // dq07: every corruption class the audit exists to catch, injected
+  // once (plus one clean row), must be counted exactly once — and a
+  // NULL embedding must count ONLY as null_embedding, never leaking
+  // into the per-component checks.
+  test("dq07 detects each synthetic vector corruption exactly once") {
+    import spark.implicits._
+    val rows: Seq[(Long, Option[Array[Float]], Option[Int])] = Seq(
+      (1L, Some(Array(1f, 0f, 2f)), Some(0)),                     // clean
+      (2L, None, Some(0)),                                        // null embedding
+      (3L, Some(Array(1f, 2f)), Some(0)),                         // wrong dim
+      (4L, Some(Array(Float.NaN, 1f, 1f)), Some(0)),              // NaN
+      (5L, Some(Array(Float.PositiveInfinity, 1f, 1f)), Some(0)), // Inf
+      (6L, Some(Array(0f, 0f, 0f)), Some(0)),                     // zero vector
+      (7L, Some(Array(1f, 1f, 1f)), None))                        // null label
+    val got = Profile.embeddingContract(
+        rows.toDF("vec_id", "embedding", "label"), dim = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map(
+      "null_embedding" -> 1L, "wrong_dim" -> 1L, "nonfinite_component" -> 2L,
+      "zero_vector" -> 1L, "null_label" -> 1L, "null_vec_id" -> 0L), got.toString)
+  }
+
+  // dq07 on the intact fixture: zero violations on every check.
+  test("dq07 reports zero violations on the intact fixture") {
+    val rows = SparkEntry.queries("dq07_embedding_contract")(spark, sfDir).collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getLong(2) == 0L),
+      rows.filter(_.getLong(2) != 0L).mkString(", "))
+  }
+
+  // pl06: driver-side recomputation of the packed context from ss02's
+  // retrieved ranks and ta26's subword counts — the budget rule (rank
+  // prefix, never-empty) and the rank-ordered assembly md5 must both
+  // reproduce.
+  test("pl06 packs a rank-prefix context under the token budget") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val topk = SparkEntry.queries("ss02_ivf_topk")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val toks = graft.operators.Bpe.docSubwords(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val texts = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = topk.groupBy(_._1).map { case (q, rows) =>
+      val sorted = rows.sortBy(_._3)
+      var cum = 0L
+      val kept = sorted.flatMap { t =>
+        cum += toks(t._2)
+        if (cum <= 400 || t._3 == 1) Some(t) else None
+      }
+      q -> ((kept.length.toLong, kept.map(t => toks(t._2)).sum,
+        md5hex(kept.map(t => texts(t._2)).mkString(" "))))
+    }
+    val got = SparkEntry.queries("pl06_rag_context")(spark, sfDir)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got == expect, s"got $got\nexpected $expect")
+    // The budget actually binds somewhere AND never empties a context.
+    assert(got.values.exists(_._1 < 3), "budget never truncated — raise fixture sizes?")
+    assert(got.values.forall(_._1 >= 1))
+  }
+
   // pl05: full driver-side recomputation of the composed web-curation
   // pipeline (extract -> paragraph dedup -> quality gate -> exact
   // dedup) — the structural ground truth (4 extracted blocks per doc,
