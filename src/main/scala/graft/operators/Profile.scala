@@ -234,7 +234,25 @@ object Profile {
     //    aggregation with map-side combine; the shuffle carries one
     //    row. O(rows·dim) compute, O(1) result at any corpus size.
     "dq07_embedding_contract" -> ((s, d) =>
-      embeddingContract(Tables.embeddings(s, d), dim = 64)))
+      embeddingContract(Tables.embeddings(s, d), dim = 64)),
+
+    // -- DISTRIBUTION-DRIFT audit (PSI) — dq06 catches schema drift;
+    //    this catches DATA drift with the schema intact (the silent
+    //    failure mode of a long-running ingest: same columns, shifted
+    //    population). Reference snapshot = even doc_ids, current
+    //    ingest = odd (two halves standing in for yesterday-vs-today);
+    //    feature = document length bucketed into 8 fixed bins; output =
+    //    per-bucket counts and the bucket's PSI term with a thresholded
+    //    verdict. PSI terms are emitted PER BUCKET, never summed across
+    //    buckets — a cross-row float sum is order-dependent, the exact
+    //    nondeterminism the repo's rules forbid; the per-bucket term is
+    //    pure scalar IEEE math on exact integer counts (ta16's libm
+    //    precedent covers ln). Shape: one bucket-keyed aggregation with
+    //    map-side combine + a 1-row totals broadcast — O(buckets)
+    //    result at any corpus size.
+    "dq08_distribution_drift" -> ((s, d) =>
+      distributionDrift(Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars")))))
 
   /** dq07's audit, extracted pure over any (vec_id, embedding, label)
     * relation so the spec can feed synthetically corrupted vectors and
@@ -293,6 +311,33 @@ object Profile {
           .when(col("observed_type").isNull, "missing")
           .when(col("declared_type") === col("observed_type"), "ok")
           .otherwise("type_drift").as("status"))
+  }
+
+  /** dq08's drift audit, extracted pure over any (doc_id, n_chars)
+    * relation so the spec can inject a shifted "current" population and
+    * assert the verdict flags it (dq06/dq07's synthetic-corruption
+    * discipline). */
+  private[graft] def distributionDrift(docs: DataFrame): DataFrame = {
+    val isRef = (col("doc_id") % 2 === 0).cast("long")
+    val bucketed = docs.select(
+      least(floor(col("n_chars") / 200), lit(7)).cast("int").as("bucket"),
+      isRef.as("r"))
+    val counts = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("r")).as("n_ref"), sum(lit(1L) - col("r")).as("n_cur"))
+    val totals = bucketed.agg(
+      sum(col("r")).as("ref_total"), sum(lit(1L) - col("r")).as("cur_total"))
+    counts.crossJoin(broadcast(totals)) // 1-row totals — bounded class
+      .withColumn("psi_term",
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          round((col("n_ref") / col("ref_total")
+              - col("n_cur") / col("cur_total"))
+            * log((col("n_ref") / col("ref_total"))
+              / (col("n_cur") / col("cur_total"))), 6)))
+      .select(col("bucket"), col("n_ref"), col("n_cur"), col("psi_term"),
+        when(col("psi_term").isNull, "empty_side")
+          .when(abs(col("psi_term")) >= 0.2, "major")
+          .when(abs(col("psi_term")) >= 0.1, "moderate")
+          .otherwise("ok").as("verdict"))
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -443,5 +488,33 @@ object Profile {
               $aggs
             FROM embeddings)
           $rows"""
-    })
+    },
+    // Same fixed bins, same per-bucket scalar PSI term (integer counts
+    // → IEEE division and ln — the ta16 libm precedent), same verdict
+    // thresholds on the 6-dp-rounded value.
+    "dq08_distribution_drift" ->
+      """WITH d8 AS (
+           SELECT CAST(least(floor(n_chars / 200), 7) AS INT) AS bucket,
+             CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS r
+           FROM documents),
+         c8 AS (
+           SELECT bucket, CAST(sum(r) AS BIGINT) AS n_ref,
+             CAST(sum(1 - r) AS BIGINT) AS n_cur
+           FROM d8 GROUP BY bucket),
+         t8 AS (
+           SELECT CAST(sum(r) AS BIGINT) AS ref_total,
+             CAST(sum(1 - r) AS BIGINT) AS cur_total
+           FROM d8)
+         SELECT bucket, n_ref, n_cur, psi_term,
+           CASE WHEN psi_term IS NULL THEN 'empty_side'
+                WHEN abs(psi_term) >= 0.2 THEN 'major'
+                WHEN abs(psi_term) >= 0.1 THEN 'moderate'
+                ELSE 'ok' END AS verdict
+         FROM (
+           SELECT bucket, n_ref, n_cur,
+             CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+               round((n_ref / ref_total - n_cur / cur_total)
+                 * ln((n_ref / ref_total) / (n_cur / cur_total)), 6)
+             END AS psi_term
+           FROM c8, t8)""")
 }

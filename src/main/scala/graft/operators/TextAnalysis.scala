@@ -727,6 +727,36 @@ object TextAnalysis {
             .as("content_md5"))
     }),
 
+    // -- OVERLAPPING TOKEN-WINDOW CHUNKING — the RAG-ingestion op that
+    //    feeds pl06's other end: long documents are split into windows
+    //    of W=64 tokens with stride S=48 (16-token overlap, so no
+    //    sentence is ever orphaned at a boundary) before embedding.
+    //    Window starts are 0, S, 2S, … up to ceil(max(n−W,0)/S) — a doc
+    //    with n ≤ W yields exactly one chunk, and every token is
+    //    covered with the final chunk never fully contained in its
+    //    predecessor. One chunk row per window: (doc_id, chunk_idx,
+    //    n_tokens, chunk_md5). The whole operator is explode + project
+    //    — ZERO exchanges at any corpus size (the ta23/ta28 class:
+    //    embarrassingly parallel, codegen'd end to end); chunk_md5 is
+    //    what a downstream embed step keys its cache on.
+    "ta31_doc_chunks" -> ((s, d) => {
+      val (w, st) = (64, 48)
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(toks).as("tk"))
+        .withColumn("n", size(col("tk")))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("tk"), col("n"),
+          explode(expr(
+            s"sequence(0, cast(ceil(greatest(n - $w, 0) / $st.0) as int))"))
+            .as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          expr(s"slice(tk, chunk_idx * $st + 1, least($w, n - chunk_idx * $st))")
+            .as("ctk"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("ctk")).as("n_tokens"),
+          md5(concat_ws(" ", col("ctk"))).as("chunk_md5"))
+    }),
+
     // -- UNICODE NFC NORMALIZATION — the canonicalization pass every
     //    ingest pipeline runs before content hashing: composed (é =
     //    U+00E9) and decomposed (e + U+0301) spellings of the same text
@@ -1019,6 +1049,23 @@ object TextAnalysis {
               AS content_md5
           FROM b28"""
     },
+
+    // Same W=64 / S=48 window rule; DuckDB list slices are 1-based
+    // inclusive, so the window [i*S, i*S+W) becomes tk[i*S+1 : i*S+W].
+    "ta31_doc_chunks" ->
+      s"""SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+            CAST(len(ctk) AS INT) AS n_tokens,
+            md5(array_to_string(ctk, ' ')) AS chunk_md5
+          FROM (
+            SELECT doc_id, i,
+              tk[CAST(i * 48 + 1 AS INT) : CAST(least(i * 48 + 64, n) AS INT)]
+                AS ctk
+            FROM (
+              SELECT doc_id, tk, len(tk) AS n,
+                unnest(range(CAST(ceil(greatest(len(tk) - 64, 0) / 48.0)
+                  AS BIGINT) + 1)) AS i
+              FROM (SELECT doc_id, $dtoks AS tk FROM documents)
+              WHERE len(tk) > 0))""",
 
     // Same byte-pinned decomposed suffix; DuckDB's nfc_normalize is the
     // reference twin of the native NfcNormalize expression.

@@ -464,6 +464,22 @@ class PlanQualitySpec extends SparkSpec {
       "pl05 broadcasts a corpus-derived relation:\n" + p.take(3000))
   }
 
+  test("RAG assembly resolves documents by shuffle, never broadcast (pl06)") {
+    // The retrieved (query_id, neighbor_id) relation is queries×k — a
+    // corpus fraction at serving volume — and the token/text resolves
+    // key on doc_id against corpus-sized relations: every doc_id-keyed
+    // join must shuffle. (The probe's interior keeps ss02's shape,
+    // pinned by its own test.)
+    val p = plan("pl06_rag_context")
+    assert(p.linesIterator.exists(l =>
+        l.contains("ShuffledHashJoin") && l.contains("neighbor_id")),
+      "pl06 document resolve is not a shuffle hash join:\n" + p.take(3000))
+    assert(!p.linesIterator.exists(l =>
+        (l.contains("BroadcastHashJoin") || l.contains("BroadcastExchange")) &&
+          (l.contains("neighbor_id#") || l.contains("word#"))),
+      "pl06 broadcasts a corpus-derived relation:\n" + p.take(3000))
+  }
+
   test("TF-IDF joins the document-frequency relation by shuffle, not broadcast (ta05)") {
     // Distinct-term count of a web corpus is billions (heavy tail) —
     // |vocab| is NOT broadcastable even though token mass concentrates.

@@ -497,6 +497,60 @@ class OperatorsSpec extends SparkSpec {
       rows.filter(_.getLong(2) != 0L).mkString(", "))
   }
 
+  // dq08: a synthetic population shift (current half re-centered two
+  // buckets up, with partial overlap) must flag — the overlapping
+  // buckets as major PSI terms, the disjoint ones as empty_side.
+  test("dq08 flags an injected length shift in the current half") {
+    import spark.implicits._
+    val ref = (0 until 160).map(i => (i.toLong * 2, 100L)) ++ // bucket 0
+      (0 until 40).map(i => (400L + i * 2, 300L))             // bucket 1
+    val cur = (0 until 40).map(i => (i.toLong * 2 + 1, 100L)) ++
+      (0 until 160).map(i => (401L + i * 2, 300L))
+    val got = Profile.distributionDrift((ref ++ cur).toDF("doc_id", "n_chars"))
+      .collect().map(r => r.getInt(0) -> r.getString(4)).toMap
+    assert(got == Map(0 -> "major", 1 -> "major"), got.toString)
+  }
+
+  // dq08 on the intact fixture: even/odd halves of the same corpus —
+  // every populated bucket must sit below the moderate threshold, and
+  // the bucket counts must partition the corpus exactly.
+  test("dq08 reports no drift between fixture halves") {
+    val rows = SparkEntry.queries("dq08_distribution_drift")(spark, sfDir).collect()
+    assert(rows.forall(_.getString(4) == "ok"),
+      rows.filterNot(_.getString(4) == "ok").mkString(", "))
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(total == graft.sources.Tables.documents(spark, sfDir).count())
+  }
+
+  // ta31: driver-side recomputation of the window rule for every doc —
+  // full coverage, declared stride/width, md5 per chunk.
+  test("ta31 chunks cover every token with the declared overlap") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val (w, st) = (64, 48)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty))
+    val got = SparkEntry.queries("ta31_doc_chunks")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getString(3)))).toMap
+    var checked = 0
+    docs.foreach { case (id, tk) =>
+      val n = tk.length
+      val nChunks = if (n == 0) 0 else math.ceil(math.max(n - w, 0) / st.toDouble).toInt + 1
+      (0 until nChunks).foreach { i =>
+        val ctk = tk.slice(i * st, math.min(i * st + w, n))
+        assert(got((id, i)) == ((ctk.length, md5hex(ctk.mkString(" ")))),
+          s"doc $id chunk $i")
+        checked += 1
+      }
+    }
+    assert(checked == got.size, s"extra chunks: ${got.size - checked}")
+    // The overlap actually exercises: some doc must produce >= 2 chunks.
+    assert(got.keys.exists(_._2 >= 1), "no doc long enough to chunk twice")
+  }
+
   // pl06: driver-side recomputation of the packed context from ss02's
   // retrieved ranks and ta26's subword counts — the budget rule (rank
   // prefix, never-empty) and the rank-ordered assembly md5 must both
