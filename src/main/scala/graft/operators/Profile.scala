@@ -252,7 +252,28 @@ object Profile {
     //    result at any corpus size.
     "dq08_distribution_drift" -> ((s, d) =>
       distributionDrift(Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars")))))
+        .select(col("doc_id"), col("n_chars")))),
+
+    // -- JOIN-KEY SKEW diagnosis — the decision input for salting (q34)
+    //    and AQE skew re-plan (io13), measured BEFORE the join burns
+    //    cluster hours: top-10 heaviest lineitem.l_orderkey values (the
+    //    fact-fact edge) with exact per-mille share of total rows. One
+    //    key-grouped aggregation with map-side combine, top-10 via the
+    //    bounded-heap TakeOrdered path (never a global sort), 1-row
+    //    total broadcast; share is integer floor division — exact in
+    //    both engines. Ties at the boundary break by key asc so the
+    //    emitted SET is unique.
+    "dq09_key_skew" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"))
+      val keyCounts = li.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_rows"))
+      val tot = li.agg(count(lit(1)).as("n_total"))
+      keyCounts.crossJoin(broadcast(tot)) // 1-row total — bounded class
+        .select(col("l_orderkey").as("key"), col("n_rows"),
+          expr("n_rows * 1000 div n_total").as("share_per_mille"))
+        .orderBy(col("n_rows").desc, col("key").asc)
+        .limit(10)
+    }))
 
   /** dq07's audit, extracted pure over any (vec_id, embedding, label)
     * relation so the spec can feed synthetically corrupted vectors and
@@ -516,5 +537,15 @@ object Profile {
                round((n_ref / ref_total - n_cur / cur_total)
                  * ln((n_ref / ref_total) / (n_cur / cur_total)), 6)
              END AS psi_term
-           FROM c8, t8)""")
+           FROM c8, t8)""",
+    // Same exact-integer share; // is DuckDB integer floor division.
+    "dq09_key_skew" ->
+      """WITH k9 AS (
+           SELECT l_orderkey AS key, count(*) AS n_rows FROM lineitem
+           GROUP BY l_orderkey),
+         t9 AS (SELECT count(*) AS n_total FROM lineitem)
+         SELECT key, n_rows,
+           CAST(n_rows * 1000 // n_total AS BIGINT) AS share_per_mille
+         FROM k9, t9
+         ORDER BY n_rows DESC, key ASC LIMIT 10""")
 }

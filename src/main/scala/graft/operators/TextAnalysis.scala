@@ -32,6 +32,30 @@ object TextAnalysis {
     * same lambda works inside any surrounding expression). */
   private val toks = "filter(split(text, ' '), x -> x <> '')"
 
+  /** ta31's window rule, parametric over the document relation so the
+    * streaming chunking leg (st27) chunks each micro-batch with the
+    * SAME in-row pass the batch op uses — chunking is per-doc, so batch
+    * boundaries cannot change it (qualityOf's discipline). W=64-token
+    * windows at stride S=48; n ≤ W → one chunk; full coverage with the
+    * final chunk never fully contained in its predecessor. */
+  private[graft] def chunksOf(docs: DataFrame): DataFrame = {
+    val (w, st) = (64, 48)
+    docs
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .withColumn("n", size(col("tk")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("tk"), col("n"),
+        explode(expr(
+          s"sequence(0, cast(ceil(greatest(n - $w, 0) / $st.0) as int))"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"slice(tk, chunk_idx * $st + 1, least($w, n - chunk_idx * $st))")
+          .as("ctk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ctk")).as("n_tokens"),
+        md5(concat_ws(" ", col("ctk"))).as("chunk_md5"))
+  }
+
   /** ta03's quality relation, parametric over the document relation so
     * the streaming curation leg (pl04) scores each micro-batch with the
     * SAME pipeline the batch gate uses — quality is per-doc, so batch
@@ -739,22 +763,28 @@ object TextAnalysis {
     //    — ZERO exchanges at any corpus size (the ta23/ta28 class:
     //    embarrassingly parallel, codegen'd end to end); chunk_md5 is
     //    what a downstream embed step keys its cache on.
-    "ta31_doc_chunks" -> ((s, d) => {
-      val (w, st) = (64, 48)
-      Tables.documents(s, d)
-        .select(col("doc_id"), expr(toks).as("tk"))
-        .withColumn("n", size(col("tk")))
-        .filter(col("n") > 0)
-        .select(col("doc_id"), col("tk"), col("n"),
-          explode(expr(
-            s"sequence(0, cast(ceil(greatest(n - $w, 0) / $st.0) as int))"))
-            .as("chunk_idx"))
-        .select(col("doc_id"), col("chunk_idx"),
-          expr(s"slice(tk, chunk_idx * $st + 1, least($w, n - chunk_idx * $st))")
-            .as("ctk"))
-        .select(col("doc_id"), col("chunk_idx"),
-          size(col("ctk")).as("n_tokens"),
-          md5(concat_ws(" ", col("ctk"))).as("chunk_md5"))
+    "ta31_doc_chunks" -> ((s, d) => chunksOf(Tables.documents(s, d))),
+
+    // -- TEMPERATURE-SCALED SOURCE MIXTURE — the multilingual/multi-
+    //    source sampling trick (α = 0.5 flattening: weight ∝ count^α,
+    //    so a 100× bigger source gets only 10× the quota — low-resource
+    //    sources aren't starved). Determinism: sqrt is IEEE
+    //    correctly-rounded in BOTH engines (unlike a libm transcendental
+    //    it is exact by the standard), immediately integer-ized to
+    //    micro-units, so the normalization sum is an exact associative
+    //    integer sum and the per-source epoch quota (10k-doc budget) is
+    //    integer floor division — no float sum ever crosses rows. One
+    //    source-keyed aggregation (map-side combined, O(sources)
+    //    result) + a 1-row totals broadcast.
+    "ta32_mixture_weights" -> ((s, d) => {
+      val counts = Tables.documents(s, d)
+        .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("w_micro",
+          expr("cast(round(sqrt(n_docs) * 1000000) as bigint)"))
+      val tot = counts.agg(sum(col("w_micro")).as("w_total"))
+      counts.crossJoin(broadcast(tot)) // 1-row totals — bounded class
+        .select(col("source"), col("n_docs"), col("w_micro"),
+          expr("w_micro * 10000 div w_total").as("quota_docs"))
     }),
 
     // -- UNICODE NFC NORMALIZATION — the canonicalization pass every
@@ -1049,6 +1079,18 @@ object TextAnalysis {
               AS content_md5
           FROM b28"""
     },
+
+    // Same α=0.5 micro-unit integerization: sqrt is IEEE
+    // correctly-rounded in both engines, // is integer floor division.
+    "ta32_mixture_weights" ->
+      """WITH c32 AS (
+           SELECT source, count(*) AS n_docs,
+             CAST(round(sqrt(count(*)) * 1000000) AS BIGINT) AS w_micro
+           FROM documents GROUP BY source),
+         t32 AS (SELECT CAST(sum(w_micro) AS BIGINT) AS w_total FROM c32)
+         SELECT source, n_docs, w_micro,
+           CAST(w_micro * 10000 // w_total AS BIGINT) AS quota_docs
+         FROM c32, t32""",
 
     // Same W=64 / S=48 window rule; DuckDB list slices are 1-based
     // inclusive, so the window [i*S, i*S+W) becomes tk[i*S+1 : i*S+W].

@@ -971,6 +971,37 @@ object Streams {
       s.read.parquet(outDir).distinct()
     }),
 
+    // -- STREAMING CHUNKING — ta31's window rule applied at ingest (the
+    //    RAG pipeline chunks documents AS THEY ARRIVE, upstream of the
+    //    embed step): per micro-batch the extracted chunksOf runs the
+    //    same zero-exchange in-row pass the batch op uses. Chunking is
+    //    per-doc and a doc never straddles batches, so each doc's chunk
+    //    rows are self-contained; replays append byte-identical rows,
+    //    collapsed by the read-back distinct. ZERO stream state and
+    //    zero exchanges inside the batch plan — the cheapest possible
+    //    streaming operator shape. Oracle = ta31's verbatim.
+    "st27_stream_chunking" -> ((s, d) => {
+      val (feed, schema) = docsFeed(s, d)
+      val outDir = graft.sources.Scratch.dir(s, d, "st27_out")
+      val fsPath = new org.apache.hadoop.fs.Path(outDir)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.TextAnalysis.chunksOf(batch)
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      s.read.parquet(outDir).distinct()
+    }),
+
     // -- LEFT-OUTER stream-stream join — the hard half of st08: matched
     //    (click, view) pairs emit as inner results on arrival, and a
     //    click with NO view within 5 minutes emits with a NULL view_id
@@ -1518,6 +1549,10 @@ object Streams {
     // exactly ta26's batch answer, so the oracle is ta26's verbatim.
     "st26_stream_bpe_encode" ->
       graft.operators.Bpe.oracleSql("ta26_bpe_tokenize"),
+    // st27 unions per-micro-batch chunk rows — exactly ta31's batch
+    // answer, so the oracle is ta31's verbatim.
+    "st27_stream_chunking" ->
+      graft.operators.TextAnalysis.oracleSql("ta31_doc_chunks"),
     "st04_stream_sessions" ->
       """SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events FROM (
            SELECT user_id, sess, count(*) AS n_events FROM (

@@ -464,6 +464,27 @@ class PlanQualitySpec extends SparkSpec {
       "pl05 broadcasts a corpus-derived relation:\n" + p.take(3000))
   }
 
+  test("token-window chunking plans with zero operator exchanges (ta31)") {
+    // Explode + project only: the in-row class (ta23/ta28). The ONLY
+    // admissible exchange is the fixture loader's REPARTITION_BY_NUM
+    // scaffold (Tables.load redistributes the unsplittable single-row-
+    // group fixture; a real multi-row-group layout never fires it) —
+    // any other Exchange is a plan regression.
+    val p = plan("ta31_doc_chunks")
+    val badExchanges = p.linesIterator
+      .filter(_.contains("Exchange"))
+      .filterNot(_.contains("REPARTITION_BY_NUM"))
+      .toList
+    assert(badExchanges.isEmpty,
+      "ta31 gained a shuffle:\n" + badExchanges.mkString("\n"))
+  }
+
+  test("key-skew top-10 uses the bounded-heap path, never a global sort (dq09)") {
+    val p = plan("dq09_key_skew")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("partial_"), "key counting lost map-side combine")
+  }
+
   test("RAG assembly resolves documents by shuffle, never broadcast (pl06)") {
     // The retrieved (query_id, neighbor_id) relation is queries×k — a
     // corpus fraction at serving volume — and the token/text resolves

@@ -107,6 +107,16 @@ class StreamingReplaySpec extends SparkSpec {
     assert(partials.except(expected).isEmpty && expected.except(partials).isEmpty)
   }
 
+  test("st27 chunk partials union to ta31's batch answer under split + replay") {
+    val partials = Seq(0, 1, 1, 2).map(r =>
+      graft.operators.TextAnalysis.chunksOf(
+        docs.filter(col("doc_id") % 3 === r)))
+      .reduce(_ unionByName _).distinct()
+    val expected = graft.operators.TextAnalysis.chunksOf(docs)
+    assert(partials.count() == expected.count())
+    assert(partials.except(expected).isEmpty && expected.except(partials).isEmpty)
+  }
+
   test("pl04 curation partials merge identically under any split + replay") {
     val benchSet = graft.operators.Dedup.benchGramSet(spark, sfDir)
     def merged(splits: Seq[DataFrame], replayIdx: Int): DataFrame = {

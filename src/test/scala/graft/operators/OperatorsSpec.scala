@@ -522,6 +522,47 @@ class OperatorsSpec extends SparkSpec {
     assert(total == graft.sources.Tables.documents(spark, sfDir).count())
   }
 
+  // ta32: driver-side recomputation of the α=0.5 mixture — micro-unit
+  // weights, integer-sum normalization, floor quotas; flattening must
+  // actually flatten (largest source's quota share < its doc share).
+  test("ta32 temperature mixture matches a driver recomputation and flattens") {
+    val counts = graft.sources.Tables.documents(spark, sfDir)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wMicro = counts.map { case (s, n) =>
+      s -> math.round(math.sqrt(n.toDouble) * 1e6)
+    }
+    val wTotal = wMicro.values.sum
+    val got = SparkEntry.queries("ta32_mixture_weights")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet == counts.keySet)
+    got.foreach { case (s, (n, w, q)) =>
+      assert(n == counts(s) && w == wMicro(s) && q == w * 10000L / wTotal,
+        s"source $s")
+    }
+    assert(got.values.map(_._3).sum <= 10000L)
+    val nTotal = counts.values.sum
+    val (bigSrc, bigN) = counts.maxBy(_._2)
+    if (counts.size > 1 && counts.values.toSet.size > 1)
+      assert(got(bigSrc)._3.toDouble / 10000 < bigN.toDouble / nTotal,
+        "α=0.5 did not flatten the largest source")
+  }
+
+  // dq09: the top-10 heaviest keys with exact integer shares must match
+  // a driver recomputation including the tie-break at the boundary.
+  test("dq09 key-skew report matches a driver recomputation") {
+    val rows = graft.sources.Tables.lineitem(spark, sfDir)
+      .groupBy("l_orderkey").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val total = rows.map(_._2).sum
+    val expect = rows.sortBy { case (k, n) => (-n, k) }.take(10)
+      .map { case (k, n) => (k, n, n * 1000L / total) }
+    val got = SparkEntry.queries("dq09_key_skew")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == expect.toSeq, s"got ${got.toList}\nexpected ${expect.toList}")
+  }
+
   // ta31: driver-side recomputation of the window rule for every doc —
   // full coverage, declared stride/width, md5 per chunk.
   test("ta31 chunks cover every token with the declared overlap") {
