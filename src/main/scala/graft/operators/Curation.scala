@@ -180,22 +180,11 @@ object Curation {
     "pl06_rag_context" -> ((s, d) => {
       val topk = Similarity.queries("ss02_ivf_topk")(s, d)
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
-      val docTokens = Bpe.docSubwords(s, d)
-        .select(col("doc_id").as("neighbor_id"), col("n_subwords"))
-      val docText = Tables.documents(s, d)
-        .select(col("doc_id").as("neighbor_id"), col("text"))
-      val w = Window.partitionBy(col("query_id")).orderBy(col("rnk"))
-      topk
-        .join(docTokens.hint("shuffle_hash"), Seq("neighbor_id"))
-        .join(docText.hint("shuffle_hash"), Seq("neighbor_id"))
-        .withColumn("cum_tokens", sum(col("n_subwords")).over(w))
-        .filter(col("cum_tokens") <= 400 || col("rnk") === 1)
-        .groupBy(col("query_id"))
-        .agg(count(lit(1)).as("n_ctx_docs"),
-          sum(col("n_subwords")).as("n_ctx_tokens"),
-          expr("""md5(array_join(transform(
-                    array_sort(collect_list(struct(rnk, text))),
-                    x -> x.text), ' '))""").as("ctx_md5"))
+      ragAssemble(topk,
+        Bpe.docSubwords(s, d)
+          .select(col("doc_id").as("neighbor_id"), col("n_subwords")),
+        Tables.documents(s, d)
+          .select(col("doc_id").as("neighbor_id"), col("text")))
     }),
 
     // -- The embedding-side curation pipeline: near-dup pairs from dd07
@@ -221,6 +210,28 @@ object Curation {
           (col("n_total") - col("n_dups_dropped")).as("n_kept"))
     })
   )
+
+  /** pl06's budget packing + assembly over a retrieved (query_id,
+    * neighbor_id, rnk) relation — extracted pure (subwordsPartial's
+    * discipline) so the streaming serving leg (st28) assembles each
+    * micro-batch's queries with the SAME plan fragment. A query's top-k
+    * is self-contained (static index + static docs), so batch
+    * boundaries cannot change any query's context row. */
+  private[graft] def ragAssemble(
+      topk: DataFrame, docTokens: DataFrame, docText: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rnk"))
+    topk
+      .join(docTokens.hint("shuffle_hash"), Seq("neighbor_id"))
+      .join(docText.hint("shuffle_hash"), Seq("neighbor_id"))
+      .withColumn("cum_tokens", sum(col("n_subwords")).over(w))
+      .filter(col("cum_tokens") <= 400 || col("rnk") === 1)
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_ctx_docs"),
+        sum(col("n_subwords")).as("n_ctx_tokens"),
+        expr("""md5(array_join(transform(
+                  array_sort(collect_list(struct(rnk, text))),
+                  x -> x.text), ' '))""").as("ctx_md5"))
+  }
 
   /** pl05's injected markup constants — shared verbatim by the oracle
     * builder so both engines wrap identically. */

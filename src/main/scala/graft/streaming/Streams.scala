@@ -971,6 +971,50 @@ object Streams {
       s.read.parquet(outDir).distinct()
     }),
 
+    // -- STREAMING RAG SERVING — the full retrieval path as a stream
+    //    (st22 serves the PROBE; this serves the whole pl06 pipeline):
+    //    query vectors arrive on the feed, each micro-batch probes the
+    //    staged IVF index via the shared ivfServePartial (cell-routed
+    //    partition pruning), resolves neighbors against the STAGED
+    //    per-doc BPE stats artifact + documents (re-tokenizing the
+    //    corpus per trigger would be a corpus scan per batch — the
+    //    staged artifact retires it), and packs each query's context
+    //    with the SAME extracted ragAssemble fragment pl06 runs. A
+    //    query's top-3 and budget packing are self-contained (static
+    //    index, static docs), so its context row is identical in
+    //    whichever batch it arrives — union over batches ≡ pl06's
+    //    batch answer (the oracle), replays append byte-identical rows
+    //    collapsed by the read-back distinct. ZERO stream state.
+    "st28_stream_rag_serve" -> ((s, d) => {
+      import graft.operators.{Bpe, Curation, Similarity}
+      val idx = Similarity.ivfIndex(s, d)
+      val docTokens = Bpe.stagedDocStats(s, d)
+        .select(col("doc_id").as("neighbor_id"), col("n_subwords"))
+      val docText = graft.sources.Tables.documents(s, d)
+        .select(col("doc_id").as("neighbor_id"), col("text"))
+      val (feed, schema) = embFeed(s, d)
+      val outDir = graft.sources.Scratch.dir(s, d, "st28_out")
+      val fsPath = new org.apache.hadoop.fs.Path(outDir)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val topk = Similarity.ivfServePartial(batch, idx)
+            .select(col("query_id"), col("neighbor_id"), col("rnk"))
+          Curation.ragAssemble(topk, docTokens, docText)
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      s.read.parquet(outDir).distinct()
+    }),
+
     // -- STREAMING CHUNKING — ta31's window rule applied at ingest (the
     //    RAG pipeline chunks documents AS THEY ARRIVE, upstream of the
     //    embed step): per micro-batch the extracted chunksOf runs the
@@ -1553,6 +1597,10 @@ object Streams {
     // answer, so the oracle is ta31's verbatim.
     "st27_stream_chunking" ->
       graft.operators.TextAnalysis.oracleSql("ta31_doc_chunks"),
+    // st28 unions per-micro-batch probe+assembly — exactly pl06's
+    // batch answer, so the oracle is pl06's verbatim.
+    "st28_stream_rag_serve" ->
+      graft.operators.Curation.oracleSql("pl06_rag_context"),
     "st04_stream_sessions" ->
       """SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events FROM (
            SELECT user_id, sess, count(*) AS n_events FROM (

@@ -117,6 +117,25 @@ class StreamingReplaySpec extends SparkSpec {
     assert(partials.except(expected).isEmpty && expected.except(partials).isEmpty)
   }
 
+  test("st28 serve partials union to pl06's batch answer under split + replay") {
+    import graft.operators.{Bpe, Curation, Similarity}
+    val emb = Tables.embeddings(spark, sfDir)
+    val idx = Similarity.ivfIndex(spark, sfDir)
+    val docTokens = Bpe.stagedDocStats(spark, sfDir)
+      .select(col("doc_id").as("neighbor_id"), col("n_subwords"))
+    val docText = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("neighbor_id"), col("text"))
+    val partials = Seq(0, 1, 1, 2).map { r =>
+      val topk = Similarity
+        .ivfServePartial(emb.filter(col("vec_id") % 3 === r), idx)
+        .select(col("query_id"), col("neighbor_id"), col("rnk"))
+      Curation.ragAssemble(topk, docTokens, docText)
+    }.reduce(_ unionByName _).distinct()
+    val expected = graft.SparkEntry.queries("pl06_rag_context")(spark, sfDir)
+    assert(partials.count() == expected.count())
+    assert(partials.except(expected).isEmpty && expected.except(partials).isEmpty)
+  }
+
   test("pl04 curation partials merge identically under any split + replay") {
     val benchSet = graft.operators.Dedup.benchGramSet(spark, sfDir)
     def merged(splits: Seq[DataFrame], replayIdx: Int): DataFrame = {
