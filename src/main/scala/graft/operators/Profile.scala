@@ -338,16 +338,30 @@ object Profile {
     * relation so the spec can inject a shifted "current" population and
     * assert the verdict flags it (dq06/dq07's synthetic-corruption
     * discipline). */
-  private[graft] def distributionDrift(docs: DataFrame): DataFrame = {
-    val isRef = (col("doc_id") % 2 === 0).cast("long")
-    val bucketed = docs.select(
-      least(floor(col("n_chars") / 200), lit(7)).cast("int").as("bucket"),
-      isRef.as("r"))
-    val counts = bucketed.groupBy(col("bucket"))
+  private[graft] def distributionDrift(docs: DataFrame): DataFrame =
+    driftFinalize(driftBuckets(docs))
+
+  /** dq08's counting stage — per-bucket exact integer (n_ref, n_cur)
+    * over any (doc_id, n_chars) relation. Extracted pure so the
+    * streaming monitor leg (st29) counts each micro-batch with the SAME
+    * pass: bucket counts are sums, so per-batch partials merge by
+    * addition (associative) and the finalize stage cannot tell batch
+    * boundaries apart. */
+  private[graft] def driftBuckets(docs: DataFrame): DataFrame =
+    docs.select(
+        least(floor(col("n_chars") / 200), lit(7)).cast("int").as("bucket"),
+        (col("doc_id") % 2 === 0).cast("long").as("r"))
+      .groupBy(col("bucket"))
       .agg(sum(col("r")).as("n_ref"), sum(lit(1L) - col("r")).as("n_cur"))
-    val totals = bucketed.agg(
-      sum(col("r")).as("ref_total"), sum(lit(1L) - col("r")).as("cur_total"))
-    counts.crossJoin(broadcast(totals)) // 1-row totals — bounded class
+
+  /** dq08's scoring stage over (bucket, n_ref, n_cur) counts (rows may
+    * be pre-merge partials — summed per bucket first). */
+  private[graft] def driftFinalize(counts: DataFrame): DataFrame = {
+    val merged = counts.groupBy(col("bucket"))
+      .agg(sum(col("n_ref")).as("n_ref"), sum(col("n_cur")).as("n_cur"))
+    val totals = merged.agg(
+      sum(col("n_ref")).as("ref_total"), sum(col("n_cur")).as("cur_total"))
+    merged.crossJoin(broadcast(totals)) // 1-row totals — bounded class
       .withColumn("psi_term",
         when(col("n_ref") > 0 && col("n_cur") > 0,
           round((col("n_ref") / col("ref_total")

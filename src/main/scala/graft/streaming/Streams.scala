@@ -971,6 +971,48 @@ object Streams {
       s.read.parquet(outDir).distinct()
     }),
 
+    // -- STREAMING DRIFT MONITOR — dq08 at ingest (the dq family's
+    //    streaming leg): a production corpus feed is watched for
+    //    population drift AS IT ARRIVES, not in a nightly batch. Each
+    //    micro-batch runs dq08's extracted counting stage (driftBuckets
+    //    — per-bucket exact integer counts, map-side combined) and
+    //    appends its partial under its batch_id; bucket counts are
+    //    ADDITIVE, so merge-on-read is sum-per-bucket — but sums are
+    //    not replay-idempotent, so the read-back collapses (bucket,
+    //    batch_id) duplicates FIRST (a replayed batch appends
+    //    byte-identical rows; max over them is the value — st17's
+    //    discipline) before summing and scoring with the same finalize
+    //    stage dq08 runs. ZERO stream state; the sink is the state.
+    //    Oracle = dq08's: the monitor's final scores over the full
+    //    feed equal the batch audit.
+    "st29_stream_drift_monitor" -> ((s, d) => {
+      val (feed, schema) = docsFeed(s, d)
+      val outDir = graft.sources.Scratch.dir(s, d, "st29_out")
+      val fsPath = new org.apache.hadoop.fs.Path(outDir)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.operators.Profile
+            .driftBuckets(batch.select(col("doc_id"), col("n_chars")))
+            .withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      val merged = s.read.parquet(outDir)
+        .groupBy(col("bucket"), col("batch_id"))
+        .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"))
+      graft.operators.Profile.driftFinalize(
+        merged.select(col("bucket"), col("n_ref"), col("n_cur")))
+    }),
+
     // -- STREAMING RAG SERVING — the full retrieval path as a stream
     //    (st22 serves the PROBE; this serves the whole pl06 pipeline):
     //    query vectors arrive on the feed, each micro-batch probes the
@@ -1601,6 +1643,10 @@ object Streams {
     // batch answer, so the oracle is pl06's verbatim.
     "st28_stream_rag_serve" ->
       graft.operators.Curation.oracleSql("pl06_rag_context"),
+    // st29's merged partials score exactly dq08's batch audit — the
+    // oracle is dq08's verbatim.
+    "st29_stream_drift_monitor" ->
+      graft.operators.Profile.oracleSql("dq08_distribution_drift"),
     "st04_stream_sessions" ->
       """SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events FROM (
            SELECT user_id, sess, count(*) AS n_events FROM (

@@ -117,6 +117,25 @@ class StreamingReplaySpec extends SparkSpec {
     assert(partials.except(expected).isEmpty && expected.except(partials).isEmpty)
   }
 
+  test("st29 drift partials merge to dq08's batch audit under split + replay") {
+    import graft.operators.Profile
+    val dn = docs.select(col("doc_id"), col("n_chars"))
+    // 3-way split, middle batch replayed under the SAME batch_id —
+    // (bucket, batch_id) dedup must absorb it before the sums.
+    val partials = Seq((0, 0L), (1, 1L), (1, 1L), (2, 2L)).map { case (r, bid) =>
+      Profile.driftBuckets(dn.filter(col("doc_id") % 3 === r))
+        .withColumn("batch_id", lit(bid))
+    }.reduce(_ unionByName _)
+    val merged = partials
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"))
+      .select(col("bucket"), col("n_ref"), col("n_cur"))
+    val got = Profile.driftFinalize(merged)
+    val expected = graft.SparkEntry.queries("dq08_distribution_drift")(spark, sfDir)
+    assert(got.count() == expected.count())
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
   test("st28 serve partials union to pl06's batch answer under split + replay") {
     import graft.operators.{Bpe, Curation, Similarity}
     val emb = Tables.embeddings(spark, sfDir)
