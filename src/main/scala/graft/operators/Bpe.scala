@@ -191,6 +191,50 @@ object Bpe {
         coalesce(col("enc_checksum"), lit(0L)).as("enc_checksum"))
   }
 
+  /** Non-delimiter token array with stable positions — ta33's decode
+    * path needs in-document ORDER, so the '|' exclusion happens inside
+    * the array (before posexplode), keeping Spark and DuckDB positions
+    * aligned by construction. */
+  private val toksND =
+    "filter(split(text, ' '), x -> x <> '' AND NOT contains(x, '|'))"
+
+  /** ta33's body, extracted relation-parametric (subwordsPartial's
+    * discipline) so the spec can probe it with a CORRUPTED dictionary:
+    * decode every encoded token (strip the '|' delimiters — BPE merges
+    * only ever concatenate, so a healthy dict decodes to the original
+    * word), reassemble the document in token order, and report per doc
+    * (n_tokens, n_mismatch, roundtrip_ok vs the normalized original).
+    * This is the LOSSLESSNESS AUDIT a tokenizer artifact gets before a
+    * training run burns cluster hours on it: a corrupted or stale dict
+    * shows up as n_mismatch > 0 / roundtrip_ok = false, never as
+    * silently-wrong training tokens. The dict side is corpus-derived
+    * (vocab-sized) → shuffle-hash join, never broadcast (ta26's
+    * discipline); the reassembly is a per-doc sorted collect_list
+    * (document-bounded, the packing/pl06 class), and the completion
+    * join is doc_id-keyed shuffle hash. */
+  private[graft] def roundtripAudit(docs: DataFrame, dict: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      posexplode(expr(toksND)).as(Seq("pos", "word")))
+    val dec = tok.hint("shuffle_hash")
+      .join(dict.hint("shuffle_hash"), Seq("word"), "left")
+      .select(col("doc_id"), col("pos"), col("word"),
+        translate(coalesce(col("s"), concat(lit("|"), col("word"))), "|", "")
+          .as("decoded"))
+    val perDoc = dec.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("decoded") =!= col("word"), 1L).otherwise(0L)).as("n_mismatch"),
+        md5(array_join(
+          expr("transform(array_sort(collect_list(struct(pos, decoded))), x -> x.decoded)"),
+          " ")).as("tmd5"))
+    docs.select(col("doc_id"), md5(array_join(expr(toksND), " ")).as("orig_md5"))
+      .hint("shuffle_hash")
+      .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_mismatch"), lit(0L)).as("n_mismatch"),
+        (coalesce(col("tmd5"), md5(lit(""))) === col("orig_md5")).as("roundtrip_ok"))
+  }
+
   /** Per-document encoding stats: every doc_id (token-less docs get
     * zeros), subword counts and an order-independent 40-bit-hash
     * checksum of the encoded symbol strings. */
@@ -251,7 +295,17 @@ object Bpe {
         .select(col("freq").as("wf"), explode(expr(arr)).as("symbol"))
         .groupBy(col("symbol")).agg(sum(col("wf")).as("freq"))
         .select(row_number().over(w).as("token_id"), col("symbol"), col("freq"))
-    }))
+    }),
+
+    // -- DECODE / round-trip losslessness audit — the artifact check
+    //    that closes the tokenizer lifecycle (ta29 merges → ta30 vocab →
+    //    ta26 encode → THIS): decode every document's encoded symbols
+    //    back to text and verify it reassembles the normalized original.
+    //    Run before a training launch, a corrupted dict artifact fails
+    //    here instead of as silently-wrong training tokens.
+    "ta33_bpe_roundtrip" -> ((s, d) =>
+      roundtripAudit(Tables.documents(s, d),
+        bpeDict(s, d).select(col("word"), col("s")))))
 
   /** The shared DuckDB training+encoding CTE stack (ta26's oracle and
     * ta09's packing oracle both consume `bpe_doc`). Generated from the
@@ -324,5 +378,31 @@ object Bpe {
             SELECT symbol, CAST(sum(freq) AS BIGINT) AS freq FROM (
               SELECT freq, unnest(string_split(s[2:], '|')) AS symbol
               FROM bpe_w$Rounds)
-            GROUP BY symbol)""")
+            GROUP BY symbol)""",
+    "ta33_bpe_roundtrip" ->
+      s"""$withSqlPrefix,
+          rt_l AS (
+            SELECT doc_id, list_filter(string_split(text, ' '),
+              x -> x <> '' AND NOT contains(x, '|')) AS l
+            FROM documents),
+          rt_tok AS (
+            SELECT doc_id, unnest(range(len(l))) AS pos, unnest(l) AS word
+            FROM rt_l),
+          rt_dec AS (
+            SELECT t.doc_id, t.pos, t.word,
+              replace(coalesce(w.s, '|' || t.word), '|', '') AS decoded
+            FROM rt_tok t LEFT JOIN bpe_w$Rounds w ON t.word = w.word),
+          rt_doc AS (
+            SELECT doc_id, count(*) AS n_tokens,
+              CAST(sum(CASE WHEN decoded <> word THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_mismatch,
+              md5(string_agg(decoded, ' ' ORDER BY pos)) AS tmd5
+            FROM rt_dec GROUP BY doc_id)
+          SELECT d.doc_id,
+            CAST(coalesce(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+            CAST(coalesce(r.n_mismatch, 0) AS BIGINT) AS n_mismatch,
+            coalesce(r.tmd5, md5(''))
+              = md5(array_to_string(list_filter(string_split(d.text, ' '),
+                  x -> x <> '' AND NOT contains(x, '|')), ' ')) AS roundtrip_ok
+          FROM documents d LEFT JOIN rt_doc r ON d.doc_id = r.doc_id""")
 }

@@ -208,6 +208,36 @@ object Curation {
              sum(coalesce(col("is_dup"), lit(0)).cast("long")).as("n_dups_dropped"))
         .select(col("label"), col("n_total"), col("n_dups_dropped"),
           (col("n_total") - col("n_dups_dropped")).as("n_kept"))
+    }),
+
+    // -- CLUSTER-BALANCED DIVERSITY SAMPLING (SemDeDup / prototype-
+    //    sampling family, public literature): pick the top-5 highest-
+    //    quality documents FROM EVERY embedding cluster instead of a
+    //    global quality top-N — a global cut silently collapses the
+    //    corpus onto its dominant mode; per-cluster quotas keep the
+    //    selected training subset spread across semantic space. Stages,
+    //    all existing operators composed through their registries:
+    //    ss05's exact-integer k-means argmin assigns every vector to a
+    //    cell (centroids broadcast — fixed-size model); quality rides
+    //    in from ta03 through the dq04-audited vec_id = doc_id contract
+    //    (both relations corpus-sized → SHUFFLE-HASH join, never
+    //    broadcast); selection is the NATIVE bounded-heap TopKPerGroup
+    //    physical operator (q43's plan) — with ~10 clusters a window
+    //    formulation would sort the whole corpus in ~10 partitions (a
+    //    skew straggler at scale), while the bounded heap keeps k rows
+    //    per cell per task and merges O(cells·k). Output: the kept
+    //    (cid, doc_id, quality) rows.
+    "pl07_diverse_sample" -> ((s, d) => {
+      val cells = Similarity.kmeansCells(s, d)
+      val qual = TextAnalysis.queries("ta03_quality_score")(s, d)
+        .select(col("doc_id"), col("quality"))
+      val cand = cells.hint("shuffle_hash")
+        .join(qual.hint("shuffle_hash"), cells("vec_id") === qual("doc_id"))
+        .select(col("cid"), col("doc_id"), col("quality"))
+      graft.plans.TopK.topKPerGroup(cand,
+        keys = Seq(col("cid")),
+        order = Seq(col("quality").desc, col("doc_id").asc),
+        k = 5)
     })
   )
 
@@ -439,6 +469,43 @@ object Curation {
               AS BIGINT) AS n_kept
           FROM embeddings e LEFT JOIN pl2_dups du ON e.vec_id = du.vec_id
           GROUP BY label"""
+    },
+
+    // pl07: ss05's integer argmin re-derived (same quantization/tiebreak
+    // CTEs as the ss05 oracle), ta03's quality composed verbatim, and
+    // the per-cell top-5 as the row_number window twin of the native
+    // bounded-heap operator (q43's oracle discipline).
+    "pl07_diverse_sample" -> {
+      val qual = TextAnalysis.oracleSql("ta03_quality_score")
+      s"""WITH p7q AS (
+            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(round(x * 1000, 0) AS BIGINT)) AS v
+            FROM embeddings),
+          p7c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv
+                  FROM p7q WHERE vec_id < 10),
+          p7d AS (
+            SELECT q.vec_id, c.cid,
+              list_aggregate(list_transform(range(len(q.v)),
+                i -> (q.v[CAST(i AS INT) + 1] - c.cv[CAST(i AS INT) + 1])
+                   * (q.v[CAST(i AS INT) + 1] - c.cv[CAST(i AS INT) + 1])),
+                'sum') AS dist2
+            FROM p7q q CROSS JOIN p7c c),
+          p7cell AS (
+            SELECT vec_id, cid FROM (
+              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                ORDER BY dist2 ASC, cid ASC) AS rn
+              FROM p7d)
+            WHERE rn = 1),
+          p7qual AS (SELECT doc_id, quality FROM ($qual)),
+          p7cand AS (
+            SELECT cell.cid, q.doc_id, q.quality
+            FROM p7cell cell JOIN p7qual q ON cell.vec_id = q.doc_id)
+          SELECT cid, doc_id, quality FROM (
+            SELECT cid, doc_id, quality,
+              row_number() OVER (PARTITION BY cid
+                ORDER BY quality DESC, doc_id ASC) AS rn
+            FROM p7cand)
+          WHERE rn <= 5"""
     }
   )
 }

@@ -277,6 +277,27 @@ object Similarity {
     ()
   }
 
+  /** Exact-integer k-means cell assignment over the quantized corpus —
+    * ss05's arithmetic, ss10's geometry, exposed as the (vec_id, cid)
+    * relation diversity-aware curation (pl07) clusters on. Centroids =
+    * the 10 deterministic seeds (vec_id < 10), broadcast (k·dim ints —
+    * a fixed-size model, never corpus-derived); the assignment is a
+    * narrow map over the corpus and the argmin is a vec_id-keyed
+    * min-struct aggregation with map-side combine — the same plan at
+    * any corpus size. */
+  private[graft] def kmeansCells(s: SparkSession, d: String): DataFrame = {
+    val q = quantVecs(s, d, 0).select(col("vec_id"), col("v"))
+    val ctr = q.filter(col("vec_id") < 10)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    q.crossJoin(broadcast(ctr))
+      .select(col("vec_id"), col("cid"),
+        expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+          .as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+  }
+
   // PQ geometry shared by the build and the query-side LUT.
   private val (pqM, pqSub, pqK) = (4, 16, 8)
 

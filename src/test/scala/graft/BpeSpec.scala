@@ -120,6 +120,34 @@ class BpeSpec extends SparkSpec {
     assert(got.map(_._3).sum == totalSubwords)
   }
 
+  test("ta33 round-trip audit passes on the healthy dict and flags a corrupted one") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val dict = Bpe.bpeDict(spark, sfDir).select(col("word"), col("s"))
+    // Healthy artifact: every doc decodes losslessly.
+    val ok = Bpe.roundtripAudit(docs, dict)
+    assert(ok.filter(col("n_mismatch") =!= 0 || !col("roundtrip_ok")).count() == 0,
+      "healthy dict failed the round-trip audit")
+    // Corrupt ONE dictionary entry (drop its first symbol character —
+    // the decoded word loses a char): every doc containing that word
+    // must flag, and no other doc may.
+    import spark.implicits._
+    val victim = dict.orderBy(col("word")).select(col("word")).as[String].head()
+    val corrupted = dict.withColumn("s",
+      when(col("word") === victim, expr("substring(s, 3)")).otherwise(col("s")))
+    val flagged = Bpe.roundtripAudit(docs, corrupted)
+      .filter(col("n_mismatch") > 0 && !col("roundtrip_ok"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    val expected = docs
+      .select(col("doc_id"),
+        array_contains(expr("filter(split(text, ' '), x -> x <> '')"), victim)
+          .as("has"))
+      .filter(col("has")).select(col("doc_id")).as[Long].collect().toSet
+    assert(expected.nonEmpty, s"fixture has no doc containing '$victim'")
+    assert(flagged == expected,
+      s"corruption detection mismatch: extra=${(flagged diff expected).take(5)} " +
+        s"missed=${(expected diff flagged).take(5)}")
+  }
+
   test("sentinel keeps exhausted training stable (degenerate corpus)") {
     // All single-char words: round 1 finds no pairs, the sentinel wins
     // every round, and the dictionary must come through unchanged.

@@ -432,6 +432,38 @@ class PlanQualitySpec extends SparkSpec {
       "ta26 broadcasts a corpus-derived relation:\n" + p.take(3000))
   }
 
+  test("round-trip audit joins the dictionary by shuffle, not broadcast (ta33)") {
+    // Same relation classes as ta26: vocab-sized dict (Heaps-law) and
+    // a corpus-sized per-doc completion join — both must shuffle.
+    val p = plan("ta33_bpe_roundtrip")
+    assert(p.linesIterator.exists(l => l.contains("ShuffledHashJoin") && l.contains("word")),
+      "ta33 dict join is not a shuffle hash join:\n" + p.take(3000))
+    assert(!p.linesIterator.exists(l =>
+        (l.contains("BroadcastHashJoin") || l.contains("BroadcastExchange")) &&
+          (l.contains("word#") || l.contains("doc_id#"))),
+      "ta33 broadcasts a corpus-derived relation:\n" + p.take(3000))
+  }
+
+  test("pl07 selects through the native bounded-heap operator over shuffled joins") {
+    val p = plan("pl07_diverse_sample")
+    // Selection must be the native TopKPerGroup physical operator, not
+    // a window sort (10 cells → a window would sort the corpus in ~10
+    // skewed partitions).
+    assert(p.contains("TopKPerGroup"),
+      "pl07 does not use the native top-k operator:\n" + p.take(3000))
+    assert(!p.linesIterator.exists(l =>
+        l.contains("Window") && l.contains("quality")),
+      "pl07 fell back to a window sort for selection:\n" + p.take(3000))
+    // The cells/quality join is corpus-sized on both sides.
+    assert(p.linesIterator.exists(l =>
+        l.contains("ShuffledHashJoin") && l.contains("doc_id")),
+      "pl07 quality join is not a shuffle hash join:\n" + p.take(3000))
+    assert(!p.linesIterator.exists(l =>
+        (l.contains("BroadcastHashJoin") || l.contains("BroadcastExchange")) &&
+          l.contains("doc_id#")),
+      "pl07 broadcasts a corpus-derived relation:\n" + p.take(3000))
+  }
+
   test("line dedup's hash exchanges never carry line text (ta27)") {
     val p = plan("ta27_line_dedup")
     // Both the df branch and the reassembly branch read the STAGED

@@ -626,6 +626,44 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.forall(_._1 >= 1))
   }
 
+  // pl07: driver-side recomputation of the cluster-balanced sample —
+  // cells from ss05's integer argmin (recomputed here from raw
+  // embeddings), quality from ta03, per-cell top-5 by (quality desc,
+  // doc_id asc). Also pins the balance property itself: every cell
+  // with at least one candidate contributes to the sample (a global
+  // quality cut collapses onto the highest-quality cells instead).
+  test("pl07 diversity sample equals a driver-side recomputation") {
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))")
+          .as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+    val ctr = vecs.filter(_._1 < 10).map { case (id, v) => id.toInt -> v }.sortBy(_._1)
+    val cellOf = vecs.map { case (id, v) =>
+      id -> ctr.map { case (cid, cv) =>
+        (v.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.min._2
+    }.toMap
+    val qual = SparkEntry.queries("ta03_quality_score")(spark, sfDir)
+      .select(col("doc_id"), col("quality"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect = cellOf.toSeq.collect { case (id, cid) if qual.contains(id) =>
+      (cid, id, qual(id))
+    }.groupBy(_._1).flatMap { case (_, rows) =>
+      rows.sortBy(t => (-t._3, t._2)).take(5)
+    }.toSet
+    val got = SparkEntry.queries("pl07_diverse_sample")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect,
+      s"extra=${(got diff expect).take(5)} missed=${(expect diff got).take(5)}")
+    // Cluster balance — the property a global quality cut does NOT
+    // have: every cell with at least one candidate is represented.
+    val nonEmptyCells = cellOf.toSeq
+      .collect { case (id, cid) if qual.contains(id) => cid }.toSet
+    assert(got.map(_._1) == nonEmptyCells,
+      s"cells missing from the sample: ${nonEmptyCells diff got.map(_._1)}")
+  }
+
   // pl05: full driver-side recomputation of the composed web-curation
   // pipeline (extract -> paragraph dedup -> quality gate -> exact
   // dedup) — the structural ground truth (4 extracted blocks per doc,
