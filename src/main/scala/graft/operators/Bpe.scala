@@ -305,7 +305,31 @@ object Bpe {
     //    here instead of as silently-wrong training tokens.
     "ta33_bpe_roundtrip" -> ((s, d) =>
       roundtripAudit(Tables.documents(s, d),
-        bpeDict(s, d).select(col("word"), col("s")))))
+        bpeDict(s, d).select(col("word"), col("s")))),
+
+    // -- TOKENIZER FERTILITY by language — subwords per word, the
+    //    standard multilingual tokenizer-quality metric (a language
+    //    with fertility ≫ 1 pays more context-window per word; training
+    //    mixtures and context budgets are tuned on exactly this table).
+    //    Consumes the staged per-doc stats (never a corpus re-encode);
+    //    the lang flag-back is corpus-sized on both sides → shuffle-
+    //    hash; the result is O(languages). Fertility reported in exact
+    //    integer ppm (floor division — engine-neutral, no float sums).
+    "ta34_tokenizer_fertility" -> ((s, d) => {
+      val stats = stagedDocStats(s, d)
+        .select(col("doc_id"), col("n_words"), col("n_subwords"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .hint("shuffle_hash")
+        .join(stats.hint("shuffle_hash"), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_subwords")).as("n_subwords"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+          when(col("n_words") > 0,
+            expr("(n_subwords * 1000000) div n_words")).otherwise(lit(0L))
+            .as("fertility_ppm"))
+    }))
 
   /** The shared DuckDB training+encoding CTE stack (ta26's oracle and
     * ta09's packing oracle both consume `bpe_doc`). Generated from the
@@ -404,5 +428,16 @@ object Bpe {
             coalesce(r.tmd5, md5(''))
               = md5(array_to_string(list_filter(string_split(d.text, ' '),
                   x -> x <> '' AND NOT contains(x, '|')), ' ')) AS roundtrip_ok
-          FROM documents d LEFT JOIN rt_doc r ON d.doc_id = r.doc_id""")
+          FROM documents d LEFT JOIN rt_doc r ON d.doc_id = r.doc_id""",
+    "ta34_tokenizer_fertility" ->
+      s"""$withSqlPrefix
+          SELECT lang, count(*) AS n_docs,
+            CAST(sum(coalesce(b.n_words, 0)) AS BIGINT) AS n_words,
+            CAST(sum(coalesce(b.n_subwords, 0)) AS BIGINT) AS n_subwords,
+            CASE WHEN sum(coalesce(b.n_words, 0)) > 0
+              THEN CAST(sum(coalesce(b.n_subwords, 0)) * 1000000
+                     // sum(coalesce(b.n_words, 0)) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS fertility_ppm
+          FROM documents d LEFT JOIN bpe_doc b ON d.doc_id = b.doc_id
+          GROUP BY lang""")
 }

@@ -241,6 +241,39 @@ object Curation {
     })
   )
 
+  /** pl07's per-batch stage, extracted pure (ragAssemble's discipline)
+    * so the streaming leg (st30) samples each micro-batch with the same
+    * arithmetic: quantize the ARRIVING embedding rows in-row (quantVecs'
+    * exact transform), argmin against the broadcast centroid model,
+    * flag quality back from the STAGED corpus relation — here the
+    * batch-derived side broadcasts, which is the RIGHT shape in this
+    * leg: it is bounded by micro-batch size, never corpus-sized (the
+    * inverse of pl07's corpus-vs-corpus shuffle-hash) — and keep the
+    * batch-local per-cell top-5 through the same native bounded-heap
+    * operator. Per-cell top-5 of a union ⊆ union of per-batch top-5s,
+    * so merge-on-read (distinct to absorb replays, then the same
+    * operator) reproduces pl07's batch answer under any split. */
+  private[graft] def diversePartial(batch: DataFrame, ctr: DataFrame,
+      qual: DataFrame): DataFrame = {
+    val q = batch.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(round(cast(x as double) * 1000, 0) as bigint))")
+        .as("v"))
+    val cells = q.crossJoin(broadcast(ctr))
+      .select(col("vec_id"), col("cid"),
+        expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+          .as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    val cand = broadcast(cells)
+      .join(qual, cells("vec_id") === qual("doc_id"))
+      .select(col("cid"), col("doc_id"), col("quality"))
+    graft.plans.TopK.topKPerGroup(cand,
+      keys = Seq(col("cid")),
+      order = Seq(col("quality").desc, col("doc_id").asc),
+      k = 5)
+  }
+
   /** pl06's budget packing + assembly over a retrieved (query_id,
     * neighbor_id, rnk) relation — extracted pure (subwordsPartial's
     * discipline) so the streaming serving leg (st28) assembles each

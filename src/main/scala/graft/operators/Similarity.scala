@@ -285,10 +285,16 @@ object Similarity {
     * narrow map over the corpus and the argmin is a vec_id-keyed
     * min-struct aggregation with map-side combine — the same plan at
     * any corpus size. */
+  /** The 10 deterministic centroids as a (cid, cv) relation — a
+    * fixed-size trained MODEL (k·dim ints, broadcastable at any corpus
+    * size). Reads the staged quantized relation: tiny scan, no re-HOF. */
+  private[graft] def kmeansCentroids(s: SparkSession, d: String): DataFrame =
+    quantVecs(s, d, 0).filter(col("vec_id") < 10)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+
   private[graft] def kmeansCells(s: SparkSession, d: String): DataFrame = {
     val q = quantVecs(s, d, 0).select(col("vec_id"), col("v"))
-    val ctr = q.filter(col("vec_id") < 10)
-      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    val ctr = kmeansCentroids(s, d)
     q.crossJoin(broadcast(ctr))
       .select(col("vec_id"), col("cid"),
         expr("aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")

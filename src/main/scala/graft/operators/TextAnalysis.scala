@@ -77,6 +77,26 @@ object TextAnalysis {
           + (col("n_uniq").cast("double") / col("n_toks")) * 0.5, 6).as("quality"))
   }
 
+  /** [[qualityOf]] staged to parquet once per fixture (the gram-index /
+    * Bpe.stagedDocStats discipline) — the keyed lookup a PER-MICRO-BATCH
+    * consumer (st30's streaming diversity sampling) joins against:
+    * recomputing the corpus quality aggregation per trigger would be a
+    * corpus scan per batch. */
+  private val stagedQualDirs = TrieMap.empty[String, String]
+  private[graft] def stagedQuality(s: SparkSession, d: String): DataFrame = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_qual_" + s.sparkContext.applicationId + "_" +
+        d.replaceAll("[^A-Za-z0-9]", "_"))
+    stagedQualDirs.synchronized {
+      stagedQualDirs.getOrElseUpdate(dir.getPath, {
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          qualityOf(Tables.documents(s, d)).write.mode("overwrite").parquet(dir.getPath)
+        dir.getPath
+      })
+    }
+    s.read.parquet(dir.getPath)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Token statistics: counts + average token length. Narrow (no
     //    shuffle) — one pass over the scan, codegen end-to-end.

@@ -1013,6 +1013,48 @@ object Streams {
         merged.select(col("bucket"), col("n_ref"), col("n_cur")))
     }),
 
+    // -- STREAMING DIVERSITY SAMPLING — pl07 at ingest: vectors arrive
+    //    on the feed; each micro-batch assigns its rows to k-means
+    //    cells (broadcast centroid MODEL — fixed-size, never corpus-
+    //    derived), flags quality back from the STAGED corpus relation
+    //    (batch side broadcasts — bounded by batch size), keeps the
+    //    batch-local per-cell top-5 via the native bounded-heap
+    //    operator, and appends the partial. Per-cell top-5 is an
+    //    ASSOCIATIVE merge (top-5 of a union ⊆ union of per-batch
+    //    top-5s) but not replay-idempotent, so the read-back collapses
+    //    byte-identical replayed rows with distinct FIRST (st17's
+    //    discipline), then runs the SAME operator over the union.
+    //    ZERO stream state; oracle = pl07's verbatim.
+    "st30_stream_diverse_sample" -> ((s, d) => {
+      import graft.operators.{Curation, Similarity, TextAnalysis}
+      val (feed, schema) = embFeed(s, d)
+      val outDir = graft.sources.Scratch.dir(s, d, "st30_out")
+      val fsPath = new org.apache.hadoop.fs.Path(outDir)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val ctr = Similarity.kmeansCentroids(s, d)
+      val qual = TextAnalysis.stagedQuality(s, d)
+        .select(col("doc_id"), col("quality"))
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Curation.diversePartial(batch, ctr, qual)
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      graft.plans.TopK.topKPerGroup(
+        s.read.parquet(outDir).distinct(),
+        keys = Seq(col("cid")),
+        order = Seq(col("quality").desc, col("doc_id").asc),
+        k = 5)
+    }),
+
     // -- STREAMING RAG SERVING — the full retrieval path as a stream
     //    (st22 serves the PROBE; this serves the whole pl06 pipeline):
     //    query vectors arrive on the feed, each micro-batch probes the
@@ -1647,6 +1689,10 @@ object Streams {
     // oracle is dq08's verbatim.
     "st29_stream_drift_monitor" ->
       graft.operators.Profile.oracleSql("dq08_distribution_drift"),
+    // st30's merged per-cell top-5 partials reproduce pl07's batch
+    // sample — the oracle is pl07's verbatim.
+    "st30_stream_diverse_sample" ->
+      graft.operators.Curation.oracleSql("pl07_diverse_sample"),
     "st04_stream_sessions" ->
       """SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events FROM (
            SELECT user_id, sess, count(*) AS n_events FROM (

@@ -148,6 +148,24 @@ class BpeSpec extends SparkSpec {
         s"missed=${(expected diff flagged).take(5)}")
   }
 
+  test("ta34 fertility is >= 1 per language and conserves corpus totals") {
+    val rows = graft.SparkEntry.queries("ta34_tokenizer_fertility")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // A word is at least one subword, so fertility >= 1.0 (1e6 ppm)
+    // wherever the language has any words at all.
+    assert(rows.filter(_._3 > 0).forall(_._5 >= 1000000L),
+      s"fertility < 1 somewhere: ${rows.filter(t => t._3 > 0 && t._5 < 1000000L)}")
+    // Language groups partition the corpus: doc/word/subword totals
+    // must equal ta26's.
+    val stats = Bpe.docSubwords(spark, sfDir)
+      .agg(count(col("doc_id")), sum(col("n_words")), sum(col("n_subwords")))
+      .head()
+    assert(rows.map(_._2).sum == stats.getLong(0))
+    assert(rows.map(_._3).sum == stats.getLong(1))
+    assert(rows.map(_._4).sum == stats.getLong(2))
+  }
+
   test("sentinel keeps exhausted training stable (degenerate corpus)") {
     // All single-char words: round 1 finds no pairs, the sentinel wins
     // every round, and the dictionary must come through unchanged.

@@ -136,6 +136,25 @@ class StreamingReplaySpec extends SparkSpec {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("st30 diverse-sample partials merge to pl07's batch answer under split + replay") {
+    import graft.operators.{Curation, Similarity, TextAnalysis}
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val ctr = Similarity.kmeansCentroids(spark, sfDir)
+    val qual = TextAnalysis.stagedQuality(spark, sfDir)
+      .select(col("doc_id"), col("quality"))
+    // 3-way split with the middle batch replayed — distinct must absorb
+    // the byte-identical replay before the bounded-heap merge.
+    val partials = Seq(0, 1, 1, 2).map { r =>
+      Curation.diversePartial(emb.filter(col("vec_id") % 3 === r), ctr, qual)
+    }.reduce(_ unionByName _)
+    val got = graft.plans.TopK.topKPerGroup(partials.distinct(),
+      keys = Seq(col("cid")),
+      order = Seq(col("quality").desc, col("doc_id").asc), k = 5)
+    val expected = graft.SparkEntry.queries("pl07_diverse_sample")(spark, sfDir)
+    assert(got.count() == expected.count())
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
   test("st28 serve partials union to pl06's batch answer under split + replay") {
     import graft.operators.{Bpe, Curation, Similarity}
     val emb = Tables.embeddings(spark, sfDir)
