@@ -807,6 +807,45 @@ object TextAnalysis {
           expr("w_micro * 10000 div w_total").as("quota_docs"))
     }),
 
+    // -- FRACTIONAL-EPOCH UPSAMPLING — the MATERIALIZATION step between
+    //    mixture weights (ta32) and training order (ta14): a source
+    //    scheduled for 2.5 epochs must actually emit each of its docs
+    //    2-or-3 times, deterministically. Per-source epoch targets in
+    //    integer CENTI-epochs (ta11's tier hash: 250 / 125 / 50 — the
+    //    50 branch is fractional DOWNsampling, copies ∈ {0, 1});
+    //    every doc gets floor(centi/100) whole copies plus one more iff
+    //    its md5 bucket < centi % 100 (ta08's engine-neutral hash), so
+    //    the realized corpus-level ratio converges to the target while
+    //    each doc's copy count is a pure function of its id — fully
+    //    reproducible, resumable, no RNG state. Copies are emitted by
+    //    an in-row sequence explode (narrow — the output shuffle is the
+    //    consumer's concern, ta14's per-shard ordering) with a per-copy
+    //    position key md5(doc_id:copy) for downstream shard ordering:
+    //    copies of one doc scatter across the training stream instead
+    //    of running back-to-back (the clumping the epoch trick exists
+    //    to avoid).
+    "ta35_epoch_upsample" -> ((s, d) => {
+      val centi = expr(
+        "CASE cast(conv(substring(md5(source), 1, 8), 16, 10) as bigint) % 3 " +
+          "WHEN 0 THEN 250 WHEN 1 THEN 125 ELSE 50 END")
+      val bucket = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), centi.as("centi"),
+          bucket.as("bucket"))
+        .select(col("doc_id"), col("source"),
+          (expr("centi div 100") +
+            when(col("bucket") < col("centi") % 100, 1L).otherwise(0L))
+            .as("n_copies"))
+        .select(col("doc_id"), col("source"),
+          explode(expr(
+            "CASE WHEN n_copies > 0 THEN sequence(1, cast(n_copies as int)) " +
+              "ELSE cast(array() as array<int>) END")).as("copy_idx"))
+        .select(col("doc_id"), col("source"), col("copy_idx"),
+          expr("cast(conv(substring(md5(concat(cast(doc_id as string), ':', " +
+            "cast(copy_idx as string))), 1, 8), 16, 10) as bigint)").as("ord_key"))
+    }),
+
     // -- UNICODE NFC NORMALIZATION — the canonicalization pass every
     //    ingest pipeline runs before content hashing: composed (é =
     //    U+00E9) and decomposed (e + U+0301) spellings of the same text
@@ -1256,6 +1295,26 @@ object TextAnalysis {
               AS DOUBLE) / count(*), 6) AS novelty_ratio
           FROM g JOIN firsts USING (gh)
           GROUP BY doc_id""",
+    "ta35_epoch_upsample" ->
+      """WITH e AS (
+           SELECT doc_id, source,
+             CAST(CASE CAST(concat('0x', substr(md5(source), 1, 8)) AS BIGINT) % 3
+               WHEN 0 THEN 250 WHEN 1 THEN 125 ELSE 50 END AS BIGINT) AS centi,
+             CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 100 AS b
+           FROM documents),
+         n AS (
+           SELECT doc_id, source,
+             centi // 100 + CASE WHEN b < centi % 100 THEN 1 ELSE 0 END AS n_copies
+           FROM e),
+         x AS (
+           SELECT doc_id, source,
+             CAST(unnest(range(1, CAST(n_copies AS INT) + 1)) AS INT) AS copy_idx
+           FROM n WHERE n_copies > 0)
+         SELECT doc_id, source, copy_idx,
+           CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':',
+             CAST(copy_idx AS VARCHAR))), 1, 8)) AS BIGINT) AS ord_key
+         FROM x""",
     "ta11_mixture_sample" ->
       """SELECT source, rate_pct, count(*) AS n_total,
          CAST(sum(CASE WHEN b < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept

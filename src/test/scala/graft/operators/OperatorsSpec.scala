@@ -626,6 +626,39 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.forall(_._1 >= 1))
   }
 
+  // ta35: full driver-side recomputation of the deterministic
+  // fractional-epoch expansion, plus the property that the fractional
+  // branch actually splits a source's docs both ways on the fixture.
+  test("ta35 epoch upsampling equals a driver-side recomputation") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(s: String): Long = java.lang.Long.parseLong(md5hex(s).substring(0, 8), 16)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expect = docs.flatMap { case (id, src) =>
+      val centi = (bucket(src) % 3) match {
+        case 0 => 250L; case 1 => 125L; case _ => 50L
+      }
+      val n = centi / 100 + (if (bucket(id.toString) % 100 < centi % 100) 1 else 0)
+      (1 to n.toInt).map(c =>
+        (id, src, c, bucket(s"$id:$c") & 0xffffffffL))
+    }.toSet
+    val got = SparkEntry.queries("ta35_epoch_upsample")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(got == expect,
+      s"extra=${(got diff expect).take(5)} missed=${(expect diff got).take(5)}")
+    // The fractional branch must bind: some source where per-doc copy
+    // counts differ (the 25/50-percent remainder splits its docs).
+    val perDoc = got.toSeq.groupBy(t => (t._2, t._1)).map { case ((s2, id), rows) =>
+      (s2, id, rows.size)
+    }
+    val splitSources = perDoc.groupBy(_._1).filter(_._2.map(_._3).toSet.size > 1)
+    assert(splitSources.nonEmpty, "no source exercised the fractional remainder")
+  }
+
   // pl07: driver-side recomputation of the cluster-balanced sample —
   // cells from ss05's integer argmin (recomputed here from raw
   // embeddings), quality from ta03, per-cell top-5 by (quality desc,
