@@ -846,6 +846,68 @@ object TextAnalysis {
             "cast(copy_idx as string))), 1, 8), 16, 10) as bigint)").as("ord_key"))
     }),
 
+    // -- QUALITY-CLASSIFIER TRAINING — the trainable version of ta23
+    //    (which ships FIXED weights): full-batch logistic-regression
+    //    gradient descent, distributed, in EXACT fixed-point integer
+    //    arithmetic so the training curve is bit-identical cross-engine.
+    //    This is the fastText-filter TRAINING step of a curation stack
+    //    (fit the keep/drop classifier on labeled seed data, then ta23's
+    //    shape scores the corpus). Shape per round (a fixed
+    //    hyperparameter, ss08's Lloyd/BPE loop discipline): score every
+    //    doc against the entering weights (narrow map — weights are a
+    //    4-int MODEL), aggregate 4 gradient sums + an accuracy count
+    //    (ONE corpus pass, map-side combined, 1-row result — the
+    //    bounded-scalar class), update weights on the driver. Exactness:
+    //    features/labels/predictions all in integer micro-units;
+    //    sigmoid is ta23's rational approximation under truncating
+    //    integer division (Spark `div` truncates toward zero; the
+    //    DuckDB twin spells the symmetric CASE so negative gradients
+    //    agree); gradient summands are per-doc integers, so the
+    //    distributed sum is associative — no float ever crosses rows.
+    //    i64 headroom: |summand| ≤ 1e6·1e6/1e6 = 1e6 per doc → safe to
+    //    ~9e12 docs. Output = the 3-round training curve (weights after
+    //    each update + entering-weights accuracy), which pins every
+    //    round of the loop, not just the fixed point.
+    "ta36_classifier_train" -> ((s, d) => {
+      val feats = Tables.documents(s, d).select(
+          col("doc_id"),
+          expr(s"size($toks)").cast("long").as("n"),
+          expr(s"size(array_distinct($toks))").cast("long").as("u"),
+          expr(s"size(filter($toks, x -> array_contains(" +
+            "array('the','a','of','and','in','to','is'), x)))")
+            .cast("long").as("h"),
+          when(col("lang") === "en", 1000000L).otherwise(0L).as("y"))
+        .select(col("doc_id"), col("y"),
+          lit(1000000L).as("f0"),
+          least(col("n") * 10000, lit(1000000L)).as("f1"),
+          when(col("n") > 0, expr("u * 1000000 div n")).otherwise(0L).as("f2"),
+          when(col("n") > 0, expr("h * 1000000 div n")).otherwise(0L).as("f3"))
+        .localCheckpoint()
+      val w = Array(0L, 0L, 0L, 0L)
+      val curve = Seq.newBuilder[(Int, Long, Long, Long, Long, Long)]
+      for (r <- 1 to 3) {
+        val scored = feats
+          .withColumn("z", expr(
+            s"(${w(0)}L * f0 + ${w(1)}L * f1 + ${w(2)}L * f2 + ${w(3)}L * f3) div 1000000"))
+          .withColumn("p", expr(
+            "500000L + (z * 1000000) div (2 * (1000000 + abs(z)))"))
+        val a = scored.agg(
+          sum(expr("((y - p) * f0) div 1000000")).as("g0"),
+          sum(expr("((y - p) * f1) div 1000000")).as("g1"),
+          sum(expr("((y - p) * f2) div 1000000")).as("g2"),
+          sum(expr("((y - p) * f3) div 1000000")).as("g3"),
+          sum(when(expr("(p >= 500000) = (y = 1000000)"), 1L).otherwise(0L))
+            .as("n_correct"),
+          count(lit(1)).as("nd")).collect()(0)
+        val nd = a.getLong(5)
+        for (i <- 0 to 3) w(i) += a.getLong(i) / nd // Long./ truncates like div
+        curve += ((r, w(0), w(1), w(2), w(3), a.getLong(4)))
+      }
+      import s.implicits._
+      curve.result()
+        .toDF("round", "w_bias", "w_len", "w_div", "w_stop", "n_correct")
+    }),
+
     // -- UNICODE NFC NORMALIZATION — the canonicalization pass every
     //    ingest pipeline runs before content hashing: composed (é =
     //    U+00E9) and decomposed (e + U+0301) spellings of the same text
@@ -980,7 +1042,66 @@ object TextAnalysis {
                   FROM documents) GROUP BY doc_id, tok)
           GROUP BY doc_id)"""
 
+  /** ta36's DuckDB twin: the same 3 GD rounds unrolled into CTEs from
+    * the same constants (Bpe.withSqlPrefix's discipline). Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, so every
+    * division that can see a negative numerator goes through the
+    * symmetric-truncation CASE. */
+  private def ta36Sql: String = {
+    def tdiv(a: String, b: String) =
+      s"(CASE WHEN ($a) >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END)"
+    val rounds = (1 to 3).map { r =>
+      val pw = s"c36w${r - 1}"
+      s"""c36g$r AS (
+            SELECT
+              CAST(sum(${tdiv("(y - p) * f0", "1000000")}) AS BIGINT) AS g0,
+              CAST(sum(${tdiv("(y - p) * f1", "1000000")}) AS BIGINT) AS g1,
+              CAST(sum(${tdiv("(y - p) * f2", "1000000")}) AS BIGINT) AS g2,
+              CAST(sum(${tdiv("(y - p) * f3", "1000000")}) AS BIGINT) AS g3,
+              CAST(sum(CASE WHEN (p >= 500000) = (y = 1000000)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+              count(*) AS nd
+            FROM (
+              SELECT y, f0, f1, f2, f3,
+                500000 + ${tdiv("z * 1000000", "2 * (1000000 + abs(z))")} AS p
+              FROM (
+                SELECT cf.*,
+                  ${tdiv("w.w0 * f0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3", "1000000")}
+                    AS z
+                FROM c36f cf CROSS JOIN $pw w))),
+          c36w$r AS (
+            SELECT w.w0 + ${tdiv("g.g0", "g.nd")} AS w0,
+                   w.w1 + ${tdiv("g.g1", "g.nd")} AS w1,
+                   w.w2 + ${tdiv("g.g2", "g.nd")} AS w2,
+                   w.w3 + ${tdiv("g.g3", "g.nd")} AS w3,
+                   g.n_correct
+            FROM $pw w CROSS JOIN c36g$r g)"""
+    }.mkString(",\n")
+    s"""WITH c36f AS (
+          SELECT doc_id,
+            CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS BIGINT) AS y,
+            CAST(1000000 AS BIGINT) AS f0,
+            CAST(least(n * 10000, 1000000) AS BIGINT) AS f1,
+            CAST(CASE WHEN n > 0 THEN u * 1000000 // n ELSE 0 END AS BIGINT) AS f2,
+            CAST(CASE WHEN n > 0 THEN h * 1000000 // n ELSE 0 END AS BIGINT) AS f3
+          FROM (
+            SELECT doc_id, lang, len(tk) AS n, len(list_distinct(tk)) AS u,
+              len(list_filter(tk, x -> list_contains(
+                ['the','a','of','and','in','to','is'], x))) AS h
+            FROM (SELECT doc_id, lang,
+                    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+                  FROM documents))),
+        c36w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                         CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+        $rounds
+        SELECT CAST(1 AS INT) AS round, w0 AS w_bias, w1 AS w_len,
+          w2 AS w_div, w3 AS w_stop, n_correct FROM c36w1
+        UNION ALL SELECT 2, w0, w1, w2, w3, n_correct FROM c36w2
+        UNION ALL SELECT 3, w0, w1, w2, w3, n_correct FROM c36w3"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "ta36_classifier_train" -> ta36Sql,
     "ta01_token_stats" ->
       s"""SELECT doc_id,
           CAST(len($dtoks) AS INT) AS n_tokens,

@@ -626,6 +626,45 @@ class OperatorsSpec extends SparkSpec {
     assert(got.values.forall(_._1 >= 1))
   }
 
+  // ta36: sequential driver-side gradient descent over collected
+  // integer features must reproduce the distributed training curve
+  // exactly (weights and accuracy per round), and training must
+  // actually improve on the entering (all-zero) accuracy.
+  test("ta36 classifier training curve equals a sequential recomputation") {
+    val toks = "filter(split(text, ' '), x -> x <> '')"
+    val feats = graft.sources.Tables.documents(spark, sfDir).select(
+        col("doc_id"),
+        expr(s"size($toks)").cast("long").as("n"),
+        expr(s"size(array_distinct($toks))").cast("long").as("u"),
+        expr(s"size(filter($toks, x -> array_contains(" +
+          "array('the','a','of','and','in','to','is'), x)))").cast("long").as("h"),
+        when(col("lang") === "en", 1000000L).otherwise(0L).as("y"))
+      .collect().map { r =>
+        val (n, u, h) = (r.getLong(1), r.getLong(2), r.getLong(3))
+        Array(r.getLong(4), 1000000L, math.min(n * 10000, 1000000L),
+          if (n > 0) u * 1000000 / n else 0L, if (n > 0) h * 1000000 / n else 0L)
+      } // (y, f0, f1, f2, f3)
+    val w = Array(0L, 0L, 0L, 0L)
+    val expect = (1 to 3).map { r =>
+      var ok = 0L
+      val g = Array(0L, 0L, 0L, 0L)
+      feats.foreach { fr =>
+        val z = (0 to 3).map(i => w(i) * fr(i + 1)).sum / 1000000L
+        val p = 500000L + z * 1000000L / (2L * (1000000L + math.abs(z)))
+        if ((p >= 500000L) == (fr(0) == 1000000L)) ok += 1
+        for (i <- 0 to 3) g(i) += (fr(0) - p) * fr(i + 1) / 1000000L
+      }
+      for (i <- 0 to 3) w(i) += g(i) / feats.length
+      (r, w(0), w(1), w(2), w(3), ok)
+    }.toList
+    val got = SparkEntry.queries("ta36_classifier_train")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toList
+    assert(got == expect, s"got $got\nexpected $expect")
+    // Training binds: post-round-1 accuracy beats the all-zero model's.
+    assert(got(1)._6 > got(0)._6, s"no improvement in the curve: $got")
+  }
+
   // ta35: full driver-side recomputation of the deterministic
   // fractional-epoch expansion, plus the property that the fractional
   // branch actually splits a source's docs both ways on the fixture.
