@@ -890,8 +890,72 @@ object Dedup {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_chunks"),
           sum(coalesce(col("is_dup"), lit(0)).cast("long")).as("n_dup_chunks"))
+    }),
+
+    // -- CORPUS-PAIR OVERLAP SKETCH — the corpus-LEVEL complement of the
+    //    doc-level near-dup family: estimate the shingle-set Jaccard
+    //    between every pair of SOURCES from K=64 corpus MinHash sketches
+    //    (per (source, k): the min permuted hash over every shingle the
+    //    source emits; estimate = matching-coordinate fraction). This is
+    //    the "how much does feed A duplicate feed B" decision input for
+    //    acquisition/licensing — and at 100 TB it is the ONLY affordable
+    //    form: one aggregation pass (map-side combined, min is
+    //    associative) reduces each corpus to 64 integers, and the pair
+    //    phase compares sketches, never sets — corpus-pair cost is
+    //    O(sources²·K), independent of corpus size. All arithmetic is
+    //    exact integers; the estimator (not just its inputs) is engine-
+    //    reproducible, so the oracle checks the SAME sketch — the
+    //    accuracy-vs-exact-Jaccard claim is the spec's job (4σ ≈ 0.25
+    //    at K=64). Min over the shingle MULTISET equals min over the
+    //    set, so no per-doc distinct is needed.
+    "dd20_corpus_overlap" -> ((s, d) => {
+      // Per-DOC partial minima first, computed as ONE lambda-bound
+      // 64-element array per row (simhash's discipline: the hashed-gram
+      // array is a lambda variable, so md5 runs once per gram no matter
+      // how many permutations read it; a per-permutation projection
+      // column would be inlined 64× by CollapseProject). posexplode
+      // evaluates the array once and lands directly in the long format —
+      // the aggregation reduces |docs|×64 partial-min rows, never
+      // |grams|×64 (measured 3.3 s → sub-second at sf0.01).
+      val perms = (0 until K20).map(k =>
+        s"named_struct('a', ${A20(k)}L, 'b', ${B20(k)}L)").mkString(", ")
+      val minsOf =
+        "element_at(transform(array(transform(transform(" +
+        "sequence(0, size(tk) - 3), " +
+        "i -> concat(element_at(tk, i + 1), ' ', element_at(tk, i + 2), ' ', element_at(tk, i + 3))), " +
+        s"g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % $P)), " +
+        s"hs -> transform(array($perms), " +
+        s"p -> array_min(transform(hs, h -> (h * p.a + p.b) % $P)))), 1)"
+      val longf = Tables.documents(s, d)
+        .select(col("source"), expr(toks).as("tk"))
+        .filter(expr("size(tk) >= 3"))
+        .select(col("source"), posexplode(expr(minsOf)).as(Seq("k", "m")))
+        .groupBy(col("source"), col("k"))
+        .agg(min(col("m")).as("m"))
+      longf.as("a")
+        .join(longf.as("b"),
+          col("a.k") === col("b.k") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+          (col("a.m") === col("b.m")).cast("long").as("eq"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(sum(col("eq")).as("k_match"))
+        .select(col("src_a"), col("src_b"), col("k_match"),
+          expr(s"k_match * 1000000 div $K20").as("jaccard_est_ppm"))
     })
   )
+
+  /** dd20's K=64 corpus-sketch permutations: the fixed-prime table above
+    * only goes to k=8, so these are md5-derived on the DRIVER and inlined
+    * as literals into both engines' expressions (a ∈ [1, P−1], b ∈
+    * [0, P−1]; products stay < 2^62 — no overflow in either engine). */
+  private val K20 = 64
+  private def md5Long(str: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8")).take(8)
+        .map("%02x".format(_)).mkString.take(15), 16)
+  private val A20 = Seq.tabulate(K20)(k => md5Long(s"a:$k") % (P - 1) + 1)
+  private val B20 = Seq.tabulate(K20)(k => md5Long(s"b:$k") % P)
 
   private val dtoks = "list_filter(string_split(text, ' '), x -> x <> '')"
   private val dshStr =
@@ -1215,6 +1279,29 @@ object Dedup {
               AS n_dup_chunks
           FROM chunks LEFT JOIN dup USING (ch)
           GROUP BY doc_id"""
+    },
+
+    // dd20: the SAME K=64 sketch (constants inlined from the driver) —
+    // the estimator itself is the cross-engine contract.
+    "dd20_corpus_overlap" -> {
+      val vals = (0 until K20).map(k =>
+        s"(${k}, ${A20(k)}, ${B20(k)})").mkString(", ")
+      s"""WITH g20 AS (
+            SELECT source,
+              CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % $P AS h
+            FROM (SELECT source, unnest($dshStr) AS g
+                  FROM documents WHERE len($dtoks) >= 3)),
+          p20 AS (SELECT CAST(t.k AS INT) AS k, t.a AS a, t.b AS b
+                  FROM (VALUES $vals) t(k, a, b)),
+          m20 AS (SELECT source, k, min((h * a + b) % $P) AS m
+                  FROM g20 CROSS JOIN p20 GROUP BY source, k)
+          SELECT a.source AS src_a, b.source AS src_b,
+            CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS BIGINT)
+              AS k_match,
+            CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) * 1000000 // $K20
+              AS BIGINT) AS jaccard_est_ppm
+          FROM m20 a JOIN m20 b ON a.k = b.k AND a.source < b.source
+          GROUP BY a.source, b.source"""
     }
   )
 }

@@ -273,7 +273,90 @@ object Profile {
           expr("n_rows * 1000 div n_total").as("share_per_mille"))
         .orderBy(col("n_rows").desc, col("key").asc)
         .limit(10)
+    }),
+
+    // -- EXACT QUANTILES WITHOUT A GLOBAL SORT — p50/p90/p99 of
+    //    lineitem.l_extendedprice (exact integer cents), by iterative
+    //    histogram refinement: each round ONE filtered aggregation pass
+    //    buckets the still-candidate value range into 1024 exact-integer
+    //    buckets per percentile (all percentiles share the pass via an
+    //    in-row range-tag explode), the ≤3×1024-row histogram comes back
+    //    to the driver (bounded-scalar class, ss08/ta36's loop
+    //    discipline), and the target rank's bucket becomes next round's
+    //    range. The range shrinks ≥1024× per round, so ≤8 rounds close
+    //    any 64-bit domain; each round's range predicate pushes to the
+    //    parquet scan (row-group min/max skipping), and no sort, window,
+    //    or row ever shuffles — the exact-quantile answer a 100 TB
+    //    column cannot afford `ORDER BY` for. Rank rule (both engines):
+    //    value at 1-based ascending rank max(1, ceil(p·n/100)), spelled
+    //    in pure integers ((p·n + 99) div 100).
+    "dq10_exact_quantiles" -> ((s, d) => {
+      import graft.Exprs.cents
+      exactQuantiles(s,
+        Tables.lineitem(s, d).select(cents(col("l_extendedprice")).as("c")),
+        Seq(50, 90, 99))
     }))
+
+  /** dq10's engine: exact multi-percentile selection over a single
+    * BIGINT column `c` by iterative histogram refinement (see the query
+    * doc). Extracted pure so the spec can drive it over arbitrary
+    * synthetic distributions and any percentile set. Domain: the value
+    * span must fit a signed 64-bit long (true for any cents column);
+    * widths are computed in BigInt on the driver so even pathological
+    * spans cannot overflow the bucket arithmetic. */
+  private[graft] def exactQuantiles(
+      s: SparkSession, vals: DataFrame, pcts: Seq[Int]): DataFrame = {
+    import s.implicits._
+    val B = 1024L
+    val g = vals.agg(count(lit(1)).as("n"),
+      min(col("c")).as("lo"), max(col("c")).as("hi")).collect()(0)
+    val n = g.getLong(0)
+    require(n > 0, "exactQuantiles: empty input")
+    // per-percentile state: candidate range [lo, hi] and the 1-based
+    // rank of the answer within the candidates (rows with c in range).
+    case class St(lo: Long, hi: Long, r: Long)
+    var active: Map[Int, St] = pcts.map(p =>
+      p -> St(g.getLong(1), g.getLong(2),
+        math.max(1L, (p.toLong * n + 99L) / 100L))).toMap
+    var done: Map[Int, Long] = Map.empty
+    var rounds = 0
+    while (active.exists { case (_, st) => st.lo < st.hi } && rounds < 8) {
+      rounds += 1
+      done ++= active.collect { case (p, st) if st.lo == st.hi => p -> st.lo }
+      active = active.filter { case (_, st) => st.lo < st.hi }
+      val specs = active.toSeq.sortBy(_._1)
+      // one scan serves every active percentile: tag each row with the
+      // pids whose candidate range contains it (ranges may overlap).
+      val tagged = vals.select(col("c"), explode(expr(
+        specs.map { case (p, st) =>
+          s"IF(c >= ${st.lo}L AND c <= ${st.hi}L, $p, NULL)" }
+          .mkString("filter(array(", ", ", "), x -> x IS NOT NULL)")))
+        .as("pid"))
+      // exact-integer bucket within the pid's range; width w = ceil(span/B)
+      // (driver BigInt), so (c - lo) div w < 1024 always.
+      val widths = specs.map { case (p, st) =>
+        val span = BigInt(st.hi) - BigInt(st.lo) + 1
+        p -> ((span + B - 1) / B).toLong
+      }.toMap
+      val bucket = specs.map { case (p, st) =>
+        s"WHEN pid = $p THEN (c - ${st.lo}L) div ${widths(p)}L" }
+        .mkString("CASE ", " ", " END")
+      val hist = tagged.groupBy(col("pid"), expr(bucket).as("b"))
+        .agg(count(lit(1)).as("cnt"), min(col("c")).as("blo"),
+          max(col("c")).as("bhi"))
+        .collect() // ≤ pcts.size × 1024 rows — bounded-scalar class
+        .groupBy(_.getInt(0))
+      active = active.map { case (p, st) =>
+        val bs = hist(p).sortBy(_.getLong(1))
+        var r = st.r; var i = 0
+        while (bs(i).getLong(2) < r) { r -= bs(i).getLong(2); i += 1 }
+        p -> St(bs(i).getLong(3), bs(i).getLong(4), r)
+      }
+    }
+    done ++= active.collect { case (p, st) if st.lo == st.hi => p -> st.lo }
+    require(done.size == pcts.size, "exactQuantiles: failed to converge")
+    done.toSeq.sortBy(_._1).toDF("p_pct", "value_cents")
+  }
 
   /** dq07's audit, extracted pure over any (vec_id, embedding, label)
     * relation so the spec can feed synthetically corrupted vectors and
@@ -561,5 +644,18 @@ object Profile {
          SELECT key, n_rows,
            CAST(n_rows * 1000 // n_total AS BIGINT) AS share_per_mille
          FROM k9, t9
-         ORDER BY n_rows DESC, key ASC LIMIT 10""")
+         ORDER BY n_rows DESC, key ASC LIMIT 10""",
+
+    // dq10: the oracle spells the rank rule directly (it can afford the
+    // sort); the Spark side must land on the same value via refinement.
+    "dq10_exact_quantiles" ->
+      """WITH t10 AS (
+           SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+           FROM lineitem),
+         n10 AS (SELECT count(*) AS cnt FROM t10),
+         r10 AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM t10)
+         SELECT CAST(p.p AS INT) AS p_pct, r10.c AS value_cents
+         FROM (VALUES (50), (90), (99)) p(p)
+         CROSS JOIN n10
+         JOIN r10 ON r10.rn = greatest(1, (p.p * n10.cnt + 99) // 100)""")
 }

@@ -97,6 +97,51 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall@3 = $recall%.3f below 0.5")
   }
 
+  // ss13: the 32-dim coarse pass + exact re-rank must recover most of
+  // the full-dim brute-force top-3 (the MRL two-stage quality claim —
+  // measured, since the fixture embeddings are not MRL-trained).
+  test("MRL truncated retrieval recall@3 vs brute force is >= 0.7") {
+    val mrl = SparkEntry.queries("ss13_mrl_topk")(spark, sfDir)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = SparkEntry.queries("ss01_cosine_topk")(spark, sfDir)
+      .filter(col("rnk") <= 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (mrl intersect brute).size.toDouble / brute.size
+    info(f"MRL recall@3 = $recall%.3f")
+    assert(recall >= 0.7, f"MRL recall@3 = $recall%.3f below 0.7")
+  }
+
+  // dd20: the K=64 corpus sketch must estimate every source pair's true
+  // shingle-set Jaccard within 4σ ≈ 0.25 (and the estimator is bounded).
+  test("dd20 corpus-overlap estimate within 0.25 of exact Jaccard") {
+    import spark.implicits._
+    val est = SparkEntry.queries("dd20_corpus_overlap")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(3).toDouble / 1e6).toMap
+    assert(est.nonEmpty)
+    est.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    // exact per-source distinct hashed-shingle sets, small at sf0.001
+    val toks = "filter(split(text, ' '), x -> x <> '')"
+    val sets = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("source"), expr(toks).as("tk"))
+      .filter(expr("size(tk) >= 3"))
+      .select(col("source"), explode(expr(
+        "transform(transform(sequence(0, size(tk) - 3), " +
+        "i -> concat(element_at(tk, i + 1), ' ', element_at(tk, i + 2), ' ', element_at(tk, i + 3))), " +
+        "g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % 2147483647)"))
+        .as("h"))
+      .collect().groupBy(_.getString(0))
+      .map { case (src, rows) => src -> rows.map(_.getLong(1)).toSet }
+    est.foreach { case ((a, b), e) =>
+      val (sa, sb) = (sets(a), sets(b))
+      val exact = (sa intersect sb).size.toDouble / (sa union sb).size
+      assert(math.abs(e - exact) <= 0.25,
+        f"$a×$b: est=$e%.3f exact=$exact%.3f")
+    }
+  }
+
   // ta15: the replace-trick histogram must yield the same Shannon
   // entropy as a direct Scala recomputation from the raw text, and the
   // 27-bin entropy is bounded by log2(27).
@@ -1023,6 +1068,34 @@ class OperatorsSpec extends SparkSpec {
     val badVersion = good.clone(); badVersion(4) = 3
     assert(Multimodal.decodeGrf2(7L, badVersion).format == "invalid")
     assert(Multimodal.decodeGrf2(7L, good.take(10)).format == "invalid")
+  }
+
+  // dq10: the histogram-refinement engine must land on exactly the value
+  // a global sort would pick, including under heavy duplication, negative
+  // values, and extreme percentiles — the distributions where bucket
+  // boundary arithmetic goes wrong if it is going to.
+  test("dq10 refinement equals the sort-based quantile on adversarial data") {
+    import spark.implicits._
+    val data: Seq[Long] = Seq.fill(500)(42L) ++ (-200L to 300L) ++
+      Seq(Long.MinValue / 4, Long.MaxValue / 4, 0L, 0L, 0L)
+    val pcts = Seq(1, 25, 50, 75, 99, 100)
+    val got = Profile.exactQuantiles(spark, data.toDF("c"), pcts)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sorted = data.sorted
+    pcts.foreach { p =>
+      val r = math.max(1L, (p.toLong * sorted.size + 99L) / 100L)
+      assert(got(p) == sorted((r - 1).toInt),
+        s"p$p: got ${got(p)}, want ${sorted((r - 1).toInt)}")
+    }
+  }
+
+  // dq10 on the fixture: percentiles are monotone and present in the data.
+  test("dq10 fixture percentiles are monotone non-decreasing") {
+    val rows = SparkEntry.queries("dq10_exact_quantiles")(spark, sfDir)
+      .orderBy(col("p_pct")).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(50, 90, 99))
+    val vs = rows.map(_.getLong(1))
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b }, vs.mkString(","))
   }
 
   // dq03: the generated fixtures are referentially intact — every edge
