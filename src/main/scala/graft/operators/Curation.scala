@@ -110,36 +110,7 @@ object Curation {
     //    narrow in-row passes — the only exchanges are the dedup
     //    aggregations themselves.
     "pl05_web_curation" -> ((s, d) => {
-      val blocksDf = webBlocks(s, d)
-      val bh = blocksDf
-        .select(col("doc_id"), posexplode(col("blocks")).as(Seq("idx", "blk")))
-        .select(col("doc_id"), col("idx"),
-          expr("cast(conv(substring(md5(blk), 1, 15), 16, 10) as bigint)").as("bh"))
-      val dropSet = bh.select(col("doc_id"), col("bh")).distinct()
-        .groupBy(col("bh")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 3).select(col("bh"))
-      val kept = bh.hint("shuffle_hash")
-        .join(dropSet.hint("shuffle_hash"), Seq("bh"), "left_anti")
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("idx"))).as("kept_idx"))
-      val cleaned = blocksDf.hint("shuffle_hash")
-        .join(kept.hint("shuffle_hash"), Seq("doc_id"), "left")
-        .withColumn("ki",
-          coalesce(col("kept_idx"), expr("cast(array() as array<int>)")))
-        .select(col("doc_id"), col("lang"),
-          size(col("blocks")).as("n_blocks"),
-          size(col("ki")).as("n_kept"),
-          concat_ws(" ", expr(
-            "transform(blocks, (x, i) -> IF(array_contains(ki, i), x, NULL))"))
-            .as("txt"))
-      // ta03's quality formula over the CLEANED text, in-row.
-      val scored = cleaned
-        .withColumn("n", expr("size(filter(split(txt, ' '), x -> x <> ''))").cast("double"))
-        .withColumn("u", expr("size(array_distinct(filter(split(txt, ' '), x -> x <> '')))").cast("double"))
-        .withColumn("q",
-          when(col("n") > 0, round(
-            least(col("n") / 100d, lit(1d)) * 0.5 + (col("u") / col("n")) * 0.5, 6))
-            .otherwise(0d))
+      val scored = webScored(s, d)
       val pass = scored.filter(col("q") >= 0.5)
         .withColumn("ck", md5(col("txt")))
       val canon = pass.groupBy(col("ck")).agg(min(col("doc_id")).as("canon_id"))
@@ -148,7 +119,7 @@ object Curation {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_pass"),
           sum((col("doc_id") === col("canon_id")).cast("long")).as("n_canonical"))
-      cleaned.groupBy(col("lang"))
+      scored.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_blocks").cast("long")).as("n_blocks"),
           sum(col("n_kept").cast("long")).as("n_kept_blocks"))
@@ -238,6 +209,36 @@ object Curation {
         keys = Seq(col("cid")),
         order = Seq(col("quality").desc, col("doc_id").asc),
         k = 5)
+    }),
+
+    // -- CURATION FUNNEL AUDIT — "where did my data go", the #1
+    //    debugging question a curation run answers before anything else
+    //    ships: every document attributed to the FIRST pl05 gate that
+    //    rejects it (boilerplate_only → low_quality → duplicate → kept),
+    //    rolled up per (lang, stage). Same per-doc relation as pl05
+    //    ([[webScored]] — Catalyst shares the scan and stages between
+    //    audit and funnel if both run), so the funnel costs ONE extra
+    //    aggregation, not a re-run of the pipeline; the canonical flag
+    //    rides a doc_id-keyed shuffle-hash join (corpus fraction, pl03's
+    //    rule). The stages partition the corpus: sum(n_docs) over the
+    //    funnel == count(documents), which the spec pins.
+    "pl08_funnel_audit" -> ((s, d) => {
+      val scored = webScored(s, d)
+      val pass = scored.filter(col("q") >= 0.5)
+        .withColumn("ck", md5(col("txt")))
+      val canon = pass.groupBy(col("ck")).agg(min(col("doc_id")).as("canon_id"))
+      val canonical = pass.hint("shuffle_hash")
+        .join(canon.hint("shuffle_hash"), "ck")
+        .select(col("doc_id"), col("canon_id"))
+      scored.hint("shuffle_hash")
+        .join(canonical.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("lang"),
+          when(col("n_kept") === 0, "boilerplate_only")
+            .when(col("q") < 0.5, "low_quality")
+            .when(col("doc_id") =!= col("canon_id"), "duplicate")
+            .otherwise("kept").as("stage"))
+        .groupBy(col("lang"), col("stage"))
+        .agg(count(lit(1)).as("n_docs"))
     })
   )
 
@@ -337,13 +338,49 @@ object Curation {
            s -> s.txt)""").as("blocks"))
   }
 
-  def oracleSql: Map[String, String] = Map(
-    // Composed from the same constants; each stage is the SQL twin of
-    // the Spark stage (ta28's gates, ta27's drop rule, ta03's quality
-    // formula in-row, dd01's min-id canonical).
-    "pl05_web_curation" -> {
-      val dtoks = "list_filter(string_split(text, ' '), x -> x <> '')"
-      s"""WITH p5h AS (
+  /** Stages 1–3 of pl05 per DOCUMENT — extraction (webBlocks), paragraph
+    * corpus-dedup, and the in-row quality score — shared by pl05 (the
+    * shard audit) and pl08 (the funnel attribution). One relation:
+    * (doc_id, lang, n_blocks, n_kept, txt, n, u, q). */
+  private def webScored(s: SparkSession, d: String): DataFrame = {
+    val blocksDf = webBlocks(s, d)
+    val bh = blocksDf
+      .select(col("doc_id"), posexplode(col("blocks")).as(Seq("idx", "blk")))
+      .select(col("doc_id"), col("idx"),
+        expr("cast(conv(substring(md5(blk), 1, 15), 16, 10) as bigint)").as("bh"))
+    val dropSet = bh.select(col("doc_id"), col("bh")).distinct()
+      .groupBy(col("bh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 3).select(col("bh"))
+    val kept = bh.hint("shuffle_hash")
+      .join(dropSet.hint("shuffle_hash"), Seq("bh"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx"))).as("kept_idx"))
+    val cleaned = blocksDf.hint("shuffle_hash")
+      .join(kept.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .withColumn("ki",
+        coalesce(col("kept_idx"), expr("cast(array() as array<int>)")))
+      .select(col("doc_id"), col("lang"),
+        size(col("blocks")).as("n_blocks"),
+        size(col("ki")).as("n_kept"),
+        concat_ws(" ", expr(
+          "transform(blocks, (x, i) -> IF(array_contains(ki, i), x, NULL))"))
+          .as("txt"))
+    // ta03's quality formula over the CLEANED text, in-row.
+    cleaned
+      .withColumn("n", expr("size(filter(split(txt, ' '), x -> x <> ''))").cast("double"))
+      .withColumn("u", expr("size(array_distinct(filter(split(txt, ' '), x -> x <> '')))").cast("double"))
+      .withColumn("q",
+        when(col("n") > 0, round(
+          least(col("n") / 100d, lit(1d)) * 0.5 + (col("u") / col("n")) * 0.5, 6))
+          .otherwise(0d))
+  }
+
+  /** The pl05 per-doc CTE chain (markup wrap, extraction, paragraph
+    * dedup, quality score, pass set, canonical map) — shared verbatim
+    * by the pl05 and pl08 oracles so the two can never drift. */
+  private lazy val p5Ctes: String = {
+    val dtoks = "list_filter(string_split(text, ' '), x -> x <> '')"
+    s"""p5h AS (
             SELECT doc_id, lang,
               concat_ws(chr(10),
                 concat('<html><head><title>document ', CAST(doc_id AS VARCHAR),
@@ -404,7 +441,16 @@ object Curation {
                   x -> x <> ''))) AS DOUBLE) AS u
               FROM p5c)),
           p5p AS (SELECT *, md5(txt) AS ck FROM p5s WHERE q >= 0.5),
-          p5canon AS (SELECT ck, min(doc_id) AS canon_id FROM p5p GROUP BY ck),
+          p5canon AS (SELECT ck, min(doc_id) AS canon_id FROM p5p GROUP BY ck)"""
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    // Composed from the same constants; each stage is the SQL twin of
+    // the Spark stage (ta28's gates, ta27's drop rule, ta03's quality
+    // formula in-row, dd01's min-id canonical). The per-doc CTE chain
+    // (p5h..p5canon) is shared verbatim with pl08's funnel oracle.
+    "pl05_web_curation" ->
+      s"""WITH $p5Ctes,
           p5pr AS (
             SELECT p.lang, count(*) AS n_pass,
               CAST(sum(CASE WHEN p.doc_id = c.canon_id THEN 1 ELSE 0 END)
@@ -417,8 +463,21 @@ object Curation {
             CAST(coalesce(any_value(r.n_pass), 0) AS BIGINT) AS n_pass,
             CAST(coalesce(any_value(r.n_canonical), 0) AS BIGINT) AS n_canonical
           FROM p5c c LEFT JOIN p5pr r ON c.lang = r.lang
-          GROUP BY c.lang"""
-    },
+          GROUP BY c.lang""",
+
+    // pl08: the same per-doc chain, attributed to the first failing gate.
+    "pl08_funnel_audit" ->
+      s"""WITH $p5Ctes
+          SELECT lang, stage, count(*) AS n_docs FROM (
+            SELECT s.lang,
+              CASE WHEN s.n_kept = 0 THEN 'boilerplate_only'
+                   WHEN s.q < 0.5 THEN 'low_quality'
+                   WHEN s.doc_id <> c.canon_id THEN 'duplicate'
+                   ELSE 'kept' END AS stage
+            FROM p5s s LEFT JOIN p5p p ON s.doc_id = p.doc_id
+                       LEFT JOIN p5canon c ON p.ck = c.ck)
+          GROUP BY lang, stage""",
+
 
     // Composed from the same stages' oracle SQL (public maps) — outer
     // CTE names are pl_-prefixed to avoid capture of the sub-oracles'

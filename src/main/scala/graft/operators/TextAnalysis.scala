@@ -869,42 +869,8 @@ object TextAnalysis {
     //    each update + entering-weights accuracy), which pins every
     //    round of the loop, not just the fixed point.
     "ta36_classifier_train" -> ((s, d) => {
-      val feats = Tables.documents(s, d).select(
-          col("doc_id"),
-          expr(s"size($toks)").cast("long").as("n"),
-          expr(s"size(array_distinct($toks))").cast("long").as("u"),
-          expr(s"size(filter($toks, x -> array_contains(" +
-            "array('the','a','of','and','in','to','is'), x)))")
-            .cast("long").as("h"),
-          when(col("lang") === "en", 1000000L).otherwise(0L).as("y"))
-        .select(col("doc_id"), col("y"),
-          lit(1000000L).as("f0"),
-          least(col("n") * 10000, lit(1000000L)).as("f1"),
-          when(col("n") > 0, expr("u * 1000000 div n")).otherwise(0L).as("f2"),
-          when(col("n") > 0, expr("h * 1000000 div n")).otherwise(0L).as("f3"))
-        .localCheckpoint()
-      val w = Array(0L, 0L, 0L, 0L)
-      val curve = Seq.newBuilder[(Int, Long, Long, Long, Long, Long)]
-      for (r <- 1 to 3) {
-        val scored = feats
-          .withColumn("z", expr(
-            s"(${w(0)}L * f0 + ${w(1)}L * f1 + ${w(2)}L * f2 + ${w(3)}L * f3) div 1000000"))
-          .withColumn("p", expr(
-            "500000L + (z * 1000000) div (2 * (1000000 + abs(z)))"))
-        val a = scored.agg(
-          sum(expr("((y - p) * f0) div 1000000")).as("g0"),
-          sum(expr("((y - p) * f1) div 1000000")).as("g1"),
-          sum(expr("((y - p) * f2) div 1000000")).as("g2"),
-          sum(expr("((y - p) * f3) div 1000000")).as("g3"),
-          sum(when(expr("(p >= 500000) = (y = 1000000)"), 1L).otherwise(0L))
-            .as("n_correct"),
-          count(lit(1)).as("nd")).collect()(0)
-        val nd = a.getLong(5)
-        for (i <- 0 to 3) w(i) += a.getLong(i) / nd // Long./ truncates like div
-        curve += ((r, w(0), w(1), w(2), w(3), a.getLong(4)))
-      }
       import s.implicits._
-      curve.result()
+      trainClassifier(s, d)._1
         .toDF("round", "w_bias", "w_len", "w_div", "w_stop", "n_correct")
     }),
 
@@ -1042,14 +1008,81 @@ object TextAnalysis {
                   FROM documents) GROUP BY doc_id, tok)
           GROUP BY doc_id)"""
 
+  /** ta36's per-doc feature relation (doc_id, y, f0..f3) in exact
+    * integer micro-units — shared by training (ta36) and the streaming
+    * scoring leg (st31, which computes it per micro-batch). */
+  private[graft] def classifierFeatures(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"),
+        expr(s"size($toks)").cast("long").as("n"),
+        expr(s"size(array_distinct($toks))").cast("long").as("u"),
+        expr(s"size(filter($toks, x -> array_contains(" +
+          "array('the','a','of','and','in','to','is'), x)))")
+          .cast("long").as("h"),
+        when(col("lang") === "en", 1000000L).otherwise(0L).as("y"))
+      .select(col("doc_id"), col("y"),
+        lit(1000000L).as("f0"),
+        least(col("n") * 10000, lit(1000000L)).as("f1"),
+        when(col("n") > 0, expr("u * 1000000 div n")).otherwise(0L).as("f2"),
+        when(col("n") > 0, expr("h * 1000000 div n")).otherwise(0L).as("f3"))
+
+  /** ta36's 3-round full-batch GD loop: (training curve, final weights).
+    * The trained MODEL is memoized per (application, fixture) — st31's
+    * serving leg scores micro-batches against the same 4-long artifact
+    * without re-running training per batch (the staged-index
+    * discipline applied to a model instead of an index). */
+  private val trainedModels =
+    scala.collection.concurrent.TrieMap.empty[String, (Seq[(Int, Long, Long, Long, Long, Long)], Array[Long])]
+  private[graft] def trainClassifier(
+      s: SparkSession, d: String): (Seq[(Int, Long, Long, Long, Long, Long)], Array[Long]) =
+    trainedModels.getOrElseUpdate(s.sparkContext.applicationId + "|" + d, {
+      val feats = classifierFeatures(Tables.documents(s, d)).localCheckpoint()
+      val w = Array(0L, 0L, 0L, 0L)
+      val curve = Seq.newBuilder[(Int, Long, Long, Long, Long, Long)]
+      for (r <- 1 to 3) {
+        val a = classifierScored(feats, w).agg(
+          sum(expr("((y - p) * f0) div 1000000")).as("g0"),
+          sum(expr("((y - p) * f1) div 1000000")).as("g1"),
+          sum(expr("((y - p) * f2) div 1000000")).as("g2"),
+          sum(expr("((y - p) * f3) div 1000000")).as("g3"),
+          sum(when(expr("(p >= 500000) = (y = 1000000)"), 1L).otherwise(0L))
+            .as("n_correct"),
+          count(lit(1)).as("nd")).collect()(0)
+        val nd = a.getLong(5)
+        for (i <- 0 to 3) w(i) += a.getLong(i) / nd // Long./ truncates like div
+        curve += ((r, w(0), w(1), w(2), w(3), a.getLong(4)))
+      }
+      (curve.result(), w)
+    })
+
+  /** Score a feature relation against a 4-weight model: z (logit) and p
+    * (the rational-sigmoid probability), both exact integers — the
+    * shared inner step of the training rounds and the serving leg. */
+  private[graft] def classifierScored(feats: DataFrame, w: Array[Long]): DataFrame =
+    feats
+      .withColumn("z", expr(
+        s"(${w(0)}L * f0 + ${w(1)}L * f1 + ${w(2)}L * f2 + ${w(3)}L * f3) div 1000000"))
+      .withColumn("p", expr(
+        "500000L + (z * 1000000) div (2 * (1000000 + abs(z)))"))
+
+  /** st31's per-batch serving step: features → trained-model score →
+    * (doc_id, p_micro, keep). Pure over any documents-shaped batch. */
+  private[graft] def classifierServe(batch: DataFrame, w: Array[Long]): DataFrame =
+    classifierScored(classifierFeatures(batch), w)
+      .select(col("doc_id"), col("p").as("p_micro"),
+        (col("p") >= 500000L).as("keep"))
+
+  /** Symmetric-truncating division for the DuckDB twins: Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, so every division
+    * that can see a negative numerator goes through this CASE. */
+  private def tdiv(a: String, b: String) =
+    s"(CASE WHEN ($a) >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END)"
+
   /** ta36's DuckDB twin: the same 3 GD rounds unrolled into CTEs from
-    * the same constants (Bpe.withSqlPrefix's discipline). Spark's `div`
-    * truncates toward zero while DuckDB's `//` floors, so every
-    * division that can see a negative numerator goes through the
-    * symmetric-truncation CASE. */
-  private def ta36Sql: String = {
-    def tdiv(a: String, b: String) =
-      s"(CASE WHEN ($a) >= 0 THEN ($a) // ($b) ELSE -((-($a)) // ($b)) END)"
+    * the same constants (Bpe.withSqlPrefix's discipline). The CTE chain
+    * (c36f features, c36w0..c36w3 weight states) is shared verbatim
+    * with st31's scoring oracle. */
+  private[graft] def ta36Ctes: String = {
     val rounds = (1 to 3).map { r =>
       val pw = s"c36w${r - 1}"
       s"""c36g$r AS (
@@ -1077,7 +1110,7 @@ object TextAnalysis {
                    g.n_correct
             FROM $pw w CROSS JOIN c36g$r g)"""
     }.mkString(",\n")
-    s"""WITH c36f AS (
+    s"""c36f AS (
           SELECT doc_id,
             CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS BIGINT) AS y,
             CAST(1000000 AS BIGINT) AS f0,
@@ -1093,12 +1126,27 @@ object TextAnalysis {
                   FROM documents))),
         c36w0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
                          CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
-        $rounds
+        $rounds"""
+  }
+
+  private def ta36Sql: String =
+    s"""WITH $ta36Ctes
         SELECT CAST(1 AS INT) AS round, w0 AS w_bias, w1 AS w_len,
           w2 AS w_div, w3 AS w_stop, n_correct FROM c36w1
         UNION ALL SELECT 2, w0, w1, w2, w3, n_correct FROM c36w2
         UNION ALL SELECT 3, w0, w1, w2, w3, n_correct FROM c36w3"""
-  }
+
+  /** st31's oracle: every document scored against the ROUND-3 weights
+    * (c36w3) with the same integer sigmoid — the serving contract. */
+  private[graft] def st31Sql: String =
+    s"""WITH $ta36Ctes
+        SELECT doc_id, p AS p_micro, (p >= 500000) AS keep FROM (
+          SELECT doc_id,
+            500000 + ${tdiv("z * 1000000", "2 * (1000000 + abs(z))")} AS p
+          FROM (SELECT cf.doc_id,
+                  ${tdiv("w.w0 * f0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3", "1000000")}
+                    AS z
+                FROM c36f cf CROSS JOIN c36w3 w))"""
 
   def oracleSql: Map[String, String] = Map(
     "ta36_classifier_train" -> ta36Sql,

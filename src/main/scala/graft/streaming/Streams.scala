@@ -1055,6 +1055,43 @@ object Streams {
         k = 5)
     }),
 
+    // -- STREAMING CLASSIFIER SCORING — ta36's serving leg: the trained
+    //    quality model (4 fixed-point longs, memoized per fixture by
+    //    trainClassifier — train once, serve forever) scores each
+    //    arriving document per micro-batch with the shared
+    //    classifierServe fragment: features in-row, integer sigmoid,
+    //    keep verdict. The model is a bounded 4-long closure constant —
+    //    the legitimate broadcast class — so the batch plan is one
+    //    narrow codegen'd pass, ZERO exchanges and ZERO stream state;
+    //    a doc's score is a pure function of its row, so union over
+    //    batches ≡ batch scoring under any split, and replays append
+    //    byte-identical rows collapsed by the read-back distinct.
+    //    Oracle: every doc scored against the unrolled training's
+    //    round-3 weights (c36w3) — the train→serve contract end-to-end.
+    "st31_stream_classifier_score" -> ((s, d) => {
+      import graft.operators.TextAnalysis
+      val w = TextAnalysis.trainClassifier(s, d)._2
+      val (feed, schema) = docsFeed(s, d)
+      val outDir = graft.sources.Scratch.dir(s, d, "st31_out")
+      val fsPath = new org.apache.hadoop.fs.Path(outDir)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          TextAnalysis.classifierServe(batch, w)
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      s.read.parquet(outDir).distinct()
+    }),
+
     // -- STREAMING RAG SERVING — the full retrieval path as a stream
     //    (st22 serves the PROBE; this serves the whole pl06 pipeline):
     //    query vectors arrive on the feed, each micro-batch probes the
@@ -1693,6 +1730,10 @@ object Streams {
     // sample — the oracle is pl07's verbatim.
     "st30_stream_diverse_sample" ->
       graft.operators.Curation.oracleSql("pl07_diverse_sample"),
+    // st31 scores with the round-3 trained weights — the oracle unrolls
+    // the training and scores every doc (the train→serve contract).
+    "st31_stream_classifier_score" ->
+      graft.operators.TextAnalysis.st31Sql,
     "st04_stream_sessions" ->
       """SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events FROM (
            SELECT user_id, sess, count(*) AS n_events FROM (

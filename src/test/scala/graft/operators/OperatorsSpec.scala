@@ -142,6 +142,20 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  // pl08: the funnel stages PARTITION the corpus — every document is
+  // attributed to exactly one stage, so the rollup sums to the table
+  // count and the kept stage equals pl05's canonical total.
+  test("pl08 funnel stages partition the corpus and match pl05") {
+    val funnel = SparkEntry.queries("pl08_funnel_audit")(spark, sfDir).collect()
+    val total = funnel.map(_.getLong(2)).sum
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(total == nDocs, s"funnel sums to $total, corpus has $nDocs")
+    val kept = funnel.filter(_.getString(1) == "kept").map(_.getLong(2)).sum
+    val pl05Canonical = SparkEntry.queries("pl05_web_curation")(spark, sfDir)
+      .agg(sum(col("n_canonical"))).collect()(0).getLong(0)
+    assert(kept == pl05Canonical, s"kept=$kept pl05 canonical=$pl05Canonical")
+  }
+
   // ta15: the replace-trick histogram must yield the same Shannon
   // entropy as a direct Scala recomputation from the raw text, and the
   // 27-bin entropy is bounded by log2(27).

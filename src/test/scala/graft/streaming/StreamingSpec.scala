@@ -110,6 +110,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  // st31: the streaming serving leg must reproduce batch scoring with
+  // the SAME trained model — union over micro-batches equals scoring
+  // the whole corpus in one pass (a doc's score is row-pure).
+  test("st31 streaming classifier scoring equals batch serve") {
+    val streamed = Streams.queries("st31_stream_classifier_score")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val w = graft.operators.TextAnalysis.trainClassifier(spark, sfDir)._2
+    val batch = graft.operators.TextAnalysis.classifierServe(
+      graft.sources.Tables.documents(spark, sfDir), w)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   // Fault-tolerance: a checkpointed query stopped and restarted must
   // resume from its state store — the restart processes ONLY the new
   // file (numInputRows proves no re-read), yet the final aggregation
