@@ -287,14 +287,22 @@ object Profile {
     //    any 64-bit domain; each round's range predicate pushes to the
     //    parquet scan (row-group min/max skipping), and no sort, window,
     //    or row ever shuffles — the exact-quantile answer a 100 TB
-    //    column cannot afford `ORDER BY` for. Rank rule (both engines):
-    //    value at 1-based ascending rank max(1, ceil(p·n/100)), spelled
-    //    in pure integers ((p·n + 99) div 100).
+    //    column cannot afford `ORDER BY` for. The per-round range
+    //    reaches the parquet scan through a widened RAW-column envelope
+    //    (c ≥ lo ⇒ x ≥ (lo−1)/100 — the cents expression itself is not
+    //    pushable); the exact integer range check rides on top. Rank
+    //    rule (both engines): value at 1-based ascending rank
+    //    max(1, ceil(p·n/100)), spelled in pure integers
+    //    ((p·n + 99) div 100).
     "dq10_exact_quantiles" -> ((s, d) => {
       import graft.Exprs.cents
       exactQuantiles(s,
-        Tables.lineitem(s, d).select(cents(col("l_extendedprice")).as("c")),
-        Seq(50, 90, 99))
+        Tables.lineitem(s, d)
+          .select(col("l_extendedprice"), cents(col("l_extendedprice")).as("c")),
+        Seq(50, 90, 99),
+        envelope = Some((lo, hi) =>
+          col("l_extendedprice") >= (lo - 1).toDouble / 100.0 &&
+          col("l_extendedprice") <= (hi + 1).toDouble / 100.0))
     }))
 
   /** dq10's engine: exact multi-percentile selection over a single
@@ -305,7 +313,9 @@ object Profile {
     * widths are computed in BigInt on the driver so even pathological
     * spans cannot overflow the bucket arithmetic. */
   private[graft] def exactQuantiles(
-      s: SparkSession, vals: DataFrame, pcts: Seq[Int]): DataFrame = {
+      s: SparkSession, vals: DataFrame, pcts: Seq[Int],
+      envelope: Option[(Long, Long) => org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     import s.implicits._
     val B = 1024L
     val g = vals.agg(count(lit(1)).as("n"),
@@ -325,9 +335,15 @@ object Profile {
       done ++= active.collect { case (p, st) if st.lo == st.hi => p -> st.lo }
       active = active.filter { case (_, st) => st.lo < st.hi }
       val specs = active.toSeq.sortBy(_._1)
-      // one scan serves every active percentile: tag each row with the
-      // pids whose candidate range contains it (ranges may overlap).
-      val tagged = vals.select(col("c"), explode(expr(
+      // one scan serves every active percentile: an optional caller-
+      // supplied ENVELOPE predicate on the raw source column covering
+      // the union of active ranges reaches the parquet scan (the
+      // integer-cents expression itself is not pushable — row-group
+      // min/max skipping needs a raw-column range), then each row is
+      // tagged with the pids whose exact candidate range contains it.
+      val base = envelope.fold(vals) { env =>
+        vals.filter(env(specs.map(_._2.lo).min, specs.map(_._2.hi).max)) }
+      val tagged = base.select(col("c"), explode(expr(
         specs.map { case (p, st) =>
           s"IF(c >= ${st.lo}L AND c <= ${st.hi}L, $p, NULL)" }
           .mkString("filter(array(", ", ", "), x -> x IS NOT NULL)")))

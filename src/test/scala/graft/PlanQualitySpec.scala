@@ -558,6 +558,60 @@ class PlanQualitySpec extends SparkSpec {
         "pp01_fanout_diamond", // runs the whole Runner; result = sink scans
         "pp02_stream_diamond", // runs two streaming queries at construction
         "pl04_stream_curation") // drives the full curation stream at construction
+  test("funnel audit shuffles its canonical relation, never broadcasts it (pl08)") {
+    // Same corpus-derived relations as pl05 (block-hash drop set,
+    // content-key canonical map) plus the doc_id-keyed flag-back join.
+    val p = plan("pl08_funnel_audit")
+    assert(p.linesIterator.exists(l =>
+        l.contains("ShuffledHashJoin") && l.contains("doc_id")),
+      "pl08 canonical flag-back is not a shuffle hash join:\n" + p.take(3000))
+    assert(!p.linesIterator.exists(l =>
+        (l.contains("BroadcastHashJoin") || l.contains("BroadcastExchange")) &&
+          (l.contains("bh#") || l.contains("ck#") || l.contains("doc_id#"))),
+      "pl08 broadcasts a corpus-derived relation:\n" + p.take(3000))
+  }
+
+  test("corpus-overlap sketch aggregates with map-side combine (dd20)") {
+    // The 64-permutation minima must partial-aggregate before the
+    // exchange — the shuffle carries |sources|×64 partial rows per
+    // task, never the gram stream.
+    val p = plan("dd20_corpus_overlap")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      "dd20 sketch lost map-side combine:\n" + p.take(3000))
+  }
+
+  test("classifier serving is one narrow pass — no exchanges (st31 fragment)") {
+    // st31's per-batch plan: features + integer sigmoid in-row against
+    // the 4-long model; the only admissible exchange is the fixture
+    // loader's REPARTITION_BY_NUM scaffold (ta31's rule).
+    val w = graft.operators.TextAnalysis.trainClassifier(spark, sfDir)._2
+    val p = graft.operators.TextAnalysis.classifierServe(
+      graft.sources.Tables.documents(spark, sfDir), w)
+      .queryExecution.executedPlan.toString
+    val badExchanges = p.linesIterator
+      .filter(_.contains("Exchange"))
+      .filterNot(_.contains("REPARTITION_BY_NUM"))
+      .toList
+    assert(badExchanges.isEmpty,
+      "classifier serve gained a shuffle:\n" + badExchanges.mkString("\n"))
+  }
+
+  test("dq10's refinement rounds push a raw-column range to the scan") {
+    // The envelope predicate a round applies must reach the parquet
+    // reader (row-group min/max skipping) — the integer-cents
+    // expression itself is not pushable, which is why the envelope
+    // exists. This pins the round's scan shape.
+    import graft.Exprs.cents
+    val round = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice"), cents(col("l_extendedprice")).as("c"))
+      .filter(col("l_extendedprice") >= 100.0 &&
+        col("l_extendedprice") <= 2000.0)
+    val p = round.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [") &&
+        p.contains("GreaterThanOrEqual(l_extendedprice"),
+      "dq10 envelope not pushed to the scan:\n" + p.take(2000))
+  }
+
   test("no query in the registry plans a cartesian product") {
     // Each query is constructed under its own Try: a construction
     // failure (e.g. a fixture-schema regression) is reported per query
