@@ -309,9 +309,14 @@ object Curation {
     * two plain-text boilerplate paragraphs) and extract the text blocks
     * that clear the density/link gates — (doc_id, lang, blocks), one
     * narrow codegen'd pass. */
-  private def webBlocks(s: SparkSession, d: String): DataFrame = {
+  private def webBlocks(s: SparkSession, d: String): DataFrame =
+    webBlocksOf(Tables.documents(s, d))
+
+  /** The markup wrap + extraction over any documents-shaped relation —
+    * row-pure, so the streaming leg (st32) runs it per micro-batch. */
+  private[graft] def webBlocksOf(docs: DataFrame): DataFrame = {
     val toks = "filter(split(text, ' '), x -> x <> '')"
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), col("lang"), expr(toks).as("tk"))
       .withColumn("half", expr("cast(ceil(size(tk) / 2.0) as int)"))
       .withColumn("p1", expr("concat_ws(' ', slice(tk, 1, half))"))
@@ -338,23 +343,24 @@ object Curation {
            s -> s.txt)""").as("blocks"))
   }
 
-  /** Stages 1–3 of pl05 per DOCUMENT — extraction (webBlocks), paragraph
-    * corpus-dedup, and the in-row quality score — shared by pl05 (the
-    * shard audit) and pl08 (the funnel attribution). One relation:
-    * (doc_id, lang, n_blocks, n_kept, txt, n, u, q). */
-  private def webScored(s: SparkSession, d: String): DataFrame = {
-    val blocksDf = webBlocks(s, d)
-    val bh = blocksDf
+  /** (doc_id, idx, bh) — each extracted block's position + 60-bit hash. */
+  private[graft] def bhOf(blocksDf: DataFrame): DataFrame =
+    blocksDf
       .select(col("doc_id"), posexplode(col("blocks")).as(Seq("idx", "blk")))
       .select(col("doc_id"), col("idx"),
         expr("cast(conv(substring(md5(blk), 1, 15), 16, 10) as bigint)").as("bh"))
-    val dropSet = bh.select(col("doc_id"), col("bh")).distinct()
+
+  /** ta27's drop rule over block hashes: every bh appearing in ≥ 3
+    * distinct documents. */
+  private[graft] def dropSetOf(bh: DataFrame): DataFrame =
+    bh.select(col("doc_id"), col("bh")).distinct()
       .groupBy(col("bh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 3).select(col("bh"))
-    val kept = bh.hint("shuffle_hash")
-      .join(dropSet.hint("shuffle_hash"), Seq("bh"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("idx"))).as("kept_idx"))
+
+  /** Reassembly + quality over blocks with a kept-index relation —
+    * the tail shared by the batch (webScored) and streaming
+    * (funnelPartial) legs. */
+  private def cleanedScoredOf(blocksDf: DataFrame, kept: DataFrame): DataFrame = {
     val cleaned = blocksDf.hint("shuffle_hash")
       .join(kept.hint("shuffle_hash"), Seq("doc_id"), "left")
       .withColumn("ki",
@@ -373,6 +379,85 @@ object Curation {
         when(col("n") > 0, round(
           least(col("n") / 100d, lit(1d)) * 0.5 + (col("u") / col("n")) * 0.5, 6))
           .otherwise(0d))
+  }
+
+  /** Stages 1–3 of pl05 per DOCUMENT — extraction (webBlocks), paragraph
+    * corpus-dedup, and the in-row quality score — shared by pl05 (the
+    * shard audit) and pl08 (the funnel attribution). One relation:
+    * (doc_id, lang, n_blocks, n_kept, txt, n, u, q). */
+  private def webScored(s: SparkSession, d: String): DataFrame = {
+    val blocksDf = webBlocks(s, d)
+    val bh = bhOf(blocksDf)
+    val kept = bh.hint("shuffle_hash")
+      .join(dropSetOf(bh).hint("shuffle_hash"), Seq("bh"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx"))).as("kept_idx"))
+    cleanedScoredOf(blocksDf, kept)
+  }
+
+  /** The funnel's STAGED artifacts (write-once per (app, fixture), the
+    * stagedClusters discipline): the paragraph drop set and the
+    * content-key canonical map — the two corpus-wide relations the
+    * streaming funnel leg (st32) probes per micro-batch instead of
+    * recomputing per trigger. */
+  private val stagedFunnelDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stagedFunnel(s: SparkSession, d: String, tag: String)(
+      build: => DataFrame): DataFrame = {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${tag}_" + s.sparkContext.applicationId + "_" +
+        d.replaceAll("[^A-Za-z0-9]", "_"))
+    stagedFunnelDirs.synchronized {
+      stagedFunnelDirs.getOrElseUpdate(dir.getPath, {
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          build.write.mode("overwrite").parquet(dir.getPath)
+        dir.getPath
+      })
+    }
+    s.read.parquet(dir.getPath)
+  }
+  private[graft] def stagedDropSet(s: SparkSession, d: String): DataFrame =
+    stagedFunnel(s, d, "funnel_drop")(dropSetOf(bhOf(webBlocks(s, d))))
+  private[graft] def stagedCanon(s: SparkSession, d: String): DataFrame =
+    stagedFunnel(s, d, "funnel_canon")(
+      webScored(s, d).filter(col("q") >= 0.5)
+        .withColumn("ck", md5(col("txt")))
+        .groupBy(col("ck")).agg(min(col("doc_id")).as("canon_id")))
+
+  /** st32's per-batch funnel attribution against the staged artifacts.
+    * Join direction is the serving-leg inversion of pl08's: the staged
+    * drop set and canonical map are corpus-derived (never broadcast,
+    * never RESHUFFLED per trigger) — instead the batch-derived probe
+    * sides broadcast INTO artifact scans (diversePartial's rule: bounded
+    * by micro-batch size), and the anti/flag joins then run against the
+    * batch-bounded results of those probes. At rest the artifacts are
+    * written once; each trigger costs two artifact scans with pushed
+    * broadcast probes, zero artifact shuffles. */
+  private[graft] def funnelPartial(batch: DataFrame, dropSet: DataFrame,
+      canon: DataFrame): DataFrame = {
+    val blocksDf = webBlocksOf(batch)
+    val bh = bhOf(blocksDf)
+    // artifact scan, batch probe broadcast: which of the batch's block
+    // hashes are corpus-boilerplate (batch-bounded result).
+    val dropped = dropSet
+      .join(broadcast(bh), Seq("bh"))
+      .select(col("doc_id"), col("idx"))
+    val kept = bh
+      .join(broadcast(dropped), Seq("doc_id", "idx"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx"))).as("kept_idx"))
+    val scored = cleanedScoredOf(blocksDf, kept)
+      .withColumn("ck", md5(col("txt")))
+    // artifact scan, batch probe broadcast: canonical ids for the
+    // batch's content keys (a non-passing doc's ck cannot be in the
+    // canonical map — identical txt ⇒ identical q on both docs).
+    val cf = canon.join(broadcast(scored.select(col("ck")).distinct()), Seq("ck"))
+    scored.join(broadcast(cf), Seq("ck"), "left")
+      .select(col("doc_id"), col("lang"),
+        when(col("n_kept") === 0, "boilerplate_only")
+          .when(col("q") < 0.5, "low_quality")
+          .when(col("doc_id") =!= col("canon_id"), "duplicate")
+          .otherwise("kept").as("stage"))
   }
 
   /** The pl05 per-doc CTE chain (markup wrap, extraction, paragraph
@@ -443,6 +528,19 @@ object Curation {
           p5p AS (SELECT *, md5(txt) AS ck FROM p5s WHERE q >= 0.5),
           p5canon AS (SELECT ck, min(doc_id) AS canon_id FROM p5p GROUP BY ck)"""
   }
+
+  /** st32's oracle: pl08's per-doc attribution BEFORE the rollup —
+    * the streaming funnel emits rows per document, so the oracle does
+    * too (same shared CTE chain). */
+  private[graft] def funnelRowsSql: String =
+    s"""WITH $p5Ctes
+        SELECT s.doc_id, s.lang,
+          CASE WHEN s.n_kept = 0 THEN 'boilerplate_only'
+               WHEN s.q < 0.5 THEN 'low_quality'
+               WHEN s.doc_id <> c.canon_id THEN 'duplicate'
+               ELSE 'kept' END AS stage
+        FROM p5s s LEFT JOIN p5p p ON s.doc_id = p.doc_id
+                   LEFT JOIN p5canon c ON p.ck = c.ck"""
 
   def oracleSql: Map[String, String] = Map(
     // Composed from the same constants; each stage is the SQL twin of

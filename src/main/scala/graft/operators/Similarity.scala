@@ -732,6 +732,69 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), cosAB.as("cos"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
+    }),
+
+    // -- NPROBE→RECALL TUNING SWEEP — the evaluation an IVF deployment
+    //    runs BEFORE picking its operating point: recall@3 against the
+    //    brute-force ground truth at nprobe ∈ {1,2,3}, in ONE plan. The
+    //    sweep trick: a probe cell ranked pr by centroid distance
+    //    participates in every nprobe ≥ pr, so exploding sequence(pr, 3)
+    //    materializes all three probe lists from ONE ranked relation —
+    //    three sweep points cost one centroid-distance pass, not three.
+    //    Geometry is ss10's (integer centroid argmin over quantized
+    //    vectors — exact, engine-reproducible); candidates join by cell
+    //    (each vector lives in exactly one cell, so no dedup is needed);
+    //    recall is exact integer ppm. At 100 TB this is a sampled-query
+    //    offline job whose output DECIDES the serving nprobe — the
+    //    tuning table itself is the deliverable.
+    "ss14_nprobe_recall" -> ((s, d) => {
+      val qv = quantVecs(s, d, 0)
+      val ctr = qv.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+      val dist2 = expr(
+        "aggregate(zip_with(v, cv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+      val corpusCell = qv.crossJoin(broadcast(ctr))
+        .select(col("vec_id"), col("cid"), dist2.as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("vec_id").as("neighbor_id"), col("m.cid").as("cell"))
+      val wq = Window.partitionBy(col("vec_id"))
+        .orderBy(col("d2").asc, col("cid").asc)
+      val swept = qv.filter(col("vec_id") % 50 === 0).crossJoin(broadcast(ctr))
+        .select(col("vec_id"), col("cid"), dist2.as("d2"))
+        .withColumn("pr", row_number().over(wq))
+        .filter(col("pr") <= 3)
+        .select(col("vec_id").as("query_id"), col("cid").as("cell"),
+          explode(expr("sequence(pr, 3)")).as("nprobe"))
+      val v = vecs(s, d)
+      val w3 = Window.partitionBy(col("nprobe"), col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      val top3 = swept.join(corpusCell, "cell")
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+        .join(v.as("a"), col("query_id") === col("a.vec_id"))
+        .join(v.as("b"), col("neighbor_id") === col("b.vec_id"))
+        .select(col("nprobe"), col("query_id"), col("neighbor_id"),
+          cosAB.as("cos"))
+        .withColumn("rnk", row_number().over(w3))
+        .filter(col("rnk") <= 3)
+        .select(col("nprobe"), col("query_id"), col("neighbor_id"))
+      val wb = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      val brute = broadcast(v.filter(col("vec_id") % 50 === 0)).as("a")
+        .join(v.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+          cosAB.as("cos"))
+        .withColumn("rnk", row_number().over(wb))
+        .filter(col("rnk") <= 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+      val tot = brute.agg(count(lit(1)).as("n_total"))
+      top3.join(brute, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("nprobe"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .crossJoin(broadcast(tot)) // 1-row total — bounded class
+        .select(col("nprobe"), col("n_hits"), col("n_total"),
+          expr("n_hits * 1000000 div n_total").as("recall_ppm"))
     })
   )
 
@@ -780,6 +843,58 @@ object Similarity {
             FROM v a JOIN v b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id)
           WHERE rnk <= 5""",
     "ss02_ivf_topk" -> dIvfTopk,
+    // ss14: ss10's geometry CTEs + the sequence(pr,3) sweep + brute
+    // ground truth, scored as exact integer ppm.
+    "ss14_nprobe_recall" ->
+      s"""WITH v AS ($dVecs),
+          q AS (SELECT vec_id, label,
+                  list_transform(CAST(embedding AS DOUBLE[]),
+                    x -> CAST(round(x * 1000, 0) AS BIGINT)) AS v
+                FROM embeddings),
+          c AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM q WHERE vec_id < 8),
+          d2 AS (
+            SELECT q.vec_id, c.cid,
+              list_aggregate(list_transform(range(len(q.v)),
+                i -> (q.v[CAST(i AS INT) + 1] - c.cv[CAST(i AS INT) + 1])
+                   * (q.v[CAST(i AS INT) + 1] - c.cv[CAST(i AS INT) + 1])), 'sum') AS d2
+            FROM q CROSS JOIN c),
+          cell AS (SELECT vec_id AS neighbor_id, cid AS cell FROM (
+              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2 ASC, cid ASC) AS rn FROM d2) WHERE rn = 1),
+          pr AS (SELECT vec_id AS query_id, cid AS cell, rn FROM (
+              SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                ORDER BY d2 ASC, cid ASC) AS rn FROM d2 WHERE vec_id % 50 = 0)
+            WHERE rn <= 3),
+          swept AS (SELECT query_id, cell, CAST(t.np AS INT) AS nprobe
+                    FROM pr, range(1, 4) t(np) WHERE pr.rn <= t.np),
+          cand AS (SELECT s.nprobe, s.query_id, cc.neighbor_id
+                   FROM swept s JOIN cell cc
+                     ON s.cell = cc.cell AND s.query_id <> cc.neighbor_id),
+          top3 AS (SELECT nprobe, query_id, neighbor_id FROM (
+              SELECT t.nprobe, t.query_id, t.neighbor_id,
+                row_number() OVER (PARTITION BY t.nprobe, t.query_id
+                  ORDER BY $dCosAB DESC, t.neighbor_id ASC) AS rnk
+              FROM cand t
+              JOIN v a ON t.query_id = a.vec_id
+              JOIN v b ON t.neighbor_id = b.vec_id) WHERE rnk <= 3),
+          brute AS (SELECT query_id, neighbor_id FROM (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                row_number() OVER (PARTITION BY a.vec_id
+                  ORDER BY $dCosAB DESC, b.vec_id ASC) AS rnk
+              FROM v a JOIN v b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id)
+            WHERE rnk <= 3),
+          tot AS (SELECT count(*) AS n_total FROM brute)
+          SELECT t3.nprobe,
+            CAST(sum(CASE WHEN br.query_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hits,
+            CAST(any_value(tt.n_total) AS BIGINT) AS n_total,
+            CAST(sum(CASE WHEN br.query_id IS NOT NULL THEN 1 ELSE 0 END)
+              * 1000000 // any_value(tt.n_total) AS BIGINT) AS recall_ppm
+          FROM top3 t3
+          LEFT JOIN brute br ON t3.query_id = br.query_id
+            AND t3.neighbor_id = br.neighbor_id
+          CROSS JOIN tot tt
+          GROUP BY t3.nprobe""",
     // ss13: the same two-stage shape as ss06's oracle — coarse rank on
     // the 32-dim prefix, shared-cosine re-rank of the 10-pool by id.
     "ss13_mrl_topk" ->

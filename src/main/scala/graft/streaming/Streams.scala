@@ -1092,6 +1092,43 @@ object Streams {
       s.read.parquet(outDir).distinct()
     }),
 
+    // -- STREAMING FUNNEL MONITOR — pl08 at ingest: every arriving
+    //    document is attributed to its first failing curation gate per
+    //    micro-batch, against the STAGED drop-set and canonical-map
+    //    artifacts (the nightly corpus-wide relations; recomputing them
+    //    per trigger would be a corpus pass per batch). Join direction
+    //    is the serving inversion (funnelPartial): artifacts are never
+    //    broadcast and never reshuffled per trigger — the batch-derived
+    //    probe sides broadcast into artifact scans. A doc's stage is a
+    //    pure function of (its row, the static artifacts), so union
+    //    over batches ≡ pl08's per-doc attribution (the oracle), and
+    //    replays collapse under the read-back distinct. ZERO stream
+    //    state.
+    "st32_stream_funnel" -> ((s, d) => {
+      import graft.operators.Curation
+      val dropSet = Curation.stagedDropSet(s, d)
+      val canon = Curation.stagedCanon(s, d)
+      val (feed, schema) = docsFeed(s, d)
+      val outDir = graft.sources.Scratch.dir(s, d, "st32_out")
+      val fsPath = new org.apache.hadoop.fs.Path(outDir)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Curation.funnelPartial(batch, dropSet, canon)
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      s.read.parquet(outDir).distinct()
+    }),
+
     // -- STREAMING RAG SERVING — the full retrieval path as a stream
     //    (st22 serves the PROBE; this serves the whole pl06 pipeline):
     //    query vectors arrive on the feed, each micro-batch probes the
@@ -1734,6 +1771,10 @@ object Streams {
     // the training and scores every doc (the train→serve contract).
     "st31_stream_classifier_score" ->
       graft.operators.TextAnalysis.st31Sql,
+    // st32 attributes each doc to its first failing gate — the oracle is
+    // pl08's per-doc CTE chain before the rollup.
+    "st32_stream_funnel" ->
+      graft.operators.Curation.funnelRowsSql,
     "st04_stream_sessions" ->
       """SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events FROM (
            SELECT user_id, sess, count(*) AS n_events FROM (

@@ -142,6 +142,19 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  // ss14: recall must be monotone non-decreasing in nprobe (probing
+  // more cells can only add candidates), bounded in [0, 1e6], and the
+  // full sweep must cover all three operating points.
+  test("ss14 recall is monotone in nprobe") {
+    val rows = SparkEntry.queries("ss14_nprobe_recall")(spark, sfDir)
+      .orderBy(col("nprobe")).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    val recalls = rows.map(_.getLong(3))
+    recalls.foreach(r => assert(r >= 0L && r <= 1000000L))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      recalls.mkString(","))
+  }
+
   // pl08: the funnel stages PARTITION the corpus — every document is
   // attributed to exactly one stage, so the rollup sums to the table
   // count and the kept stage equals pl05's canonical total.

@@ -124,6 +124,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  // st32: the streaming funnel's per-doc attribution, rolled up, must
+  // equal pl08's batch rollup — the same verdicts through inverted join
+  // directions (artifact-scan + batch-broadcast vs corpus shuffle-hash).
+  test("st32 streaming funnel rolls up to pl08's batch audit") {
+    val streamed = Streams.queries("st32_stream_funnel")(spark, sfDir)
+      .groupBy(col("lang"), col("stage")).count()
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Curation.queries("pl08_funnel_audit")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   // Fault-tolerance: a checkpointed query stopped and restarted must
   // resume from its state store — the restart processes ONLY the new
   // file (numInputRows proves no re-read), yet the final aggregation
