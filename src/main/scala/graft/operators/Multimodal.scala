@@ -57,7 +57,13 @@ object Multimodal {
     * residues, always ≥ 16 so resize math never divides by zero), then
     * the raw 16-byte md5 digest of the text as payload. */
   private def grf2Blobs(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    grf2BlobsOf(Tables.documents(s, d))
+
+  /** The container wrap over any documents-shaped relation — row-pure,
+    * so the streaming decode leg (st33) builds each micro-batch's blobs
+    * the same way. */
+  private def grf2BlobsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         unhex(concat(
           lit("894752"), // \x89 'G' 'R'
@@ -94,6 +100,19 @@ object Multimodal {
     }
   }
 
+  /** mm02's decode over any documents-shaped relation: wrap → typed
+    * mapPartitions byte parse → DecodedMeta rows. Shared by the batch
+    * query and st33's per-micro-batch streaming leg (decode is row-pure,
+    * so union over batches ≡ the batch decode). */
+  private[graft] def decodePartial(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    grf2BlobsOf(docs)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) => decodeGrf2(id, blob) })
+      .toDF()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Blob ingestion metadata: narrow, codegen'd; the binary column
     //    never leaves the executor.
@@ -113,13 +132,8 @@ object Multimodal {
     //    actual decode shape, not an md5 stand-in. Streamed over the
     //    iterator: constant memory, no collect, scales with partition
     //    count. The oracle recomputes the header fields in closed form.
-    "mm02_decode_meta" -> ((s, d) => {
-      import s.implicits._
-      grf2Blobs(s, d)
-        .as[(Long, Array[Byte])]
-        .mapPartitions(_.map { case (id, blob) => decodeGrf2(id, blob) })
-        .toDF()
-    }),
+    "mm02_decode_meta" -> ((s, d) =>
+      decodePartial(Tables.documents(s, d))),
 
     // -- Frame sampling: every 25th frame index of a pretend video whose
     //    frame count is the byte length. Explode is the scalable form —

@@ -303,7 +303,41 @@ object Profile {
         envelope = Some((lo, hi) =>
           col("l_extendedprice") >= (lo - 1).toDouble / 100.0 &&
           col("l_extendedprice") <= (hi + 1).toDouble / 100.0))
+    }),
+
+    // -- STAGED-ARTIFACT RECONCILIATION — the audit a pipeline of
+    //    write-once artifacts (IVF index, per-doc BPE stats, cluster
+    //    relation, …) runs before trusting them: each artifact's cheap
+    //    CONTRACT invariant (row parity with its source relation;
+    //    zero orphan keys) measured as exact counts. Catching a stale
+    //    or partial artifact here costs O(artifact) counting; catching
+    //    it downstream costs a wrong training set. Each check is one
+    //    distributed count (map-side combined); the audit relation
+    //    itself is |artifacts| rows — bounded-scalar class (ta36's
+    //    curve discipline).
+    "dq11_artifact_reconciliation" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val emb = Tables.embeddings(s, d)
+      val clusters = Dedup.stagedClusters(s, d)
+      val orphans = clusters.select(col("doc_id"))
+        .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      reconcileArtifacts(s, Seq(
+        ("bpe_doc_stats", docs.count(),
+          Bpe.stagedDocStats(s, d).count()),
+        ("cluster_orphans", 0L, orphans.count()),
+        ("ivf_index", emb.count(),
+          Similarity.ivfIndex(s, d).count())))
     }))
+
+  /** dq11's verdict relation over (artifact, expected, actual) count
+    * triples — extracted pure so the spec can feed a synthetically
+    * stale artifact and assert positive detection (dq06's discipline). */
+  private[graft] def reconcileArtifacts(
+      s: SparkSession, checks: Seq[(String, Long, Long)]): DataFrame = {
+    import s.implicits._
+    checks.map { case (a, e, g) => (a, e, g, e == g) }
+      .toDF("artifact", "n_expected", "n_actual", "consistent")
+  }
 
   /** dq10's engine: exact multi-percentile selection over a single
     * BIGINT column `c` by iterative histogram refinement (see the query
@@ -673,5 +707,22 @@ object Profile {
          SELECT CAST(p.p AS INT) AS p_pct, r10.c AS value_cents
          FROM (VALUES (50), (90), (99)) p(p)
          CROSS JOIN n10
-         JOIN r10 ON r10.rn = greatest(1, (p.p * n10.cnt + 99) // 100)""")
+         JOIN r10 ON r10.rn = greatest(1, (p.p * n10.cnt + 99) // 100)""",
+
+    // dq11: a FRESH artifact satisfies its contract by construction, so
+    // the oracle spells the contract from the base tables alone —
+    // actual == expected, consistent true. The stale-artifact path is
+    // the spec's job (reconcileArtifacts with an injected mismatch).
+    "dq11_artifact_reconciliation" ->
+      """SELECT 'bpe_doc_stats' AS artifact,
+           CAST(count(*) AS BIGINT) AS n_expected,
+           CAST(count(*) AS BIGINT) AS n_actual,
+           true AS consistent
+         FROM documents
+         UNION ALL
+         SELECT 'cluster_orphans', CAST(0 AS BIGINT), CAST(0 AS BIGINT), true
+         UNION ALL
+         SELECT 'ivf_index', CAST(count(*) AS BIGINT),
+           CAST(count(*) AS BIGINT), true
+         FROM embeddings""")
 }

@@ -644,37 +644,43 @@ object TextAnalysis {
     //    exact integer arithmetic in both engines (ta16 note: log2 of
     //    identical doubles is bit-identical across both engines' libm
     //    on this host — the ta15/ta16 family already leans on that).
-    "ta24_bigram_lm_surprisal" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val bi = docs
-        .select(col("doc_id"), expr(toks).as("tk"))
-        .filter(expr("size(tk) >= 2"))
-        .select(col("doc_id"),
-          explode(expr(
-            "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] as w1, tk[i] as w2))"))
-            .as("g"))
-        .select(col("doc_id"), col("g.w1"), col("g.w2"))
-      val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-      val uc = bi.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
-      val vocab = docs.select(explode(expr(toks)).as("w"))
-        .agg(countDistinct(col("w")).as("v"))
-      val scored = bi
-        .join(bc, Seq("w1", "w2"))
-        .join(uc, Seq("w1"))
-        .crossJoin(broadcast(vocab))
-        .select(col("doc_id"),
-          expr("cast(round(-log2((cb + 1) / cast(cu + v as double)) * 1e6) as bigint)")
-            .as("micro_bits"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-             sum(col("micro_bits")).as("sum_micro"))
-      docs.select(col("doc_id"))
-        .join(scored, Seq("doc_id"), "left")
+    "ta24_bigram_lm_surprisal" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"))
+        .join(surprisalScored(s, d), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
           when(col("n_bigrams").isNotNull,
             round(col("sum_micro").cast("double") / 1e6 / col("n_bigrams"), 6))
-            .otherwise(0d).as("avg_bits"))
+            .otherwise(0d).as("avg_bits"))),
+
+    // -- SURPRISAL-BAND PRUNING — perplexity-based data pruning, the
+    //    selection pass the data-pruning literature converged on: drop
+    //    the LOW-surprisal tail (templated/repetitive text the model
+    //    learns for free) and the HIGH tail (noise/garbled text), keep
+    //    the middle band. Composes two of the library's own engines:
+    //    ta24's corpus-trained bigram-LM surprisal (exact integer
+    //    micro-bits per doc) scores; dq10's exactQuantiles finds the
+    //    p10/p90 cut VALUES without a global sort (the thresholds are 2
+    //    longs — bounded driver state); banding is then one narrow
+    //    pass. The scored relation is localCheckpoint'd so the
+    //    refinement rounds re-scan 3 longs per doc, not the bigram
+    //    pipeline (at 100 TB: a written score artifact, same move).
+    //    All arithmetic integer → both engines agree on every boundary.
+    "ta37_surprisal_prune" -> ((s, d) => {
+      val scoreDf = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .join(surprisalScored(s, d), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          when(col("n_bigrams").isNotNull && col("n_bigrams") > 0,
+            expr("sum_micro div n_bigrams")).otherwise(0L).as("c"))
+        .localCheckpoint()
+      val th = Profile.exactQuantiles(s, scoreDf.select(col("c")), Seq(10, 90))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      scoreDf.select(col("lang"),
+        when(col("c") < th(10), "pruned_low")
+          .when(col("c") > th(90), "pruned_high")
+          .otherwise("kept").as("band"))
+        .groupBy(col("lang"), col("band"))
+        .agg(count(lit(1)).as("n_docs"))
     }),
 
     // -- C4-STYLE INTRA-DOCUMENT LINE DEDUP — among the most-used
@@ -1008,6 +1014,35 @@ object TextAnalysis {
                   FROM documents) GROUP BY doc_id, tok)
           GROUP BY doc_id)"""
 
+  /** ta24's scored relation (doc_id, n_bigrams, sum_micro) — the
+    * corpus-trained bigram-LM surprisal in exact integer micro-bits,
+    * shared by ta24 (the per-doc report) and ta37 (band pruning). */
+  private def surprisalScored(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bi = docs
+      .select(col("doc_id"), expr(toks).as("tk"))
+      .filter(expr("size(tk) >= 2"))
+      .select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] as w1, tk[i] as w2))"))
+          .as("g"))
+      .select(col("doc_id"), col("g.w1"), col("g.w2"))
+    val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val uc = bi.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    val vocab = docs.select(explode(expr(toks)).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bi
+      .join(bc, Seq("w1", "w2"))
+      .join(uc, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        expr("cast(round(-log2((cb + 1) / cast(cu + v as double)) * 1e6) as bigint)")
+          .as("micro_bits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(col("micro_bits")).as("sum_micro"))
+  }
+
   /** ta36's per-doc feature relation (doc_id, y, f0..f3) in exact
     * integer micro-units — shared by training (ta36) and the streaming
     * scoring leg (st31, which computes it per micro-batch). */
@@ -1071,6 +1106,26 @@ object TextAnalysis {
     classifierScored(classifierFeatures(batch), w)
       .select(col("doc_id"), col("p").as("p_micro"),
         (col("p") >= 500000L).as("keep"))
+
+  /** ta24's oracle CTE chain (bigram stream, counts, vocab, per-doc
+    * integer surprisal sums) — shared verbatim with ta37's pruning
+    * oracle so score and selection can never drift. */
+  private def ta24Ctes: String =
+    s"""ta24tk AS (SELECT doc_id, $dtoks AS tk FROM documents
+                        WHERE len($dtoks) >= 2),
+        ta24bi AS (SELECT doc_id,
+            unnest(list_transform(range(len(tk) - 1), i -> tk[i+1])) AS w1,
+            unnest(list_transform(range(len(tk) - 1), i -> tk[i+2])) AS w2
+          FROM ta24tk),
+        ta24bc AS (SELECT w1, w2, count(*) AS cb FROM ta24bi GROUP BY 1, 2),
+        ta24uc AS (SELECT w1, count(*) AS cu FROM ta24bi GROUP BY 1),
+        ta24v AS (SELECT count(DISTINCT w) AS v FROM
+            (SELECT unnest($dtoks) AS w FROM documents)),
+        ta24sc AS (SELECT doc_id, count(*) AS n_bigrams,
+            sum(CAST(round(-log2((cb + 1) / CAST(cu + v AS DOUBLE)) * 1e6)
+                AS BIGINT)) AS sum_micro
+          FROM ta24bi JOIN ta24bc USING (w1, w2) JOIN ta24uc USING (w1), ta24v
+          GROUP BY doc_id)"""
 
   /** Symmetric-truncating division for the DuckDB twins: Spark's `div`
     * truncates toward zero while DuckDB's `//` floors, so every division
@@ -1209,27 +1264,36 @@ object TextAnalysis {
     // Per-bigram surprisal is integer micro-bits before the per-doc sum,
     // so the distributed double-sum never happens in either engine.
     "ta24_bigram_lm_surprisal" ->
-      s"""WITH ta24tk AS (SELECT doc_id, $dtoks AS tk FROM documents
-                          WHERE len($dtoks) >= 2),
-          ta24bi AS (SELECT doc_id,
-              unnest(list_transform(range(len(tk) - 1), i -> tk[i+1])) AS w1,
-              unnest(list_transform(range(len(tk) - 1), i -> tk[i+2])) AS w2
-            FROM ta24tk),
-          ta24bc AS (SELECT w1, w2, count(*) AS cb FROM ta24bi GROUP BY 1, 2),
-          ta24uc AS (SELECT w1, count(*) AS cu FROM ta24bi GROUP BY 1),
-          ta24v AS (SELECT count(DISTINCT w) AS v FROM
-              (SELECT unnest($dtoks) AS w FROM documents)),
-          ta24sc AS (SELECT doc_id, count(*) AS n_bigrams,
-              sum(CAST(round(-log2((cb + 1) / CAST(cu + v AS DOUBLE)) * 1e6)
-                  AS BIGINT)) AS sum_micro
-            FROM ta24bi JOIN ta24bc USING (w1, w2) JOIN ta24uc USING (w1), ta24v
-            GROUP BY doc_id)
+      s"""WITH $ta24Ctes
           SELECT d.doc_id,
             coalesce(n_bigrams, 0) AS n_bigrams,
             CASE WHEN n_bigrams IS NOT NULL
                  THEN round(CAST(sum_micro AS DOUBLE) / 1e6 / n_bigrams, 6)
                  ELSE 0e0 END AS avg_bits
           FROM documents d LEFT JOIN ta24sc ON d.doc_id = ta24sc.doc_id""",
+
+    // ta37: the same scored CTE chain; thresholds spelled as dq10's rank
+    // rule (value at rank ceil(p·n/100)); banding + rollup.
+    "ta37_surprisal_prune" ->
+      s"""WITH $ta24Ctes,
+          t37 AS (SELECT d.doc_id, d.lang,
+              CASE WHEN s.n_bigrams IS NOT NULL AND s.n_bigrams > 0
+                   THEN s.sum_micro // s.n_bigrams
+                   ELSE CAST(0 AS BIGINT) END AS c
+            FROM documents d LEFT JOIN ta24sc s ON d.doc_id = s.doc_id),
+          n37 AS (SELECT count(*) AS cnt FROM t37),
+          r37 AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM t37),
+          v10 AS (SELECT c AS v FROM r37, n37
+                  WHERE rn = greatest(1, (10 * cnt + 99) // 100)),
+          v90 AS (SELECT c AS v FROM r37, n37
+                  WHERE rn = greatest(1, (90 * cnt + 99) // 100))
+          SELECT lang, band, count(*) AS n_docs FROM (
+            SELECT lang,
+              CASE WHEN c < (SELECT v FROM v10) THEN 'pruned_low'
+                   WHEN c > (SELECT v FROM v90) THEN 'pruned_high'
+                   ELSE 'kept' END AS band
+            FROM t37)
+          GROUP BY lang, band""",
     // Same injected line structure; the df filter and ordered
     // reassembly mirror the Spark side (string_agg ORDER BY idx).
     "ta27_line_dedup" ->

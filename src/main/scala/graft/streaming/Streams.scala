@@ -1129,6 +1129,36 @@ object Streams {
       s.read.parquet(outDir).distinct()
     }),
 
+    // -- STREAMING BLOB DECODE — the multimodal family's streaming leg:
+    //    container blobs arrive with the feed and each micro-batch runs
+    //    mm02's exact decode shape (typed mapPartitions byte parse —
+    //    constant memory, scales with partition count; the deployment
+    //    slot where a media library's decoder drops in). Decode is
+    //    row-pure → union over batches ≡ mm02's batch decode (mm02's
+    //    closed-form oracle verbatim), replays collapse under the
+    //    read-back distinct. ZERO stream state, zero exchanges.
+    "st33_stream_blob_decode" -> ((s, d) => {
+      val (feed, schema) = docsFeed(s, d)
+      val outDir = graft.sources.Scratch.dir(s, d, "st33_out")
+      val fsPath = new org.apache.hadoop.fs.Path(outDir)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.operators.Multimodal.decodePartial(batch)
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      s.read.parquet(outDir).distinct()
+    }),
+
     // -- STREAMING RAG SERVING — the full retrieval path as a stream
     //    (st22 serves the PROBE; this serves the whole pl06 pipeline):
     //    query vectors arrive on the feed, each micro-batch probes the
@@ -1775,6 +1805,10 @@ object Streams {
     // pl08's per-doc CTE chain before the rollup.
     "st32_stream_funnel" ->
       graft.operators.Curation.funnelRowsSql,
+    // st33 decodes per micro-batch; decode is row-pure, so the oracle is
+    // mm02's closed-form header recomputation verbatim.
+    "st33_stream_blob_decode" ->
+      graft.operators.Multimodal.oracleSql("mm02_decode_meta"),
     "st04_stream_sessions" ->
       """SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events FROM (
            SELECT user_id, sess, count(*) AS n_events FROM (

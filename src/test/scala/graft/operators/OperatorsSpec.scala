@@ -155,6 +155,31 @@ class OperatorsSpec extends SparkSpec {
       recalls.mkString(","))
   }
 
+  // ta37: the three bands partition the corpus, and the p10/p90 rank
+  // rule keeps the dominant middle band (>= 60% even under ties).
+  test("ta37 surprisal bands partition the corpus, kept band dominant") {
+    val rows = SparkEntry.queries("ta37_surprisal_prune")(spark, sfDir).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(total == nDocs, s"bands sum to $total, corpus has $nDocs")
+    val kept = rows.filter(_.getString(1) == "kept").map(_.getLong(2)).sum
+    assert(kept >= (nDocs * 6) / 10, s"kept=$kept of $nDocs")
+  }
+
+  // dq11: a synthetically stale artifact (count short of contract) must
+  // flag inconsistent; the intact fixture must reconcile clean.
+  test("dq11 flags a stale artifact and passes the intact fixture") {
+    val stale = Profile.reconcileArtifacts(spark, Seq(
+      ("fresh", 100L, 100L), ("stale", 100L, 73L), ("orphaned", 0L, 4L)))
+      .collect().map(r => r.getString(0) -> r.getBoolean(3)).toMap
+    assert(stale == Map("fresh" -> true, "stale" -> false, "orphaned" -> false))
+    val rows = SparkEntry.queries("dq11_artifact_reconciliation")(spark, sfDir)
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(r.getBoolean(3),
+      s"${r.getString(0)}: expected ${r.getLong(1)}, actual ${r.getLong(2)}"))
+  }
+
   // pl08: the funnel stages PARTITION the corpus — every document is
   // attributed to exactly one stage, so the rollup sums to the table
   // count and the kept stage equals pl05's canonical total.

@@ -137,6 +137,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  // st33: streaming decode union equals the batch decode (row-pure).
+  test("st33 streaming blob decode equals mm02's batch decode") {
+    val streamed = Streams.queries("st33_stream_blob_decode")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Multimodal.queries("mm02_decode_meta")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   // Fault-tolerance: a checkpointed query stopped and restarted must
   // resume from its state store — the restart processes ONLY the new
   // file (numInputRows proves no re-read), yet the final aggregation
