@@ -211,6 +211,41 @@ object Curation {
         k = 5)
     }),
 
+    // -- EPOCH-PLAN MATERIALIZATION — the step that turns curation
+    //    OUTPUTS into the thing a training launcher actually mounts:
+    //    ta35's deterministic fractional-epoch copies, each costed in
+    //    BPE subword tokens (the staged per-doc stats — budgets are
+    //    model tokens, ta09's rule), routed to a shard by ord_key and
+    //    POSITIONED inside it (row_number over the shard window —
+    //    shards are the parallel unit, no global sort), rolled up to a
+    //    per-shard manifest: row count, token budget, and an
+    //    ORDER-SENSITIVE checksum sum((pos+1)·kh mod p) that any
+    //    reordering breaks — the reproducibility receipt for "this
+    //    epoch, in this order". All exact integers. Scale notes: the
+    //    copy→token join is doc_id-keyed shuffle hash (corpus-sized
+    //    both sides); the checksum terms stay < 2^40 so the fixture sum
+    //    is exact in i64 — at 10^12-row shards production swaps in a
+    //    modular-accumulation Aggregator (q32's rung), same contract.
+    "pl09_epoch_plan" -> ((s, d) => {
+      val copies = TextAnalysis.queries("ta35_epoch_upsample")(s, d)
+      val toks = Bpe.docSubwords(s, d).select(col("doc_id"), col("n_subwords"))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("ord_key").asc, col("doc_id").asc, col("copy_idx").asc)
+      copies.hint("shuffle_hash")
+        .join(toks.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .withColumn("n_subwords", coalesce(col("n_subwords"), lit(0L)))
+        .withColumn("shard", expr("ord_key % 8"))
+        .withColumn("pos", row_number().over(w) - 1)
+        .withColumn("kh", expr(
+          "cast(conv(substring(md5(concat(cast(doc_id as string), ':', " +
+          "cast(copy_idx as string), ':k')), 1, 12), 16, 10) as bigint)"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_subwords")).as("n_tokens"),
+          sum(expr("((pos + 1) % 1000003) * (kh % 1000003)"))
+            .as("order_checksum"))
+    }),
+
     // -- CURATION FUNNEL AUDIT — "where did my data go", the #1
     //    debugging question a curation run answers before anything else
     //    ships: every document attributed to the FIRST pl05 gate that
@@ -646,6 +681,31 @@ object Curation {
             CAST(sum(n_subwords) AS BIGINT) AS n_ctx_tokens,
             md5(string_agg(text, ' ' ORDER BY rnk)) AS ctx_md5
           FROM pl6_k GROUP BY query_id"""
+    },
+
+    // pl09: ta35's copy oracle + the BPE per-doc CTE + the same window
+    // position and checksum arithmetic.
+    "pl09_epoch_plan" -> {
+      val ta35 = TextAnalysis.oracleSql("ta35_epoch_upsample")
+      s"""${Bpe.withSqlPrefix},
+          pl9_c AS ($ta35),
+          pl9_j AS (SELECT c.doc_id, c.copy_idx, c.ord_key,
+              CAST(coalesce(b.n_subwords, 0) AS BIGINT) AS n_subwords
+            FROM pl9_c c LEFT JOIN bpe_doc b ON c.doc_id = b.doc_id),
+          pl9_p AS (SELECT doc_id, copy_idx, ord_key, n_subwords,
+              ord_key % 8 AS shard,
+              row_number() OVER (PARTITION BY ord_key % 8
+                ORDER BY ord_key ASC, doc_id ASC, copy_idx ASC) - 1 AS pos
+            FROM pl9_j)
+          SELECT shard, count(*) AS n_rows,
+            CAST(sum(n_subwords) AS BIGINT) AS n_tokens,
+            CAST(sum(((pos + 1) % 1000003) * (kh % 1000003)) AS BIGINT)
+              AS order_checksum
+          FROM (SELECT *,
+              CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR),
+                ':', CAST(copy_idx AS VARCHAR), ':k')), 1, 12)) AS BIGINT) AS kh
+            FROM pl9_p)
+          GROUP BY shard"""
     },
 
     "pl02_embedding_curation" -> {

@@ -180,6 +180,19 @@ class OperatorsSpec extends SparkSpec {
       s"${r.getString(0)}: expected ${r.getLong(1)}, actual ${r.getLong(2)}"))
   }
 
+  // pl09: the epoch plan must account for EVERY upsampled copy exactly
+  // once across shards, with non-degenerate routing and budgets.
+  test("pl09 shards cover every ta35 copy exactly once") {
+    val plan9 = SparkEntry.queries("pl09_epoch_plan")(spark, sfDir).collect()
+    val nCopies = SparkEntry.queries("ta35_epoch_upsample")(spark, sfDir).count()
+    assert(plan9.map(_.getLong(1)).sum == nCopies)
+    assert(plan9.length >= 2, "degenerate shard routing")
+    plan9.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 8)
+      assert(r.getLong(2) > 0, s"shard ${r.getLong(0)}: zero token budget")
+    }
+  }
+
   // pl08: the funnel stages PARTITION the corpus — every document is
   // attributed to exactly one stage, so the rollup sums to the table
   // count and the kept stage equals pl05's canonical total.
