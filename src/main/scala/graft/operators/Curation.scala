@@ -394,10 +394,15 @@ object Curation {
 
   /** Reassembly + quality over blocks with a kept-index relation —
     * the tail shared by the batch (webScored) and streaming
-    * (funnelPartial) legs. */
-  private def cleanedScoredOf(blocksDf: DataFrame, kept: DataFrame): DataFrame = {
-    val cleaned = blocksDf.hint("shuffle_hash")
-      .join(kept.hint("shuffle_hash"), Seq("doc_id"), "left")
+    * (funnelPartial) legs. `batchLocal`: in the streaming leg both
+    * sides are micro-batch-bounded, so the kept relation BROADCASTS
+    * (no per-trigger exchange); in the batch leg both are corpus-sized
+    * → shuffle hash (pl05's plan-spec-pinned discipline). */
+  private def cleanedScoredOf(blocksDf: DataFrame, kept: DataFrame,
+      batchLocal: Boolean = false): DataFrame = {
+    val cleaned = (if (batchLocal) blocksDf.join(broadcast(kept), Seq("doc_id"), "left")
+      else blocksDf.hint("shuffle_hash")
+        .join(kept.hint("shuffle_hash"), Seq("doc_id"), "left"))
       .withColumn("ki",
         coalesce(col("kept_idx"), expr("cast(array() as array<int>)")))
       .select(col("doc_id"), col("lang"),
@@ -481,7 +486,7 @@ object Curation {
       .join(broadcast(dropped), Seq("doc_id", "idx"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("idx"))).as("kept_idx"))
-    val scored = cleanedScoredOf(blocksDf, kept)
+    val scored = cleanedScoredOf(blocksDf, kept, batchLocal = true)
       .withColumn("ck", md5(col("txt")))
     // artifact scan, batch probe broadcast: canonical ids for the
     // batch's content keys (a non-passing doc's ck cannot be in the
