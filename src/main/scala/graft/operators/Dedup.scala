@@ -909,27 +909,25 @@ object Dedup {
     //    at K=64). Min over the shingle MULTISET equals min over the
     //    set, so no per-doc distinct is needed.
     "dd20_corpus_overlap" -> ((s, d) => {
-      // Per-DOC partial minima first, computed as ONE lambda-bound
-      // 64-element array per row (simhash's discipline: the hashed-gram
-      // array is a lambda variable, so md5 runs once per gram no matter
-      // how many permutations read it; a per-permutation projection
-      // column would be inlined 64× by CollapseProject). posexplode
-      // evaluates the array once and lands directly in the long format —
-      // the aggregation reduces |docs|×64 partial-min rows, never
-      // |grams|×64 (measured 3.3 s → sub-second at sf0.01).
-      val perms = (0 until K20).map(k =>
-        s"named_struct('a', ${A20(k)}L, 'b', ${B20(k)}L)").mkString(", ")
-      val minsOf =
-        "element_at(transform(array(transform(transform(" +
-        "sequence(0, size(tk) - 3), " +
+      // Per-DOC partial minima first, all 64 computed in ONE primitive
+      // pass over the hashed-gram array by the native codegen'd
+      // MinHashPerms expression (graft.functions — the §7.3(b) rung;
+      // the HOF chain walked the array once per permutation through
+      // interpreted lambdas). The gram-hash array is the expression's
+      // single child, so md5 runs once per gram; posexplode is the
+      // array's single consumer, so nothing re-evaluates — the
+      // aggregation reduces |docs|×64 partial-min rows, never
+      // |grams|×64 (HOF explode form measured 3.3 s at sf0.01).
+      val hsCol = expr(
+        "transform(transform(sequence(0, size(tk) - 3), " +
         "i -> concat(element_at(tk, i + 1), ' ', element_at(tk, i + 2), ' ', element_at(tk, i + 3))), " +
-        s"g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % $P)), " +
-        s"hs -> transform(array($perms), " +
-        s"p -> array_min(transform(hs, h -> (h * p.a + p.b) % $P)))), 1)"
+        "g -> cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint))")
       val longf = Tables.documents(s, d)
         .select(col("source"), expr(toks).as("tk"))
         .filter(expr("size(tk) >= 3"))
-        .select(col("source"), posexplode(expr(minsOf)).as(Seq("k", "m")))
+        .select(col("source"), posexplode(
+          graft.functions.MinHashPerms.minhashPerms(hsCol, A20, B20, P))
+          .as(Seq("k", "m")))
         .groupBy(col("source"), col("k"))
         .agg(min(col("m")).as("m"))
       longf.as("a")
