@@ -249,14 +249,23 @@ object Dedup {
   }
 
   /** Wide MinHash signature (doc_id, mh0..mh{k-1}) computed directly on
-    * the hashed shingle SET with array folds — no explode, no shuffle:
-    * the signature is a per-row computation over ~tens of elements.
-    * (min over the distinct set == min over the multiset.) */
-  private[graft] def minhashWideOf(sets: DataFrame, k: Int): DataFrame = {
-    val minCols = (0 until k).map(i => expr(
-      s"array_min(transform(sh, h -> (h % $P * ${A(i)} + ${B(i)}) % $P))").as(s"mh$i"))
-    sets.select(col("doc_id") +: minCols: _*)
-  }
+    * the hashed shingle SET — no explode, no shuffle: the signature is a
+    * per-row computation over ~tens of elements. All k minima come from
+    * ONE pass of the native codegen'd MinHashPerms expression (the HOF
+    * fold walked the set once per permutation); the ms array is
+    * referenced k times downstream, which is safe post-SPARK-36718 —
+    * CollapseProject never duplicates a non-cheap expression, so the
+    * native loop runs once per row (the signature spec's oracle parity
+    * would catch any re-evaluation semantics drift, and dd02's battery
+    * run pins the values). (min over the distinct set == min over the
+    * multiset.) */
+  private[graft] def minhashWideOf(sets: DataFrame, k: Int): DataFrame =
+    sets
+      .select(col("doc_id"),
+        graft.functions.MinHashPerms.minhashPerms(
+          col("sh"), A.take(k), B.take(k), P).as("ms"))
+      .select(col("doc_id") +:
+        (0 until k).map(i => expr(s"ms[$i]").as(s"mh$i")): _*)
 
   private def minhashWide(s: SparkSession, d: String, k: Int): DataFrame =
     minhashWideOf(shingleSets(s, d), k)

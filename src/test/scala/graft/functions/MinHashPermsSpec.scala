@@ -66,6 +66,17 @@ class MinHashPermsSpec extends SparkSpec {
     assert(got(3).isNullAt(1), "null array must null the result")
   }
 
+  // minhashWideOf references the ms array k times; CollapseProject must
+  // NOT duplicate the non-cheap native expression into each reference
+  // (SPARK-36718) — the optimized plan carries exactly one minhash_perms.
+  test("wide-signature plan evaluates minhash_perms exactly once per row") {
+    val plan = graft.SparkEntry.queries("dd02_minhash_sig")(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    val n = "minhash_perms".r.findAllIn(plan).length
+    assert(n == 1, s"expected 1 minhash_perms in the plan, found $n:\n" +
+      plan.take(2000))
+  }
+
   private def withSQLConf(kv: (String, String))(f: => Unit): Unit = {
     val (k, v) = kv
     val prev = spark.conf.getOption(k)
