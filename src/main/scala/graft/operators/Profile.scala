@@ -329,6 +329,40 @@ object Profile {
           Similarity.ivfIndex(s, d).count())))
     }))
 
+  /** st34's counting stage: 256 STATIC 16-char-wide contract buckets
+    * over documents.n_chars — bucket counts are additive, so per-batch
+    * partials merge by sum (st29's discipline applied to quantiles). */
+  private[graft] def charBuckets(docs: DataFrame): DataFrame =
+    docs.select(least(expr("n_chars div 16"), lit(255)).cast("int").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** st34's finalize: for each percentile, the contract bucket holding
+    * rank max(1, ceil(p·n/100)) with its deterministic value BOUNDS —
+    * the mergeable-sketch answer to dq10's exact one (a streaming feed
+    * can afford additive counts, not iterative refinement; dq10's exact
+    * value always lies within these bounds, which the spec pins). The
+    * rank walk is a window over ≤256 merged rows — bounded-scalar
+    * class, never a data-sized sort. */
+  private[graft] def quantileBucketFinalize(
+      counts: DataFrame, pcts: Seq[Int]): DataFrame = {
+    val merged = counts.groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tot = merged.agg(sum(col("cnt")).as("n_total"))
+    val r = expr("greatest(1, (p_pct * n_total + 99) div 100)")
+    merged.withColumn("cum", sum(col("cnt")).over(w))
+      .crossJoin(broadcast(tot)) // 1-row total — bounded class
+      .select(col("bucket"), col("cnt"), col("cum"), col("n_total"),
+        explode(expr(s"array(${pcts.mkString(", ")})")).as("p_pct"))
+      .filter(col("cum") >= r && col("cum") - col("cnt") < r)
+      .select(col("p_pct"), col("bucket"),
+        (col("bucket") * 16L).as("lo_bound"),
+        when(col("bucket") < 255, col("bucket") * 16L + 15L).as("hi_bound"),
+        col("cnt").as("n_in_bucket"))
+  }
+
   /** dq11's verdict relation over (artifact, expected, actual) count
     * triples — extracted pure so the spec can feed a synthetically
     * stale artifact and assert positive detection (dq06's discipline). */

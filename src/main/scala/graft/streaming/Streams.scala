@@ -1159,6 +1159,45 @@ object Streams {
       s.read.parquet(outDir).distinct()
     }),
 
+    // -- STREAMING QUANTILE MONITOR — the streaming leg of dq10's
+    //    family: a feed cannot afford dq10's iterative refinement
+    //    (every round re-scans history), but bucket COUNTS over a
+    //    static 256-bucket contract domain are additive — so each
+    //    micro-batch appends its exact per-bucket partial (st29's
+    //    sink-as-state discipline: replays append byte-identical
+    //    (bucket, batch_id) rows, collapsed by max before summing),
+    //    and the finalize walks the merged histogram to each
+    //    percentile's rank, emitting the bucket's deterministic value
+    //    BOUNDS. dq10's exact value provably lies within them (the
+    //    spec pins it) — sketch-with-guarantees, the mergeable shape
+    //    a 100 TB feed needs. ZERO stream state.
+    "st34_stream_quantile_monitor" -> ((s, d) => {
+      val (feed, schema) = docsFeed(s, d)
+      val outDir = graft.sources.Scratch.dir(s, d, "st34_out")
+      val fsPath = new org.apache.hadoop.fs.Path(outDir)
+      fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.operators.Profile.charBuckets(batch)
+            .withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(outDir)
+        }
+        .start()
+      q.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      graft.operators.Profile.quantileBucketFinalize(
+        s.read.parquet(outDir)
+          .groupBy(col("bucket"), col("batch_id"))
+          .agg(max(col("cnt")).as("cnt")), // replay collapse (st29's rule)
+        Seq(50, 90, 99))
+    }),
+
     // -- STREAMING RAG SERVING — the full retrieval path as a stream
     //    (st22 serves the PROBE; this serves the whole pl06 pipeline):
     //    query vectors arrive on the feed, each micro-batch probes the
@@ -1809,6 +1848,24 @@ object Streams {
     // mm02's closed-form header recomputation verbatim.
     "st33_stream_blob_decode" ->
       graft.operators.Multimodal.oracleSql("mm02_decode_meta"),
+    // st34: bucket counts are additive, so the whole-table histogram +
+    // rank walk is the exact twin of the merged micro-batch partials.
+    "st34_stream_quantile_monitor" ->
+      """WITH b34 AS (
+           SELECT CAST(least(n_chars // 16, 255) AS INT) AS bucket,
+             count(*) AS cnt
+           FROM documents GROUP BY 1),
+         t34 AS (SELECT sum(cnt) AS n_total FROM b34),
+         c34 AS (SELECT bucket, cnt,
+             sum(cnt) OVER (ORDER BY bucket) AS cum FROM b34)
+         SELECT CAST(p.p AS INT) AS p_pct, bucket,
+           CAST(bucket * 16 AS BIGINT) AS lo_bound,
+           CASE WHEN bucket < 255 THEN CAST(bucket * 16 + 15 AS BIGINT)
+             END AS hi_bound,
+           CAST(cnt AS BIGINT) AS n_in_bucket
+         FROM c34, t34, (VALUES (50), (90), (99)) p(p)
+         WHERE cum >= greatest(1, (p.p * n_total + 99) // 100)
+           AND cum - cnt < greatest(1, (p.p * n_total + 99) // 100)""",
     "st04_stream_sessions" ->
       """SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events FROM (
            SELECT user_id, sess, count(*) AS n_events FROM (

@@ -147,6 +147,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  // st34: the streamed bucket-sketch bounds must CONTAIN the exact
+  // quantile dq10's engine computes over the same column — the
+  // sketch-with-guarantees contract between the two family members.
+  test("st34 bucket bounds contain the exact quantiles") {
+    val bounds = Streams.queries("st34_stream_quantile_monitor")(spark, sfDir)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(2), if (r.isNullAt(3)) Long.MaxValue else r.getLong(3))).toMap
+    assert(bounds.keySet == Set(50, 90, 99))
+    val exact = graft.operators.Profile.exactQuantiles(spark,
+      graft.sources.Tables.documents(spark, sfDir)
+        .select(col("n_chars").as("c")),
+      Seq(50, 90, 99))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    exact.foreach { case (p, v) =>
+      val (lo, hi) = bounds(p)
+      assert(v >= lo && v <= hi, s"p$p: exact $v outside [$lo, $hi]")
+    }
+  }
+
   // Fault-tolerance: a checkpointed query stopped and restarted must
   // resume from its state store — the restart processes ONLY the new
   // file (numInputRows proves no re-read), yet the final aggregation
