@@ -948,6 +948,54 @@ object Dedup {
         .agg(sum(col("eq")).as("k_match"))
         .select(col("src_a"), col("src_b"), col("k_match"),
           expr(s"k_match * 1000000 div $K20").as("jaccard_est_ppm"))
+    }),
+
+    // -- LSH BAND-CONFIGURATION TUNING SWEEP — ss14's discipline
+    //    applied to the MinHash tier: candidate count and recall for
+    //    every (bands × rows) split of the k=8 signature — (8×1),
+    //    (4×2), (2×4) — in ONE plan over ONE signature table (the
+    //    sweep re-bands stored signatures; it never recomputes or
+    //    stores more of them — multi-probe's economy applied to
+    //    tuning). Truth = the (8×1) candidates verified at exact
+    //    jaccard ≥ 0.5 — the most permissive split, P(candidate |
+    //    j=0.5) = 1−(1−0.5)^8 ≈ 0.996, so truth ⊆ cand(8×1) BY
+    //    CONSTRUCTION and its recall row reads exactly 1000000 ppm
+    //    (spec-pinned), while the spec pins candidate count and recall
+    //    monotone in band count. This table is the banding decision a
+    //    deployment makes ONCE — precision (candidate volume) against
+    //    recall — measured, not assumed from the S-curve formula.
+    "dd21_lsh_band_sweep" -> ((s, d) => {
+      val sig = minhashWide(s, d, 8)
+      val sets = shingleSets(s, d)
+      def candsOf(b: Int): DataFrame = {
+        val r = 8 / b
+        val keys = (0 until b).map(i =>
+          s"$i, md5(concat('c$b|', $i" +
+            (i * r until (i + 1) * r).map(j => s", '|', mh$j").mkString + "))")
+          .mkString(", ")
+        val bk = sig.select(col("doc_id"),
+          expr(s"stack($b, $keys)").as(Seq("band", "bk")))
+          .select(col("doc_id"), col("bk"))
+        bk.as("a")
+          .join(bk.as("b"),
+            col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+      }
+      val truth = verifyPairs(candsOf(8), sets, 0.5)
+        .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+      val truthN = truth.agg(count(lit(1)).as("n_truth"))
+      Seq(8, 4, 2).map(b => candsOf(b).withColumn("bands", lit(b)))
+        .reduce(_.unionByName(_))
+        .join(truth, Seq("doc_a", "doc_b"), "left")
+        .groupBy(col("bands"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(coalesce(col("t"), lit(0L))).as("n_found"))
+        .crossJoin(broadcast(truthN)) // 1-row total — bounded class
+        .select(col("bands"),
+          expr("cast(8 div bands as int)").as("rows_per_band"),
+          col("n_candidates"), col("n_found"), col("n_truth"),
+          expr("n_found * 1000000 div n_truth").as("recall_ppm"))
     })
   )
 
@@ -1309,6 +1357,53 @@ object Dedup {
               AS BIGINT) AS jaccard_est_ppm
           FROM m20 a JOIN m20 b ON a.k = b.k AND a.source < b.source
           GROUP BY a.source, b.source"""
+    },
+
+    // dd21: the same signature relation re-banded per config; band keys
+    // string_agg in hid order == the Spark side's mh0..mh7 concat order.
+    "dd21_lsh_band_sweep" -> {
+      def bkCte(b: Int) = {
+        val r = 8 / b
+        s"""bk$b AS (
+              SELECT doc_id,
+                md5(concat('c$b|', hid // $r, '|',
+                  string_agg(minhash, '|' ORDER BY hid))) AS k
+              FROM sig GROUP BY doc_id, hid // $r)"""
+      }
+      def candCte(b: Int) =
+        s"""cand$b AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bk$b a JOIN bk$b b
+                ON a.k = b.k AND a.doc_id < b.doc_id)"""
+      s"""WITH sig AS ($dSig),
+          sets AS ($dSets),
+          ${bkCte(8)}, ${bkCte(4)}, ${bkCte(2)},
+          ${candCte(8)}, ${candCte(4)}, ${candCte(2)},
+          truth AS (
+            SELECT doc_a, doc_b FROM (
+              SELECT doc_a, doc_b,
+                round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                  / (len(x.sh) + len(y.sh)
+                     - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
+              FROM cand8 JOIN sets x ON doc_a = x.doc_id
+                         JOIN sets y ON doc_b = y.doc_id)
+            WHERE jaccard >= 0.5),
+          tn AS (SELECT count(*) AS n_truth FROM truth),
+          allc AS (
+            SELECT 8 AS bands, doc_a, doc_b FROM cand8
+            UNION ALL SELECT 4, doc_a, doc_b FROM cand4
+            UNION ALL SELECT 2, doc_a, doc_b FROM cand2)
+          SELECT c.bands, CAST(8 // c.bands AS INT) AS rows_per_band,
+            count(*) AS n_candidates,
+            CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_found,
+            CAST(any_value(tn.n_truth) AS BIGINT) AS n_truth,
+            CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+              * 1000000 // any_value(tn.n_truth) AS BIGINT) AS recall_ppm
+          FROM allc c
+          LEFT JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+          CROSS JOIN tn
+          GROUP BY c.bands"""
     }
   )
 }

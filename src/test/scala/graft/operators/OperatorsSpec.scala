@@ -142,6 +142,22 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  // dd21: more bands (fewer rows per band) can only ADD candidates, so
+  // candidate volume and recall are monotone in band count, and the
+  // (8×1) row — which defines the measured truth — reads exactly 1e6.
+  test("dd21 sweep: candidates and recall monotone in bands; 8x1 is total") {
+    val rows = SparkEntry.queries("dd21_lsh_band_sweep")(spark, sfDir)
+      .orderBy(col("bands")).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 4, 8))
+    val cands = rows.map(_.getLong(2))
+    val recall = rows.map(_.getLong(5))
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b },
+      cands.mkString(","))
+    assert(recall.zip(recall.tail).forall { case (a, b) => a <= b },
+      recall.mkString(","))
+    assert(recall.last == 1000000L, s"8x1 recall = ${recall.last}")
+  }
+
   // ss14: recall must be monotone non-decreasing in nprobe (probing
   // more cells can only add candidates), bounded in [0, 1e6], and the
   // full sweep must cover all three operating points.
