@@ -982,10 +982,15 @@ object Dedup {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
       }
-      val truth = verifyPairs(candsOf(8), sets, 0.5)
+      // The (8×1) candidates feed BOTH the truth branch and the sweep
+      // union — materialize once (dup-pair relations are tiny relative
+      // to the signature self-joins that build them).
+      val cand8 = candsOf(8).localCheckpoint()
+      val truth = verifyPairs(cand8, sets, 0.5)
         .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
       val truthN = truth.agg(count(lit(1)).as("n_truth"))
-      Seq(8, 4, 2).map(b => candsOf(b).withColumn("bands", lit(b)))
+      (cand8.withColumn("bands", lit(8)) +:
+        Seq(4, 2).map(b => candsOf(b).withColumn("bands", lit(b))))
         .reduce(_.unionByName(_))
         .join(truth, Seq("doc_a", "doc_b"), "left")
         .groupBy(col("bands"))
