@@ -20,6 +20,28 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** MULTI-CORE calibration: the same spin on `threads` concurrent
+    * threads, reporting the wall time until ALL finish. The single-
+    * thread marker cannot see 32-way contention (a co-tenant eating 20
+    * of 32 cores leaves one thread's spin unchanged while every 32-wide
+    * Spark stage runs ~2x slow) — this marker inflates in exactly that
+    * case, so a noisy-host run is adjudicable from the bench JSON alone
+    * instead of needing a judge re-run. Clean-host reference: ~= the
+    * single-thread number (fully parallel, no shared state). */
+  private def calibratePar(threads: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { k =>
+      val t = new Thread(() => {
+        var i = 0L; var h = 1469598103934665603L + k
+        while (i < 100000000L) { h = (h ^ i) * 1099511628211L; i += 1 }
+        if (h == 42L) System.err.println("")
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Harness parallelism: 32 per the target environment (local[32]);
@@ -135,11 +157,13 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Exception => Map.empty }
     val calibPre = calibrate()
+    val calibParPre = calibratePar(cpus.toInt)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (sec, ok) = timeOne(name, fn)
       (name, sec, ok)
     }
     val calibPost = calibrate()
+    val calibParPost = calibratePar(cpus.toInt)
     // Noise guard: re-time the 10 heaviest queries twice more and report
     // per-query MEDIANS of the three reps. A co-tenancy spike inflates
     // one rep, not the median; a real regression inflates all three —
@@ -170,12 +194,19 @@ object Bench {
     // philosophy, so co-tenant noise can only tighten future baselines'
     // flagging, never loosen it. Best-effort write (read-only checkouts
     // must not fail the bench).
-    val newHist = (results.filter(_._3).map { case (name, sec, _) =>
+    val measuredNow = results.filter(_._3).map { case (name, sec, _) =>
       val measured = medians.toMap.get(name)
         .orElse(flaggedMedians.collectFirst { case (n, _, _, m) if n == name => m })
         .getOrElse(sec)
-      name -> math.min(history.getOrElse(name, Double.MaxValue), measured)
-    }).sortBy(_._1)
+      name -> measured
+    }.toMap
+    // Merge into the EXISTING history: a query that fails (or is absent)
+    // this run keeps its recorded best instead of silently losing its
+    // regression-flagging baseline in the rewritten file.
+    val newHist = (history.keySet ++ measuredNow.keySet).toSeq.sorted.map { name =>
+      name -> math.min(history.getOrElse(name, Double.MaxValue),
+        measuredNow.getOrElse(name, Double.MaxValue))
+    }
     try java.nio.file.Files.write(java.nio.file.Paths.get(histPath),
       newHist.map { case (k, v) => "\"" + k + "\": " + v }
         .mkString("{\n", ",\n", "\n}\n").getBytes("UTF-8"))
@@ -201,8 +232,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val warnJson = warnings.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"detail":"per_query","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
-    println(s"""{"detail":"noise_guard","medians3_top10":$med,"medians3_flagged":$flagJson,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"warnings":$warnJson}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"n_warnings":${warnings.size},"calib_sec":${(calibPre + calibPost) / 2},"sf":"$sfDir"}""")
+    println(s"""{"detail":"noise_guard","medians3_top10":$med,"medians3_flagged":$flagJson,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_par_pre_sec":$calibParPre,"calib_par_post_sec":$calibParPost,"warnings":$warnJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"n_warnings":${warnings.size},"calib_sec":${(calibPre + calibPost) / 2},"calib_par_sec":${(calibParPre + calibParPost) / 2},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1000,7 +1000,11 @@ object Dedup {
         .select(col("bands"),
           expr("cast(8 div bands as int)").as("rows_per_band"),
           col("n_candidates"), col("n_found"), col("n_truth"),
-          expr("n_found * 1000000 div n_truth").as("recall_ppm"))
+          // Zero-truth guard (ta34's fertility_ppm pattern): a fixture
+          // with no verified duplicate pairs must yield 0, not an
+          // engine-dependent div-by-zero NULL.
+          when(col("n_truth") > 0, expr("n_found * 1000000 div n_truth"))
+            .otherwise(lit(0L)).as("recall_ppm"))
     })
   )
 
@@ -1403,8 +1407,10 @@ object Dedup {
             CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
               AS BIGINT) AS n_found,
             CAST(any_value(tn.n_truth) AS BIGINT) AS n_truth,
-            CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
-              * 1000000 // any_value(tn.n_truth) AS BIGINT) AS recall_ppm
+            CASE WHEN any_value(tn.n_truth) > 0 THEN
+              CAST(sum(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                * 1000000 // any_value(tn.n_truth) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS recall_ppm
           FROM allc c
           LEFT JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
           CROSS JOIN tn

@@ -333,7 +333,13 @@ object Profile {
     * over documents.n_chars — bucket counts are additive, so per-batch
     * partials merge by sum (st29's discipline applied to quantiles). */
   private[graft] def charBuckets(docs: DataFrame): DataFrame =
-    docs.select(least(expr("n_chars div 16"), lit(255)).cast("int").as("bucket"))
+    // greatest(n_chars, 0): Spark's `div` truncates toward zero while
+    // DuckDB's `//` floors, so the two disagree on negative inputs —
+    // clamping (mirrored in the st34 oracle) makes the cross-engine
+    // parity explicit instead of relying on an implicit nonnegative-
+    // n_chars contract.
+    docs.select(least(expr("greatest(n_chars, 0) div 16"), lit(255))
+        .cast("int").as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
 
   /** st34's finalize: for each percentile, the contract bucket holding

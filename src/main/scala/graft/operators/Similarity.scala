@@ -896,7 +896,7 @@ object Similarity {
           CROSS JOIN tot tt
           GROUP BY t3.nprobe""",
     // ss13: the same two-stage shape as ss06's oracle — coarse rank on
-    // the 32-dim prefix, shared-cosine re-rank of the 10-pool by id.
+    // the 48-dim prefix, shared-cosine re-rank of the 20-candidate pool.
     "ss13_mrl_topk" ->
       s"""WITH v AS ($dVecs),
           vp AS (SELECT vec_id, e[1:48] AS ep FROM v),

@@ -1852,7 +1852,7 @@ object Streams {
     // rank walk is the exact twin of the merged micro-batch partials.
     "st34_stream_quantile_monitor" ->
       """WITH b34 AS (
-           SELECT CAST(least(n_chars // 16, 255) AS INT) AS bucket,
+           SELECT CAST(least(greatest(n_chars, 0) // 16, 255) AS INT) AS bucket,
              count(*) AS cnt
            FROM documents GROUP BY 1),
          t34 AS (SELECT sum(cnt) AS n_total FROM b34),
