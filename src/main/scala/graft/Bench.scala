@@ -114,6 +114,7 @@ object Bench {
     try {
       graft.operators.Curation.stagedDropSet(spark, sfDir)
       graft.operators.Curation.stagedCanon(spark, sfDir)
+      graft.operators.Curation.stagedDocText(spark, sfDir)
     } catch { case e: Throwable => warn(s"funnel staging FAILED: ${e.getMessage}") }
     try graft.operators.TextAnalysis.trainClassifier(spark, sfDir)
     catch { case e: Throwable => warn(s"classifier staging FAILED: ${e.getMessage}") }

@@ -147,7 +147,15 @@ object Bpe {
           import s.implicits._
           merges.toDF("rank", "a", "b")
             .write.mode("overwrite").parquet(new java.io.File(dir, "merges").getPath)
-          words.write.mode("overwrite").parquet(new java.io.File(dir, "dict").getPath)
+          // Dict laid out bucket-partitioned by the word key so the
+          // per-trigger encode (st26) prunes its batch's word buckets
+          // into the scan instead of reading the whole vocab-sized
+          // artifact every micro-batch (Scratch.ServeBuckets layout).
+          words
+            .withColumn("wbkt", pmod(hash(col("word")),
+              lit(graft.sources.Scratch.ServeBuckets)))
+            .write.mode("overwrite").partitionBy("wbkt")
+            .parquet(new java.io.File(dir, "dict").getPath)
         }
         dir.getPath
       })
@@ -168,12 +176,26 @@ object Bpe {
     * union, and an at-least-once replay appends byte-identical rows
     * that a read-back distinct collapses. The dict side is corpus-
     * derived (vocab-sized) → shuffle-hash join, never broadcast. */
-  private[graft] def subwordsPartial(batch: DataFrame, dict: DataFrame): DataFrame = {
+  private[graft] def subwordsPartial(batch: DataFrame, dict: DataFrame,
+      batchLocal: Boolean = false): DataFrame = {
     val tok = batch
       .select(col("doc_id"), explode(expr(toks)).as("word"))
       .filter(!col("word").contains("|"))
+    // Streaming leg (`batchLocal`): the dict artifact is bucket-
+    // partitioned by word key; route the BATCH's word buckets into the
+    // scan (static PartitionFilters, st22's discipline) so a trigger
+    // reads O(touched buckets) of the vocab artifact, never all of it.
+    // Pruning only removes dict rows no batch word hashes to, so the
+    // left join's matches — and the oracle parity — are unchanged.
+    val dictSide =
+      if (batchLocal)
+        graft.sources.Scratch.routeBuckets(dict, "wbkt",
+            tok.select(pmod(hash(col("word")),
+              lit(graft.sources.Scratch.ServeBuckets))))
+          .select(col("word"), col("s"))
+      else dict
     val enc = tok.hint("shuffle_hash")
-      .join(dict.hint("shuffle_hash"), Seq("word"), "left")
+      .join(dictSide.hint("shuffle_hash"), Seq("word"), "left")
       .select(col("doc_id"),
         coalesce(col("s"), concat(lit("|"), col("word"))).as("s"))
     val perDoc = enc.groupBy(col("doc_id"))
@@ -255,7 +277,13 @@ object Bpe {
     stagedStatsDirs.synchronized {
       stagedStatsDirs.getOrElseUpdate(dir.getPath, {
         if (!new java.io.File(dir, "_SUCCESS").exists())
-          docSubwords(s, d).write.mode("overwrite").parquet(dir.getPath)
+          // Bucket-partitioned by doc_id: st28's per-trigger neighbor
+          // resolve routes its batch's buckets into the scan as
+          // PartitionFilters (the point-lookup serving layout).
+          docSubwords(s, d)
+            .withColumn("bkt", pmod(col("doc_id"),
+              lit(graft.sources.Scratch.ServeBuckets.toLong)).cast("int"))
+            .write.mode("overwrite").partitionBy("bkt").parquet(dir.getPath)
         dir.getPath
       })
     }

@@ -301,8 +301,15 @@ object Curation {
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"))
+    // Staged quality artifact PRUNED to the batch's doc_id buckets
+    // (static routing over its bkt partition column) before the
+    // broadcast probe — per trigger the artifact read is O(touched
+    // buckets), never a full corpus-relation scan.
+    val qualPruned = graft.sources.Scratch.routeBuckets(qual, "bkt",
+      batch.select(pmod(col("vec_id"),
+        lit(graft.sources.Scratch.ServeBuckets.toLong)).cast("int")))
     val cand = broadcast(cells)
-      .join(qual, cells("vec_id") === qual("doc_id"))
+      .join(qualPruned, cells("vec_id") === qualPruned("doc_id"))
       .select(col("cid"), col("doc_id"), col("quality"))
     graft.plans.TopK.topKPerGroup(cand,
       keys = Seq(col("cid")),
@@ -317,11 +324,19 @@ object Curation {
     * is self-contained (static index + static docs), so batch
     * boundaries cannot change any query's context row. */
   private[graft] def ragAssemble(
-      topk: DataFrame, docTokens: DataFrame, docText: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("query_id")).orderBy(col("rnk"))
-    topk
+      topk: DataFrame, docTokens: DataFrame, docText: DataFrame): DataFrame =
+    ragPack(topk
       .join(docTokens.hint("shuffle_hash"), Seq("neighbor_id"))
-      .join(docText.hint("shuffle_hash"), Seq("neighbor_id"))
+      .join(docText.hint("shuffle_hash"), Seq("neighbor_id")))
+
+  /** pl06's budget packing over a RESOLVED (query_id, rnk, n_subwords,
+    * text) relation — the tail both the batch leg (shuffle-hash
+    * resolves: retrieved side is a corpus fraction at batch volume) and
+    * the streaming leg ([[ragAssembleLocal]]: broadcast probes into
+    * pruned artifact scans) share, so the two cannot drift. */
+  private def ragPack(resolved: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rnk"))
+    resolved
       .withColumn("cum_tokens", sum(col("n_subwords")).over(w))
       .filter(col("cum_tokens") <= 400 || col("rnk") === 1)
       .groupBy(col("query_id"))
@@ -330,6 +345,35 @@ object Curation {
         expr("""md5(array_join(transform(
                   array_sort(collect_list(struct(rnk, text))),
                   x -> x.text), ' '))""").as("ctx_md5"))
+  }
+
+  /** st28's per-micro-batch assembly — the SERVING inversion of
+    * [[ragAssemble]]'s join direction (diversePartial's rule): the topk
+    * probe is batch-bounded (queries × k rows), so it BROADCASTS into
+    * the two staged artifact scans — [[graft.operators.Bpe
+    * stagedDocStats]] and [[stagedDocText]], both bucket-partitioned by
+    * doc_id — each PRUNED to the buckets the batch's neighbor ids touch
+    * (static routing, st22's discipline). Per trigger this plan
+    * exchanges NOTHING corpus-sized (the batch leg's shuffle-hash
+    * resolves would re-exchange both corpus-scale artifacts every
+    * micro-batch — the round-7 verdict's scale-killer); the only
+    * exchange is the window's query_id shuffle of the batch-bounded
+    * resolved rows. Same [[ragPack]] tail, so stream ≡ batch. */
+  private[graft] def ragAssembleLocal(
+      topk: DataFrame, docStats: DataFrame, docText: DataFrame): DataFrame = {
+    import graft.sources.Scratch.routeBuckets
+    val probeBkts = topk
+      .select(pmod(col("neighbor_id"), lit(B.toLong)).cast("int"))
+    val toks = routeBuckets(docStats, "bkt", probeBkts)
+      .select(col("doc_id").as("neighbor_id"), col("n_subwords"))
+      .join(broadcast(topk.select(col("query_id"), col("neighbor_id"), col("rnk"))),
+        Seq("neighbor_id"))
+    // toks is probe-bounded (≤ topk rows) — broadcast it into the second
+    // artifact scan the same way.
+    val resolved = routeBuckets(docText, "bkt", probeBkts)
+      .select(col("doc_id").as("neighbor_id"), col("text"))
+      .join(broadcast(toks), Seq("neighbor_id"))
+    ragPack(resolved)
   }
 
   /** pl05's injected markup constants — shared verbatim by the oracle
@@ -442,27 +486,49 @@ object Curation {
     * recomputing per trigger. */
   private val stagedFunnelDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  private def stagedFunnel(s: SparkSession, d: String, tag: String)(
-      build: => DataFrame): DataFrame = {
+  private def stagedFunnel(s: SparkSession, d: String, tag: String,
+      partCols: Seq[String] = Nil)(build: => DataFrame): DataFrame = {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_${tag}_" + s.sparkContext.applicationId + "_" +
         d.replaceAll("[^A-Za-z0-9]", "_"))
     stagedFunnelDirs.synchronized {
       stagedFunnelDirs.getOrElseUpdate(dir.getPath, {
-        if (!new java.io.File(dir, "_SUCCESS").exists())
-          build.write.mode("overwrite").parquet(dir.getPath)
+        if (!new java.io.File(dir, "_SUCCESS").exists()) {
+          val w = build.write.mode("overwrite")
+          (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
+            .parquet(dir.getPath)
+        }
         dir.getPath
       })
     }
     s.read.parquet(dir.getPath)
   }
+
+  /** Serving-artifact bucket width (Scratch.ServeBuckets). Every staged
+    * relation a per-trigger probe touches is PARTITIONED by a key-
+    * derived bucket so the probe prunes to its keys' directories —
+    * unpartitioned, each trigger would scan the corpus-scale artifact
+    * end-to-end (the round-7 verdict's serving-leg finding). */
+  private val B = graft.sources.Scratch.ServeBuckets
   private[graft] def stagedDropSet(s: SparkSession, d: String): DataFrame =
-    stagedFunnel(s, d, "funnel_drop")(dropSetOf(bhOf(webBlocks(s, d))))
+    stagedFunnel(s, d, "funnel_drop", partCols = Seq("bkt"))(
+      dropSetOf(bhOf(webBlocks(s, d)))
+        .withColumn("bkt", pmod(col("bh"), lit(B)).cast("int")))
   private[graft] def stagedCanon(s: SparkSession, d: String): DataFrame =
-    stagedFunnel(s, d, "funnel_canon")(
+    stagedFunnel(s, d, "funnel_canon", partCols = Seq("bkt"))(
       webScored(s, d).filter(col("q") >= 0.5)
         .withColumn("ck", md5(col("txt")))
-        .groupBy(col("ck")).agg(min(col("doc_id")).as("canon_id")))
+        .groupBy(col("ck")).agg(min(col("doc_id")).as("canon_id"))
+        .withColumn("bkt", pmod(hash(col("ck")), lit(B))))
+
+  /** The documents (doc_id, text) relation staged bucket-partitioned by
+    * doc_id — the point-lookup layout st28's per-trigger neighbor
+    * resolve prunes into (the raw fixture parquet is unpartitioned, so
+    * probing it directly costs a full text-column scan per trigger). */
+  private[graft] def stagedDocText(s: SparkSession, d: String): DataFrame =
+    stagedFunnel(s, d, "doctext", partCols = Seq("bkt"))(
+      Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("bkt", pmod(col("doc_id"), lit(B.toLong)).cast("int")))
 
   /** st32's per-batch funnel attribution against the staged artifacts.
     * Join direction is the serving-leg inversion of pl08's: the staged
@@ -475,11 +541,16 @@ object Curation {
     * broadcast probes, zero artifact shuffles. */
   private[graft] def funnelPartial(batch: DataFrame, dropSet: DataFrame,
       canon: DataFrame): DataFrame = {
+    import graft.sources.Scratch.routeBuckets
     val blocksDf = webBlocksOf(batch)
     val bh = bhOf(blocksDf)
-    // artifact scan, batch probe broadcast: which of the batch's block
-    // hashes are corpus-boilerplate (batch-bounded result).
-    val dropped = dropSet
+    // artifact scan PRUNED to the batch's key buckets (static routing —
+    // a ≤B-int driver scalar per trigger, st22's cell-list class), batch
+    // probe broadcast: which of the batch's block hashes are corpus-
+    // boilerplate (batch-bounded result). Pruning drops only artifact
+    // rows whose bucket no probe key hashes to — they cannot match.
+    val dropped = routeBuckets(dropSet, "bkt",
+        bh.select(pmod(col("bh"), lit(B)).cast("int")))
       .join(broadcast(bh), Seq("bh"))
       .select(col("doc_id"), col("idx"))
     val kept = bh
@@ -488,10 +559,14 @@ object Curation {
       .agg(sort_array(collect_list(col("idx"))).as("kept_idx"))
     val scored = cleanedScoredOf(blocksDf, kept, batchLocal = true)
       .withColumn("ck", md5(col("txt")))
-    // artifact scan, batch probe broadcast: canonical ids for the
-    // batch's content keys (a non-passing doc's ck cannot be in the
-    // canonical map — identical txt ⇒ identical q on both docs).
-    val cf = canon.join(broadcast(scored.select(col("ck")).distinct()), Seq("ck"))
+    // artifact scan (pruned the same way), batch probe broadcast:
+    // canonical ids for the batch's content keys (a non-passing doc's
+    // ck cannot be in the canonical map — identical txt ⇒ identical q
+    // on both docs).
+    val cf = routeBuckets(canon, "bkt",
+        scored.select(pmod(hash(col("ck")), lit(B))))
+      .join(broadcast(scored.select(col("ck")).distinct()), Seq("ck"))
+      .select(col("ck"), col("canon_id"))
     scored.join(broadcast(cf), Seq("ck"), "left")
       .select(col("doc_id"), col("lang"),
         when(col("n_kept") === 0, "boilerplate_only")

@@ -90,7 +90,14 @@ object TextAnalysis {
     stagedQualDirs.synchronized {
       stagedQualDirs.getOrElseUpdate(dir.getPath, {
         if (!new java.io.File(dir, "_SUCCESS").exists())
-          qualityOf(Tables.documents(s, d)).write.mode("overwrite").parquet(dir.getPath)
+          // Bucket-partitioned by doc_id (Scratch.ServeBuckets): the
+          // per-trigger consumer (st30) routes its batch's buckets into
+          // the scan as PartitionFilters instead of reading the whole
+          // corpus-sized relation every micro-batch.
+          qualityOf(Tables.documents(s, d))
+            .withColumn("bkt", pmod(col("doc_id"),
+              lit(graft.sources.Scratch.ServeBuckets.toLong)).cast("int"))
+            .write.mode("overwrite").partitionBy("bkt").parquet(dir.getPath)
         dir.getPath
       })
     }

@@ -62,4 +62,29 @@ object Scratch {
       s"graft_${tag}_" + s.sparkContext.applicationId + "_" +
         d.replaceAll("[^A-Za-z0-9]", "_")).getPath
   }
+
+  /** Bucket width for KEY-PARTITIONED staged serving artifacts (funnel
+    * drop set / canonical map, BPE dict / doc stats, doc text, quality):
+    * every artifact a per-micro-batch consumer probes is laid out
+    * partitioned by a key-derived bucket so the probe prunes to the
+    * directories its keys touch (the IVF cell layout's discipline
+    * applied to point lookups — the KV-store shape every real serving
+    * path uses). 32 at fixture scale; production sizes this to
+    * thousands so a trigger's probe reads a corpus FRACTION. */
+  val ServeBuckets = 32
+
+  /** Static bucket routing (st22's cell-routing discipline): restrict a
+    * bucket-partitioned staged artifact to the buckets a BATCH-BOUNDED
+    * probe touches. The collected bucket list is ≤ [[ServeBuckets]]
+    * ints (the documented bounded-scalar class, like st22's cell list)
+    * and becomes a static IN over the artifact's partition column —
+    * planning-time directory pruning (PartitionFilters), so a trigger's
+    * artifact read is O(touched buckets), never O(artifact). */
+  def routeBuckets(artifact: org.apache.spark.sql.DataFrame, bktCol: String,
+      probeBkts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val bkts = probeBkts.distinct().collect().map(_.getInt(0)).toSeq
+    if (bkts.isEmpty) artifact.filter(lit(false))
+    else artifact.filter(col(bktCol).isin(bkts: _*))
+  }
 }

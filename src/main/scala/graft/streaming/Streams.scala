@@ -949,7 +949,10 @@ object Streams {
     //    training corpus — the no-broadcast class). Oracle = ta26's:
     //    stream/batch encode parity is the claim.
     "st26_stream_bpe_encode" -> ((s, d) => {
-      val dict = graft.operators.Bpe.bpeDict(s, d).select(col("word"), col("s"))
+      // wbkt rides along: the batchLocal encode routes each trigger's
+      // word buckets into the dict scan (pruned artifact read).
+      val dict = graft.operators.Bpe.bpeDict(s, d)
+        .select(col("word"), col("s"), col("wbkt"))
       val (feed, schema) = docsFeed(s, d)
       val outDir = graft.sources.Scratch.dir(s, d, "st26_out")
       val fsPath = new org.apache.hadoop.fs.Path(outDir)
@@ -962,7 +965,7 @@ object Streams {
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.operators.Bpe.subwordsPartial(batch, dict)
+          graft.operators.Bpe.subwordsPartial(batch, dict, batchLocal = true)
             .write.mode("append").parquet(outDir)
         }
         .start()
@@ -1032,8 +1035,10 @@ object Streams {
       val fsPath = new org.apache.hadoop.fs.Path(outDir)
       fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
       val ctr = Similarity.kmeansCentroids(s, d)
+      // bkt rides along: diversePartial routes each trigger's doc_id
+      // buckets into the quality-artifact scan (pruned read).
       val qual = TextAnalysis.stagedQuality(s, d)
-        .select(col("doc_id"), col("quality"))
+        .select(col("doc_id"), col("quality"), col("bkt"))
       val q = s.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet")
         .option("maxFilesPerTrigger", "1")
@@ -1203,10 +1208,12 @@ object Streams {
     //    query vectors arrive on the feed, each micro-batch probes the
     //    staged IVF index via the shared ivfServePartial (cell-routed
     //    partition pruning), resolves neighbors against the STAGED
-    //    per-doc BPE stats artifact + documents (re-tokenizing the
-    //    corpus per trigger would be a corpus scan per batch — the
-    //    staged artifact retires it), and packs each query's context
-    //    with the SAME extracted ragAssemble fragment pl06 runs. A
+    //    bucket-partitioned per-doc BPE stats + doc-text artifacts
+    //    (re-tokenizing the corpus per trigger would be a corpus scan
+    //    per batch; ragAssembleLocal broadcasts the batch probe into
+    //    bucket-PRUNED artifact scans — zero corpus-sized exchanges
+    //    per trigger), and packs each query's context with the SAME
+    //    ragPack tail pl06's batch ragAssemble runs. A
     //    query's top-3 and budget packing are self-contained (static
     //    index, static docs), so its context row is identical in
     //    whichever batch it arrives — union over batches ≡ pl06's
@@ -1215,10 +1222,14 @@ object Streams {
     "st28_stream_rag_serve" -> ((s, d) => {
       import graft.operators.{Bpe, Curation, Similarity}
       val idx = Similarity.ivfIndex(s, d)
-      val docTokens = Bpe.stagedDocStats(s, d)
-        .select(col("doc_id").as("neighbor_id"), col("n_subwords"))
-      val docText = graft.sources.Tables.documents(s, d)
-        .select(col("doc_id").as("neighbor_id"), col("text"))
+      // Both doc-resolve artifacts are bucket-partitioned by doc_id;
+      // ragAssembleLocal routes each trigger's neighbor buckets into
+      // the scans and broadcasts the batch probe — zero corpus-sized
+      // exchanges per trigger (the batch leg's shuffle-hash resolves
+      // would re-exchange both artifacts every micro-batch).
+      val docStats = Bpe.stagedDocStats(s, d)
+        .select(col("doc_id"), col("n_subwords"), col("bkt"))
+      val docText = Curation.stagedDocText(s, d)
       val (feed, schema) = embFeed(s, d)
       val outDir = graft.sources.Scratch.dir(s, d, "st28_out")
       val fsPath = new org.apache.hadoop.fs.Path(outDir)
@@ -1233,7 +1244,7 @@ object Streams {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val topk = Similarity.ivfServePartial(batch, idx)
             .select(col("query_id"), col("neighbor_id"), col("rnk"))
-          Curation.ragAssemble(topk, docTokens, docText)
+          Curation.ragAssembleLocal(topk, docStats, docText)
             .write.mode("append").parquet(outDir)
         }
         .start()

@@ -394,6 +394,92 @@ class PlanQualitySpec extends SparkSpec {
         idxScan.take(1000))
   }
 
+  // --- Key-partitioned serving artifacts: every per-trigger probe must
+  //     PRUNE its staged artifact scan to the batch's key buckets
+  //     (PartitionFilters — io04's discipline applied to point lookups).
+  //     Unpruned, each trigger reads a corpus-scale relation end-to-end.
+
+  private def scanLine(p: String, dirFragment: String): String = {
+    val l = p.linesIterator.filter(_.contains(dirFragment)).mkString(" ")
+    assert(l.nonEmpty, s"no scan of $dirFragment in plan:\n" + p.take(3000))
+    l
+  }
+  private def partitionFilters(scan: String): String =
+    "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
+
+  test("st28's per-batch RAG assembly prunes both doc artifacts and never exchanges them") {
+    import graft.operators.{Bpe, Curation}
+    // Stand-in batch probe with the (query_id, neighbor_id, rnk) shape.
+    val topk = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("query_id"),
+        (col("vec_id") + 1).as("neighbor_id"), lit(1).as("rnk"))
+      .limit(50)
+    val df = Curation.ragAssembleLocal(topk,
+      Bpe.stagedDocStats(spark, sfDir)
+        .select(col("doc_id"), col("n_subwords"), col("bkt")),
+      Curation.stagedDocText(spark, sfDir))
+    val p = df.queryExecution.executedPlan.toString
+    // Both artifact scans carry the batch's bucket set as a static
+    // PartitionFilter (planning-time directory pruning).
+    for (dir <- Seq("graft_bpe_docstats", "graft_doctext")) {
+      val pf = partitionFilters(scanLine(p, dir))
+      assert(pf.contains("bkt"),
+        s"$dir scan not bucket-pruned (PartitionFilters [$pf]):\n" + p.take(3000))
+    }
+    // The probe broadcasts INTO the artifact scans…
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // …so the ONLY row exchange is the window/rollup's query_id shuffle
+    // of the batch-bounded resolved rows. A hashpartitioning exchange on
+    // anything else would be the batch leg's per-trigger corpus-sized
+    // re-shuffle (the round-7 scale-killer this plan retires).
+    // (Tables.load's fixture REPARTITION_BY_NUM is test scaffolding —
+    // only plan-REQUIRED exchanges count, the q52 spec's rule.)
+    val badEx = p.linesIterator.filter(l =>
+      l.contains("Exchange hashpartitioning") &&
+        l.contains("ENSURE_REQUIREMENTS") && !l.contains("query_id")).toList
+    assert(badEx.isEmpty,
+      "corpus-side exchange inside the per-batch plan:\n" + badEx.mkString("\n"))
+  }
+
+  test("st32's per-batch funnel prunes the staged drop-set and canonical-map scans") {
+    import graft.operators.Curation
+    val batch = graft.sources.Tables.documents(spark, sfDir).limit(40)
+    val df = Curation.funnelPartial(batch,
+      Curation.stagedDropSet(spark, sfDir), Curation.stagedCanon(spark, sfDir))
+    val p = df.queryExecution.executedPlan.toString
+    for (dir <- Seq("graft_funnel_drop", "graft_funnel_canon")) {
+      val pf = partitionFilters(scanLine(p, dir))
+      assert(pf.contains("bkt"),
+        s"$dir scan not bucket-pruned (PartitionFilters [$pf]):\n" + p.take(3000))
+    }
+  }
+
+  test("st26's per-batch encode prunes the word-bucketed dict scan") {
+    import graft.operators.Bpe
+    val batch = graft.sources.Tables.documents(spark, sfDir).limit(40)
+    val df = Bpe.subwordsPartial(batch,
+      Bpe.bpeDict(spark, sfDir).select(col("word"), col("s"), col("wbkt")),
+      batchLocal = true)
+    val p = df.queryExecution.executedPlan.toString
+    val pf = partitionFilters(scanLine(p, "graft_bpe_dict"))
+    assert(pf.contains("wbkt"),
+      s"dict scan not word-bucket-pruned (PartitionFilters [$pf]):\n" + p.take(3000))
+  }
+
+  test("st30's per-batch sampling prunes the staged quality-artifact scan") {
+    import graft.operators.{Curation, Similarity, TextAnalysis}
+    val batch = graft.sources.Tables.embeddings(spark, sfDir).limit(40)
+    val df = Curation.diversePartial(batch,
+      Similarity.kmeansCentroids(spark, sfDir),
+      TextAnalysis.stagedQuality(spark, sfDir)
+        .select(col("doc_id"), col("quality"), col("bkt")))
+    val p = df.queryExecution.executedPlan.toString
+    val pf = partitionFilters(scanLine(p, "graft_qual"))
+    assert(pf.contains("bkt"),
+      s"quality scan not bucket-pruned (PartitionFilters [$pf]):\n" + p.take(3000))
+  }
+
   test("boilerplate flag-back joins the frequent-gram set by shuffle, not broadcast (ta10)") {
     // The frequent-gram set is corpus-derived (every template gram in a
     // web corpus clears df >= 3) — same class as dd18's duplicated-gram

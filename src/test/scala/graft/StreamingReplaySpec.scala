@@ -94,13 +94,15 @@ class StreamingReplaySpec extends SparkSpec {
   }
 
   test("st26 encode partials union to ta26's batch answer under split + replay") {
+    // batchLocal = what st26 actually runs per trigger: the word-bucket-
+    // pruned dict scan must be answer-invariant vs the batch encode.
     val dict = graft.operators.Bpe.bpeDict(spark, sfDir)
-      .select(col("word"), col("s"))
+      .select(col("word"), col("s"), col("wbkt"))
     // 3-way split (the registered query streams a 2-way split), middle
     // batch replayed — byte-identical rows the read-back distinct kills.
     val partials = Seq(0, 1, 1, 2).map(r =>
       graft.operators.Bpe.subwordsPartial(
-        docs.filter(col("doc_id") % 3 === r), dict))
+        docs.filter(col("doc_id") % 3 === r), dict, batchLocal = true))
       .reduce(_ unionByName _).distinct()
     val expected = graft.operators.Bpe.docSubwords(spark, sfDir)
     assert(partials.count() == expected.count())
@@ -141,7 +143,7 @@ class StreamingReplaySpec extends SparkSpec {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val ctr = Similarity.kmeansCentroids(spark, sfDir)
     val qual = TextAnalysis.stagedQuality(spark, sfDir)
-      .select(col("doc_id"), col("quality"))
+      .select(col("doc_id"), col("quality"), col("bkt"))
     // 3-way split with the middle batch replayed — distinct must absorb
     // the byte-identical replay before the bounded-heap merge.
     val partials = Seq(0, 1, 1, 2).map { r =>
@@ -159,15 +161,17 @@ class StreamingReplaySpec extends SparkSpec {
     import graft.operators.{Bpe, Curation, Similarity}
     val emb = Tables.embeddings(spark, sfDir)
     val idx = Similarity.ivfIndex(spark, sfDir)
-    val docTokens = Bpe.stagedDocStats(spark, sfDir)
-      .select(col("doc_id").as("neighbor_id"), col("n_subwords"))
-    val docText = Tables.documents(spark, sfDir)
-      .select(col("doc_id").as("neighbor_id"), col("text"))
+    // What st28 actually runs per trigger: bucket-pruned artifact scans
+    // with the probe broadcast (ragAssembleLocal) — must be answer-
+    // invariant vs pl06's batch-leg shuffle-hash assembly.
+    val docStats = Bpe.stagedDocStats(spark, sfDir)
+      .select(col("doc_id"), col("n_subwords"), col("bkt"))
+    val docText = Curation.stagedDocText(spark, sfDir)
     val partials = Seq(0, 1, 1, 2).map { r =>
       val topk = Similarity
         .ivfServePartial(emb.filter(col("vec_id") % 3 === r), idx)
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
-      Curation.ragAssemble(topk, docTokens, docText)
+      Curation.ragAssembleLocal(topk, docStats, docText)
     }.reduce(_ unionByName _).distinct()
     val expected = graft.SparkEntry.queries("pl06_rag_context")(spark, sfDir)
     assert(partials.count() == expected.count())
