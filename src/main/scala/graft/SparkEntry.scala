@@ -28,6 +28,7 @@ object SparkEntry {
     graft.operators.Multimodal.queries ++
     graft.operators.Profile.queries ++
     graft.operators.Curation.queries ++
+    graft.operators.Incremental.queries ++
     graft.sources.FormatsIO.queries ++
     graft.streaming.Streams.queries ++
     graft.pipeline.PipelineQueries.queries
@@ -44,6 +45,7 @@ object SparkEntry {
     graft.operators.Multimodal.oracleSql ++
     graft.operators.Profile.oracleSql ++
     graft.operators.Curation.oracleSql ++
+    graft.operators.Incremental.oracleSql ++
     graft.sources.FormatsIO.oracleSql ++
     graft.streaming.Streams.oracleSql ++
     graft.pipeline.PipelineQueries.oracleSql

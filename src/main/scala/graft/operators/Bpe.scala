@@ -27,15 +27,16 @@ import graft.sources.Tables
   *     law sublinear in corpus size) — pair counts are weighted by the
   *     word frequencies, exactly the classic word-frequency formulation
   *     of BPE training (Sennrich et al. 2016, public literature).
-  *   - The argmax pair per round is a 1-row TakeOrdered (count desc,
-  *     then lexicographic pair — deterministic cross-engine tiebreak);
-  *     it rides back over the vocab as a 1-row broadcast nested loop
-  *     (the documented bounded-scalar class).
-  *   - A SENTINEL pair ('', '', count -1) unioned under the argmax
-  *     makes the round data-independent: when no pairs remain (every
-  *     word fully merged) the sentinel wins and its application is an
-  *     identity fold — no driver-side emptiness check, and the DuckDB
-  *     oracle degenerates identically.
+  *   - Each round selects a BATCH of up to [[BatchCap]] pairwise
+  *     NON-INTERFERING merges — the local-maxima independent set of the
+  *     pair conflict graph (conflict = shared symbol, or one pair's
+  *     merged string colliding with the other's symbol), found with one
+  *     key-join over the exploded symbol keys. The batch is a ≤cap
+  *     driver scalar (the documented bounded class) and applies in ONE
+  *     vocab fold; an empty batch (training saturated) is an identity
+  *     round in both engines, no driver-side branch observable in the
+  *     result. Effective merges = Rounds × cap with the same driver
+  *     round-trip count the single-merge loop paid for 8.
   *   - ENCODING is a join of the corpus token stream against the
   *     trained dictionary. The dictionary is corpus-derived (vocab-
   *     sized) — ta05/ta17's discipline: SHUFFLE HASH join on the word
@@ -61,9 +62,28 @@ import graft.sources.Tables
   */
 object Bpe {
 
-  /** Merge rounds — a fixed training hyperparameter (real tokenizers
-    * run tens of thousands; the loop shape is identical). */
-  private[operators] val Rounds = 8
+  /** Merge rounds — a fixed training hyperparameter. Each round now
+    * applies a BATCH of up to [[BatchCap]] non-interfering merges (see
+    * below), so the effective merge count is Rounds × BatchCap ≤ 512 —
+    * the driver-round-trip count stays small while the trained
+    * vocabulary reaches real depth (the fixture corpus yields ~5-8
+    * merges/round under the local-maxima rule, ~100 total vs the old
+    * loop's 8). Production raises both knobs (30k merges = ~64 rounds
+    * at cap 512); the loop shape is identical. */
+  private[graft] val Rounds = 16
+
+  /** Max merges applied per round. The batch is the LOCAL-MAXIMA
+    * independent set of the pair-count conflict graph: pairs p, q
+    * CONFLICT when they share a symbol, or when one pair's merged
+    * symbol (a||b) equals a symbol of the other (the created-symbol
+    * collision that would make application order observable); p
+    * survives iff no conflicting q outranks it ((cnt desc, a, b) —
+    * exactly one side of every conflict wins, so survivors are pairwise
+    * non-interfering and SIMULTANEOUS application ≡ one-at-a-time
+    * application in any order (BpeSpec proves it on an adversarial
+    * fixture). Conflict detection is a key-join on the exploded symbol
+    * keys — never a pairs×pairs product. */
+  private[graft] val BatchCap = 32
 
   private val toks = "filter(split(text, ' '), x -> x <> '')"
 
@@ -88,12 +108,67 @@ object Bpe {
     * input columns (s, a, b). */
   private[graft] def applyMergeCol = expr(applyMergeSql)
 
+  /** The SIMULTANEOUS batch-merge fold over the delimited state column
+    * `s`: the whole non-interfering batch rides as a literal b→a map
+    * (b values are unique — two pairs sharing b would conflict), and
+    * the fold merges whenever the incoming symbol has a mapping whose
+    * `a` closes the accumulator. Equivalence with one-at-a-time
+    * [[applyMergeCol]] application in ANY order is what the batch's
+    * non-interference guarantees (BpeSpec proves it adversarially). */
+  private[graft] def batchMergeCol(batch: Seq[(String, String)]): org.apache.spark.sql.Column = {
+    val m = map_from_arrays(
+      array(batch.map(t => lit(t._2)): _*),
+      array(batch.map(t => lit(t._1)): _*))
+    aggregate(expr(arr), lit(""), (acc, x) =>
+      when(element_at(m, x).isNotNull &&
+          acc.endsWith(concat(lit("|"), element_at(m, x))),
+        concat(acc, x)
+      ).otherwise(concat(acc, lit("|"), x)))
+  }
+
+  /** One round's batch selection over a (a, b, cnt) pair-count relation:
+    * the local-maxima independent set of the conflict graph, ranked by
+    * (cnt desc, a, b) and capped at [[BatchCap]] — collected as a ≤cap
+    * driver scalar. Conflict keys are the two source symbols (kind 0)
+    * and the created symbol a||b (kind 1); created=created collisions
+    * are NOT conflicts (two pairs merging to the same string never
+    * consume each other's in-round output). */
+  private[graft] def batchSelect(pairs: DataFrame): Seq[(String, String)] = {
+    val e = pairs.select(col("a"), col("b"), col("cnt"),
+        explode(array(
+          struct(col("a").as("k"), lit(0).as("kind")),
+          struct(col("b").as("k"), lit(0).as("kind")),
+          struct(concat(col("a"), col("b")).as("k"), lit(1).as("kind"))))
+          .as("kk"))
+      .select(col("a"), col("b"), col("cnt"),
+        col("kk.k").as("k"), col("kk.kind").as("kind"))
+    val beaten = e.as("p").join(e.as("q"),
+        col("p.k") === col("q.k") &&
+        !(col("p.kind") === 1 && col("q.kind") === 1) &&
+        (col("p.a") =!= col("q.a") || col("p.b") =!= col("q.b")) &&
+        (col("q.cnt") > col("p.cnt") ||
+          (col("q.cnt") === col("p.cnt") &&
+            (col("q.a") < col("p.a") ||
+              (col("q.a") === col("p.a") && col("q.b") < col("p.b"))))))
+      .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
+    pairs.join(beaten, Seq("a", "b"), "left_anti")
+      .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+      .limit(BatchCap)
+      .select(col("a"), col("b"))
+      .collect().toIndexedSeq
+      .map(r => (r.getString(0), r.getString(1)))
+  }
+
   /** BPE training: the final (word, freq, s) dictionary after [[Rounds]]
-    * greedy merges, plus the ranked merge table itself — the artifact a
-    * tokenizer ships. Each round's winning pair is a 1-row
-    * localCheckpoint read once for the merge log (a bounded driver
-    * scalar, the documented class) and once as the broadcast riding the
-    * vocab rewrite — no recomputation of the pair aggregation. */
+    * rounds of BATCHED greedy merges, plus the globally-ranked merge
+    * table — the artifact a tokenizer ships. Per round: one pair-count
+    * aggregation over the vocab-sized word relation, one key-join
+    * conflict pass selecting the local-maxima independent set (capped
+    * at [[BatchCap]], collected as a ≤cap driver scalar — the documented
+    * bounded class), one vocab rewrite applying ALL selected merges in a
+    * single fold (the batch is non-interfering, so the simultaneous
+    * fold ≡ sequential application — BpeSpec). Merge ranks are global
+    * ordinals in (round asc, within-round (cnt desc, a, b)) order. */
   private def trainAll(
       s: SparkSession, d: String): (DataFrame, Seq[(Int, String, String)]) = {
     val words0 = tokenStream(s, d)
@@ -102,7 +177,8 @@ object Bpe {
         concat(lit("|"), array_join(expr("split(word, '')"), "|")))
     var words = words0.localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String)]
-    for (r <- 1 to Rounds) {
+    var rank = 0
+    for (_ <- 1 to Rounds) {
       val pairs = words
         .select(col("freq"), expr(arr).as("tk"))
         .filter(expr("size(tk) >= 2"))
@@ -112,18 +188,12 @@ object Bpe {
           expr("element_at(tk, i + 1)").as("a"),
           expr("element_at(tk, i + 2)").as("b"))
         .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
-      val top = pairs
-        .unionByName(s.range(1).select(
-          lit("").as("a"), lit("").as("b"), lit(-1L).as("cnt")))
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1)
-        .select(col("a"), col("b"))
-        .localCheckpoint()
-      val t = top.collect()(0)
-      merges += ((r, t.getString(0), t.getString(1)))
-      words = words.crossJoin(broadcast(top))
-        .select(col("word"), col("freq"), expr(applyMergeSql).as("s"))
-        .localCheckpoint()
+      val top = batchSelect(pairs)
+      top.foreach { t => rank += 1; merges += ((rank, t._1, t._2)) }
+      if (top.nonEmpty)
+        words = words
+          .select(col("word"), col("freq"), batchMergeCol(top).as("s"))
+          .localCheckpoint()
     }
     (words, merges.result())
   }
@@ -361,32 +431,58 @@ object Bpe {
 
   /** The shared DuckDB training+encoding CTE stack (ta26's oracle and
     * ta09's packing oracle both consume `bpe_doc`). Generated from the
-    * SAME [[Rounds]] constant as the Spark loop; each round is the
-    * literal SQL twin of the Spark round (pair counts weighted by word
-    * freq → sentinel-guarded argmax → list_reduce greedy fold). */
+    * SAME [[Rounds]]/[[BatchCap]] constants as the Spark loop; each
+    * round is the literal SQL twin of the Spark round: pair counts
+    * weighted by word freq → conflict-graph local-maxima selection
+    * (shared-symbol OR created-symbol keys, capped and ranked) →
+    * one list_reduce fold applying the whole batch (b values unique in
+    * a non-interfering set, so the set rides the fold as a filter). */
   private[operators] def withSqlPrefix: String = {
     val dtoks =
       "list_filter(string_split(text, ' '), x -> x <> '' AND NOT contains(x, '|'))"
+    // MATERIALIZED per round: DuckDB inlines multi-referenced CTEs, and
+    // bpe_p/bpe_x are each referenced more than once per round — inlined,
+    // the upstream chain would re-expand ~4× per round (4^Rounds scans of
+    // the corpus; observed as fd exhaustion). Materializing pins one
+    // evaluation per CTE, the exact cost the Spark loop pays.
     val rounds = (1 to Rounds).map { r =>
       val prev = s"bpe_w${r - 1}"
-      s"""bpe_p$r AS (
+      s"""bpe_p$r AS MATERIALIZED (
             SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
               SELECT freq,
                 unnest(list_transform(range(len(arr) - 1), i -> arr[i+1])) AS a,
                 unnest(list_transform(range(len(arr) - 1), i -> arr[i+2])) AS b
               FROM (SELECT freq, string_split(s[2:], '|') AS arr FROM $prev))
             GROUP BY a, b),
-          bpe_t$r AS (
-            SELECT a, b FROM (
-              SELECT a, b, cnt FROM bpe_p$r
-              UNION ALL SELECT '', '', CAST(-1 AS BIGINT))
-            ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
-          bpe_w$r AS (
+          bpe_x$r AS MATERIALIZED (
+            SELECT a, b, cnt, unnest([
+                struct_pack(k := a, kind := 0),
+                struct_pack(k := b, kind := 0),
+                struct_pack(k := a || b, kind := 1)], recursive := true)
+            FROM bpe_p$r),
+          bpe_t$r AS MATERIALIZED (
+            SELECT a, b,
+              row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC) AS rr
+            FROM (
+              SELECT pp.a, pp.b, pp.cnt FROM bpe_p$r pp
+              WHERE NOT EXISTS (
+                SELECT 1 FROM bpe_x$r x JOIN bpe_x$r y ON x.k = y.k
+                WHERE x.a = pp.a AND x.b = pp.b
+                  AND NOT (x.kind = 1 AND y.kind = 1)
+                  AND (x.a <> y.a OR x.b <> y.b)
+                  AND (y.cnt > x.cnt OR (y.cnt = x.cnt
+                    AND (y.a < x.a OR (y.a = x.a AND y.b < x.b))))))
+            ORDER BY cnt DESC, a ASC, b ASC LIMIT $BatchCap),
+          bpe_m$r AS MATERIALIZED (
+            SELECT coalesce(list(struct_pack(a := a, b := b)),
+              CAST([] AS STRUCT(a VARCHAR, b VARCHAR)[])) AS ms FROM bpe_t$r),
+          bpe_w$r AS MATERIALIZED (
             SELECT word, freq,
               list_reduce(list_prepend('', string_split(s[2:], '|')),
-                (acc, x) -> CASE WHEN x = t.b AND ends_with(acc, '|' || t.a)
+                (acc, x) -> CASE WHEN len(list_filter(m.ms,
+                              p -> p.b = x AND ends_with(acc, '|' || p.a))) > 0
                             THEN acc || x ELSE acc || '|' || x END) AS s
-            FROM $prev, bpe_t$r t)"""
+            FROM $prev, bpe_m$r m)"""
     }.mkString(",\n")
     s"""WITH bpe_tok AS (
           SELECT doc_id, unnest($dtoks) AS word FROM documents),
@@ -415,11 +511,15 @@ object Bpe {
             CAST(coalesce(b.enc_checksum, 0) AS BIGINT) AS enc_checksum
           FROM documents d LEFT JOIN bpe_doc b ON d.doc_id = b.doc_id""",
     "ta29_bpe_merges" -> {
+      // Global rank = ordinal over (round asc, within-round rank asc) —
+      // the same ordering the driver-side merge log accumulates.
       val ranks = (1 to Rounds).map(r =>
-        s"SELECT CAST($r AS INT) AS rank, a, b FROM bpe_t$r")
+        s"SELECT $r AS round, rr, a, b FROM bpe_t$r")
         .mkString(" UNION ALL ")
       s"""$withSqlPrefix
-          $ranks"""
+          SELECT CAST(row_number() OVER (ORDER BY round ASC, rr ASC) AS INT)
+              AS rank, a, b
+          FROM ($ranks)"""
     },
     "ta30_bpe_vocab" ->
       s"""$withSqlPrefix

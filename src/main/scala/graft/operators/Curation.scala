@@ -137,7 +137,7 @@ object Curation {
     //    a MODEL-TOKEN budget (ta26's BPE subword counts — real context
     //    windows are measured in tokenizer tokens, not whitespace
     //    words): keep neighbors in rank order while the running total
-    //    stays ≤ 400, always keeping rank 1 (the standard never-empty-
+    //    stays ≤ 230, always keeping rank 1 (the standard never-empty-
     //    context rule; the running total is monotone, so the kept set
     //    is a rank prefix). Output: per query, kept-doc count, packed
     //    token total, and an md5 of the rank-ordered assembled context
@@ -246,6 +246,41 @@ object Curation {
             .as("order_checksum"))
     }),
 
+    // -- SEMDEDUP WITHIN-CLUSTER SEMANTIC PRUNE (Abbas et al. 2023,
+    //    public literature): inside each k-means cell, drop every
+    //    vector that has a NEAR-DUPLICATE cellmate (6-dp-rounded cosine
+    //    ≥ 0.4, dd07's exact cross-engine decision) ranked closer to
+    //    the centroid (tie: smaller vec_id) — each semantic clump keeps
+    //    exactly its most-prototypical member, which is SemDeDup's
+    //    selection rule. Pairwise comparison NEVER crosses cells: the
+    //    self-join keys on cid (both sides corpus-sized → shuffle-hash,
+    //    dd07's discipline), so per-cell work is bounded by cell size —
+    //    the global pairwise a naive semantic dedup would do is exactly
+    //    what the cell structure exists to avoid. Centroid distances
+    //    ride in from ss05's argmin (exact integers); scoring uses the
+    //    native codegen'd vecDot. Output: the surviving (cid, vec_id,
+    //    d2) rows.
+    "pl10_semantic_prune" -> ((s, d) => {
+      val cells = Similarity.kmeansCellsDist(s, d)
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").as("e"))
+        .withColumn("nrm", graft.functions.VectorFunctions.vecDot(col("e"), col("e")))
+      val m = cells.hint("shuffle_hash")
+        .join(v.hint("shuffle_hash"), Seq("vec_id"))
+      val dropped = m.as("a").hint("shuffle_hash")
+        .join(m.as("b").hint("shuffle_hash"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") =!= col("b.vec_id") &&
+          // b outranks a: strictly closer to the centroid, tie min id.
+          (col("b.d2") < col("a.d2") ||
+            (col("b.d2") === col("a.d2") && col("b.vec_id") < col("a.vec_id"))))
+        .filter(round(graft.functions.VectorFunctions.vecDot(col("a.e"), col("b.e"))
+          / sqrt(col("a.nrm") * col("b.nrm")), 6) >= 0.4)
+        .select(col("a.vec_id").as("vec_id")).distinct()
+      cells.hint("shuffle_hash")
+        .join(dropped.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
+        .select(col("cid"), col("vec_id"), col("d2"))
+    }),
+
     // -- CURATION FUNNEL AUDIT — "where did my data go", the #1
     //    debugging question a curation run answers before anything else
     //    ships: every document attributed to the FIRST pl05 gate that
@@ -338,7 +373,11 @@ object Curation {
     val w = Window.partitionBy(col("query_id")).orderBy(col("rnk"))
     resolved
       .withColumn("cum_tokens", sum(col("n_subwords")).over(w))
-      .filter(col("cum_tokens") <= 400 || col("rnk") === 1)
+      // 230 = the fixture-scale model-token budget, sized so the cut
+      // BINDS on some queries and not others at every SF (the spec
+      // pins that it actually truncates); round 8's deeper BPE merges
+      // shrank per-doc subword counts, which is why this is not 400.
+      .filter(col("cum_tokens") <= 230 || col("rnk") === 1)
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_ctx_docs"),
         sum(col("n_subwords")).as("n_ctx_tokens"),
@@ -429,12 +468,14 @@ object Curation {
       .select(col("doc_id"), col("idx"),
         expr("cast(conv(substring(md5(blk), 1, 15), 16, 10) as bigint)").as("bh"))
 
-  /** ta27's drop rule over block hashes: every bh appearing in ≥ 3
-    * distinct documents. */
-  private[graft] def dropSetOf(bh: DataFrame): DataFrame =
+  /** ta27's drop rule over block hashes: every bh appearing in ≥ minDf
+    * distinct documents (3 = C4's rule, the pl05/pl08 default; pl11's
+    * incremental snapshot runs ≥ 2 — the fixture's duplication
+    * density). */
+  private[graft] def dropSetOf(bh: DataFrame, minDf: Int = 3): DataFrame =
     bh.select(col("doc_id"), col("bh")).distinct()
       .groupBy(col("bh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 3).select(col("bh"))
+      .filter(col("df") >= minDf).select(col("bh"))
 
   /** Reassembly + quality over blocks with a kept-index relation —
     * the tail shared by the batch (webScored) and streaming
@@ -442,7 +483,7 @@ object Curation {
     * sides are micro-batch-bounded, so the kept relation BROADCASTS
     * (no per-trigger exchange); in the batch leg both are corpus-sized
     * → shuffle hash (pl05's plan-spec-pinned discipline). */
-  private def cleanedScoredOf(blocksDf: DataFrame, kept: DataFrame,
+  private[graft] def cleanedScoredOf(blocksDf: DataFrame, kept: DataFrame,
       batchLocal: Boolean = false): DataFrame = {
     val cleaned = (if (batchLocal) blocksDf.join(broadcast(kept), Seq("doc_id"), "left")
       else blocksDf.hint("shuffle_hash")
@@ -577,8 +618,10 @@ object Curation {
 
   /** The pl05 per-doc CTE chain (markup wrap, extraction, paragraph
     * dedup, quality score, pass set, canonical map) — shared verbatim
-    * by the pl05 and pl08 oracles so the two can never drift. */
-  private lazy val p5Ctes: String = {
+    * by the pl05 and pl08 oracles so the two can never drift; pl11's
+    * incremental-snapshot oracle re-derives the same chain at its own
+    * drop threshold. */
+  private[operators] def p5CtesFor(minDf: Int): String = {
     val dtoks = "list_filter(string_split(text, ' '), x -> x <> '')"
     s"""p5h AS (
             SELECT doc_id, lang,
@@ -620,7 +663,7 @@ object Curation {
           p5drop AS (
             SELECT bh FROM (
               SELECT bh, count(DISTINCT doc_id) AS df FROM p5hh GROUP BY bh)
-            WHERE df >= 3),
+            WHERE df >= $minDf),
           p5k AS (
             SELECT h.doc_id, count(*) AS n_kept,
               string_agg(h.blk, ' ' ORDER BY h.idx) AS txt
@@ -646,9 +689,10 @@ object Curation {
 
   /** st32's oracle: pl08's per-doc attribution BEFORE the rollup —
     * the streaming funnel emits rows per document, so the oracle does
-    * too (same shared CTE chain). */
-  private[graft] def funnelRowsSql: String =
-    s"""WITH $p5Ctes
+    * too (same shared CTE chain). [[funnelRowsSqlFor]] generalizes the
+    * drop threshold for pl11's incremental-snapshot oracle. */
+  private[operators] def funnelRowsSqlFor(minDf: Int): String =
+    s"""WITH ${p5CtesFor(minDf)}
         SELECT s.doc_id, s.lang,
           CASE WHEN s.n_kept = 0 THEN 'boilerplate_only'
                WHEN s.q < 0.5 THEN 'low_quality'
@@ -656,6 +700,7 @@ object Curation {
                ELSE 'kept' END AS stage
         FROM p5s s LEFT JOIN p5p p ON s.doc_id = p.doc_id
                    LEFT JOIN p5canon c ON p.ck = c.ck"""
+  private[graft] def funnelRowsSql: String = funnelRowsSqlFor(3)
 
   def oracleSql: Map[String, String] = Map(
     // Composed from the same constants; each stage is the SQL twin of
@@ -663,7 +708,7 @@ object Curation {
     // formula in-row, dd01's min-id canonical). The per-doc CTE chain
     // (p5h..p5canon) is shared verbatim with pl08's funnel oracle.
     "pl05_web_curation" ->
-      s"""WITH $p5Ctes,
+      s"""WITH ${p5CtesFor(3)},
           p5pr AS (
             SELECT p.lang, count(*) AS n_pass,
               CAST(sum(CASE WHEN p.doc_id = c.canon_id THEN 1 ELSE 0 END)
@@ -680,7 +725,7 @@ object Curation {
 
     // pl08: the same per-doc chain, attributed to the first failing gate.
     "pl08_funnel_audit" ->
-      s"""WITH $p5Ctes
+      s"""WITH ${p5CtesFor(3)}
           SELECT lang, stage, count(*) AS n_docs FROM (
             SELECT s.lang,
               CASE WHEN s.n_kept = 0 THEN 'boilerplate_only'
@@ -756,7 +801,7 @@ object Curation {
               sum(k.n_subwords) OVER (PARTITION BY t.query_id ORDER BY t.rnk)
                 AS cum
             FROM pl6_topk t JOIN pl6_tok k ON t.neighbor_id = k.neighbor_id),
-          pl6_k AS (SELECT * FROM pl6_j WHERE cum <= 400 OR rnk = 1)
+          pl6_k AS (SELECT * FROM pl6_j WHERE cum <= 230 OR rnk = 1)
           SELECT query_id, count(*) AS n_ctx_docs,
             CAST(sum(n_subwords) AS BIGINT) AS n_ctx_tokens,
             md5(string_agg(text, ' ' ORDER BY rnk)) AS ctx_md5
@@ -800,6 +845,43 @@ object Curation {
           FROM embeddings e LEFT JOIN pl2_dups du ON e.vec_id = du.vec_id
           GROUP BY label"""
     },
+
+    // pl10: the same quantization/argmin CTEs as pl07's oracle (keeping
+    // the winning distance), dd07's list_dot_product cosine, and the
+    // outranked-near-dup drop rule — survivors re-derived wholesale.
+    "pl10_semantic_prune" ->
+      s"""WITH pXq AS (
+            SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(round(x * 1000, 0) AS BIGINT)) AS v
+            FROM embeddings),
+          pXc AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv
+                  FROM pXq WHERE vec_id < 10),
+          pXd AS (
+            SELECT q.vec_id, c.cid,
+              list_aggregate(list_transform(range(len(q.v)),
+                i -> (q.v[CAST(i AS INT) + 1] - c.cv[CAST(i AS INT) + 1])
+                   * (q.v[CAST(i AS INT) + 1] - c.cv[CAST(i AS INT) + 1])),
+                'sum') AS dist2
+            FROM pXq q CROSS JOIN pXc c),
+          pXcell AS (
+            SELECT vec_id, cid, CAST(dist2 AS BIGINT) AS d2 FROM (
+              SELECT vec_id, cid, dist2, row_number() OVER (PARTITION BY vec_id
+                ORDER BY dist2 ASC, cid ASC) AS rn
+              FROM pXd)
+            WHERE rn = 1),
+          pXe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+          pXm AS (
+            SELECT c.vec_id, c.cid, c.d2, e.e
+            FROM pXcell c JOIN pXe e ON c.vec_id = e.vec_id),
+          pXdrop AS (
+            SELECT DISTINCT a.vec_id
+            FROM pXm a JOIN pXm b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+              AND (b.d2 < a.d2 OR (b.d2 = a.d2 AND b.vec_id < a.vec_id))
+            WHERE round(list_dot_product(a.e, b.e)
+              / sqrt(list_dot_product(a.e, a.e) * list_dot_product(b.e, b.e)),
+              6) >= 0.4)
+          SELECT cid, vec_id, d2 FROM pXm
+          WHERE vec_id NOT IN (SELECT vec_id FROM pXdrop)""",
 
     // pl07: ss05's integer argmin re-derived (same quantization/tiebreak
     // CTEs as the ss05 oracle), ta03's quality composed verbatim, and

@@ -21,6 +21,9 @@ final case class ResizedMeta(
   doc_id: Long, width: Int, height: Int,
   new_w: Int, new_h: Int, n_pixels_out: Long)
 
+/** Perceptual hash row emitted by mm09's decode+hash pass. */
+final case class PHashRow(doc_id: Long, phash: Long)
+
 /** Multimodal-column operators (SURVEY.md §2.5).
   *
   * Media are opaque `binary` columns with typed metadata — the
@@ -110,6 +113,35 @@ object Multimodal {
     grf2BlobsOf(docs)
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, blob) => decodeGrf2(id, blob) })
+      .toDF()
+  }
+
+  /** mm09's decode+hash pass: parse the GRF-v2 container, then compute a
+    * 27-bit GRADIENT perceptual hash over the decoded 16-byte payload —
+    * the dHash design (public literature: compare adjacent "pixel"
+    * intensities; robust to uniform brightness/contrast shifts because
+    * only the SIGN of each local gradient is kept). Payload bytes are
+    * read as a 4×4 grid: 15 sequential-order bits (byte i < byte i+1,
+    * the row-major horizontal gradients wrapped at row ends) + 12
+    * vertical bits (byte i < byte i+4). Deterministic integer
+    * arithmetic end-to-end — a media library's luminance grid drops
+    * into the same slot with the hash, banding and join shape
+    * unchanged. Typed mapPartitions like mm02: constant memory, scales
+    * with partition count. */
+  private[graft] def phashOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    grf2BlobsOf(docs)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val p = blob.slice(9, 25).map(_ & 0xff)
+        var h = 0L
+        var i = 0
+        while (i < 15) { if (p(i) < p(i + 1)) h |= 1L << i; i += 1 }
+        i = 0
+        while (i < 12) { if (p(i) < p(i + 4)) h |= 1L << (15 + i); i += 1 }
+        PHashRow(id, h)
+      })
       .toDF()
   }
 
@@ -242,6 +274,33 @@ object Multimodal {
         .toDF()
     }),
 
+    // -- PERCEPTUAL-HASH NEAR-DUP for media blobs — dd05/dd06's banding
+    //    discipline applied to the multimodal column: decode every
+    //    GRF-v2 blob ([[phashOf]] — real byte parse + 27-bit gradient
+    //    dHash over the payload), then find all pairs at hamming ≤ 2
+    //    via EXACT 9-bit banding: a pair differing in ≤2 of 27 bits
+    //    must agree on ≥1 of the 3 bands (pigeonhole — 100% recall, no
+    //    probabilistic miss), and 512 buckets per band bound bucket
+    //    occupancy at corpus scale. Both self-join sides are the corpus
+    //    → shuffle on the band key, never broadcast (dd06's rule). The
+    //    oracle recomputes hash + brute-force pairs in closed form from
+    //    the payload's md5 derivation; MultimodalSpec pins banded ≡
+    //    brute-force on the fixture.
+    "mm09_phash_neardup" -> ((s, d) => {
+      val ph = phashOf(Tables.documents(s, d))
+      val banded = ph.select(col("doc_id"), col("phash"),
+          explode(expr("sequence(0, 2)")).as("band"))
+        .withColumn("bv", expr("(phash >> (band * 9)) & 511"))
+      banded.as("a").hint("shuffle_hash")
+        .join(banded.as("b").hint("shuffle_hash"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr("bit_count(a.phash ^ b.phash)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 2)
+    }),
+
     // -- BATCHED feature extraction — the GPU-inference deployment
     //    shape (`mapInPandas` batch-UDF analog in typed Scala): one
     //    expensive model handle per PARTITION (here the digest stands
@@ -348,6 +407,32 @@ object Multimodal {
            CAST(new_w AS INT) AS new_w, CAST(new_h AS INT) AS new_h,
            CAST(new_w * new_h AS BIGINT) AS n_pixels_out
          FROM r""",
+    // mm09: payload byte i of the GRF-v2 container is digest byte i of
+    // md5(text) (hex chars [2i+1, 2i+2]); the 27-bit gradient hash and
+    // the BRUTE-FORCE all-pairs hamming join recompute the banded
+    // result in closed form — banding is exact for hamming ≤ 2, so the
+    // two pair sets must be identical.
+    "mm09_phash_neardup" ->
+      """WITH pb AS (
+           SELECT doc_id, list_transform(range(16),
+             i -> CAST(concat('0x', substr(md5(text), CAST(i AS INT)*2+1, 2))
+                    AS BIGINT)) AS p
+           FROM documents),
+         ph AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(15),
+               i -> CASE WHEN p[CAST(i AS INT)+1] < p[CAST(i AS INT)+2]
+                    THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT)
+             + CAST(list_sum(list_transform(range(12),
+               i -> CASE WHEN p[CAST(i AS INT)+1] < p[CAST(i AS INT)+5]
+                    THEN (1::BIGINT << (15 + CAST(i AS INT))) ELSE 0 END))
+               AS BIGINT) AS phash
+           FROM pb)
+         SELECT doc_a, doc_b, hamming FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+           FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+         WHERE hamming <= 2""",
     // Recomputes the md5-derived fake embedding per byte: byte i of the
     // digest is hex chars [2i+1, 2i+2], offset to [-128, 127].
     "mm07_batch_infer" ->

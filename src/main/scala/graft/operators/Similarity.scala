@@ -292,7 +292,10 @@ object Similarity {
     quantVecs(s, d, 0).filter(col("vec_id") < 10)
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
 
-  private[graft] def kmeansCells(s: SparkSession, d: String): DataFrame = {
+  /** ss05's argmin assignment WITH the winning distance — (vec_id, cid,
+    * d2). pl10's SemDeDup prune ranks cell members by centroid
+    * proximity, so the distance rides out instead of being re-derived. */
+  private[graft] def kmeansCellsDist(s: SparkSession, d: String): DataFrame = {
     val q = quantVecs(s, d, 0).select(col("vec_id"), col("v"))
     val ctr = kmeansCentroids(s, d)
     q.crossJoin(broadcast(ctr))
@@ -301,8 +304,11 @@ object Similarity {
           .as("d2"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cid"))
+      .select(col("vec_id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
   }
+
+  private[graft] def kmeansCells(s: SparkSession, d: String): DataFrame =
+    kmeansCellsDist(s, d).select(col("vec_id"), col("cid"))
 
   // PQ geometry shared by the build and the query-side LUT.
   private val (pqM, pqSub, pqK) = (4, 16, 8)

@@ -3,12 +3,17 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.Bpe
 
-/** ta26's driver-recompute gate: an independent SEQUENTIAL reference
-  * implementation of BPE (classic word-frequency formulation — Sennrich
-  * et al. 2016) recomputes the trained dictionary on the sf0.001 corpus
-  * and must agree symbol-for-symbol with the distributed training loop.
-  * The oracle SQL re-runs the same algorithm in DuckDB; this spec is the
-  * third, engine-free vote. */
+/** ta26's driver-recompute gate: an independent reference
+  * implementation of batched BPE (the word-frequency formulation —
+  * Sennrich et al. 2016 — with per-round non-interfering merge batches)
+  * recomputes the trained dictionary on the fixture corpus and must
+  * agree symbol-for-symbol with the distributed training loop. The
+  * oracle SQL re-runs the same algorithm in DuckDB; this spec is the
+  * third, engine-free vote. The reference applies each round's batch
+  * ONE MERGE AT A TIME in rank order, while the distributed loop
+  * applies the whole batch in one simultaneous fold — agreement is
+  * itself evidence of the batched≡sequential equivalence the
+  * non-interference rule guarantees (pinned adversarially below). */
 class BpeSpec extends SparkSpec {
 
   /** Greedy left-to-right merge of (a, b) in a symbol list — the spec's
@@ -20,8 +25,26 @@ class BpeSpec extends SparkSpec {
       case Nil => Nil
     }
 
-  /** Sequential BPE training: returns (merges in rank order, final
-    * word → symbols dictionary). */
+  /** One round's batch under the conflict rule: local maxima of the
+    * conflict graph (shared symbol, or created-string collision with a
+    * symbol of the other pair), ranked (cnt desc, a, b), capped. */
+  private def refSelect(counts: Map[(String, String), Long])
+      : List[(String, String)] = {
+    def syms(p: (String, String)) = Set(p._1, p._2)
+    def created(p: (String, String)) = p._1 + p._2
+    def key(p: (String, String)) = (-counts(p), p._1, p._2)
+    val ord = implicitly[Ordering[(Long, String, String)]]
+    def conflicts(p: (String, String), q: (String, String)) =
+      p != q && (syms(p).intersect(syms(q)).nonEmpty ||
+        syms(q).contains(created(p)) || syms(p).contains(created(q)))
+    counts.keys.toList
+      .filter(p => !counts.keys.exists(q => conflicts(p, q) && ord.lt(key(q), key(p))))
+      .sortBy(key)
+      .take(Bpe.BatchCap)
+  }
+
+  /** Batched reference training: returns (merges in global rank order,
+    * final word → symbols dictionary). */
   private def refTrain(freqs: Map[String, Long], rounds: Int)
       : (List[(String, String)], Map[String, List[String]]) = {
     var dict = freqs.map { case (w, _) => w -> w.split("").toList }
@@ -30,13 +53,12 @@ class BpeSpec extends SparkSpec {
       val counts = collection.mutable.Map.empty[(String, String), Long]
       for ((w, syms) <- dict; pair <- syms.zip(syms.tail))
         counts(pair) = counts.getOrElse(pair, 0L) + freqs(w)
-      // Sentinel ('', '') with count -1 — the distributed loop's
-      // data-independent guard: when no pairs remain it wins and its
-      // application is the identity.
-      val (a, b) = (counts.toSeq :+ (("", ""), -1L))
-        .minBy { case ((x, y), c) => (-c, x, y) }._1
-      merges :+= ((a, b))
-      dict = dict.map { case (w, syms) => w -> applyMerge(syms, a, b) }
+      val batch = refSelect(counts.toMap)
+      merges :++= batch
+      // Sequential application in rank order — the equivalence target
+      // for the distributed loop's simultaneous fold.
+      for ((a, b) <- batch)
+        dict = dict.map { case (w, syms) => w -> applyMerge(syms, a, b) }
     }
     (merges, dict)
   }
@@ -52,7 +74,7 @@ class BpeSpec extends SparkSpec {
 
   test("distributed BPE training matches the sequential reference on the fixture") {
     val freqs = fixtureFreqs
-    val (_, refDict) = refTrain(freqs, 8)
+    val (_, refDict) = refTrain(freqs, Bpe.Rounds)
     val got = Bpe.bpeDict(spark, sfDir)
       .select(col("word"), col("s")).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
@@ -67,7 +89,7 @@ class BpeSpec extends SparkSpec {
   }
 
   test("ta29 merge table equals the sequential reference's merges in rank order") {
-    val (refMerges, _) = refTrain(fixtureFreqs, 8)
+    val (refMerges, _) = refTrain(fixtureFreqs, Bpe.Rounds)
     val got = graft.SparkEntry.queries("ta29_bpe_merges")(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
       .sortBy(_._1).map(t => (t._2, t._3)).toList
@@ -86,7 +108,7 @@ class BpeSpec extends SparkSpec {
     // Spot-check one doc: recompute its subword count from the
     // sequential dictionary.
     val freqs = fixtureFreqs
-    val (_, refDict) = refTrain(freqs, 8)
+    val (_, refDict) = refTrain(freqs, Bpe.Rounds)
     import spark.implicits._
     val doc0 = graft.sources.Tables.documents(spark, sfDir)
       .filter(col("doc_id") === 0).select(col("text")).as[String].head()
@@ -99,7 +121,7 @@ class BpeSpec extends SparkSpec {
 
   test("ta30 vocab equals the sequential reference's weighted symbol counts") {
     val freqs = fixtureFreqs
-    val (_, refDict) = refTrain(freqs, 8)
+    val (_, refDict) = refTrain(freqs, Bpe.Rounds)
     val refVocab = refDict.toSeq
       .flatMap { case (w, syms) => syms.map(_ -> freqs(w)) }
       .groupMapReduce(_._1)(_._2)(_ + _)
@@ -166,12 +188,53 @@ class BpeSpec extends SparkSpec {
     assert(rows.map(_._4).sum == stats.getLong(2))
   }
 
-  test("sentinel keeps exhausted training stable (degenerate corpus)") {
-    // All single-char words: round 1 finds no pairs, the sentinel wins
-    // every round, and the dictionary must come through unchanged.
+  test("exhausted training is stable (degenerate corpus, empty batches)") {
+    // All single-char words: no round finds any pair, every batch is
+    // empty, and the dictionary must come through unchanged.
     val counts = Map("a" -> 3L, "b" -> 2L, "c" -> 1L)
     val (merges, dict) = refTrain(counts, 3)
-    assert(merges.forall(_ == ("", "")))
+    assert(merges.isEmpty)
     assert(dict == Map("a" -> List("a"), "b" -> List("b"), "c" -> List("c")))
+  }
+
+  test("batch selection excludes interfering pairs (chains + created-symbol collisions)") {
+    import spark.implicits._
+    // Adversarial pair counts: a chain a-b-c-d (shared symbols), a
+    // disjoint pair (x,y), and (ab,z) whose SOURCE symbol 'ab' collides
+    // with (a,b)'s CREATED string — applying (ab,z) before or after
+    // (a,b) gives different results, so it must be excluded even though
+    // it shares no symbol with anything.
+    val pairs = Seq(
+      ("a", "b", 10L), ("b", "c", 9L), ("c", "d", 8L),
+      ("x", "y", 8L), ("ab", "z", 7L)).toDF("a", "b", "cnt")
+    assert(Bpe.batchSelect(pairs) == Seq(("a", "b"), ("x", "y")))
+    // (c,d) is excluded only because its neighbor (b,c) outranks it —
+    // local maxima, not maximal independent set: remove (b,c) and (c,d)
+    // re-enters.
+    val without = Seq(("a", "b", 10L), ("c", "d", 8L), ("x", "y", 8L))
+      .toDF("a", "b", "cnt")
+    assert(Bpe.batchSelect(without) == Seq(("a", "b"), ("c", "d"), ("x", "y")))
+  }
+
+  test("simultaneous batch fold equals one-at-a-time application in every order") {
+    import spark.implicits._
+    // Adversarial states: repeats ("a a a"), interleavings, the created
+    // symbol 'ab' pre-existing as a SINGLE symbol (must not trigger
+    // (a,b)'s closure check), and symbols untouched by the batch.
+    val states = Seq(
+      "|a|b|c|d", "|a|a|a", "|a|b|x|a|b", "|c|d|c|d", "|x|y|x",
+      "|ab|c|d", "|q|a|b|q", "|b|a|d|c", "|a", "|y|x|y")
+    val batch = Seq(("a", "b"), ("c", "d"), ("x", "y"))
+    val df = states.toDF("s")
+    val simultaneous = df.select(Bpe.batchMergeCol(batch).as("r"))
+      .as[String].collect().toSeq
+    for (perm <- batch.permutations) {
+      val sequential = perm.foldLeft(df) { case (acc, (a, b)) =>
+        acc.select(col("s"), lit(a).as("a"), lit(b).as("b"))
+          .select(Bpe.applyMergeCol.as("s"))
+      }.as[String].collect().toSeq
+      assert(sequential == simultaneous,
+        s"order ${perm.mkString(",")} diverges: $sequential vs $simultaneous")
+    }
   }
 }
