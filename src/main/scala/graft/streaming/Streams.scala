@@ -1222,14 +1222,13 @@ object Streams {
     "st28_stream_rag_serve" -> ((s, d) => {
       import graft.operators.{Bpe, Curation, Similarity}
       val idx = Similarity.ivfIndex(s, d)
-      // Both doc-resolve artifacts are bucket-partitioned by doc_id;
-      // ragAssembleLocal routes each trigger's neighbor buckets into
-      // the scans and broadcasts the batch probe — zero corpus-sized
-      // exchanges per trigger (the batch leg's shuffle-hash resolves
-      // would re-exchange both artifacts every micro-batch).
-      val docStats = Bpe.stagedDocStats(s, d)
-        .select(col("doc_id"), col("n_subwords"), col("bkt"))
-      val docText = Curation.stagedDocText(s, d)
+      // The doc-resolve lookup artifact (doc_id → (n_subwords, text))
+      // is bucket-partitioned by doc_id; ragAssembleLocal routes each
+      // trigger's neighbor buckets into the scan and broadcasts the
+      // batch probe — zero corpus-sized exchanges per trigger (the
+      // batch leg's shuffle-hash resolves would re-exchange the
+      // artifact every micro-batch).
+      val docServe = Curation.stagedDocServe(s, d)
       val (feed, schema) = embFeed(s, d)
       val outDir = graft.sources.Scratch.dir(s, d, "st28_out")
       val fsPath = new org.apache.hadoop.fs.Path(outDir)
@@ -1244,8 +1243,12 @@ object Streams {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val topk = Similarity.ivfServePartial(batch, idx)
             .select(col("query_id"), col("neighbor_id"), col("rnk"))
-          Curation.ragAssembleLocal(topk, docStats, docText)
+          // ragAssembleLocal persists the probe (it is referenced three
+          // times in the per-batch plan); release it once the sink
+          // write has consumed it.
+          try Curation.ragAssembleLocal(topk, docServe)
             .write.mode("append").parquet(outDir)
+          finally topk.unpersist(blocking = false)
         }
         .start()
       q.awaitTermination()

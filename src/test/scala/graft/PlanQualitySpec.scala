@@ -408,25 +408,21 @@ class PlanQualitySpec extends SparkSpec {
     "PartitionFilters: \\[([^\\]]*)\\]".r
       .findFirstMatchIn(scan).map(_.group(1)).getOrElse("")
 
-  test("st28's per-batch RAG assembly prunes both doc artifacts and never exchanges them") {
-    import graft.operators.{Bpe, Curation}
+  test("st28's per-batch RAG assembly prunes the doc-serve artifact and never exchanges it") {
+    import graft.operators.Curation
     // Stand-in batch probe with the (query_id, neighbor_id, rnk) shape.
     val topk = graft.sources.Tables.embeddings(spark, sfDir)
       .select(col("vec_id").as("query_id"),
         (col("vec_id") + 1).as("neighbor_id"), lit(1).as("rnk"))
       .limit(50)
     val df = Curation.ragAssembleLocal(topk,
-      Bpe.stagedDocStats(spark, sfDir)
-        .select(col("doc_id"), col("n_subwords"), col("bkt")),
-      Curation.stagedDocText(spark, sfDir))
+      Curation.stagedDocServe(spark, sfDir))
     val p = df.queryExecution.executedPlan.toString
-    // Both artifact scans carry the batch's bucket set as a static
-    // PartitionFilter (planning-time directory pruning).
-    for (dir <- Seq("graft_bpe_docstats", "graft_doctext")) {
-      val pf = partitionFilters(scanLine(p, dir))
-      assert(pf.contains("bkt"),
-        s"$dir scan not bucket-pruned (PartitionFilters [$pf]):\n" + p.take(3000))
-    }
+    // The lookup-artifact scan carries the batch's bucket set as a
+    // static PartitionFilter (planning-time directory pruning).
+    val pf = partitionFilters(scanLine(p, "graft_docserve"))
+    assert(pf.contains("bkt"),
+      s"docserve scan not bucket-pruned (PartitionFilters [$pf]):\n" + p.take(3000))
     // The probe broadcasts INTO the artifact scans…
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     // …so the ONLY row exchange is the window/rollup's query_id shuffle

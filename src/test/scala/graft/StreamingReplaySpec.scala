@@ -161,17 +161,15 @@ class StreamingReplaySpec extends SparkSpec {
     import graft.operators.{Bpe, Curation, Similarity}
     val emb = Tables.embeddings(spark, sfDir)
     val idx = Similarity.ivfIndex(spark, sfDir)
-    // What st28 actually runs per trigger: bucket-pruned artifact scans
-    // with the probe broadcast (ragAssembleLocal) — must be answer-
-    // invariant vs pl06's batch-leg shuffle-hash assembly.
-    val docStats = Bpe.stagedDocStats(spark, sfDir)
-      .select(col("doc_id"), col("n_subwords"), col("bkt"))
-    val docText = Curation.stagedDocText(spark, sfDir)
+    // What st28 actually runs per trigger: the bucket-pruned lookup-
+    // artifact scan with the probe broadcast (ragAssembleLocal) — must
+    // be answer-invariant vs pl06's batch-leg shuffle-hash assembly.
+    val docServe = Curation.stagedDocServe(spark, sfDir)
     val partials = Seq(0, 1, 1, 2).map { r =>
       val topk = Similarity
         .ivfServePartial(emb.filter(col("vec_id") % 3 === r), idx)
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
-      Curation.ragAssembleLocal(topk, docStats, docText)
+      Curation.ragAssembleLocal(topk, docServe)
     }.reduce(_ unionByName _).distinct()
     val expected = graft.SparkEntry.queries("pl06_rag_context")(spark, sfDir)
     assert(partials.count() == expected.count())
