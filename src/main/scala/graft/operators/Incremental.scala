@@ -22,9 +22,12 @@ import graft.sources.{Scratch, Tables}
   *   - bh postings  (doc_id, bh)  — which docs contain which block hash
   *   - ck postings  (doc_id, ck)  — each PASSING doc's content key
   *
-  * Night 0 builds base shards 0..Parts-2. Night 1, shard Parts-1
-  * arrives; the incremental step rewrites ONLY the shards whose rows
-  * can differ under the new global state:
+  * Night 0 builds base shards 0..Parts-3; then TWO delta nights land
+  * shards Parts-2 and Parts-1 in sequence — the second night runs
+  * against postings the first night's rewrite already refreshed, which
+  * is exactly where incremental systems rot (stale side artifacts), so
+  * it is exercised, not assumed. Each delta night rewrites ONLY the
+  * shards whose rows can differ under the new global state:
   *   1. Drop-set delta: block-hash document frequencies only GROW in an
   *      append-only corpus, so the changed hashes are exactly those
   *      crossing the [[MinDf]] threshold — one aggregation over the
@@ -84,13 +87,16 @@ object Incremental {
           .otherwise("kept").as("stage"),
         partOf(col("doc_id")).as("part"))
 
-  /** Build audit the spec consumes: the table dir, which shards the
-    * incremental step rewrote, and the (relative path → (length,
-    * mtime)) file snapshot taken BETWEEN the base build and the
-    * incremental step — untouched shards must match it byte-for-byte
-    * afterwards. */
-  private[graft] final case class Pl11Audit(
-    table: String, affectedParts: Seq[Int], preFiles: Map[String, (Long, Long)])
+  /** One delta night's audit: the arriving shard, which shards its
+    * rewrite touched, the file snapshot taken BEFORE its rewrite and
+    * the one taken AFTER — shards outside `affectedParts` must be
+    * byte-identical between the two. */
+  private[graft] final case class NightAudit(
+    deltaPart: Int, affectedParts: Seq[Int],
+    preFiles: Map[String, (Long, Long)], postFiles: Map[String, (Long, Long)])
+
+  /** Build audit the spec consumes: the table dir + per-night audits. */
+  private[graft] final case class Pl11Audit(table: String, nights: Seq[NightAudit])
 
   private val stagedRuns = TrieMap.empty[String, Pl11Audit]
 
@@ -113,8 +119,7 @@ object Incremental {
         val ckDir = new java.io.File(root, "ck").getPath
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("text"))
-        val base = docs.filter(partOf(col("doc_id")) < Parts - 1)
-        val delta = docs.filter(partOf(col("doc_id")) === Parts - 1)
+        val base = docs.filter(partOf(col("doc_id")) < Parts - 2)
 
         // ---- Night 0: base build + staged postings -----------------
         Curation.bhOf(Curation.webBlocksOf(base))
@@ -130,69 +135,74 @@ object Incremental {
           .groupBy(col("ck")).agg(min(col("doc_id")).as("canon_id"))
         stagesOf(scoredBase, canonBase)
           .write.mode("overwrite").partitionBy("part").parquet(table.getPath)
-        val preFiles = snapshotFiles(table)
 
-        // ---- Night 1: delta shard arrives --------------------------
-        // Ledger append: only the delta's postings are computed; the
-        // base postings are REUSED from the staged artifact.
-        Curation.bhOf(Curation.webBlocksOf(delta))
-          .select(col("doc_id"), col("bh"), partOf(col("doc_id")).as("part"))
-          .write.mode("append").partitionBy("part").parquet(bhDir)
-        val allBh = s.read.parquet(bhDir)
-        // Crossed hashes: total df reaches MinDf, base df did not (df
-        // only grows — append-only corpus, so no downward flips).
-        val crossed = allBh.select(col("doc_id"), col("bh"), col("part")).distinct()
-          .groupBy(col("bh"))
-          .agg(count(lit(1)).as("n_all"),
-            sum((col("part") < Parts - 1).cast("long")).as("n_base"))
-          .filter(col("n_all") >= MinDf && col("n_base") < MinDf)
-          .select(col("bh"))
-        val newDrop = Curation.dropSetOf(allBh, MinDf)
-        // Affected docs, tier 1: contain a crossed hash (cleaned text /
-        // quality / content key all change) — plus every delta doc.
-        val aff1 = allBh.join(crossed.hint("shuffle_hash"), Seq("bh"))
-          .select(col("doc_id")).distinct()
-        val affDocs = aff1
-          .unionByName(delta.select(col("doc_id")))
-          .distinct()
-        // Tier 2: content-key groups touched by tier-1/delta docs — old
-        // keys from the staged postings, new keys recomputed for the
-        // affected docs only (never a corpus rescan).
-        val scoredAff = scoredOf(docs.join(affDocs.hint("shuffle_hash"), Seq("doc_id")), newDrop)
-        val oldCks = s.read.parquet(ckDir)
-          .join(affDocs.hint("shuffle_hash"), Seq("doc_id"))
-          .select(col("ck"))
-        val changedCks = oldCks
-          .unionByName(scoredAff.filter(col("q") >= 0.5).select(col("ck")))
-          .distinct()
-        val aff2Parts = s.read.parquet(ckDir)
-          .join(changedCks.hint("shuffle_hash"), Seq("ck"))
-          .select(col("part"))
-        // Affected shard set — a ≤Parts-int driver scalar (st22's
-        // routing class), the rewrite and pruning unit.
-        val affectedParts = affDocs.select(partOf(col("doc_id")).as("part"))
-          .unionByName(aff2Parts)
-          .distinct().collect().map(_.getInt(0)).toSeq.sorted
-        // ---- Rewrite ONLY the affected shards ----------------------
-        val rewriteDocs = docs.filter(partOf(col("doc_id")).isin(affectedParts: _*))
-        val scoredRw = scoredOf(rewriteDocs, newDrop)
-        // Updated ck postings: untouched shards' rows reused verbatim,
-        // affected shards' rows replaced — then the new canonical map.
-        val ckKept = s.read.parquet(ckDir)
-          .filter(!col("part").isin(affectedParts: _*))
-          .select(col("doc_id"), col("ck"), col("part"))
-        val ckNew = scoredRw.filter(col("q") >= 0.5)
-          .select(col("doc_id"), col("ck"), partOf(col("doc_id")).as("part"))
-        val canonAll = ckKept.unionByName(ckNew)
-          .groupBy(col("ck")).agg(min(col("doc_id")).as("canon_id"))
-        stagesOf(scoredRw, canonAll)
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("part").parquet(table.getPath)
-        ckNew.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("part").parquet(ckDir)
-        Pl11Audit(table.getPath, affectedParts, preFiles)
+        // ---- One delta night: shard `p` arrives --------------------
+        def night(p: Int): NightAudit = {
+          val preFiles = snapshotFiles(table)
+          val delta = docs.filter(partOf(col("doc_id")) === p)
+          // Ledger append: only the delta's postings are computed; all
+          // prior postings are REUSED from the staged artifact.
+          Curation.bhOf(Curation.webBlocksOf(delta))
+            .select(col("doc_id"), col("bh"), partOf(col("doc_id")).as("part"))
+            .write.mode("append").partitionBy("part").parquet(bhDir)
+          val allBh = s.read.parquet(bhDir)
+          // Crossed hashes: total df reaches MinDf, pre-delta df did not
+          // (df only grows — append-only corpus, no downward flips).
+          val crossed = allBh.select(col("doc_id"), col("bh"), col("part")).distinct()
+            .groupBy(col("bh"))
+            .agg(count(lit(1)).as("n_all"),
+              sum((col("part") =!= p).cast("long")).as("n_before"))
+            .filter(col("n_all") >= MinDf && col("n_before") < MinDf)
+            .select(col("bh"))
+          val newDrop = Curation.dropSetOf(allBh, MinDf)
+          // Affected docs, tier 1: contain a crossed hash (cleaned text
+          // / quality / content key all change) — plus every delta doc.
+          val aff1 = allBh.join(crossed.hint("shuffle_hash"), Seq("bh"))
+            .select(col("doc_id")).distinct()
+          val affDocs = aff1
+            .unionByName(delta.select(col("doc_id")))
+            .distinct()
+          // Tier 2: content-key groups touched by tier-1/delta docs —
+          // old keys from the staged postings, new keys recomputed for
+          // the affected docs only (never a corpus rescan).
+          val scoredAff = scoredOf(
+            docs.join(affDocs.hint("shuffle_hash"), Seq("doc_id")), newDrop)
+          val oldCks = s.read.parquet(ckDir)
+            .join(affDocs.hint("shuffle_hash"), Seq("doc_id"))
+            .select(col("ck"))
+          val changedCks = oldCks
+            .unionByName(scoredAff.filter(col("q") >= 0.5).select(col("ck")))
+            .distinct()
+          val aff2Parts = s.read.parquet(ckDir)
+            .join(changedCks.hint("shuffle_hash"), Seq("ck"))
+            .select(col("part"))
+          // Affected shard set — a ≤Parts-int driver scalar (st22's
+          // routing class), the rewrite and pruning unit.
+          val affectedParts = affDocs.select(partOf(col("doc_id")).as("part"))
+            .unionByName(aff2Parts)
+            .distinct().collect().map(_.getInt(0)).toSeq.sorted
+          // ---- Rewrite ONLY the affected shards --------------------
+          val rewriteDocs = docs.filter(partOf(col("doc_id")).isin(affectedParts: _*))
+          val scoredRw = scoredOf(rewriteDocs, newDrop)
+          // Updated ck postings: untouched shards' rows reused verbatim,
+          // affected shards' rows replaced — then the new canonical map.
+          val ckKept = s.read.parquet(ckDir)
+            .filter(!col("part").isin(affectedParts: _*))
+            .select(col("doc_id"), col("ck"), col("part"))
+          val ckNew = scoredRw.filter(col("q") >= 0.5)
+            .select(col("doc_id"), col("ck"), partOf(col("doc_id")).as("part"))
+          val canonAll = ckKept.unionByName(ckNew)
+            .groupBy(col("ck")).agg(min(col("doc_id")).as("canon_id"))
+          stagesOf(scoredRw, canonAll)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part").parquet(table.getPath)
+          ckNew.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("part").parquet(ckDir)
+          NightAudit(p, affectedParts, preFiles, snapshotFiles(table))
+        }
+        Pl11Audit(table.getPath, Seq(night(Parts - 2), night(Parts - 1)))
       })
     }
   }
