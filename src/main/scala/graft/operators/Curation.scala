@@ -589,10 +589,21 @@ object Curation {
     * written once; each trigger costs two artifact scans with pushed
     * broadcast probes, zero artifact shuffles. */
   private[graft] def funnelPartial(batch: DataFrame, dropSet: DataFrame,
-      canon: DataFrame): DataFrame = {
+      canon: DataFrame): DataFrame = funnelPartialManaged(batch, dropSet, canon)._1
+
+  /** [[funnelPartial]] plus its cache-release hook: the per-batch plan
+    * references the extraction-derived relations several times (bucket
+    * routing collects + broadcast builds + the final join) and the
+    * markup extraction is the trigger's expensive pass — uncached, it
+    * re-ran ~5× per trigger (measured 2.7× on st32's trigger time), so
+    * the two batch-bounded intermediates are persisted for the
+    * trigger's duration. The caller invokes the hook once its sink
+    * write has consumed the result (st17's unpersist discipline). */
+  private[graft] def funnelPartialManaged(batch: DataFrame, dropSet: DataFrame,
+      canon: DataFrame): (DataFrame, () => Unit) = {
     import graft.sources.Scratch.routeBuckets
     val blocksDf = webBlocksOf(batch)
-    val bh = bhOf(blocksDf)
+    val bh = bhOf(blocksDf).persist()
     // artifact scan PRUNED to the batch's key buckets (static routing —
     // a ≤B-int driver scalar per trigger, st22's cell-list class), batch
     // probe broadcast: which of the batch's block hashes are corpus-
@@ -608,6 +619,7 @@ object Curation {
       .agg(sort_array(collect_list(col("idx"))).as("kept_idx"))
     val scored = cleanedScoredOf(blocksDf, kept, batchLocal = true)
       .withColumn("ck", md5(col("txt")))
+      .persist()
     // artifact scan (pruned the same way), batch probe broadcast:
     // canonical ids for the batch's content keys (a non-passing doc's
     // ck cannot be in the canonical map — identical txt ⇒ identical q
@@ -616,12 +628,17 @@ object Curation {
         scored.select(pmod(hash(col("ck")), lit(B))))
       .join(broadcast(scored.select(col("ck")).distinct()), Seq("ck"))
       .select(col("ck"), col("canon_id"))
-    scored.join(broadcast(cf), Seq("ck"), "left")
+    val out = scored.join(broadcast(cf), Seq("ck"), "left")
       .select(col("doc_id"), col("lang"),
         when(col("n_kept") === 0, "boilerplate_only")
           .when(col("q") < 0.5, "low_quality")
           .when(col("doc_id") =!= col("canon_id"), "duplicate")
           .otherwise("kept").as("stage"))
+    (out, () => {
+      bh.unpersist(blocking = false)
+      scored.unpersist(blocking = false)
+      ()
+    })
   }
 
   /** The pl05 per-doc CTE chain (markup wrap, extraction, paragraph

@@ -1125,8 +1125,11 @@ object Streams {
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          Curation.funnelPartial(batch, dropSet, canon)
-            .write.mode("append").parquet(outDir)
+          // Managed variant: the extraction-derived intermediates are
+          // persisted for the trigger; release them after the write.
+          val (rows, done) = Curation.funnelPartialManaged(batch, dropSet, canon)
+          try rows.write.mode("append").parquet(outDir)
+          finally done()
         }
         .start()
       q.awaitTermination()
