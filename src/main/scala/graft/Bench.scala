@@ -208,11 +208,15 @@ object Bench {
     }.toMap
     // Merge into the EXISTING history: a query that fails (or is absent)
     // this run keeps its recorded best instead of silently losing its
-    // regression-flagging baseline in the rewritten file.
-    val newHist = (history.keySet ++ measuredNow.keySet).toSeq.sorted.map { name =>
-      name -> math.min(history.getOrElse(name, Double.MaxValue),
-        measuredNow.getOrElse(name, Double.MaxValue))
-    }
+    // regression-flagging baseline in the rewritten file — but a key no
+    // longer in the registry at all (renamed/deleted query) is DROPPED,
+    // else min-ever semantics would keep stale entries immortal.
+    val newHist = (history.keySet ++ measuredNow.keySet).toSeq.sorted
+      .filter(SparkEntry.queries.contains)
+      .map { name =>
+        name -> math.min(history.getOrElse(name, Double.MaxValue),
+          measuredNow.getOrElse(name, Double.MaxValue))
+      }
     try java.nio.file.Files.write(java.nio.file.Paths.get(histPath),
       newHist.map { case (k, v) => "\"" + k + "\": " + v }
         .mkString("{\n", ",\n", "\n}\n").getBytes("UTF-8"))
@@ -237,6 +241,22 @@ object Bench {
         ",\"median\":" + m + "}"
     }.mkString("{", ",", "}")
     val warnJson = warnings.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Full per-query record persisted as a FILE artifact: the driver's
+    // BENCH_r*.json keeps only a tail of stdout, so the complete
+    // per-query map must live somewhere auditable after the run.
+    // Best-effort (read-only checkouts must not fail the bench).
+    val lastRunPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LAST_RUN",
+      s"/root/repo/tools/bench_last_run_$sfSlug.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(lastRunPath),
+      (s"""{"sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,""" +
+        s""""total_sec":$total,"calib_sec":${(calibPre + calibPost) / 2},""" +
+        s""""calib_par_sec":${(calibParPre + calibParPost) / 2},""" +
+        s""""queries":$qs,"failed":$failed,"medians3_top10":$med,""" +
+        s""""medians3_flagged":$flagJson,"warnings":$warnJson}""" + "\n")
+        .getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] last-run write skipped: ${e.getMessage}")
+    }
     println(s"""{"detail":"per_query","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     println(s"""{"detail":"noise_guard","medians3_top10":$med,"medians3_flagged":$flagJson,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_par_pre_sec":$calibParPre,"calib_par_post_sec":$calibParPost,"warnings":$warnJson}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"n_warnings":${warnings.size},"calib_sec":${(calibPre + calibPost) / 2},"calib_par_sec":${(calibParPre + calibParPost) / 2},"sf":"$sfDir"}""")

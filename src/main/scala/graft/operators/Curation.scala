@@ -399,13 +399,16 @@ object Curation {
     * of the batch-bounded resolved rows. Same [[ragPack]] tail, so
     * stream ≡ batch. */
   private[graft] def ragAssembleLocal(
-      topk: DataFrame, docServe: DataFrame): DataFrame = {
+      topk: DataFrame, docServe: DataFrame): (DataFrame, () => Unit) = {
     // The probe is referenced twice per trigger (bucket-routing collect
     // + the broadcast build); uncached, each reference re-runs the
     // upstream IVF probe — measured 2.6× on st28's trigger time. It is
     // batch-bounded (queries × k rows) by construction, so caching it
-    // is a few KB per trigger; the caller unpersists after its sink
-    // write.
+    // is a few KB per trigger. The cache is persisted HERE and released
+    // by the returned hook (funnelPartialManaged's contract): the
+    // persist target and the unpersist call live in one place, so a
+    // future change that persists a derived frame instead cannot
+    // silently split the cache lifetime across modules.
     val cached = topk.persist()
     val bkts = cached
       .select(pmod(col("neighbor_id"), lit(B.toLong)).cast("int"))
@@ -413,9 +416,10 @@ object Curation {
     val pruned =
       if (bkts.isEmpty) docServe.filter(lit(false))
       else docServe.filter(col("bkt").isin(bkts: _*))
-    ragPack(pruned
+    val rows = ragPack(pruned
       .select(col("doc_id").as("neighbor_id"), col("n_subwords"), col("text"))
       .join(broadcast(cached), Seq("neighbor_id")))
+    (rows, () => { cached.unpersist(blocking = false); () })
   }
 
   /** pl05's injected markup constants — shared verbatim by the oracle
@@ -588,6 +592,12 @@ object Curation {
     * batch-bounded results of those probes. At rest the artifacts are
     * written once; each trigger costs two artifact scans with pushed
     * broadcast probes, zero artifact shuffles. */
+  /** TEST-ONLY convenience over [[funnelPartialManaged]] that DISCARDS
+    * the cache-release hook — the persisted per-batch intermediates
+    * stay in the block-manager cache until the session ends, so every
+    * production caller (st32's foreachBatch) must go through the
+    * managed variant and invoke the hook after its sink write. Kept for
+    * plan-inspection specs, where the leak is one spec-bounded batch. */
   private[graft] def funnelPartial(batch: DataFrame, dropSet: DataFrame,
       canon: DataFrame): DataFrame = funnelPartialManaged(batch, dropSet, canon)._1
 

@@ -1246,12 +1246,13 @@ object Streams {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           val topk = Similarity.ivfServePartial(batch, idx)
             .select(col("query_id"), col("neighbor_id"), col("rnk"))
-          // ragAssembleLocal persists the probe (it is referenced three
-          // times in the per-batch plan); release it once the sink
-          // write has consumed it.
-          try Curation.ragAssembleLocal(topk, docServe)
-            .write.mode("append").parquet(outDir)
-          finally topk.unpersist(blocking = false)
+          // ragAssembleLocal persists the probe internally (it is
+          // referenced several times in the per-batch plan) and hands
+          // back the release hook; invoke it once the sink write has
+          // consumed the result (funnelPartialManaged's contract).
+          val (rows, done) = Curation.ragAssembleLocal(topk, docServe)
+          try rows.write.mode("append").parquet(outDir)
+          finally done()
         }
         .start()
       q.awaitTermination()
