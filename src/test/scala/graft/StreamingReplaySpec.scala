@@ -165,15 +165,18 @@ class StreamingReplaySpec extends SparkSpec {
     // artifact scan with the probe broadcast (ragAssembleLocal) — must
     // be answer-invariant vs pl06's batch-leg shuffle-hash assembly.
     val docServe = Curation.stagedDocServe(spark, sfDir)
-    val partials = Seq(0, 1, 1, 2).map { r =>
+    val assembled = Seq(0, 1, 1, 2).map { r =>
       val topk = Similarity
         .ivfServePartial(emb.filter(col("vec_id") % 3 === r), idx)
         .select(col("query_id"), col("neighbor_id"), col("rnk"))
       Curation.ragAssembleLocal(topk, docServe)
-    }.reduce(_ unionByName _).distinct()
+    }
+    val partials = assembled.map(_._1).reduce(_ unionByName _).distinct()
     val expected = graft.SparkEntry.queries("pl06_rag_context")(spark, sfDir)
-    assert(partials.count() == expected.count())
-    assert(partials.except(expected).isEmpty && expected.except(partials).isEmpty)
+    try {
+      assert(partials.count() == expected.count())
+      assert(partials.except(expected).isEmpty && expected.except(partials).isEmpty)
+    } finally assembled.foreach(_._2())
   }
 
   test("pl04 curation partials merge identically under any split + replay") {

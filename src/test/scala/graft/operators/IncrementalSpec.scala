@@ -5,19 +5,28 @@ import graft.SparkSpec
 /** pl11's incremental-rewrite contract. Correctness (incremental ≡
   * full recompute after BOTH delta nights) is the oracle's job; what
   * the oracle CANNOT see is the incrementality itself — that each
-  * delta night rewrote only the affected shard directories, and that
-  * the SECOND night ran correctly against side artifacts the first
-  * night's rewrite refreshed. This spec pins both, from the build's
-  * per-night file-level audits. */
+  * delta night rewrote only the affected shard directories AND only
+  * the touched buckets of the staged count/min artifacts, that the
+  * append-only ledgers never rewrote a prior file, and that the
+  * SECOND night ran correctly against side artifacts the first
+  * night's rewrite refreshed. This spec pins all of it from the
+  * build's per-night whole-tree file audits, plus the ghost-partition
+  * hazard (an emptied shard must actually lose its ck/cm partitions)
+  * on a crafted corpus where dynamic overwrite would diverge. */
 class IncrementalSpec extends SparkSpec {
 
-  test("pl11 rewrites only affected shards per night; untouched shard files byte-identical") {
+  private def sub(m: Map[String, (Long, Long)], prefix: String) =
+    m.filter { case (rel, _) => rel.startsWith(prefix) }
+
+  test("pl11 rewrites only affected shards/buckets per night; everything else byte-identical") {
     val audit = Incremental.pl11Run(spark, sfDir)
     assert(audit.nights.map(_.deltaPart) ==
       Seq(Incremental.Parts - 2, Incremental.Parts - 1))
 
     def shardOf(rel: String): Option[Int] =
       "part=(\\d+)".r.findFirstMatchIn(rel).map(_.group(1).toInt)
+    def bktOf(rel: String): Option[Int] =
+      "bhbkt=(\\d+)".r.findFirstMatchIn(rel).map(_.group(1).toInt)
 
     for (night <- audit.nights) {
       val loaded = (0 until Incremental.Parts)
@@ -39,27 +48,112 @@ class IncrementalSpec extends SparkSpec {
       assert(night.affectedParts.exists(_ < night.deltaPart),
         s"night ${night.deltaPart}: no earlier shard affected — " +
           "crossing propagation untested")
+      // The df-merge and the crossed-hash ledger read are both bucket-
+      // bounded, and crossings are delta hashes by construction.
+      assert(night.touchedDfBkts.nonEmpty &&
+        night.touchedDfBkts.size < Incremental.BhBuckets,
+        s"night ${night.deltaPart}: df merge touched every bucket — " +
+          s"nothing pruned (${night.touchedDfBkts.size})")
+      assert(night.crossedBhBkts.toSet.subsetOf(night.touchedDfBkts.toSet),
+        s"night ${night.deltaPart}: crossed hashes outside the delta's buckets")
 
-      // File-level immutability: every file under an UNTOUCHED shard
-      // directory is identical (path, length, mtime) across the night,
-      // with nothing added or removed there.
+      def assertUnchanged(tag: String, prefix: String,
+          keep: String => Boolean): Unit = {
+        val pre = sub(night.preFiles, prefix).filter { case (k, _) => keep(k) }
+        val post = sub(night.postFiles, prefix).filter { case (k, _) => keep(k) }
+        assert(pre.nonEmpty,
+          s"night ${night.deltaPart}: nothing untouched to compare in $tag")
+        assert(post == pre,
+          s"night ${night.deltaPart}: untouched $tag files changed: " +
+            s"added=${(post.keySet diff pre.keySet).take(3)} " +
+            s"removed=${(pre.keySet diff post.keySet).take(3)} " +
+            s"modified=${pre.collect { case (k, v) if post.get(k).exists(_ != v) => k }.take(3)}")
+      }
+
+      // Output table: untouched shard dirs byte-identical; affected
+      // earlier shards actually rewritten.
       val untouched = loaded -- night.affectedParts.toSet
-      def restrict(m: Map[String, (Long, Long)], parts: Set[Int]) =
-        m.filter { case (rel, _) => shardOf(rel).exists(parts) }
-      val pre = restrict(night.preFiles, untouched)
-      val post = restrict(night.postFiles, untouched)
-      assert(pre.nonEmpty, s"night ${night.deltaPart}: nothing untouched to compare")
-      assert(post == pre,
-        s"night ${night.deltaPart}: untouched shards changed: " +
-          s"added=${(post.keySet diff pre.keySet).take(3)} " +
-          s"removed=${(pre.keySet diff post.keySet).take(3)} " +
-          s"modified=${pre.collect { case (k, v) if post.get(k).exists(_ != v) => k }.take(3)}")
-      // And the affected EARLIER shards were actually rewritten.
+      assertUnchanged("table", "/table", k => shardOf(k).exists(untouched))
       val affEarlier = night.affectedParts.toSet.filter(_ < night.deltaPart)
-      assert(restrict(night.postFiles, affEarlier) !=
-        restrict(night.preFiles, affEarlier),
+      assert(sub(night.postFiles, "/table").filter(k => shardOf(k._1).exists(affEarlier)) !=
+        sub(night.preFiles, "/table").filter(k => shardOf(k._1).exists(affEarlier)),
         s"night ${night.deltaPart}: affected earlier shards not rewritten")
-    }
 
+      // Append-only ledgers: every pre-existing docs/bh file survives
+      // the night unmodified (the night only ADDS files there).
+      for (ledger <- Seq("/docs", "/bh")) {
+        val pre = sub(night.preFiles, ledger)
+        val post = sub(night.postFiles, ledger)
+        assert(pre.nonEmpty, s"night ${night.deltaPart}: empty pre state in $ledger")
+        assert(pre.forall { case (k, v) => post.get(k).contains(v) },
+          s"night ${night.deltaPart}: $ledger rewrote a prior file: " +
+            pre.collect { case (k, v) if !post.get(k).contains(v) => k }.take(3))
+      }
+
+      // Staged df counts: only the delta's touched buckets rewritten —
+      // the round-8 full-ledger re-aggregation is structurally gone.
+      val touched = night.touchedDfBkts.toSet
+      assertUnchanged("df", "/df", k => bktOf(k).exists(b => !touched(b)))
+
+      // ck/cm partials: shards outside the affected set byte-identical.
+      assertUnchanged("ck", "/ck", k => shardOf(k).exists(untouched))
+      assertUnchanged("cm", "/cm", k => shardOf(k).exists(untouched))
+    }
+  }
+
+  test("emptied shard loses its ck/cm partitions (ghost-postings divergence fixture)") {
+    import spark.implicits._
+    // Crafted corpus (part = doc_id % 8):
+    //   A=2  "applepie1 bananaz1"  — blocks {applepie1, bananaz1}
+    //   B=5  "applepie1 bananaz1 zebraxx1 zebraxx1" — blocks
+    //        {"applepie1 bananaz1", "zebraxx1 zebraxx1"}; the second is
+    //        corpus-boilerplate (shared with C), so B's cleaned text
+    //        equals A's → one ck group {A, B}, canon A.
+    //   C=3  "zebraxx1 zebraxx1 walnutt1 velvetty"
+    //   E=13 "mangoes1 nectars1"
+    // Night 1 (shard 7): doc 7 repeats A's text → A's block hashes cross
+    // MinDf → A and 7 lose everything (shard 2's ck partition EMPTIES;
+    // A departs the {A, B} group while B survives). Night 2 (shard 6):
+    // doc 14 repeats E's text → E's hashes cross → shard 5 (B, E) is
+    // rewritten; B's canonical lookup now consults the staged partials.
+    // A ghost part=2 row (A, ck) would canonicalize B to the departed A
+    // and emit "duplicate"; the truth is B canonical → "kept".
+    val docs = Seq(
+      (2L, "en", "applepie1 bananaz1"),
+      (5L, "en", "applepie1 bananaz1 zebraxx1 zebraxx1"),
+      (3L, "en", "zebraxx1 zebraxx1 walnutt1 velvetty"),
+      (13L, "en", "mangoes1 nectars1"),
+      (7L, "en", "applepie1 bananaz1"),
+      (14L, "en", "mangoes1 nectars1")
+    ).toDF("doc_id", "lang", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pl11_ghost").toString
+    val audit = Incremental.runIncremental(spark, docs, root, Seq(7, 6))
+
+    // Night 1 emptied shard 2: its ck/cm partitions must be GONE.
+    val night1 = audit.nights.head
+    assert(sub(night1.preFiles, "/ck/part=2").nonEmpty,
+      "fixture broken: shard 2 had no base ck partition to empty")
+    assert(sub(night1.postFiles, "/ck/part=2").isEmpty,
+      "ghost ck partition survived the emptying rewrite")
+    assert(sub(night1.postFiles, "/cm/part=2").isEmpty,
+      "ghost cm partition survived the emptying rewrite")
+
+    // And the incremental table converges to the full recompute — with
+    // the ghost, night 2 would mislabel B=5 as 'duplicate' of departed A.
+    val fullRoot = java.nio.file.Files
+      .createTempDirectory("graft_pl11_full").toString
+    Incremental.runIncremental(spark, docs, fullRoot, Seq())
+    def rows(r: String) = spark.read
+      .parquet(Incremental.Dirs(r).table)
+      .select("doc_id", "lang", "stage", "part")
+      .collect().map(_.toSeq).toSet
+    val inc = rows(root)
+    val full = rows(fullRoot)
+    assert(inc == full,
+      s"incremental diverged from full recompute:\n  inc-only=${(inc diff full).take(4)}" +
+        s"\n  full-only=${(full diff inc).take(4)}")
+    assert(inc.exists(r => r(0) == 5L && r(2) == "kept"),
+      "fixture broken: B=5 should be kept in the ground truth")
   }
 }
