@@ -410,8 +410,15 @@ object Dedup {
     * flat. (On a cluster: checkpoint every few rounds against reliable
     * storage — same principle.) Shared by dd09 (the labeling) and dd16
     * (representative selection on top of it). */
-  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
-    val pairs = lshPairs(s, d).select(col("doc_a"), col("doc_b"))
+  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+    componentsOf(lshPairs(s, d).select(col("doc_a"), col("doc_b")))
+
+  /** The connected-components labeling over ANY (doc_a, doc_b) pair
+    * relation — extracted relation-parametric (verifyPairs' discipline)
+    * so every near-dup pair source feeds the same cluster resolution:
+    * dd09 over the text LSH pairs, mm11 over the perceptual-hash pairs
+    * of media blobs. Output: (doc_id, canonical_id). */
+  private[operators] def componentsOf(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst").localCheckpoint()
@@ -441,6 +448,27 @@ object Dedup {
       "(component diameter exceeds the cap; raise it or switch to " +
       "large-star/small-star)")
     labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+  }
+
+  /** dd16's keep-best body over any (doc_id, canonical_id) labeling and
+    * any (doc_id, m) goodness metric — extracted relation-parametric so
+    * every survivorship policy shares it: dd16 ranks text clusters by
+    * n_chars, mm11 ranks blob clusters by decoded n_pixels (highest-
+    * resolution member survives, the image-dedup convention). The
+    * cluster relation is a corpus FRACTION → both joins shuffle on
+    * doc_id (never broadcast); the rank window partitions by cluster —
+    * bounded by cluster size, never corpus-wide. Output: one row per
+    * cluster (canonical_id, n_members, total_m, kept_doc_id, kept_m). */
+  private[operators] def keepBestOf(labels: DataFrame, metric: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("canonical_id"))
+      .orderBy(col("m").desc, col("doc_id").asc)
+    labels.hint("shuffle_hash").join(metric.hint("shuffle_hash"), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("n_members"),
+           sum(col("m")).as("total_m"),
+           min(when(col("rn") === 1, col("doc_id"))).as("kept_doc_id"),
+           min(when(col("rn") === 1, col("m"))).as("kept_m"))
   }
 
   /** dd09's resolved cluster relation, staged once per (app, fixture) —
@@ -587,19 +615,12 @@ object Dedup {
     //    size, never corpus-wide. Output:
     //    one row per cluster (canonical_id, kept doc, member/char
     //    totals) — the "keep list + audit" a 100 TB dedup pass emits.
-    "dd16_keep_best" -> ((s, d) => {
-      val labels = stagedClusters(s, d)
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
-      val w = Window.partitionBy(col("canonical_id"))
-        .orderBy(col("n_chars").desc, col("doc_id").asc)
-      labels.hint("shuffle_hash").join(docs.hint("shuffle_hash"), "doc_id")
-        .withColumn("rn", row_number().over(w))
-        .groupBy(col("canonical_id"))
-        .agg(count(lit(1)).as("n_members"),
-             sum(col("n_chars")).as("total_chars"),
-             min(when(col("rn") === 1, col("doc_id"))).as("kept_doc_id"),
-             min(when(col("rn") === 1, col("n_chars"))).as("kept_chars"))
-    }),
+    "dd16_keep_best" -> ((s, d) =>
+      keepBestOf(stagedClusters(s, d),
+          Tables.documents(s, d).select(col("doc_id"), col("n_chars").as("m")))
+        .select(col("canonical_id"), col("n_members"),
+          col("total_m").as("total_chars"), col("kept_doc_id"),
+          col("kept_m").as("kept_chars"))),
 
     // -- k-hop neighborhoods over the near-dup graph: for every doc in
     //    the verified LSH pair graph, how many distinct docs lie within

@@ -145,6 +145,113 @@ object Multimodal {
       .toDF()
   }
 
+  /** GRF-v3: the PRODUCTION-SHAPED container variant — same magic/tag
+    * envelope as v2, version byte 0x03, and a 66-byte LUMINANCE GRID
+    * ([[WideGridRows]] × [[WideGridCols]]) as payload instead of v2's
+    * 16-byte digest: the grid is the document's leading 66 bytes
+    * (space-padded/truncated), the in-engine stand-in for a decoded
+    * thumbnail raster. The distinction matters for hashing: local edits
+    * perturb FEW grid cells — exactly the locality a perceptual hash
+    * exploits — while v2's digest payload has none (flipping one source
+    * byte rerolls all 16 payload bytes), which capped its usable hash
+    * at the 27 bits the fixture payload could supply. */
+  private def grf3BlobsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        unhex(concat(
+          lit("894752"), // \x89 'G' 'R'
+          expr("element_at(array('4A', '50', '57'), cast(doc_id % 3 as int) + 1)"),
+          lit("03"),
+          lpad(hex(pmod(col("doc_id") * 7919 + 13, lit(4080)) + 16), 4, "0"),
+          lpad(hex(pmod(col("doc_id") * 104729 + 7, lit(4080)) + 16), 4, "0"),
+          hex(rpad(col("text"), WideGridRows * WideGridCols, " ")))).as("blob"))
+
+  private[graft] val WideGridRows = 6
+  private[graft] val WideGridCols = 11
+  /** 60-bit dHash off the v3 grid: [[WideGridCols]]-1 horizontal
+    * gradients per row × [[WideGridRows]] rows — 60 bits, the repo's
+    * standard wide-hash width (dd05's SimHash class), sign-safe as a
+    * long in both engines. */
+  private[graft] val WideHashBits = WideGridRows * (WideGridCols - 1)
+
+  /** mm10's decode+hash pass: parse the GRF-v3 container and compute
+    * the [[WideHashBits]]-bit gradient dHash over the decoded raster.
+    * Same typed-mapPartitions shape as [[phashOf]]; a media library's
+    * thumbnail raster drops into the same slot. */
+  private[graft] def phashWideOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val cols = WideGridCols
+    val bits = WideHashBits
+    grf3BlobsOf(docs)
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, blob) =>
+        val ok = blob.length == 9 + WideGridRows * cols &&
+          (blob(0) & 0xff) == 0x89 && blob(1) == 'G' && blob(2) == 'R' &&
+          blob(4) == 0x03
+        if (!ok) PHashRow(id, -1L) // loud sentinel, mm02's discipline
+        else {
+          val p = blob.drop(9).map(_ & 0xff)
+          var h = 0L
+          var b = 0
+          while (b < bits) {
+            val r = b / (cols - 1)
+            val c = b % (cols - 1)
+            if (p(r * cols + c) < p(r * cols + c + 1)) h |= 1L << b
+            b += 1
+          }
+          PHashRow(id, h)
+        }
+      })
+      .toDF()
+  }
+
+  /** Pigeonhole band layout for a `hashBits`-wide hash at hamming
+    * radius `radius`: radius+1 bands (a pair differing in ≤ radius bits
+    * must agree on ≥ 1 band — 100% recall, no probabilistic miss), band
+    * width DERIVED from the hash width (the last band absorbs the
+    * remainder), never hard-coded. The SimHash occupancy discipline
+    * (Dedup: buckets per band must stay ≥ 2^minBandBits or band buckets
+    * go quadratic at corpus scale) is ASSERTED, not assumed — a config
+    * whose derived width falls under the floor refuses to build instead
+    * of silently planning an O(n²) band join. */
+  private[graft] def bandLayout(
+      hashBits: Int, radius: Int, minBandBits: Int): Seq[(Int, Int)] = {
+    val bands = radius + 1
+    val w = hashBits / bands
+    require(w >= minBandBits,
+      s"bandLayout: $hashBits-bit hash / $bands bands = $w-bit bands " +
+        s"(< 2^$minBandBits buckets/band) — occupancy floor violated; " +
+        "widen the hash (decode a larger payload grid) before banding")
+    (0 until bands).map(b =>
+      (b * w, if (b == bands - 1) hashBits - b * w else w))
+  }
+
+  /** Exact banded near-dup pairs at hamming ≤ `radius` over a (doc_id,
+    * phash) relation — dd06's discipline with the band layout derived
+    * from the hash width by [[bandLayout]]. Both self-join sides are
+    * the corpus → shuffle on the band key, never broadcast. */
+  private[graft] def bandedPhashPairs(ph: DataFrame, hashBits: Int,
+      radius: Int, minBandBits: Int): DataFrame = {
+    val bandStructs = bandLayout(hashBits, radius, minBandBits)
+      .zipWithIndex.map { case ((shift, width), i) =>
+        struct(lit(i).as("band"),
+          expr(s"(phash >> $shift) & ${(1L << width) - 1}").as("bv"))
+      }
+    val banded = ph.select(col("doc_id"), col("phash"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("phash"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    banded.as("a").hint("shuffle_hash")
+      .join(banded.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.phash ^ b.phash)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= radius)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Blob ingestion metadata: narrow, codegen'd; the binary column
     //    never leaves the executor.
@@ -278,27 +385,54 @@ object Multimodal {
     //    discipline applied to the multimodal column: decode every
     //    GRF-v2 blob ([[phashOf]] — real byte parse + 27-bit gradient
     //    dHash over the payload), then find all pairs at hamming ≤ 2
-    //    via EXACT 9-bit banding: a pair differing in ≤2 of 27 bits
-    //    must agree on ≥1 of the 3 bands (pigeonhole — 100% recall, no
-    //    probabilistic miss), and 512 buckets per band bound bucket
-    //    occupancy at corpus scale. Both self-join sides are the corpus
-    //    → shuffle on the band key, never broadcast (dd06's rule). The
-    //    oracle recomputes hash + brute-force pairs in closed form from
-    //    the payload's md5 derivation; MultimodalSpec pins banded ≡
-    //    brute-force on the fixture.
-    "mm09_phash_neardup" -> ((s, d) => {
-      val ph = phashOf(Tables.documents(s, d))
-      val banded = ph.select(col("doc_id"), col("phash"),
-          explode(expr("sequence(0, 2)")).as("band"))
-        .withColumn("bv", expr("(phash >> (band * 9)) & 511"))
-      banded.as("a").hint("shuffle_hash")
-        .join(banded.as("b").hint("shuffle_hash"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          expr("bit_count(a.phash ^ b.phash)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 2)
+    //    via [[bandLayout]]'s pigeonhole banding (3 × 9-bit bands —
+    //    100% recall at hamming ≤ 2, no probabilistic miss). Both
+    //    self-join sides are the corpus → shuffle on the band key,
+    //    never broadcast (dd06's rule). 9-bit bands sit BELOW the
+    //    corpus-scale occupancy floor — the 16-byte v2 digest payload
+    //    only supplies 27 gradient bits — so this stays the SMALL-CASE
+    //    tier (minBandBits relaxed, documented); the production-shaped
+    //    path is mm10's wide-grid 60-bit hash with ≥ 2^15-bucket bands.
+    //    The oracle recomputes hash + brute-force pairs in closed form
+    //    from the payload's md5 derivation; MultimodalSpec pins banded
+    //    ≡ brute-force on the fixture.
+    "mm09_phash_neardup" -> ((s, d) =>
+      bandedPhashPairs(phashOf(Tables.documents(s, d)),
+        hashBits = 27, radius = 2, minBandBits = 9)),
+
+    // -- The PRODUCTION-SHAPED perceptual near-dup tier: GRF-v3 blobs
+    //    carry a real 6×11 raster payload ([[grf3BlobsOf]]), the decode
+    //    reads it as a luminance grid, and the dHash widens WITH the
+    //    payload to 60 bits ([[phashWideOf]]) — so [[bandLayout]]
+    //    derives 3 × 20-bit bands (2^20 buckets/band, above the 2^15
+    //    occupancy floor the SimHash design note mandates; the floor is
+    //    ASSERTED at plan build, not assumed). Exact at hamming ≤ 2 by
+    //    pigeonhole; oracle recomputes grid, hash and brute-force pairs
+    //    in closed form; MultimodalSpec pins banded ≡ brute-force and
+    //    the occupancy guard itself.
+    "mm10_phash_wide_neardup" -> ((s, d) =>
+      bandedPhashPairs(phashWideOf(Tables.documents(s, d)),
+        hashBits = WideHashBits, radius = 2, minBandBits = 15)),
+
+    // -- PERCEPTUAL SURVIVORSHIP — mm09's pairs feeding the SAME dedup
+    //    machinery the text side uses (the round-8 verdict's missing
+    //    wire): connected components over the phash pair graph
+    //    (dd09's componentsOf, verbatim), then keep-best representative
+    //    selection (dd16's keepBestOf, verbatim) ranked by decoded
+    //    n_pixels — the highest-resolution member of each blob cluster
+    //    survives, the image-dedup convention. Oracle: recursive-CTE
+    //    reachability over the brute-force pair set + the same ranked
+    //    window — a wholly different CC algorithm, same answer.
+    "mm11_phash_survivorship" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labels = Dedup.componentsOf(
+        queries("mm09_phash_neardup")(s, d).select(col("doc_a"), col("doc_b")))
+      val pixels = decodePartial(docs)
+        .select(col("doc_id"), col("n_pixels").as("m"))
+      Dedup.keepBestOf(labels, pixels)
+        .select(col("canonical_id"), col("n_members"),
+          col("total_m").as("total_pixels"), col("kept_doc_id"),
+          col("kept_m").as("kept_pixels"))
     }),
 
     // -- BATCHED feature extraction — the GPU-inference deployment
@@ -433,6 +567,81 @@ object Multimodal {
              CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
            FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
          WHERE hamming <= 2""",
+    // mm10: the v3 payload grid is the document's leading 66 bytes
+    // (space-padded — text is ASCII, so ord() sees the same bytes the
+    // Spark parser reads); the 60-bit gradient hash (10 horizontal
+    // gradients per 11-wide row) and the BRUTE-FORCE all-pairs hamming
+    // join recompute the banded result in closed form — banding is
+    // exact for hamming ≤ 2, so the two pair sets must be identical.
+    "mm10_phash_wide_neardup" ->
+      """WITH pb AS (
+           SELECT doc_id, list_transform(range(66),
+             i -> ord(substr(rpad(text, 66, ' '), CAST(i AS INT)+1, 1))) AS p
+           FROM documents),
+         ph AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(60),
+               b -> CASE WHEN p[(b//10)*11 + (b%10) + 1]
+                          < p[(b//10)*11 + (b%10) + 2]
+                    THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)) AS BIGINT)
+               AS phash
+           FROM pb)
+         SELECT doc_a, doc_b, hamming FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+           FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+         WHERE hamming <= 2""",
+    // mm11: exact recursive-CTE reachability over mm09's brute-force
+    // pair set (dd09's oracle discipline), then keep-best ranked by the
+    // closed-form decoded pixel count (mm02's header arithmetic).
+    "mm11_phash_survivorship" -> {
+      val mm9 = """WITH pb AS (
+           SELECT doc_id, list_transform(range(16),
+             i -> CAST(concat('0x', substr(md5(text), CAST(i AS INT)*2+1, 2))
+                    AS BIGINT)) AS p
+           FROM documents),
+         ph AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(15),
+               i -> CASE WHEN p[CAST(i AS INT)+1] < p[CAST(i AS INT)+2]
+                    THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT)
+             + CAST(list_sum(list_transform(range(12),
+               i -> CASE WHEN p[CAST(i AS INT)+1] < p[CAST(i AS INT)+5]
+                    THEN (1::BIGINT << (15 + CAST(i AS INT))) ELSE 0 END))
+               AS BIGINT) AS phash
+           FROM pb)
+         SELECT doc_a, doc_b FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.phash, b.phash)) AS hamming
+           FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+         WHERE hamming <= 2"""
+      s"""WITH RECURSIVE mmpairs AS ($mm9),
+          mmedges AS (SELECT doc_a AS src, doc_b AS dst FROM mmpairs
+                      UNION ALL
+                      SELECT doc_b, doc_a FROM mmpairs),
+          mmverts AS (SELECT DISTINCT src AS id FROM mmedges),
+          mmreach(id, r) AS (
+            SELECT id, id FROM mmverts
+            UNION
+            SELECT mmedges.src, mmreach.r
+            FROM mmedges JOIN mmreach ON mmreach.id = mmedges.dst),
+          mmlbl AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
+                    FROM mmreach GROUP BY id),
+          mmpx AS (SELECT doc_id,
+              CAST((16 + (doc_id*7919+13) % 4080)
+                 * (16 + (doc_id*104729+7) % 4080) AS BIGINT) AS n_pixels
+            FROM documents),
+          mmrk AS (
+            SELECT l.canonical_id, l.doc_id, x.n_pixels,
+              row_number() OVER (PARTITION BY l.canonical_id
+                ORDER BY x.n_pixels DESC, l.doc_id ASC) AS rn
+            FROM mmlbl l JOIN mmpx x ON l.doc_id = x.doc_id)
+          SELECT canonical_id, count(*) AS n_members,
+            CAST(sum(n_pixels) AS BIGINT) AS total_pixels,
+            min(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+            min(CASE WHEN rn = 1 THEN n_pixels END) AS kept_pixels
+          FROM mmrk GROUP BY canonical_id"""
+    },
     // Recomputes the md5-derived fake embedding per byte: byte i of the
     // digest is hex chars [2i+1, 2i+2], offset to [-128, 127].
     "mm07_batch_infer" ->

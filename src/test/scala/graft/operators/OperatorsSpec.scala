@@ -949,6 +949,81 @@ class OperatorsSpec extends SparkSpec {
       s"extra=${(got diff expect).take(5)} missed=${(expect diff got).take(5)}")
   }
 
+  // mm10: the production-shaped wide-hash tier — the derived band
+  // layout must clear the corpus-scale occupancy floor (>= 2^15
+  // buckets/band, the SimHash design rule) while covering the hash
+  // exactly, a sub-floor configuration must refuse to build, and the
+  // banded join must equal brute force (pigeonhole exactness at
+  // hamming <= 2) against an independent driver recompute of the
+  // 60-bit gradient hash from the v3 raster payload.
+  test("mm10 band layout clears the occupancy floor; banded pairs equal brute force") {
+    val layout = Multimodal.bandLayout(Multimodal.WideHashBits, 2, 15)
+    assert(layout.size == 3, "radius 2 needs exactly 3 pigeonhole bands")
+    assert(layout.forall(_._2 >= 15),
+      s"a band is under 2^15 buckets: $layout")
+    assert(layout.map(_._2).sum == Multimodal.WideHashBits &&
+      layout.map(_._1) == layout.scanLeft(0)(_ + _._2).init,
+      s"bands do not tile the hash: $layout")
+    // The occupancy guard itself: mm09's 27-bit hash CANNOT be banded
+    // at production discipline — it must refuse, not plan an O(n²) join.
+    intercept[IllegalArgumentException] {
+      Multimodal.bandLayout(27, 2, 15)
+    }
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def phashW(text: String): Long = {
+      val g = text.take(66).padTo(66, ' ').map(_.toInt) // ASCII bytes
+      var h = 0L
+      for (b <- 0 until Multimodal.WideHashBits) {
+        val r = b / 10; val c = b % 10
+        if (g(r * 11 + c) < g(r * 11 + c + 1)) h |= 1L << b
+      }
+      h
+    }
+    val hs = docs.map { case (id, t) => (id, phashW(t)) }
+    val expect = (for {
+      (a, ha) <- hs; (b, hb) <- hs
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (a, b, java.lang.Long.bitCount(ha ^ hb))).toSet
+    assert(expect.nonEmpty, "fixture has no wide-hash near-dups — banding untested")
+    val got = SparkEntry.queries("mm10_phash_wide_neardup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect,
+      s"extra=${(got diff expect).take(5)} missed=${(expect diff got).take(5)}")
+  }
+
+  // mm11: blob survivorship must agree with a driver union-find over
+  // mm09's pair graph + a max-pixels representative scan — the same
+  // answer through a wholly different algorithm.
+  test("mm11 phash survivorship equals a driver union-find recompute") {
+    val pairs = SparkEntry.queries("mm09_phash_neardup")(spark, sfDir)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    def px(id: Long): Long =
+      (16 + (id * 7919 + 13) % 4080) * (16 + (id * 104729 + 7) % 4080)
+    val members = parent.keys.toSeq.groupBy(find)
+    val expect = members.map { case (root, ms) =>
+      val best = ms.minBy(m => (-px(m), m))
+      (root, ms.size.toLong, ms.map(px).sum, best, px(best))
+    }.toSet
+    val got = SparkEntry.queries("mm11_phash_survivorship")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect,
+      s"extra=${(got diff expect).take(3)} missed=${(expect diff got).take(3)}")
+  }
+
   // pl05: full driver-side recomputation of the composed web-curation
   // pipeline (extract -> paragraph dedup -> quality gate -> exact
   // dedup) — the structural ground truth (4 extracted blocks per doc,
