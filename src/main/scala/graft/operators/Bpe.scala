@@ -35,8 +35,10 @@ import graft.sources.Tables
   *     driver scalar (the documented bounded class) and applies in ONE
   *     vocab fold; an empty batch (training saturated) is an identity
   *     round in both engines, no driver-side branch observable in the
-  *     result. Effective merges = Rounds × cap with the same driver
-  *     round-trip count the single-merge loop paid for 8.
+  *     result. Training stops when the merge table reaches
+  *     [[MergeTarget]] (the real tokenizer contract — a vocab target,
+  *     the last batch truncated to the remaining budget), with
+  *     [[Rounds]] as the saturation guard.
   *   - ENCODING is a join of the corpus token stream against the
   *     trained dictionary. The dictionary is corpus-derived (vocab-
   *     sized) — ta05/ta17's discipline: SHUFFLE HASH join on the word
@@ -62,14 +64,23 @@ import graft.sources.Tables
   */
 object Bpe {
 
-  /** Merge rounds — a fixed training hyperparameter. Each round now
-    * applies a BATCH of up to [[BatchCap]] non-interfering merges (see
-    * below), so the effective merge count is Rounds × BatchCap ≤ 512 —
-    * the driver-round-trip count stays small while the trained
-    * vocabulary reaches real depth (the fixture corpus yields ~5-8
-    * merges/round under the local-maxima rule, ~100 total vs the old
-    * loop's 8). Production raises both knobs (30k merges = ~64 rounds
-    * at cap 512); the loop shape is identical. */
+  /** The MERGE-TABLE SIZE TARGET — training runs until the merge table
+    * reaches exactly this size, the way real tokenizers are trained:
+    * |vocab| = base alphabet + merge count, so this IS the vocabulary
+    * target minus the base (production: 30k–50k). The final round's
+    * batch is truncated to the remaining budget, so the stop BINDS
+    * exactly whenever the corpus can supply the merges (BpeSpec pins
+    * it: the fixture's natural depth is 73, the target 64). Rounds
+    * whose budget is exhausted select nothing in both engines. */
+  private[graft] val MergeTarget = 64
+
+  /** Max merge rounds — the SATURATION GUARD, no longer the stop rule:
+    * the loop ends at [[MergeTarget]] merges, at an empty batch (the
+    * corpus ran out of pairs — an empty batch implies every later batch
+    * is empty too, since words stop changing), or here, whichever comes
+    * first. Production sizes this as target/cap plus slack (30k merges
+    * = ~64 rounds at cap 512); the driver-round-trip count stays small
+    * while the trained vocabulary reaches real depth. */
   private[graft] val Rounds = 16
 
   /** Max merges applied per round. The batch is the LOCAL-MAXIMA
@@ -133,7 +144,8 @@ object Bpe {
     * and the created symbol a||b (kind 1); created=created collisions
     * are NOT conflicts (two pairs merging to the same string never
     * consume each other's in-round output). */
-  private[graft] def batchSelect(pairs: DataFrame): Seq[(String, String)] = {
+  private[graft] def batchSelect(pairs: DataFrame,
+      cap: Int = BatchCap): Seq[(String, String)] = {
     val e = pairs.select(col("a"), col("b"), col("cnt"),
         explode(array(
           struct(col("a").as("k"), lit(0).as("kind")),
@@ -153,7 +165,7 @@ object Bpe {
       .select(col("p.a").as("a"), col("p.b").as("b")).distinct()
     pairs.join(beaten, Seq("a", "b"), "left_anti")
       .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-      .limit(BatchCap)
+      .limit(cap)
       .select(col("a"), col("b"))
       .collect().toIndexedSeq
       .map(r => (r.getString(0), r.getString(1)))
@@ -178,7 +190,15 @@ object Bpe {
     var words = words0.localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String)]
     var rank = 0
-    for (_ <- 1 to Rounds) {
+    var round = 0
+    var saturated = false
+    // Target-driven stop: run until the merge table reaches MergeTarget
+    // (the last round's batch truncated to the remaining budget), the
+    // corpus saturates (empty batch — the top-ranked candidate of a
+    // nonempty pair set is never beaten, so empty batch ⟺ no pairs
+    // left ⟺ every later round is empty too), or the Rounds guard.
+    while (rank < MergeTarget && round < Rounds && !saturated) {
+      round += 1
       val pairs = words
         .select(col("freq"), expr(arr).as("tk"))
         .filter(expr("size(tk) >= 2"))
@@ -188,12 +208,14 @@ object Bpe {
           expr("element_at(tk, i + 1)").as("a"),
           expr("element_at(tk, i + 2)").as("b"))
         .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
-      val top = batchSelect(pairs)
-      top.foreach { t => rank += 1; merges += ((rank, t._1, t._2)) }
-      if (top.nonEmpty)
+      val top = batchSelect(pairs, math.min(BatchCap, MergeTarget - rank))
+      if (top.isEmpty) saturated = true
+      else {
+        top.foreach { t => rank += 1; merges += ((rank, t._1, t._2)) }
         words = words
           .select(col("word"), col("freq"), batchMergeCol(top).as("s"))
           .localCheckpoint()
+      }
     }
     (words, merges.result())
   }
@@ -447,6 +469,15 @@ object Bpe {
     // evaluation per CTE, the exact cost the Spark loop pays.
     val rounds = (1 to Rounds).map { r =>
       val prev = s"bpe_w${r - 1}"
+      // This round's merge budget: least(cap, target - merges already
+      // taken) — the taken count is the literal sum of the prior
+      // rounds' batch sizes (scalar subqueries), so the SQL stop binds
+      // exactly where the Spark loop's does; an exhausted budget makes
+      // the round's batch empty and the fold an identity.
+      val taken =
+        if (r == 1) "0"
+        else (1 until r).map(k => s"(SELECT count(*) FROM bpe_t$k)")
+          .mkString(" + ")
       s"""bpe_p$r AS MATERIALIZED (
             SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM (
               SELECT freq,
@@ -460,7 +491,7 @@ object Bpe {
                 struct_pack(k := b, kind := 0),
                 struct_pack(k := a || b, kind := 1)], recursive := true)
             FROM bpe_p$r),
-          bpe_t$r AS MATERIALIZED (
+          bpe_c$r AS MATERIALIZED (
             SELECT a, b,
               row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC) AS rr
             FROM (
@@ -471,8 +502,10 @@ object Bpe {
                   AND NOT (x.kind = 1 AND y.kind = 1)
                   AND (x.a <> y.a OR x.b <> y.b)
                   AND (y.cnt > x.cnt OR (y.cnt = x.cnt
-                    AND (y.a < x.a OR (y.a = x.a AND y.b < x.b))))))
-            ORDER BY cnt DESC, a ASC, b ASC LIMIT $BatchCap),
+                    AND (y.a < x.a OR (y.a = x.a AND y.b < x.b))))))),
+          bpe_t$r AS MATERIALIZED (
+            SELECT a, b, rr FROM bpe_c$r
+            WHERE rr <= least($BatchCap, $MergeTarget - ($taken))),
           bpe_m$r AS MATERIALIZED (
             SELECT coalesce(list(struct_pack(a := a, b := b)),
               CAST([] AS STRUCT(a VARCHAR, b VARCHAR)[])) AS ms FROM bpe_t$r),

@@ -28,8 +28,8 @@ class BpeSpec extends SparkSpec {
   /** One round's batch under the conflict rule: local maxima of the
     * conflict graph (shared symbol, or created-string collision with a
     * symbol of the other pair), ranked (cnt desc, a, b), capped. */
-  private def refSelect(counts: Map[(String, String), Long])
-      : List[(String, String)] = {
+  private def refSelect(counts: Map[(String, String), Long],
+      cap: Int = Bpe.BatchCap): List[(String, String)] = {
     def syms(p: (String, String)) = Set(p._1, p._2)
     def created(p: (String, String)) = p._1 + p._2
     def key(p: (String, String)) = (-counts(p), p._1, p._2)
@@ -40,20 +40,29 @@ class BpeSpec extends SparkSpec {
     counts.keys.toList
       .filter(p => !counts.keys.exists(q => conflicts(p, q) && ord.lt(key(q), key(p))))
       .sortBy(key)
-      .take(Bpe.BatchCap)
+      .take(cap)
   }
 
-  /** Batched reference training: returns (merges in global rank order,
-    * final word → symbols dictionary). */
-  private def refTrain(freqs: Map[String, Long], rounds: Int)
+  /** Batched reference training, target-driven like the distributed
+    * loop: stop at `target` merges (the last batch truncated to the
+    * remaining budget), at saturation (empty batch), or at the
+    * `maxRounds` guard. Returns (merges in global rank order, final
+    * word → symbols dictionary). */
+  private def refTrain(freqs: Map[String, Long], maxRounds: Int,
+      target: Int = Bpe.MergeTarget)
       : (List[(String, String)], Map[String, List[String]]) = {
     var dict = freqs.map { case (w, _) => w -> w.split("").toList }
     var merges = List.empty[(String, String)]
-    for (_ <- 1 to rounds) {
+    var round = 0
+    var saturated = false
+    while (merges.size < target && round < maxRounds && !saturated) {
+      round += 1
       val counts = collection.mutable.Map.empty[(String, String), Long]
       for ((w, syms) <- dict; pair <- syms.zip(syms.tail))
         counts(pair) = counts.getOrElse(pair, 0L) + freqs(w)
-      val batch = refSelect(counts.toMap)
+      val batch = refSelect(counts.toMap,
+        math.min(Bpe.BatchCap, target - merges.size))
+      if (batch.isEmpty) saturated = true
       merges :++= batch
       // Sequential application in rank order — the equivalence target
       // for the distributed loop's simultaneous fold.
@@ -186,6 +195,31 @@ class BpeSpec extends SparkSpec {
     assert(rows.map(_._2).sum == stats.getLong(0))
     assert(rows.map(_._3).sum == stats.getLong(1))
     assert(rows.map(_._4).sum == stats.getLong(2))
+  }
+
+  test("training stops exactly at the merge target (vocab-target contract)") {
+    // The fixture's natural depth exceeds the target (73 merges at the
+    // Rounds guard vs target 64), so the stop must BIND: exactly
+    // MergeTarget merges ship, the final round truncated by the
+    // remaining budget, and the reference's target-driven run agrees
+    // merge-for-merge (already pinned order-wise by the ta29 test).
+    assert(Bpe.bpeMerges(spark, sfDir).count() == Bpe.MergeTarget,
+      "merge table size != MergeTarget — the vocab-target stop did not bind")
+    val (refMerges, _) = refTrain(fixtureFreqs, Bpe.Rounds)
+    assert(refMerges.size == Bpe.MergeTarget)
+    // Mid-round truncation at the primitive level: a 3-candidate
+    // independent set under a 2-merge budget takes the top 2 by
+    // (cnt desc, a, b) and nothing else.
+    import spark.implicits._
+    val disjoint = Seq(("a", "b", 10L), ("c", "d", 9L), ("e", "f", 8L))
+      .toDF("a", "b", "cnt")
+    assert(Bpe.batchSelect(disjoint, cap = 2) == Seq(("a", "b"), ("c", "d")))
+    // And a target-driven reference run on a corpus that saturates
+    // UNDER the target stops at saturation, not the guard: "abab"
+    // yields merges (a,b) then (ab,ab) then nothing.
+    val (m2, d2) = refTrain(Map("abab" -> 2L), maxRounds = 10, target = 64)
+    assert(m2 == List(("a", "b"), ("ab", "ab")))
+    assert(d2("abab") == List("abab"))
   }
 
   test("exhausted training is stable (degenerate corpus, empty batches)") {
