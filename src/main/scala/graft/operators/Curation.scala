@@ -256,12 +256,20 @@ object Curation {
     //    self-join keys on cid (both sides corpus-sized → shuffle-hash,
     //    dd07's discipline), so per-cell work is bounded by cell size —
     //    the global pairwise a naive semantic dedup would do is exactly
-    //    what the cell structure exists to avoid. Centroid distances
-    //    ride in from ss05's argmin (exact integers); scoring uses the
-    //    native codegen'd vecDot. Output: the surviving (cid, vec_id,
-    //    d2) rows.
+    //    what the cell structure exists to avoid. Per-cell work is
+    //    additionally HARD-BOUNDED by the hot-cell guard
+    //    (Similarity.hotCellResplit): a degenerate cell over CellCap
+    //    members is re-split by one extra Lloyd assignment round before
+    //    the self-join ever sees it — at fixture scale no cell is hot,
+    //    so the guard is a provable no-op (spec-pinned) and the
+    //    unguarded oracle below stays the ground truth. Centroid
+    //    distances ride in from ss05's argmin (exact integers); scoring
+    //    uses the native codegen'd vecDot. Output: the surviving (cid,
+    //    vec_id, d2) rows.
     "pl10_semantic_prune" -> ((s, d) => {
-      val cells = Similarity.kmeansCellsDist(s, d)
+      val cells = Similarity.hotCellResplit(
+        Similarity.kmeansCellsDist(s, d),
+        Similarity.quantCorpus(s, d), Similarity.CellCap)
       val v = Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").as("e"))
         .withColumn("nrm", graft.functions.VectorFunctions.vecDot(col("e"), col("e")))

@@ -310,6 +310,92 @@ object Similarity {
   private[graft] def kmeansCells(s: SparkSession, d: String): DataFrame =
     kmeansCellsDist(s, d).select(col("vec_id"), col("cid"))
 
+  /** The quantized corpus (vec_id, v) — exposed for the hot-cell guard
+    * (the re-split assignment needs the same integer vectors the cell
+    * assignment used). Reads the staged relation: no re-HOF. */
+  private[graft] def quantCorpus(s: SparkSession, d: String): DataFrame =
+    quantVecs(s, d, 0).select(col("vec_id"), col("v"))
+
+  /** Per-cell membership cap for CELL-LOCAL PAIRWISE consumers (pl10's
+    * SemDeDup prune, dd07's cell probes): a degenerate hot cell — all
+    * near-identical embeddings landing in one cell — would otherwise
+    * hand one task O(cell²) pairs and the plan never finishes at corpus
+    * scale. 4096 members ⇒ ≤ ~16M candidate pairs per cell, the most a
+    * single task should chew; the real fixtures sit far below it
+    * (OperatorsSpec pins that, so the unguarded oracle stays the
+    * ground truth). */
+  private[graft] val CellCap = 4096
+
+  /** HOT-CELL GUARD — the AQE-skew idea applied to semantic cells:
+    * cells over `cap` members are RE-SPLIT with one extra Lloyd-style
+    * assignment round (ss08's machinery) before any pairwise consumer
+    * sees them. The k = ceil(n/cap) smallest-id members of a hot cell
+    * seed sub-centroids; every member reassigns to its nearest seed by
+    * the same exact-integer argmin the cell assignment used, with a
+    * ROTATING tiebreak ((vec_id + seed) mod k) so the fully-degenerate
+    * case — all members bit-identical, every distance tied — splits
+    * BALANCED instead of collapsing back onto seed 0. Sub-cell ids
+    * namespace under the parent (cid·2^16 + seed). Cold cells pass
+    * through untouched — at fixture scale the hot set is empty and the
+    * output IS the input, which is why pl10's oracle is unchanged.
+    *
+    * Cost shape: seed selection is the native bounded-heap TopKPerGroup
+    * (never a window sort of the hot cell); assignment is one cid-keyed
+    * shuffle-hash join doing O(n·k) = O(n²/cap) work — the bounded
+    * replacement for the O(n²) pair explosion it prevents. The price is
+    * recall across sub-cell boundaries (a near-dup pair split between
+    * sub-cells is missed) — SemDeDup's own trade when cells are
+    * refined, and in the degenerate all-identical cell the survivors
+    * are ≤ k instead of 1, never wrong rows (spec-pinned).
+    *
+    * The two 1-row/1-int collects (is anything hot; max k) are the
+    * documented bounded-scalar class. */
+  private[graft] def hotCellResplit(
+      cells: DataFrame, vecs: DataFrame, cap: Int): DataFrame = {
+    val hot = cells.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > cap)
+      .select(col("cid"),
+        ceil(col("n").cast("double") / cap).cast("int").as("k"))
+      .localCheckpoint()
+    val kMax = hot.agg(coalesce(max(col("k")), lit(0)))
+      .collect()(0).getInt(0)
+    if (kMax == 0) cells
+    else {
+      val cold = cells
+        .join(hot.select(col("cid")).hint("shuffle_hash"), Seq("cid"), "left_anti")
+        .select(col("vec_id"), col("cid"), col("d2"))
+      val hotMembers = cells.join(hot.hint("shuffle_hash"), Seq("cid"))
+        .join(vecs.hint("shuffle_hash"), Seq("vec_id"))
+      // Seeds: bounded-heap k-smallest ids per hot cell (q43's native
+      // operator — a window here would sort the entire hot cell in one
+      // partition, the exact straggler this guard exists to kill); the
+      // rank window then runs over the ≤ kMax·cells seed relation only.
+      val seedPool = graft.plans.TopK.topKPerGroup(
+        hotMembers.select(col("cid"), col("vec_id"), col("v"), col("k")),
+        keys = Seq(col("cid")),
+        order = Seq(col("vec_id").asc),
+        k = kMax)
+      val sw = Window.partitionBy(col("cid")).orderBy(col("vec_id").asc)
+      val seeds = seedPool
+        .withColumn("seed", row_number().over(sw) - 1)
+        .filter(col("seed") < col("k"))
+        .select(col("cid"), col("seed"), col("v").as("sv"), col("k"))
+      val resplit = hotMembers.select(col("vec_id"), col("cid"), col("v"))
+        .hint("shuffle_hash")
+        .join(seeds.hint("shuffle_hash"), Seq("cid"))
+        .select(col("vec_id"), col("cid"), col("seed"), col("k"),
+          expr("aggregate(zip_with(v, sv, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)")
+            .as("sd2"))
+        .withColumn("tb", pmod(col("vec_id") + col("seed"), col("k").cast("long")))
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(min(struct(col("sd2"), col("tb"), col("seed"))).as("m"))
+        .select(col("vec_id"),
+          (col("cid") * 65536 + col("m.seed")).cast("int").as("cid"),
+          col("m.sd2").as("d2"))
+      cold.unionByName(resplit)
+    }
+  }
+
   // PQ geometry shared by the build and the query-side LUT.
   private val (pqM, pqSub, pqK) = (4, 16, 8)
 

@@ -949,6 +949,45 @@ class OperatorsSpec extends SparkSpec {
       s"extra=${(got diff expect).take(5)} missed=${(expect diff got).take(5)}")
   }
 
+  // Hot-cell guard: cell-local pairwise consumers (pl10) are bounded by
+  // a per-cell membership cap — an adversarial ALL-ONE-CELL corpus of
+  // bit-identical vectors (every distance tied, the worst case for both
+  // occupancy and the tiebreak) must re-split BALANCED, bounding the
+  // candidate-pair count at N²/k instead of N²; cold inputs must pass
+  // through untouched; and the real fixture must sit under the cap, so
+  // pl10's unguarded oracle remains the ground truth.
+  test("hot-cell guard re-splits a degenerate cell balanced and is inert when cold") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val n = 12
+    val cells = (0L until n).map(i => (i, 0, 0L)).toDF("vec_id", "cid", "d2")
+    val vecs = (0L until n).map(i => (i, Seq(0L, 0L))).toDF("vec_id", "v")
+    val out = Similarity.hotCellResplit(cells, vecs, cap = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // k = ceil(12/4) = 3 sub-cells, rotation tiebreak ⇒ exactly balanced.
+    val bySub = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySub.size == 3, s"expected 3 sub-cells, got $bySub")
+    assert(bySub.values.forall(_ == 4), s"unbalanced split: $bySub")
+    // Candidate-pair bound: sum n_i² = 48 ≪ 144 = N².
+    assert(bySub.values.map(c => c.toLong * c).sum <= (n.toLong * n) / 3)
+    // Identical vectors ⇒ distance-to-seed 0 everywhere.
+    assert(out.forall(_._3 == 0L))
+    // Deterministic: a second run assigns identically.
+    val out2 = Similarity.hotCellResplit(cells, vecs, cap = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == out2.sortBy(_._1).toSeq)
+    // Cold input (nothing over the cap): byte-for-byte pass-through.
+    val cold = Similarity.hotCellResplit(cells, vecs, cap = 50)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(cold == (0L until n).map(i => (i, 0, 0L)).toSet)
+    // The real fixture never trips the guard — pl10's oracle stays the
+    // unguarded recompute.
+    val mx = Similarity.kmeansCellsDist(spark, sfDir)
+      .groupBy(col("cid")).count().agg(max(col("count"))).head().getLong(0)
+    assert(mx <= Similarity.CellCap,
+      s"fixture has a hot cell ($mx > ${Similarity.CellCap}) — oracle invalid")
+  }
+
   // mm10: the production-shaped wide-hash tier — the derived band
   // layout must clear the corpus-scale occupancy floor (>= 2^15
   // buckets/band, the SimHash design rule) while covering the hash
