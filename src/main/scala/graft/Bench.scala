@@ -121,6 +121,9 @@ object Bench {
     // a consumer pays, not the nightly build.
     try graft.operators.Incremental.pl11Run(spark, sfDir)
     catch { case e: Throwable => warn(s"pl11 staging FAILED: ${e.getMessage}") }
+    // st35's streamed nightly build is the same one-time fixture state.
+    try graft.streaming.Streams.prepareIncrementalStream(spark, sfDir)
+    catch { case e: Throwable => warn(s"st35 staging FAILED: ${e.getMessage}") }
     try graft.operators.TextAnalysis.trainClassifier(spark, sfDir)
     catch { case e: Throwable => warn(s"classifier staging FAILED: ${e.getMessage}") }
     Seq("q42_bucketed_join", "ss07_lsh_index_probe",

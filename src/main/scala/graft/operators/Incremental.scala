@@ -342,6 +342,26 @@ object Incremental {
       preFiles, snapshotFiles(new java.io.File(d.root)))
   }
 
+  /** [[nightOf]] behind a per-shard DONE marker — the idempotence the
+    * STREAMING leg (st35) needs: foreachBatch is at-least-once, and a
+    * replayed night would append its postings and df partials TWICE
+    * (the merge is additive, so a replay is not self-collapsing the way
+    * the sink-as-state partial ops are). The marker is written only
+    * after the night completes, so a whole-night replay — the
+    * foreachBatch replay class — is a no-op; recovery from a crash
+    * MID-night needs the transactional table commit production lake
+    * formats provide (the same boundary io10's overwrite has). Returns
+    * whether the night actually ran. */
+  private[graft] def nightIdempotent(
+      s: SparkSession, d: Dirs, deltaDocs: DataFrame, p: Int): Boolean = {
+    val marker = new java.io.File(d.root, s"_night_$p.done")
+    if (marker.exists()) false
+    else {
+      nightOf(s, d, deltaDocs, p)
+      marker.createNewFile()
+    }
+  }
+
   /** The full incremental run over any documents-shaped relation: base
     * build over every shard NOT in `deltaParts`, then one night per
     * delta shard in sequence. Relation-parametric so the spec can drive

@@ -336,11 +336,97 @@ object Streams {
     (feed, emb.schema)
   }
 
+  /** st35's feed: pl11's two delta shards arriving as two files — one
+    * crawl shard per micro-batch, the nightly-drop-becomes-a-stream
+    * shape. */
+  private def pl11DeltaFeed(s: SparkSession, d: String) = {
+    import graft.operators.Incremental
+    val docs = graft.sources.Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val P = Incremental.Parts
+    val feed = stagedFeed(s, d, "pl11d") { f =>
+      val dd = docs.persist()
+      val t0 = System.currentTimeMillis() - 180000
+      stageFeedFile(f,
+        dd.filter(pmod(col("doc_id"), lit(P.toLong)) === P - 2), "b1.parquet", t0)
+      stageFeedFile(f,
+        dd.filter(pmod(col("doc_id"), lit(P.toLong)) === P - 1), "b2.parquet", t0 + 60000)
+      dd.unpersist(blocking = false)
+    }
+    (feed, docs.schema)
+  }
+
+  /** st35's build — STREAMING INCREMENTAL CURATION: pl11's nightly
+    * machinery driven by arriving micro-batches instead of a batch
+    * runner. Base shards are built once pre-stream; each trigger then
+    * lands one crawl shard and runs the full O(delta + affected) night
+    * (ledger appends, additive df merge, crossing diff, affected-shard
+    * closure, shard rewrite) against the artifacts the PREVIOUS
+    * trigger's night refreshed. foreachBatch is at-least-once and a
+    * night's appends are NOT self-collapsing, so each night runs behind
+    * its per-shard done-marker (Incremental.nightIdempotent) — a
+    * replayed trigger is a no-op, which IncrementalSpec pins directly.
+    * Memoized per (app, fixture) like pl11's batch run: the nightly
+    * build is one-time fixture state; the query measures the read-back
+    * a consumer pays. Oracle: pl11's — the full from-scratch recompute
+    * over the final corpus, which the streamed nights must converge to
+    * exactly. */
+  private val stagedIncRuns =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.Incremental.Dirs]
+  private def pl11StreamRun(s: SparkSession, d: String): graft.operators.Incremental.Dirs = {
+    import graft.operators.Incremental
+    val root = graft.sources.Scratch.dir(s, d, "st35_root")
+    stagedIncRuns.synchronized {
+      stagedIncRuns.getOrElseUpdate(root, {
+        val fsPath = new org.apache.hadoop.fs.Path(root)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+        val dirs = Incremental.Dirs(root)
+        val P = Incremental.Parts
+        val part = pmod(col("doc_id"), lit(P.toLong)).cast("int")
+        Incremental.baseBuild(s, dirs,
+          graft.sources.Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), col("text"))
+            .filter(part < P - 2))
+        val (feed, schema) = pl11DeltaFeed(s, d)
+        val q = s.readStream.schema(schema)
+          .option("pathGlobFilter", "*.parquet")
+          .option("maxFilesPerTrigger", "1") // one crawl shard per trigger
+          .parquet(feed.toString)
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // Shards present in this trigger — a ≤Parts-int driver
+            // scalar (st22's routing class); processed in shard order
+            // so a combined trigger still applies nights in sequence.
+            val parts = batch.select(part.as("p")).distinct()
+              .collect().map(_.getInt(0)).toSeq.sorted
+            parts.foreach { p =>
+              Incremental.nightIdempotent(s, dirs,
+                batch.filter(part === p), p)
+              ()
+            }
+          }
+          .start()
+        q.awaitTermination()
+        org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+        dirs
+      })
+    }
+  }
+
   /** Bench-setup hook: build every staged feed for fixture `d` so the
     * timed streaming queries measure the operator, not the scaffold. */
   def prepareFeeds(s: SparkSession, d: String): Unit = {
     st06Feed(s, d); st14Feed(s, d); st16Feed(s, d)
-    docsFeed(s, d); embFeed(s, d)
+    docsFeed(s, d); embFeed(s, d); pl11DeltaFeed(s, d)
+    ()
+  }
+
+  /** Bench-setup hook: run st35's one-time streamed build pre-clock
+    * (pl11Run's discipline — the timed query measures the read-back). */
+  def prepareIncrementalStream(s: SparkSession, d: String): Unit = {
+    pl11StreamRun(s, d)
     ()
   }
 
@@ -1206,6 +1292,23 @@ object Streams {
         Seq(50, 90, 99))
     }),
 
+    // -- STREAMING INCREMENTAL CURATION — pl11's nightly machinery
+    //    composed with the stream: each trigger lands one crawl shard
+    //    and runs the whole O(delta + affected) night against the
+    //    artifacts the previous trigger refreshed (ledger appends,
+    //    additive df merge, crossing diff from the merged counts,
+    //    affected-shard closure, pruned-canon shard rewrite). Nights
+    //    run behind per-shard done-markers — foreachBatch replays are
+    //    no-ops (nightIdempotent; a night's additive appends are not
+    //    self-collapsing, unlike the sink-as-state partials). The
+    //    streamed nights must converge to EXACTLY the from-scratch
+    //    batch answer over the final corpus — pl11's own oracle.
+    "st35_stream_incremental_curation" -> ((s, d) => {
+      val dirs = pl11StreamRun(s, d)
+      s.read.parquet(dirs.table)
+        .select(col("doc_id"), col("lang"), col("stage"), col("part"))
+    }),
+
     // -- STREAMING RAG SERVING — the full retrieval path as a stream
     //    (st22 serves the PROBE; this serves the whole pl06 pipeline):
     //    query vectors arrive on the feed, each micro-batch probes the
@@ -1866,6 +1969,10 @@ object Streams {
     // mm02's closed-form header recomputation verbatim.
     "st33_stream_blob_decode" ->
       graft.operators.Multimodal.oracleSql("mm02_decode_meta"),
+    // st35: the streamed nights must converge to the from-scratch batch
+    // recompute over the final corpus — pl11's oracle verbatim.
+    "st35_stream_incremental_curation" ->
+      graft.operators.Incremental.oracleSql("pl11_incremental_snapshot"),
     // st34: bucket counts are additive, so the whole-table histogram +
     // rank walk is the exact twin of the merged micro-batch partials.
     "st34_stream_quantile_monitor" ->

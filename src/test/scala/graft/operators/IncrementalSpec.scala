@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 /** pl11's incremental-rewrite contract. Correctness (incremental ≡
   * full recompute after BOTH delta nights) is the oracle's job; what
@@ -99,6 +100,37 @@ class IncrementalSpec extends SparkSpec {
       assertUnchanged("ck", "/ck", k => shardOf(k).exists(untouched))
       assertUnchanged("cm", "/cm", k => shardOf(k).exists(untouched))
     }
+  }
+
+  test("streamed nights are replay-idempotent behind the done-marker") {
+    import spark.implicits._
+    // foreachBatch is at-least-once and a night's appends are additive
+    // (NOT self-collapsing): a replayed night must be a structural
+    // no-op — same marker, byte-identical artifact tree.
+    val docs = Seq(
+      (2L, "en", "applepie2 bananaz2"),
+      (3L, "en", "walnutt2 velvetty2 cinnamon2 gingerly2"),
+      (7L, "en", "applepie2 bananaz2")
+    ).toDF("doc_id", "lang", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pl11_replay").toString
+    val d = Incremental.Dirs(root)
+    Incremental.baseBuild(spark, d,
+      docs.filter(col("doc_id") % Incremental.Parts =!= 7))
+    val delta = docs.filter(col("doc_id") % Incremental.Parts === 7)
+    assert(Incremental.nightIdempotent(spark, d, delta, 7),
+      "first delivery did not run the night")
+    def tree = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(root))
+        .map(f => f.getPath -> (f.length(), f.lastModified())).toMap
+    }
+    val after1 = tree
+    assert(!Incremental.nightIdempotent(spark, d, delta, 7),
+      "replayed night ran again past the done-marker")
+    assert(tree == after1, "replayed night mutated the artifact tree")
   }
 
   test("emptied shard loses its ck/cm partitions (ghost-postings divergence fixture)") {
