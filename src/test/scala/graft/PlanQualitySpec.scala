@@ -476,6 +476,28 @@ class PlanQualitySpec extends SparkSpec {
       s"quality scan not bucket-pruned (PartitionFilters [$pf]):\n" + p.take(3000))
   }
 
+  test("pl11's staged artifact probes are partition-pruned (df buckets, ck/cm shards)") {
+    import graft.operators.Incremental
+    val audit = Incremental.pl11Run(spark, sfDir)
+    // A delta-night-shaped probe of each staged artifact: the filters a
+    // night applies must land as planning-time PartitionFilters, so a
+    // night reads O(touched buckets / affected shards), never a ledger.
+    val df1 = spark.read.parquet(audit.dirs.df).filter(col("bhbkt").isin(1, 3))
+    val pf1 = partitionFilters(scanLine(
+      df1.queryExecution.executedPlan.toString, "/df"))
+    assert(pf1.contains("bhbkt"), s"df scan not bucket-pruned: [$pf1]")
+    val ck1 = spark.read.parquet(audit.dirs.ck).filter(col("part").isin(2, 5))
+    val pfCk = partitionFilters(scanLine(
+      ck1.queryExecution.executedPlan.toString, "/ck"))
+    assert(pfCk.contains("part"), s"ck scan not shard-pruned: [$pfCk]")
+    val cm1 = spark.read.parquet(audit.dirs.cm)
+      .filter(col("ckbkt").isin(1, 3) && !col("part").isin(2))
+    val pfCm = partitionFilters(scanLine(
+      cm1.queryExecution.executedPlan.toString, "/cm"))
+    assert(pfCm.contains("ckbkt") && pfCm.contains("part"),
+      s"cm scan not bucket+shard-pruned: [$pfCm]")
+  }
+
   test("boilerplate flag-back joins the frequent-gram set by shuffle, not broadcast (ta10)") {
     // The frequent-gram set is corpus-derived (every template gram in a
     // web corpus clears df >= 3) — same class as dd18's duplicated-gram
