@@ -227,21 +227,30 @@ object Multimodal {
       (b * w, if (b == bands - 1) hashBits - b * w else w))
   }
 
-  /** Exact banded near-dup pairs at hamming ≤ `radius` over a (doc_id,
-    * phash) relation — dd06's discipline with the band layout derived
-    * from the hash width by [[bandLayout]]. Both self-join sides are
-    * the corpus → shuffle on the band key, never broadcast. */
-  private[graft] def bandedPhashPairs(ph: DataFrame, hashBits: Int,
+  /** The banded (doc_id, phash, band, bv) relation for a (doc_id,
+    * phash) input under [[bandLayout]]'s derived layout — the per-row
+    * reshape shared by the batch pair join below and the streaming
+    * ledger leg (st36 appends exactly these rows as its ledger). */
+  private[graft] def phashBands(ph: DataFrame, hashBits: Int,
       radius: Int, minBandBits: Int): DataFrame = {
     val bandStructs = bandLayout(hashBits, radius, minBandBits)
       .zipWithIndex.map { case ((shift, width), i) =>
         struct(lit(i).as("band"),
           expr(s"(phash >> $shift) & ${(1L << width) - 1}").as("bv"))
       }
-    val banded = ph.select(col("doc_id"), col("phash"),
+    ph.select(col("doc_id"), col("phash"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("phash"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
+  }
+
+  /** Exact banded near-dup pairs at hamming ≤ `radius` over a (doc_id,
+    * phash) relation — dd06's discipline with the band layout derived
+    * from the hash width by [[bandLayout]]. Both self-join sides are
+    * the corpus → shuffle on the band key, never broadcast. */
+  private[graft] def bandedPhashPairs(ph: DataFrame, hashBits: Int,
+      radius: Int, minBandBits: Int): DataFrame = {
+    val banded = phashBands(ph, hashBits, radius, minBandBits)
     banded.as("a").hint("shuffle_hash")
       .join(banded.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&

@@ -520,6 +520,63 @@ object Streams {
     bands.unpersist(blocking = false)
   }
 
+  /** st36's ledger bootstrap (neardupSeed's discipline): seed the band
+    * ledger and the pair sink with EMPTY correctly-typed relations. */
+  private[graft] def phashSeed(emptyDocs: DataFrame,
+      bandsDir: String, outDir: String): Unit = {
+    import graft.operators.Multimodal
+    val bands = Multimodal.phashBands(Multimodal.phashWideOf(emptyDocs),
+      Multimodal.WideHashBits, 2, 15)
+    bands.write.mode("overwrite").parquet(bandsDir)
+    bands.as("a").join(bands.as("b"), col("a.band") === col("b.band"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("cast(bit_count(a.phash ^ b.phash) as int)").as("hamming"))
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** st36's per-batch incremental step — st19's signature-ledger
+    * discipline applied to the MULTIMODAL column: decode+hash the
+    * batch's blobs (mm10's wide raster path), band with the
+    * entropy-parametric layout, probe the PHASH LEDGER (intra-batch
+    * band self-join ∪ new-vs-ledger band join — candidates bounded by
+    * band-bucket occupancy, which the 2^20-bucket bands keep linear),
+    * and append the hamming-verified pairs plus this batch's banded
+    * hashes. Simpler than st19 in one structural way: the 60-bit hash
+    * RIDES the band rows, so the verify is in-row arithmetic — no side
+    * lookup relation at all. Every pair lands at least once (intra if
+    * the blobs share a batch, else when the later blob arrives);
+    * replays append byte-identical pairs collapsed by the read-back
+    * distinct. At 100 TB the ledger is a parquet table bucketed by
+    * (band, bv). */
+  private[graft] def phashStep(batch: DataFrame,
+      bandsDir: String, outDir: String): Unit = {
+    import graft.operators.Multimodal
+    val ss = batch.sparkSession
+    val bands = Multimodal.phashBands(
+      Multimodal.phashWideOf(
+        batch.repartition(ss.sparkContext.defaultParallelism, col("doc_id"))),
+      Multimodal.WideHashBits, 2, 15).persist()
+    val intra = bands.as("a").hint("shuffle_hash")
+      .join(bands.as("b").hint("shuffle_hash"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("cast(bit_count(a.phash ^ b.phash) as int)").as("hamming"))
+    val cross = bands.as("n").hint("shuffle_hash")
+      .join(ss.read.parquet(bandsDir).as("o").hint("shuffle_hash"),
+        col("n.band") === col("o.band") && col("n.bv") === col("o.bv") &&
+        col("n.doc_id") =!= col("o.doc_id"))
+      .select(least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+              greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"),
+        expr("cast(bit_count(n.phash ^ o.phash) as int)").as("hamming"))
+    intra.union(cross).distinct()
+      .filter(col("hamming") <= 2)
+      .write.mode("append").parquet(outDir)
+    // Ledger append AFTER the probe (intra already covered in-batch).
+    bands.write.mode("append").parquet(bandsDir)
+    bands.unpersist(blocking = false)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Streaming tumbling-window aggregation; same oracle as the batch
     //    q27 — stream/batch parity is the assertion.
@@ -1568,6 +1625,38 @@ object Streams {
       s.read.parquet(outDir).distinct()
     }),
 
+    // -- STREAMING PERCEPTUAL NEAR-DUP — st19's cross-batch ledger leg
+    //    for the MULTIMODAL column (blobs get the same streaming dedup
+    //    a text corpus gets): per micro-batch, decode+hash arriving
+    //    blobs (mm10's wide raster path), probe the persisted banded-
+    //    hash ledger, append hamming-verified pairs and the batch's own
+    //    band rows. The hash rides the band rows so the verify is
+    //    in-row — no side lookup ledger. Union over batches ≡ mm10's
+    //    batch all-pairs result (the oracle); replay-idempotent via the
+    //    read-back distinct.
+    "st36_stream_phash_neardup" -> ((s, d) => {
+      val (feed, schema) = docsFeed(s, d)
+      val (bandsDir, outDir) = (
+        graft.sources.Scratch.dir(s, d, "st36_bands"),
+        graft.sources.Scratch.dir(s, d, "st36_out"))
+      phashSeed(graft.sources.Tables.documents(s, d).limit(0),
+        bandsDir, outDir)
+      val q = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed.toString)
+        .writeStream
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          phashStep(batch, bandsDir, outDir)
+        }
+        .start()
+      q.awaitTermination()
+      org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+      s.read.parquet(outDir).distinct()
+    }),
+
     // -- STREAMING embedding-space decontamination — the stream leg of
     //    dd17 (as st18 is of dd08): incoming vectors are probed per
     //    micro-batch against the BROADCAST held-out eval set (stream-
@@ -1969,6 +2058,10 @@ object Streams {
     // mm02's closed-form header recomputation verbatim.
     "st33_stream_blob_decode" ->
       graft.operators.Multimodal.oracleSql("mm02_decode_meta"),
+    // st36: stream/batch parity with mm10 — the ledger union over
+    // batches must equal the batch banded all-pairs result exactly.
+    "st36_stream_phash_neardup" ->
+      graft.operators.Multimodal.oracleSql("mm10_phash_wide_neardup"),
     // st35: the streamed nights must converge to the from-scratch batch
     // recompute over the final corpus — pl11's oracle verbatim.
     "st35_stream_incremental_curation" ->

@@ -61,6 +61,24 @@ class StreamingReplaySpec extends SparkSpec {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("st36 phash ledger union equals mm10 banded pairs under a 3-way split + replay") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val (bandsDir, outDir) = (
+      s"$tmp/graft_spec_st36_bands", s"$tmp/graft_spec_st36_out")
+    Streams.phashSeed(docs.limit(0), bandsDir, outDir)
+    val splits = (0 to 2).map(r => docs.filter(col("doc_id") % 3 === r))
+    Streams.phashStep(splits(0), bandsDir, outDir)
+    Streams.phashStep(splits(1), bandsDir, outDir)
+    Streams.phashStep(splits(1), bandsDir, outDir) // replay
+    Streams.phashStep(splits(2), bandsDir, outDir)
+    val got = spark.read.parquet(outDir).distinct()
+    val expected = graft.operators.Multimodal
+      .queries("mm10_phash_wide_neardup")(spark, sfDir)
+    assert(got.count() == expected.count(),
+      s"pair counts differ: got ${got.count()}, expected ${expected.count()}")
+    assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
+  }
+
   test("st24 streamed index ingest is split- and replay-invariant at compaction") {
     val emb = Tables.embeddings(spark, sfDir)
     val tmp = System.getProperty("java.io.tmpdir")
