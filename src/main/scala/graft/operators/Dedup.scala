@@ -417,50 +417,112 @@ object Dedup {
     * relation — extracted relation-parametric (verifyPairs' discipline)
     * so every near-dup pair source feeds the same cluster resolution:
     * dd09 over the text LSH pairs, mm11 over the perceptual-hash pairs
-    * of media blobs. Each round is neighbor-min propagation PLUS a
-    * POINTER JUMP (label := label's label — every label value is a
-    * component member's id, so the jump stays inside the component and
-    * min-monotone): convergence is O(log diameter) rounds instead of
-    * O(diameter), which mm11's pair graph made load-bearing — its
-    * largest fixture component has eccentricity 26 from its min node,
-    * past the linear loop's 20-round cap, and a corpus-scale near-dup
-    * chain is unbounded. Fixpoint unchanged (the jump only accelerates
-    * a monotone-decreasing labeling toward the same component minima).
-    * Output: (doc_id, canonical_id). */
+    * of media blobs. Output: (doc_id, canonical_id).
+    *
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR edge rewriting
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond" — public literature), the formulation whose round count is
+    * O(log n) on REAL graphs. Min-label propagation — even with pointer
+    * jumping — is O(diameter) in the worst case: jumps compress chains
+    * toward each neighborhood's LOCAL minimum, but the global minimum
+    * still crawls edge-by-edge between local-min basins (measured: 20
+    * rounds on mm11's 223-node fixture component vs 6 for star
+    * rewriting, simulation-verified before the port). Each round:
+    *   large-star: every node connects its LARGER neighbors to the min
+    *     of its closed neighborhood;
+    *   small-star: every node (over min-oriented edges) connects its
+    *     smaller neighbors and itself to their min.
+    * Edge sets shrink toward per-component STARS centered at minima;
+    * the fixpoint IS the labeling (non-roots point at their root).
+    * Both steps are one groupBy + one key-join over the edge list —
+    * the same shuffle shape as one propagation round. */
   private[operators] def componentsOf(pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .toDF("src", "dst").localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
-    var converged = false
-    var rounds = 0
-    val maxRounds = 20 // covers diameter ~2^20 under the jump
-    while (!converged && rounds < maxRounds) {
-      val nbrMin = edges.join(labels, edges("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
-      val relab = labels.join(nbrMin, labels("id") === nbrMin("src"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      val next = relab.as("x")
-        .join(relab.select(col("id").as("lid"), col("label").as("llabel")).as("y"),
-          col("x.label") === col("y.lid"), "left")
-        .select(col("x.id").as("id"),
-          least(col("x.label"), coalesce(col("llabel"), col("x.label"))).as("label"))
-        .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
-      rounds += 1
+    // localCheckpoint + STATS RESET: Spark's checkpoint preserves the
+    // origin plan's statistics through the cut, so an iterative
+    // join loop compounds its size-in-bytes ESTIMATE every round
+    // (round r's estimate ~ round r-1's raised to the joins-per-round)
+    // — by ~round 12 the planner is multiplying million-digit BigInts
+    // and physical planning itself hangs (observed on mm11's pair
+    // graph). Rebuilding the frame from the checkpointed RDD gives
+    // each round the same constant default estimate. Row-conversion
+    // cost is O(edges) per round — the relation is pair-graph-sized,
+    // a corpus fraction, never the corpus.
+    def fresh(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint()
+      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
     }
-    // A silent non-converged exit would emit WRONG clusters (partial
-    // neighborhood minima, not component minima) — fail loudly.
-    require(converged,
-      s"label propagation did not converge in $maxRounds doubling rounds " +
-      "(astronomical component diameter; switch to large-star/small-star)")
-    labels.select(col("id").as("doc_id"), col("label").as("canonical_id"))
+    val ss = pairs.sparkSession
+    // AQE OFF for the loop (saved/restored): under AQE every exchange
+    // of every round materializes as its own scheduled job, and with
+    // edge-list-sized relations the loop's cost is pure per-job driver
+    // overhead — measured 313 jobs / ~32 s on mm11's pair graph vs a
+    // few pipelined jobs per round without it. AQE's wins (skew splits,
+    // runtime coalescing) have nothing to offer a fixed-size iterative
+    // kernel; every OTHER query in the session keeps it on.
+    val aqeBefore = ss.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = ss.conf.get("spark.sql.shuffle.partitions")
+    ss.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // The input pair plan (often an upstream banded join) is read
+      // twice (vertex set + edge set) — persist for the two reads.
+      val p = pairs.persist()
+      val verts = fresh(p.select(col("doc_a").as("id"))
+        .union(p.select(col("doc_b").as("id"))).distinct())
+      // Edges oriented large -> small, deduped, self-loops dropped.
+      var e = fresh(p.filter(col("doc_a") =!= col("doc_b"))
+        .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+          least(col("doc_a"), col("doc_b")).as("v")).distinct())
+      p.unpersist(blocking = false)
+      // Shuffle width SIZED TO THE EDGE LIST for the loop's exchanges
+      // (restored after): the rounds shuffle pair-graph-sized relations
+      // ~12 times, and at fixture scale 32-wide exchanges are ~200
+      // near-empty tasks per round — pure scheduling floor (measured:
+      // the loop's cost was all task overhead, no compute). A corpus-
+      // scale edge ledger keeps the session width. One bounded count
+      // job; ~50k edge rows per partition.
+      val nEdges = e.count()
+      ss.conf.set("spark.sql.shuffle.partitions",
+        math.max(4L, math.min(partsBefore.toLong, nEdges / 50000 + 1)).toString)
+      var converged = false
+      var rounds = 0
+      val maxRounds = 20 // O(log n) — 20 covers any conceivable corpus
+      while (!converged && rounds < maxRounds) {
+        // large-star: m(u) = min over N(u) + {u}; (v, m) for v > u.
+        val bidir = e.unionByName(
+          e.select(col("v").as("u"), col("u").as("v")))
+        val lsMin = bidir.groupBy(col("u"))
+          .agg(min(col("v")).as("mn"))
+          .select(col("u"), least(col("u"), col("mn")).as("m"))
+        val ls = bidir.join(lsMin, Seq("u"))
+          .filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        // small-star over the min-oriented output: m2(u) = min of its
+        // smaller neighbors; rewire them (and u) to m2.
+        val ssMin = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+        val star = ls.join(ssMin, Seq("u"))
+          .filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(ssMin.select(col("u"), col("m").as("v")))
+        val next = fresh(star.filter(col("u") =!= col("v")).distinct())
+        // Fixpoint test: symmetric difference of two DISTINCT edge sets
+        // is empty iff every (u, v) appears in both — one aggregation.
+        converged = next.unionByName(e)
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+          .filter(col("c") === 1).isEmpty
+        e = next
+        rounds += 1
+      }
+      // A silent non-converged exit would emit WRONG clusters (a
+      // non-star edge set labels some doc with a non-root) — fail loud.
+      require(converged,
+        s"large-star/small-star did not converge in $maxRounds rounds")
+      verts.join(e, verts("id") === e("u"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("v"), col("id")).as("canonical_id"))
+    } finally {
+      ss.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      ss.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    }
   }
 
   /** dd16's keep-best body over any (doc_id, canonical_id) labeling and
