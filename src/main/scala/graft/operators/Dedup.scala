@@ -401,15 +401,9 @@ object Dedup {
 
   /** dd09's connected components over the verified LSH pair graph:
     * every clustered doc labeled with its component's min doc_id (the
-    * canonical survivor). Iterative min-label propagation with an eager
-    * localCheckpoint on every iteration boundary: materializes fully
-    * AND truncates lineage. The earlier persist() version let `isEmpty`
-    * short-circuit before the round's cache was complete, so later
-    * rounds recomputed ancestor rounds through an ever-deeper lineage —
-    * measured 45 s at sf0.1; checkpointing makes each round O(edges)
-    * flat. (On a cluster: checkpoint every few rounds against reliable
-    * storage — same principle.) Shared by dd09 (the labeling) and dd16
-    * (representative selection on top of it). */
+    * canonical survivor). Shared by dd09 (the labeling) and dd16
+    * (representative selection on top of it); the algorithm lives in
+    * [[componentsOf]]. */
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
     componentsOf(lshPairs(s, d).select(col("doc_a"), col("doc_b")))
 
@@ -670,14 +664,12 @@ object Dedup {
     // -- Near-dup CLUSTER resolution: the step after pair generation —
     //    connected components over the verified LSH pair graph, each doc
     //    labeled with its component's min doc_id (the canonical survivor
-    //    a dedup pass keeps). Iterative min-label propagation: one
-    //    (edges ⋈ labels) + min-agg per round, converging in graph-
-    //    diameter rounds (near-dup components are tiny, so a handful;
-    //    at corpus scale the same loop runs O(log n) rounds with
-    //    checkpointing — the standard distributed-CC recipe). The
-    //    per-round driver scalar is a convergence CHECK, not data
-    //    collection. Oracle: DuckDB recursive CTE computes exact
-    //    reachability — a wholly different algorithm, same answer.
+    //    a dedup pass keeps). Alternating large-star/small-star edge
+    //    rewriting ([[componentsOf]] — O(log n) rounds; one groupBy +
+    //    one key-join per step, checkpointed per round). The per-round
+    //    driver scalar is a convergence CHECK, not data collection.
+    //    Oracle: DuckDB recursive CTE computes exact reachability — a
+    //    wholly different algorithm, same answer.
     "dd09_dedup_clusters" -> ((s, d) => clusterLabels(s, d)),
 
     // -- Representative selection — the terminal dedup stage dd09 feeds:
@@ -1187,7 +1179,7 @@ object Dedup {
           FROM p JOIN dd15_docs x ON p.doc_a = x.doc_id
                  JOIN dd15_docs y ON p.doc_b = y.doc_id""",
     // Exact reachability via recursive CTE — a wholly different CC
-    // algorithm than the Spark side's label propagation, same answer.
+    // algorithm than the Spark side's star rewriting, same answer.
     // CTE names must not collide with dPairs' INNER names (e/h/sig/...):
     // under WITH RECURSIVE, DuckDB binds an inner reference to the outer
     // CTE of the same name.
