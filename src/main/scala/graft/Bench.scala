@@ -133,7 +133,8 @@ object Bench {
     try { graft.operators.TextAnalysis.stagedQuality(spark, sfDir); () }
     catch { case e: Throwable => warn(s"quality staging FAILED: ${e.getMessage}") }
     Seq("q42_bucketed_join", "ss07_lsh_index_probe",
-        "ss02_ivf_topk", "ss12_ivf_refresh", "ss09_pq_topk", "ss06_sq8_topk",
+        "ss02_ivf_topk", "ss12_ivf_refresh", "ss15_ivf_delete_compact",
+        "ss09_pq_topk", "ss06_sq8_topk",
         "dd08_contamination", "ta10_boilerplate",
         "dd16_keep_best", "io09_dynamic_pruning", "io13_aqe_skew_join",
         "dd18_substring_spans",

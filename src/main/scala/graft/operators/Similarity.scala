@@ -238,6 +238,94 @@ object Similarity {
     (raw.getPath, compacted.getPath)
   }
 
+  /** ss15's staged state + compaction audit: the managed index dir
+    * (post-compaction), the tombstone ledger dir, the cells the
+    * compaction rewrote, and file snapshots around the rewrite —
+    * untouched cell directories must be byte-identical. */
+  private[graft] final case class DeleteAudit(
+    live: String, tomb: String, affected: Seq[Int],
+    preFiles: Map[String, (Long, Long)], postFiles: Map[String, (Long, Long)])
+
+  /** ss15 — the DELETE leg of the index lifecycle, the piece
+    * build (ss02) → append (ss12/st24) → compact (st25) → serve (st22)
+    * was missing: real deployments must REMOVE vectors (retention,
+    * user-deletion, licensing takedowns) without rebuilding the index.
+    * Two-phase, the lake-format discipline:
+    *   1. TOMBSTONE ledger: deleted ids land as (vec_id, label) rows in
+    *      a cell-partitioned side artifact — an O(deletes) append, the
+    *      index untouched. Serving MERGES ON READ: the probe anti-joins
+    *      the ledger (both artifact reads prune by the probe's cells),
+    *      so deletes are visible immediately.
+    *   2. DELETE COMPACTION: rewrite ONLY the cells holding tombstoned
+    *      rows (a ≤cell-count driver scalar selects them) — survivors
+    *      materialized BEFORE the rewrite (localCheckpoint; the write
+    *      reads the dirs it replaces), affected cell dirs deleted then
+    *      re-appended (pl11's ghost-partition rule: a fully-deleted
+    *      cell must actually lose its directory), untouched cell files
+    *      byte-identical (audited). The ledger is then retired.
+    * Post-compaction probes need no anti-join — the spec pins
+    * merge-on-read ≡ post-compaction, and the oracle is ss02's probe
+    * over the surviving corpus. Deletes here: vec_id % 7 = 3 in cells
+    * 0-4 (cells 5-9 stay untouched so the byte audit is non-vacuous). */
+  private[graft] def ivfDeleted(s: SparkSession, d: String): DeleteAudit = {
+    graft.sources.Scratch.cleanupStale(s)
+    val slug = s.sparkContext.applicationId + "_" +
+      d.replaceAll("[^A-Za-z0-9]", "_")
+    val live = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_ivf_del_$slug")
+    val tomb = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_ivf_tmb_$slug")
+    def snapshot(root: java.io.File): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(root)
+        .filterNot(f => f.getName.startsWith(".") || f.getName == "_SUCCESS")
+        .map(f => f.getPath.stripPrefix(root.getPath) -> (f.length(), f.lastModified()))
+        .toMap
+    }
+    stagedDelAudits.synchronized {
+      stagedDelAudits.getOrElseUpdate(live.getPath, {
+        val all = vecs(s, d).select(col("vec_id"), col("e"), col("nrm"), col("label"))
+        all.write.mode("overwrite").partitionBy("label").parquet(live.getPath)
+        all.filter(col("vec_id") % 7 === 3 && col("label") < 5)
+          .select(col("vec_id"), col("label"))
+          .write.mode("overwrite").partitionBy("label").parquet(tomb.getPath)
+        val pre = snapshot(live)
+        val tombDf = s.read.parquet(tomb.getPath)
+        val affected = tombDf.select(col("label")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        val survivors = s.read.parquet(live.getPath)
+          .filter(col("label").isin(affected: _*))
+          .join(tombDf.select(col("vec_id")).hint("shuffle_hash"),
+            Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("e"), col("nrm"), col("label"))
+          .localCheckpoint() // materialize before replacing the dirs it reads
+        affected.foreach { lbl =>
+          def rm(f: java.io.File): Unit = {
+            val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+            f.delete(): Unit
+          }
+          rm(new java.io.File(live, s"label=$lbl"))
+        }
+        survivors.write.mode("append").partitionBy("label").parquet(live.getPath)
+        DeleteAudit(live.getPath, tomb.getPath, affected, pre, snapshot(live))
+      })
+    }
+  }
+  private val stagedDelAudits =
+    scala.collection.concurrent.TrieMap.empty[String, DeleteAudit]
+
+  /** The merge-on-read serving form (phase 1, pre-compaction): probe an
+    * index that still CONTAINS tombstoned rows with the ledger
+    * anti-joined in — extracted so the spec pins serve-parity with the
+    * compacted artifact. The ledger is corpus-derived (delete volume
+    * scales with the corpus) → shuffle-hash anti join, never broadcast;
+    * in the per-trigger serving leg both sides additionally prune to
+    * the probe's cells (st22's routing). */
+  private[graft] def probeWithTombstones(
+      q: DataFrame, idx: DataFrame, tomb: DataFrame): DataFrame =
+    ivfProbe(q, idx.join(tomb.select(col("vec_id")).hint("shuffle_hash"),
+      Seq("vec_id"), "left_anti"))
+
   /** ss06's persisted int8 relation: real ANN deployments STORE the
     * scalar-quantized vectors (that is the whole point of the 4×
     * shrink); deriving them per probe would also re-run the clamp/round
@@ -496,6 +584,20 @@ object Similarity {
       val (_, compacted) = ivfRefreshedDirs(s, d)
       ivfProbe(vecs(s, d).filter(col("vec_id") % 50 === 0),
         s.read.parquet(compacted))
+    }),
+
+    // -- INDEX DELETE lifecycle ([[ivfDeleted]]): tombstone-ledger
+    //    append → merge-on-read serving → delete compaction of ONLY the
+    //    affected cells (untouched cell dirs byte-identical, audited) →
+    //    ss02's exact probe over the compacted artifact. The oracle is
+    //    ss02's probe restricted to the surviving corpus — deletes may
+    //    change file layout and candidate membership, never ranking
+    //    arithmetic. OperatorsSpec pins merge-on-read ≡ post-compaction
+    //    parity, physical removal, and the byte audit.
+    "ss15_ivf_delete_compact" -> ((s, d) => {
+      val audit = ivfDeleted(s, d)
+      ivfProbe(vecs(s, d).filter(col("vec_id") % 50 === 0),
+        s.read.parquet(audit.live))
     }),
 
     // -- LSH ANN, multi-table + multi-probe: L=4 independent tables of
@@ -1018,7 +1120,8 @@ object Similarity {
     "ss03_lsh_ann" -> dLshAnn,
     // ss12 probes the refreshed+compacted index — probe parity with the
     // write-once artifact is the claim, so the oracle is ss02's verbatim.
-    "ss12_ivf_refresh" -> dIvfTopk
+    "ss12_ivf_refresh" -> dIvfTopk,
+    "ss15_ivf_delete_compact" -> dIvfTopkDel
   ) ++ dOtherOracles
 
   /** Shared IVF-probe oracle (ss02/ss12; st22 aliases it too — the
@@ -1032,6 +1135,21 @@ object Similarity {
                 ORDER BY $dCosAB DESC, b.vec_id ASC) AS INT) AS rnk
             FROM v a JOIN v b
               ON a.vec_id % 50 = 0 AND a.label = b.label AND a.vec_id <> b.vec_id)
+          WHERE rnk <= 3"""
+
+  /** ss15's oracle: ss02's probe with the tombstoned rows (vec_id % 7 =
+    * 3 in cells 0-4) removed from the INDEX side only — queries are
+    * external input and keep their vectors. */
+  private lazy val dIvfTopkDel =
+      s"""WITH v AS ($dVecs)
+          SELECT query_id, neighbor_id, cos, rnk FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+              $dCosAB AS cos,
+              CAST(row_number() OVER (PARTITION BY a.vec_id
+                ORDER BY $dCosAB DESC, b.vec_id ASC) AS INT) AS rnk
+            FROM v a JOIN v b
+              ON a.vec_id % 50 = 0 AND a.label = b.label AND a.vec_id <> b.vec_id
+              AND NOT (b.vec_id % 7 = 3 AND b.label < 5))
           WHERE rnk <= 3"""
 
   private lazy val dLshAnn =

@@ -949,6 +949,69 @@ class OperatorsSpec extends SparkSpec {
       s"extra=${(got diff expect).take(5)} missed=${(expect diff got).take(5)}")
   }
 
+  // componentsOf: the star-rewriting CC must label a LONG CHAIN — the
+  // adversarial shape that puts min-label propagation at O(diameter)
+  // rounds (mm11's real pair graph hit exactly this) — plus disjoint
+  // components and interleaved ids, inside the fixed round cap.
+  test("componentsOf labels a 60-node chain and disjoint components exactly") {
+    import spark.implicits._
+    val path = (0L until 59L).map(i => (i, i + 1))
+    val tri = Seq((100L, 102L), (102L, 101L), (101L, 100L))
+    val pair = Seq((200L, 201L))
+    val labels = Dedup.componentsOf((path ++ tri ++ pair).toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.size == 65)
+    assert((0L to 59L).forall(labels(_) == 0L), "chain not fully labeled to its min")
+    assert(Seq(100L, 101L, 102L).forall(labels(_) == 100L))
+    assert(labels(200L) == 200L && labels(201L) == 200L)
+  }
+
+  // ss15: the delete leg of the index lifecycle — merge-on-read serving
+  // over (index-with-tombstones, ledger) must equal the post-compaction
+  // probe; tombstoned ids must be PHYSICALLY gone from the compacted
+  // artifact; and cells without deletions must be byte-identical across
+  // the compaction (only affected cell dirs rewritten).
+  test("ss15 delete lifecycle: merge-on-read ≡ compacted probe; untouched cells byte-identical") {
+    import graft.operators.Similarity
+    val audit = Similarity.ivfDeleted(spark, sfDir)
+    // Affected = some but not all cells (tombstones confined to label<5).
+    assert(audit.affected.nonEmpty && audit.affected.forall(_ < 5))
+    // Physical removal: no tombstoned id survives in the compacted index.
+    val live = spark.read.parquet(audit.live)
+    assert(live.filter(col("vec_id") % 7 === 3 && col("label") < 5).count() == 0,
+      "tombstoned rows survived compaction")
+    // Merge-on-read over the ORIGINAL index (still holding the rows)
+    // must serve the identical answer the compacted index serves.
+    val q = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"), col("embedding").as("e"))
+      .withColumn("nrm",
+        graft.functions.VectorFunctions.vecDot(col("e"), col("e")))
+      .filter(col("vec_id") % 50 === 0)
+    val mor = Similarity.probeWithTombstones(q,
+      spark.read.parquet(audit.live).unionByName( // reconstruct pre-state:
+        spark.read.parquet(audit.tomb)            // tombstoned rows rejoin
+          .select(col("vec_id"))
+          .join(graft.sources.Tables.embeddings(spark, sfDir), Seq("vec_id"))
+          .select(col("vec_id"), col("embedding").as("e"), col("label"))
+          .withColumn("nrm",
+            graft.functions.VectorFunctions.vecDot(col("e"), col("e")))
+          .select(col("vec_id"), col("e"), col("nrm"), col("label"))),
+      spark.read.parquet(audit.tomb))
+    val post = SparkEntry.queries("ss15_ivf_delete_compact")(spark, sfDir)
+    assert(mor.count() == post.count())
+    assert(mor.except(post).isEmpty && post.except(mor).isEmpty,
+      "merge-on-read serving diverges from the compacted index")
+    // Byte audit: cells outside the affected set untouched by the rewrite.
+    def cellOf(rel: String): Option[Int] =
+      "label=(\\d+)".r.findFirstMatchIn(rel).map(_.group(1).toInt)
+    val untouched = (0 until 10).toSet -- audit.affected.toSet
+    def restrict(m: Map[String, (Long, Long)]) =
+      m.filter { case (k, _) => cellOf(k).exists(untouched) }
+    assert(restrict(audit.preFiles).nonEmpty, "nothing untouched to compare")
+    assert(restrict(audit.postFiles) == restrict(audit.preFiles),
+      "untouched cell directories changed across delete compaction")
+  }
+
   // Hot-cell guard: cell-local pairwise consumers (pl10) are bounded by
   // a per-cell membership cap — an adversarial ALL-ONE-CELL corpus of
   // bit-identical vectors (every distance tied, the worst case for both
