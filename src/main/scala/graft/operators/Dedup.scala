@@ -441,22 +441,37 @@ object Dedup {
     // each round the same constant default estimate. Row-conversion
     // cost is O(edges) per round — the relation is pair-graph-sized,
     // a corpus fraction, never the corpus.
+    val ss = pairs.sparkSession
+    // The loop runs in an ISOLATED SESSION: same SparkContext (same
+    // executors, same block-manager cache) but a private SQLConf, so
+    // the loop's planner settings cannot race queries running
+    // concurrently on the caller's session (mutate-and-restore on the
+    // shared conf flaked a parallel suite). Two loop-local settings:
+    //   - AQE off: under AQE every exchange of every round materializes
+    //     as its own scheduled job, and with edge-list-sized relations
+    //     the loop's cost is pure per-job driver overhead — measured
+    //     313 jobs / ~32 s on mm11's pair graph vs a few pipelined
+    //     jobs per round without it; AQE has nothing to offer a
+    //     fixed-size iterative kernel.
+    //   - Shuffle width sized to the edge list: at fixture scale
+    //     session-width exchanges are ~200 near-empty tasks per round —
+    //     pure scheduling floor; a corpus-scale edge ledger keeps the
+    //     session width (~50k edge rows per partition).
+    val loop = ss.newSession()
+    loop.conf.set("spark.sql.adaptive.enabled", "false")
+    // Every frame is rebuilt on the LOOP session from its checkpointed
+    // RDD — which also resets statistics: Spark preserves the origin
+    // plan's stats through localCheckpoint, so an iterative join loop
+    // otherwise compounds its size-in-bytes estimate every round
+    // (round r's estimate ~ round r-1's raised to the joins-per-round;
+    // by ~round 12 physical planning hangs multiplying million-digit
+    // BigInts — observed on mm11's pair graph). Row-conversion cost is
+    // O(edges) per round — pair-graph-sized, a corpus fraction.
     def fresh(df: DataFrame): DataFrame = {
       val cp = df.localCheckpoint()
-      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+      loop.createDataFrame(cp.rdd, cp.schema)
     }
-    val ss = pairs.sparkSession
-    // AQE OFF for the loop (saved/restored): under AQE every exchange
-    // of every round materializes as its own scheduled job, and with
-    // edge-list-sized relations the loop's cost is pure per-job driver
-    // overhead — measured 313 jobs / ~32 s on mm11's pair graph vs a
-    // few pipelined jobs per round without it. AQE's wins (skew splits,
-    // runtime coalescing) have nothing to offer a fixed-size iterative
-    // kernel; every OTHER query in the session keeps it on.
-    val aqeBefore = ss.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsBefore = ss.conf.get("spark.sql.shuffle.partitions")
-    ss.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
+    {
       // The input pair plan (often an upstream banded join) is read
       // twice (vertex set + edge set) — persist for the two reads.
       val p = pairs.persist()
@@ -467,16 +482,12 @@ object Dedup {
         .select(greatest(col("doc_a"), col("doc_b")).as("u"),
           least(col("doc_a"), col("doc_b")).as("v")).distinct())
       p.unpersist(blocking = false)
-      // Shuffle width SIZED TO THE EDGE LIST for the loop's exchanges
-      // (restored after): the rounds shuffle pair-graph-sized relations
-      // ~12 times, and at fixture scale 32-wide exchanges are ~200
-      // near-empty tasks per round — pure scheduling floor (measured:
-      // the loop's cost was all task overhead, no compute). A corpus-
-      // scale edge ledger keeps the session width. One bounded count
-      // job; ~50k edge rows per partition.
+      // One bounded count job sizes the loop's shuffle width.
       val nEdges = e.count()
-      ss.conf.set("spark.sql.shuffle.partitions",
-        math.max(4L, math.min(partsBefore.toLong, nEdges / 50000 + 1)).toString)
+      loop.conf.set("spark.sql.shuffle.partitions",
+        math.max(4L, math.min(
+          ss.conf.get("spark.sql.shuffle.partitions").toLong,
+          nEdges / 50000 + 1)).toString)
       var converged = false
       var rounds = 0
       val maxRounds = 20 // O(log n) — 20 covers any conceivable corpus
@@ -510,12 +521,13 @@ object Dedup {
       // non-star edge set labels some doc with a non-root) — fail loud.
       require(converged,
         s"large-star/small-star did not converge in $maxRounds rounds")
-      verts.join(e, verts("id") === e("u"), "left")
+      // Hand the result back bound to the CALLER'S session (consumers
+      // compose it with their own frames): checkpoint once more, rebind.
+      val out = verts.join(e, verts("id") === e("u"), "left")
         .select(col("id").as("doc_id"),
           coalesce(col("v"), col("id")).as("canonical_id"))
-    } finally {
-      ss.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      ss.conf.set("spark.sql.shuffle.partitions", partsBefore)
+        .localCheckpoint()
+      ss.createDataFrame(out.rdd, out.schema)
     }
   }
 
