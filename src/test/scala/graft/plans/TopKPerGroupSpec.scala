@@ -71,7 +71,12 @@ class TopKPerGroupSpec extends SparkSpec {
     def nativeRun() = TopK.topKPerGroup(big, Seq(col("o_custkey")),
       Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3).count()
     windowRun(); nativeRun() // warm both paths
-    val tW = timeIt(windowRun()); val tN = timeIt(nativeRun())
+    // MEDIAN of 3 interleaved reps per path: single-shot timings flake
+    // under co-tenant load (one ~0.3 s stall flipped the comparison on
+    // a contended box); medians keep the assertion about the PLANS.
+    def median3(f: => Long): Double =
+      Seq(timeIt(f), timeIt(f), timeIt(f)).sorted.apply(1)
+    val tW = median3(windowRun()); val tN = median3(nativeRun())
     info(f"native=$tN%.2fs window=$tW%.2fs speedup=${tW / tN}%.1fx")
     // The fixture is small so the margin is modest; the assertion guards
     // the direction (heap never regresses below the sort).
