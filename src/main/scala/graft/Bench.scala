@@ -163,8 +163,13 @@ object Bench {
     // Keyed by SF slug: a dev run at sf0.01 must never become the
     // baseline a driver run at sf0.1 is flagged against.
     val sfSlug = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9.]", "_")
+    // Defaults derive from the WORKING DIRECTORY (sbt runs from the
+    // checkout root), never a hardcoded absolute prefix — a bench run
+    // from any other checkout location must find/write its artifacts
+    // next to itself, not silently land in (or fail on) someone else's
+    // path.
     val histPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY",
-      s"/root/repo/tools/bench_history_$sfSlug.json")
+      new java.io.File("tools", s"bench_history_$sfSlug.json").getAbsolutePath)
     val history: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
@@ -255,8 +260,11 @@ object Bench {
     // BENCH_r*.json keeps only a tail of stdout, so the complete
     // per-query map must live somewhere auditable after the run.
     // Best-effort (read-only checkouts must not fail the bench).
+    // Default: sibling of the history file, so both artifacts follow
+    // the same override/location logic (never a hardcoded prefix).
     val lastRunPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LAST_RUN",
-      s"/root/repo/tools/bench_last_run_$sfSlug.json")
+      new java.io.File(new java.io.File(histPath).getParentFile,
+        s"bench_last_run_$sfSlug.json").getPath)
     try java.nio.file.Files.write(java.nio.file.Paths.get(lastRunPath),
       (s"""{"sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,""" +
         s""""total_sec":$total,"calib_sec":${(calibPre + calibPost) / 2},""" +

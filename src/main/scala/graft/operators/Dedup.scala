@@ -490,7 +490,15 @@ object Dedup {
           nEdges / 50000 + 1)).toString)
       var converged = false
       var rounds = 0
-      val maxRounds = 20 // O(log n) — 20 covers any conceivable corpus
+      // Round cap scaled to the input: star rewriting converges in
+      // O(log n) expected rounds but O(log² n) worst case, so a fixed
+      // 20 could abort a legitimately-slow extreme-scale graph. 20
+      // covers every fixture; the log² term covers the tail. Fail-loud
+      // require below stays as the backstop against a silent non-star
+      // exit (which would label docs with non-roots — wrong clusters).
+      val log2e = 64 - java.lang.Long.numberOfLeadingZeros(nEdges + 1)
+      val maxRounds = math.max(20, log2e * log2e)
+      var prevEdgeCount = nEdges
       while (!converged && rounds < maxRounds) {
         // large-star: m(u) = min over N(u) + {u}; (v, m) for v > u.
         val bidir = e.unionByName(
@@ -509,11 +517,21 @@ object Dedup {
           .select(col("v").as("u"), col("m").as("v"))
           .unionByName(ssMin.select(col("u"), col("m").as("v")))
         val next = fresh(star.filter(col("u") =!= col("v")).distinct())
-        // Fixpoint test: symmetric difference of two DISTINCT edge sets
-        // is empty iff every (u, v) appears in both — one aggregation.
-        converged = next.unionByName(e)
-          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
-          .filter(col("c") === 1).isEmpty
+        // Fixpoint test, two-tier: both sets are DISTINCT, so unequal
+        // COUNTS prove inequality without touching row contents — and
+        // the count is near-free here (fresh() just materialized next
+        // via localCheckpoint). Only on a count TIE does the exact
+        // symmetric-difference aggregation run (empty iff every (u, v)
+        // appears in both) — in practice that is the final round plus
+        // rare plateau rounds, retiring ~one groupBy+filter per round
+        // (the dd09 watch item: the convergence check was ~a third of
+        // each round's cost).
+        val nextEdgeCount = next.count()
+        converged = nextEdgeCount == prevEdgeCount &&
+          next.unionByName(e)
+            .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+            .filter(col("c") === 1).isEmpty
+        prevEdgeCount = nextEdgeCount
         e = next
         rounds += 1
       }

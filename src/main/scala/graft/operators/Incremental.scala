@@ -166,15 +166,8 @@ object Incremental {
 
   private val stagedRuns = TrieMap.empty[String, Pl11Audit]
 
-  private def snapshotFiles(root: java.io.File): Map[String, (Long, Long)] = {
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
-      else Seq(f)
-    walk(root)
-      .filterNot(f => f.getName.startsWith(".") || f.getName == "_SUCCESS")
-      .map(f => f.getPath.stripPrefix(root.getPath) -> (f.length(), f.lastModified()))
-      .toMap
-  }
+  private def snapshotFiles(root: java.io.File): Map[String, (Long, Long)] =
+    Scratch.snapshotTree(root)
 
   private def deletePartDirs(dir: String, parts: Seq[Int]): Unit =
     parts.foreach { p =>

@@ -238,7 +238,14 @@ object Multimodal {
         struct(lit(i).as("band"),
           expr(s"(phash >> $shift) & ${(1L << width) - 1}").as("bv"))
       }
-    ph.select(col("doc_id"), col("phash"),
+    // Decode-failure sentinels (phash = -1, mm02's loud-sentinel
+    // discipline) are EXCLUDED from banding: all malformed blobs share
+    // the sentinel, so left in they would pair with each other at
+    // hamming 0 and masquerade as exact duplicates downstream (mm11
+    // would even cluster them). Legitimate hashes are < 2^hashBits and
+    // never negative, so the filter cannot drop a real row.
+    ph.filter(col("phash") =!= lit(-1L))
+      .select(col("doc_id"), col("phash"),
         explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("phash"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))

@@ -273,15 +273,8 @@ object Similarity {
       d.replaceAll("[^A-Za-z0-9]", "_")
     val live = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_ivf_del_$slug")
     val tomb = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_ivf_tmb_$slug")
-    def snapshot(root: java.io.File): Map[String, (Long, Long)] = {
-      def walk(f: java.io.File): Seq[java.io.File] =
-        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
-        else Seq(f)
-      walk(root)
-        .filterNot(f => f.getName.startsWith(".") || f.getName == "_SUCCESS")
-        .map(f => f.getPath.stripPrefix(root.getPath) -> (f.length(), f.lastModified()))
-        .toMap
-    }
+    def snapshot(root: java.io.File): Map[String, (Long, Long)] =
+      graft.sources.Scratch.snapshotTree(root)
     stagedDelAudits.synchronized {
       stagedDelAudits.getOrElseUpdate(live.getPath, {
         val all = vecs(s, d).select(col("vec_id"), col("e"), col("nrm"), col("label"))
@@ -449,6 +442,21 @@ object Similarity {
       .collect()(0).getInt(0)
     if (kMax == 0) cells
     else {
+      // Namespacing guard: sub-cells live at cid·2^16 + seed, so every
+      // parent cid must stay below 2^15 (Int overflow at 2^15·2^16) and
+      // every COLD cid below 2^16 (a cold cell at h·2^16+s would alias
+      // hot cell h's sub-cell s). Cell ids come from the clustering's
+      // centroid index, so both bounds hold at any sane k — but assert,
+      // don't assume: one bounded-scalar agg over the cell relation.
+      val maxCid = cells.agg(coalesce(max(col("cid")), lit(0)))
+        .collect()(0).getInt(0)
+      require(maxCid < 32768,
+        s"hotCellResplit: max cid $maxCid >= 2^15 — sub-cell namespacing " +
+          "(cid*65536+seed) would overflow Int or alias a cold cell; " +
+          "widen the id type to long before raising the cell count")
+      require(kMax <= 65536,
+        s"hotCellResplit: split factor $kMax > 2^16 — seed would spill " +
+          "into the next cid's namespace; raise the cap or pre-shard")
       val cold = cells
         .join(hot.select(col("cid")).hint("shuffle_hash"), Seq("cid"), "left_anti")
         .select(col("vec_id"), col("cid"), col("d2"))

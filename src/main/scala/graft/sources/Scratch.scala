@@ -80,6 +80,23 @@ object Scratch {
     * and becomes a static IN over the artifact's partition column —
     * planning-time directory pruning (PartitionFilters), so a trigger's
     * artifact read is O(touched buckets), never O(artifact). */
+  /** File-tree snapshot for rewrite AUDITS (pl11's night audit, ss15's
+    * delete compaction): relative path → (length, mtime) for every data
+    * file under `root`, hidden files and _SUCCESS markers excluded.
+    * (length, mtime) is a REWRITE DETECTOR, not a byte-identity proof —
+    * a rewrite that produced identical bytes within the same mtime
+    * granularity would pass — which is the right strength for "this
+    * partition directory was not touched" audits. */
+  def snapshotTree(root: java.io.File): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    walk(root)
+      .filterNot(f => f.getName.startsWith(".") || f.getName == "_SUCCESS")
+      .map(f => f.getPath.stripPrefix(root.getPath) -> (f.length(), f.lastModified()))
+      .toMap
+  }
+
   def routeBuckets(artifact: org.apache.spark.sql.DataFrame, bktCol: String,
       probeBkts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}

@@ -1095,6 +1095,47 @@ class OperatorsSpec extends SparkSpec {
       s"extra=${(got diff expect).take(5)} missed=${(expect diff got).take(5)}")
   }
 
+  // Decode-failure sentinels must never masquerade as duplicates: two
+  // malformed blobs share phash -1, so unfiltered they would pair at
+  // hamming 0 (and mm11 would cluster them). phashBands excludes the
+  // sentinel; legit pairs are unaffected.
+  test("phash sentinel rows are excluded from banding and pair output") {
+    import spark.implicits._
+    // Non-ASCII text makes hex(rpad(text)) yield > 66 payload bytes —
+    // the v3 length check fails and phashWideOf emits the -1 sentinel.
+    val docs = Seq(
+      (1L, "tötally nön-ascii tëxt with ümlaut paddings here yes"),
+      (2L, "ალსო ბად ბლობ"), // also multi-byte
+      (3L, "plain ascii text one two three four five six seven"),
+      (4L, "plain ascii text one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val ph = Multimodal.phashWideOf(docs)
+    val sentinels = ph.filter(col("phash") === -1L)
+      .collect().map(_.getLong(0)).toSet
+    assert(sentinels == Set(1L, 2L),
+      s"expected docs 1,2 to decode-fail, got $sentinels")
+    val pairs = Multimodal.bandedPhashPairs(
+        ph, Multimodal.WideHashBits, 2, 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 4L)),
+      s"sentinel rows leaked into the pair output: $pairs")
+  }
+
+  // Sub-cell namespacing guard: a parent cid that would overflow (or
+  // alias) the cid*2^16+seed namespace must refuse loudly, not emit
+  // colliding cell ids.
+  test("hot-cell guard refuses a cid outside the sub-cell namespace") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val n = 12
+    val cells = (0L until n).map(i => (i, 40000, 0L)).toDF("vec_id", "cid", "d2")
+    val vecs = (0L until n).map(i => (i, Seq(0L, 0L))).toDF("vec_id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.hotCellResplit(cells, vecs, cap = 4).collect()
+    }
+    assert(e.getMessage.contains("namespacing"), e.getMessage)
+  }
+
   // mm11: blob survivorship must agree with a driver union-find over
   // mm09's pair graph + a max-pixels representative scan — the same
   // answer through a wholly different algorithm.
