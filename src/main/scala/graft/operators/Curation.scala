@@ -664,7 +664,8 @@ object Curation {
     * by the pl05 and pl08 oracles so the two can never drift; pl11's
     * incremental-snapshot oracle re-derives the same chain at its own
     * drop threshold. */
-  private[operators] def p5CtesFor(minDf: Int): String = {
+  private[operators] def p5CtesFor(minDf: Int,
+      src: String = "documents"): String = {
     val dtoks = "list_filter(string_split(text, ' '), x -> x <> '')"
     s"""p5h AS (
             SELECT doc_id, lang,
@@ -680,7 +681,7 @@ object Curation {
                 '$p5Footer',
                 '</body></html>') AS html
             FROM (SELECT doc_id, lang, tk, CAST(ceil(len(tk) / 2.0) AS INT) AS half
-                  FROM (SELECT doc_id, lang, $dtoks AS tk FROM documents))),
+                  FROM (SELECT doc_id, lang, $dtoks AS tk FROM $src))),
           p5b AS (
             SELECT doc_id, lang,
               list_transform(list_filter(
@@ -734,8 +735,9 @@ object Curation {
     * the streaming funnel emits rows per document, so the oracle does
     * too (same shared CTE chain). [[funnelRowsSqlFor]] generalizes the
     * drop threshold for pl11's incremental-snapshot oracle. */
-  private[operators] def funnelRowsSqlFor(minDf: Int): String =
-    s"""WITH ${p5CtesFor(minDf)}
+  private[operators] def funnelRowsSqlFor(minDf: Int,
+      src: String = "documents", extraCtes: String = ""): String =
+    s"""WITH $extraCtes${p5CtesFor(minDf, src)}
         SELECT s.doc_id, s.lang,
           CASE WHEN s.n_kept = 0 THEN 'boilerplate_only'
                WHEN s.q < 0.5 THEN 'low_quality'

@@ -169,14 +169,17 @@ object Incremental {
   private def snapshotFiles(root: java.io.File): Map[String, (Long, Long)] =
     Scratch.snapshotTree(root)
 
-  private def deletePartDirs(dir: String, parts: Seq[Int]): Unit =
-    parts.foreach { p =>
+  private def deleteKeyDirs(dir: String, key: String, vals: Seq[Int]): Unit =
+    vals.foreach { p =>
       def rm(f: java.io.File): Unit = {
         val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
         f.delete(): Unit
       }
-      rm(new java.io.File(dir, s"part=$p"))
+      rm(new java.io.File(dir, s"$key=$p"))
     }
+
+  private def deletePartDirs(dir: String, parts: Seq[Int]): Unit =
+    deleteKeyDirs(dir, "part", parts)
 
   /** Night 0: the base snapshot build — full-batch over `baseDocs`,
     * writing every staged artifact in its incremental layout. */
@@ -335,6 +338,181 @@ object Incremental {
       preFiles, snapshotFiles(new java.io.File(d.root)))
   }
 
+  /** One purge night's audit: which shards held purged docs (docs/
+    * rewrites confined to them), which bh buckets held their postings,
+    * which df buckets the negative merge touched, which hashes LEFT the
+    * drop set (downward crossings), the full affected-shard rewrite
+    * set, and whole-tree before/after snapshots. */
+  private[graft] final case class PurgeAudit(
+    purgeParts: Seq[Int], affectedParts: Seq[Int], touchedDfBkts: Seq[Int],
+    uncrossedBhBkts: Seq[Int], purgedBhBkts: Seq[Int],
+    preFiles: Map[String, (Long, Long)], postFiles: Map[String, (Long, Long)])
+
+  /** pl12 — the CURATION DELETE NIGHT (takedown / retention purge): the
+    * text-corpus leg of the lifecycle symmetry ss15 gave the vector
+    * index. pl11's nights lean on "counts only grow in an append-only
+    * corpus"; a licensing takedown or GDPR purge breaks exactly that:
+    *   - df counts DECREMENT — the departing docs' per-hash partials
+    *     merge as NEGATIVE deltas into the touched buckets only, and
+    *     DOWNWARD crossings (old ≥ MinDf > new) fall out of the same
+    *     merge: those hashes EXIT the drop set, so previously-dropped
+    *     paragraphs RESURFACE in every surviving doc that contains them
+    *     (their cleaned text, quality, and content key all change);
+    *   - a departing doc that was its content-key group's MINIMUM forces
+    *     re-canonicalization — the case the cm/ per-shard-partial design
+    *     anticipated: the affected shards' partials are recomputed from
+    *     surviving docs and min-merged with the pruned unaffected
+    *     partials, never a full ck-ledger groupBy;
+    *   - the purged docs are PHYSICALLY removed from docs/ and bh/
+    *     (ss15's delete-compaction discipline: read the affected
+    *     partition dirs, anti-join the purge set, materialize, delete
+    *     the dirs, re-append survivors — a fully-purged shard actually
+    *     loses its directory, the ghost-partition rule).
+    * Every read is purge-sized or pruned to touched buckets / affected
+    * shard dirs; the oracle is the full recompute over the SURVIVING
+    * corpus. The output table is rewritten delete+append (not dynamic
+    * overwrite) because a fully-purged shard must lose its table
+    * partition too. */
+  private[graft] def purgeNightOf(
+      s: SparkSession, d: Dirs, purgeIds: DataFrame): PurgeAudit = {
+    val preFiles = snapshotFiles(new java.io.File(d.root))
+    val purge = purgeIds.select(col("doc_id")).distinct().localCheckpoint()
+    val purgeParts = purge.select(partOf(col("doc_id")).as("part"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // The departing docs + postings, recomputed delta-sized from the
+    // partition-pruned snapshot (identical to their ledger rows by
+    // construction — bhOf is deterministic in the text).
+    val purgedDocs = s.read.parquet(d.docs)
+      .filter(col("part").isin(purgeParts: _*))
+      .join(purge.hint("shuffle_hash"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("text"))
+    val purgedBh = Curation.bhOf(Curation.webBlocksOf(purgedDocs))
+      .localCheckpoint() // materialize BEFORE docs/bh dirs are rewritten
+    val purgedBhBkts = purgedBh.select(bhBktOf(col("bh")))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // NEGATIVE df merge over the touched buckets only: new = old - the
+    // departing docs' per-hash distinct partials. Zero counts VANISH
+    // (the hash left the corpus); a negative residual means the ledger
+    // and the snapshot diverged — fail loud, never clamp.
+    val negDf = purgedBh.select(col("doc_id"), col("bh")).distinct()
+      .groupBy(col("bh")).agg(count(lit(1)).as("dn"))
+    val touchedDfBkts = negDf.select(bhBktOf(col("bh")))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val merged = Scratch.routeBuckets(s.read.parquet(d.df), "bhbkt",
+        negDf.select(bhBktOf(col("bh"))))
+      .select(col("bh"), col("n"))
+      .join(negDf, Seq("bh"), "full_outer")
+      .select(col("bh"),
+        coalesce(col("n"), lit(0L)).as("n_old"),
+        (coalesce(col("n"), lit(0L)) - coalesce(col("dn"), lit(0L))).as("n_new"))
+      .localCheckpoint()
+    require(merged.filter(col("n_new") < 0).isEmpty,
+      "purge night: departing doc-frequency partials exceed the staged " +
+        "counts — the df artifact and the docs snapshot have diverged")
+    // DOWNWARD crossings: hashes exiting the drop set.
+    val uncrossed = merged
+      .filter(col("n_old") >= MinDf && col("n_new") < MinDf)
+      .select(col("bh")).localCheckpoint()
+    val uncrossedBhBkts = uncrossed.select(bhBktOf(col("bh")))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    // Delete+append, not dynamic overwrite: a bucket whose every count
+    // hit zero writes NO rows, and dynamic overwrite would leave its
+    // stale directory behind (ghost counts keeping departed hashes in
+    // the drop set). merged is checkpointed — safe to delete its source.
+    deleteKeyDirs(d.df, "bhbkt", touchedDfBkts)
+    merged.filter(col("n_new") > 0)
+      .select(col("bh"), col("n_new").as("n"), bhBktOf(col("bh")).as("bhbkt"))
+      .write.mode("append").partitionBy("bhbkt").parquet(d.df)
+    // ---- Physical purge (ss15's delete compaction) -----------------
+    // docs/: survivors of the purged docs' shards only.
+    val docsSurv = s.read.parquet(d.docs)
+      .filter(col("part").isin(purgeParts: _*))
+      .join(purge.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("text"), col("part"))
+      .localCheckpoint()
+    deletePartDirs(d.docs, purgeParts)
+    docsSurv.write.mode("append").partitionBy("part").parquet(d.docs)
+    // bh/: survivors of the buckets holding the departing postings.
+    val bhSurv = s.read.parquet(d.bh)
+      .filter(col("bhbkt").isin(purgedBhBkts: _*))
+      .join(purge.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("bh"), col("bhbkt"))
+      .localCheckpoint()
+    deleteKeyDirs(d.bh, "bhbkt", purgedBhBkts)
+    bhSurv.write.mode("append").partitionBy("bhbkt").parquet(d.bh)
+    // ---- Affected-shard discovery (post-purge reads: survivors only)
+    // Tier 1: surviving docs containing an UNCROSSED hash — their drop
+    // set shrank, so their cleaned text grows back. Read bucket-pruned.
+    val aff1 = Scratch.routeBuckets(s.read.parquet(d.bh), "bhbkt",
+        uncrossed.select(bhBktOf(col("bh"))))
+      .join(uncrossed.hint("shuffle_hash"), Seq("bh"))
+      .select(col("doc_id")).distinct().localCheckpoint()
+    val aff1Parts = aff1.select(partOf(col("doc_id")).as("part"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    // Tier 2: content-key groups touched by the PURGED docs (their
+    // group may need a new canonical — including the min-departs case)
+    // or by tier-1 docs (old group loses them / new group gains them).
+    // Old keys come from the ck postings pruned to those docs' shards
+    // (purged docs' ck rows still staged — ck/ is rewritten below);
+    // new keys from rescoring the tier-1 docs against the NEW drop set.
+    val t2SeedParts = (purgeParts ++ aff1Parts).distinct
+    val oldCks = s.read.parquet(d.ck)
+      .filter(col("part").isin(t2SeedParts: _*))
+      .join(purge.unionByName(aff1).distinct().hint("shuffle_hash"),
+        Seq("doc_id"))
+      .select(col("ck"))
+    val aff1Full = s.read.parquet(d.docs)
+      .filter(col("part").isin(aff1Parts: _*))
+      .join(aff1.hint("shuffle_hash"), Seq("doc_id"))
+    val aff1Blocks = Curation.webBlocksOf(aff1Full)
+    val aff1Bh = Curation.bhOf(aff1Blocks).persist()
+    val scoredAff = scoredFromBh(aff1Blocks, aff1Bh, dropFor(s, d, aff1Bh))
+    val changedCks = oldCks
+      .unionByName(scoredAff.filter(col("q") >= 0.5).select(col("ck")))
+      .distinct().persist()
+    val aff2Parts = Scratch.routeBuckets(s.read.parquet(d.cm), "ckbkt",
+        changedCks.select(ckBktOf(col("ck"))))
+      .join(changedCks.hint("shuffle_hash"), Seq("ck"))
+      .select(col("part"))
+    val affectedParts = aff2Parts
+      .collect().map(_.getInt(0)).toSeq
+      .++(purgeParts).++(aff1Parts).distinct.sorted
+    // ---- Rewrite ONLY the affected shards (surviving docs) ----------
+    val rwDocs = s.read.parquet(d.docs)
+      .filter(col("part").isin(affectedParts: _*))
+    val rwBlocks = Curation.webBlocksOf(rwDocs)
+    val rwBh = Curation.bhOf(rwBlocks).persist()
+    val scoredRw = scoredFromBh(rwBlocks, rwBh, dropFor(s, d, rwBh)).persist()
+    val ckNew = scoredRw.filter(col("q") >= 0.5)
+      .select(col("doc_id"), col("ck"), partOf(col("doc_id")).as("part"))
+    val cmNew = ckNew.groupBy(col("ck"), col("part"))
+      .agg(min(col("doc_id")).as("min_id"))
+      .localCheckpoint()
+    val cmOld = Scratch.routeBuckets(s.read.parquet(d.cm), "ckbkt",
+        cmNew.select(ckBktOf(col("ck"))))
+      .filter(!col("part").isin(affectedParts: _*))
+      .select(col("ck"), col("min_id"))
+    val canon = cmOld.unionByName(cmNew.select(col("ck"), col("min_id")))
+      .groupBy(col("ck")).agg(min(col("min_id")).as("canon_id"))
+    val tableNew = stagesOf(scoredRw, canon).localCheckpoint()
+    // Delete+append, not dynamic overwrite: a fully-purged shard must
+    // actually lose its table partition (the ghost rule applied to the
+    // output table itself — dynamic overwrite keeps a partition that
+    // receives zero rows).
+    deletePartDirs(d.table, affectedParts)
+    tableNew.write.mode("append").partitionBy("part").parquet(d.table)
+    deletePartDirs(d.ck, affectedParts)
+    ckNew.withColumn("ckbkt", ckBktOf(col("ck")))
+      .write.mode("append").partitionBy("part", "ckbkt").parquet(d.ck)
+    deletePartDirs(d.cm, affectedParts)
+    cmNew.withColumn("ckbkt", ckBktOf(col("ck")))
+      .write.mode("append").partitionBy("part", "ckbkt").parquet(d.cm)
+    Seq(scoredRw, rwBh, changedCks, aff1Bh)
+      .foreach(_.unpersist(blocking = false))
+    PurgeAudit(purgeParts, affectedParts, touchedDfBkts, uncrossedBhBkts,
+      purgedBhBkts, preFiles, snapshotFiles(new java.io.File(d.root)))
+  }
+
   /** [[nightOf]] behind a per-shard DONE marker — the idempotence the
     * STREAMING leg (st35) needs: foreachBatch is at-least-once, and a
     * replayed night would append its postings and df partials TWICE
@@ -381,9 +559,61 @@ object Incremental {
     }
   }
 
+  /** The purge predicate pl12 runs at — deterministic and SQL-twin-able
+    * so the DuckDB oracle filters the same docs out of its full
+    * recompute. ~8% of the corpus; at the fixture's duplication density
+    * (content-paragraph df tops out at MinDf) purging one member of a
+    * df-margin pair produces real downward crossings that PROPAGATE to
+    * surviving shards. The modulus is a multiple of [[Parts]], so the
+    * purge is confined to ONE shard (the crawl-shard retention-purge
+    * shape) and the affected-shard audit stays non-vacuous; the crafted
+    * guarantees (canonical departs, df margin departs, shard fully
+    * empties) live in IncrementalSpec. */
+  private[graft] val PurgeMod = 16
+  private[graft] val PurgeRem = 5
+
+  private[graft] final case class Pl12Audit(
+    dirs: Dirs, night: NightAudit, purge: PurgeAudit)
+
+  private val stagedPurgeRuns = TrieMap.empty[String, Pl12Audit]
+
+  /** pl12's staged lifecycle: base build (all shards but the last),
+    * one delta night (the last shard — the purge must run against
+    * artifacts a night already touched, the stale-side-artifact rot
+    * point), then the takedown purge. */
+  private[graft] def pl12Run(s: SparkSession, d: String): Pl12Audit = {
+    val root = new java.io.File(Scratch.dir(s, d, "pl12"))
+    stagedPurgeRuns.synchronized {
+      stagedPurgeRuns.getOrElseUpdate(root.getPath, {
+        val dirs = Dirs(root.getPath)
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("text"))
+        val p = Parts - 1
+        baseBuild(s, dirs, docs.filter(partOf(col("doc_id")) =!= p))
+        val night = nightOf(s, dirs, docs.filter(partOf(col("doc_id")) === p), p)
+        val purge = purgeNightOf(s, dirs,
+          docs.filter(pmod(col("doc_id"), lit(PurgeMod.toLong)) === PurgeRem)
+            .select(col("doc_id")))
+        Pl12Audit(dirs, night, purge)
+      })
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pl11_incremental_snapshot" -> ((s, d) => {
       val audit = pl11Run(s, d)
+      s.read.parquet(audit.dirs.table)
+        .select(col("doc_id"), col("lang"), col("stage"), col("part"))
+    }),
+
+    // -- pl12: takedown purge — base + one delta night + a DELETE night
+    //    removing ~8% of docs; the staged artifacts must converge to the
+    //    full recompute over the SURVIVING corpus (negative df merge,
+    //    downward crossings resurfacing paragraphs, re-canonicalization
+    //    where a group minimum departed, physical removal from every
+    //    ledger).
+    "pl12_takedown_purge" -> ((s, d) => {
+      val audit = pl12Run(s, d)
       s.read.parquet(audit.dirs.table)
         .select(col("doc_id"), col("lang"), col("stage"), col("part"))
     }))
@@ -393,6 +623,18 @@ object Incremental {
     // operator's threshold — incremental must converge to it exactly.
     "pl11_incremental_snapshot" -> {
       val rows = Curation.funnelRowsSqlFor(MinDf)
+      s"""SELECT doc_id, lang, stage, CAST(doc_id % $Parts AS INT) AS part
+          FROM ($rows)"""
+    },
+
+    // Full recompute over the SURVIVING corpus (same CTE chain, source
+    // filtered by the purge predicate) — the incremental purge must
+    // converge to exactly the world in which the purged docs never
+    // existed.
+    "pl12_takedown_purge" -> {
+      val rows = Curation.funnelRowsSqlFor(MinDf, src = "pl12src",
+        extraCtes =
+          s"pl12src AS (SELECT * FROM documents WHERE doc_id % $PurgeMod <> $PurgeRem),\n")
       s"""SELECT doc_id, lang, stage, CAST(doc_id % $Parts AS INT) AS part
           FROM ($rows)"""
     })

@@ -133,6 +133,136 @@ class IncrementalSpec extends SparkSpec {
     assert(tree == after1, "replayed night mutated the artifact tree")
   }
 
+  test("pl12 purge rewrites only affected shards/buckets; purged ids physically gone") {
+    val audit = Incremental.pl12Run(spark, sfDir).purge
+    def shardOf(rel: String): Option[Int] =
+      "part=(\\d+)".r.findFirstMatchIn(rel).map(_.group(1).toInt)
+    def bktOf(rel: String): Option[Int] =
+      "bhbkt=(\\d+)".r.findFirstMatchIn(rel).map(_.group(1).toInt)
+    // The mod-16 predicate confines the purge to shard 5 (the crawl-
+    // shard retention shape); the rewrite set must stay a PROPER subset
+    // or the incrementality claim is vacuous.
+    assert(audit.purgeParts == Seq(5), audit.purgeParts.toString)
+    assert(audit.affectedParts.contains(5) &&
+      audit.affectedParts.size < Incremental.Parts,
+      s"purge degenerated to a full rewrite: ${audit.affectedParts}")
+    assert(audit.touchedDfBkts.nonEmpty &&
+      audit.touchedDfBkts.size < Incremental.BhBuckets,
+      "negative df merge touched every bucket — nothing pruned")
+    assert(audit.uncrossedBhBkts.toSet.subsetOf(audit.touchedDfBkts.toSet))
+    // Physical removal from EVERY artifact.
+    val d = Incremental.pl12Run(spark, sfDir).dirs
+    for (a <- Seq(d.docs, d.bh, d.table, d.ck)) {
+      assert(spark.read.parquet(a)
+        .filter(col("doc_id") % Incremental.PurgeMod === Incremental.PurgeRem)
+        .isEmpty, s"purged doc survived in $a")
+    }
+    // Byte audit: untouched shard/bucket dirs identical across the purge.
+    def assertUnchanged(tag: String, prefix: String,
+        keep: String => Boolean): Unit = {
+      val pre = sub(audit.preFiles, prefix).filter { case (k, _) => keep(k) }
+      val post = sub(audit.postFiles, prefix).filter { case (k, _) => keep(k) }
+      assert(pre.nonEmpty, s"nothing untouched to compare in $tag")
+      assert(post == pre, s"untouched $tag files changed across the purge")
+    }
+    val aff = audit.affectedParts.toSet
+    assertUnchanged("table", "/table", k => shardOf(k).exists(p => !aff(p)))
+    assertUnchanged("ck", "/ck", k => shardOf(k).exists(p => !aff(p)))
+    assertUnchanged("cm", "/cm", k => shardOf(k).exists(p => !aff(p)))
+    assertUnchanged("docs", "/docs",
+      k => shardOf(k).exists(p => !audit.purgeParts.contains(p)))
+    assertUnchanged("bh", "/bh",
+      k => bktOf(k).exists(b => !audit.purgedBhBkts.contains(b)))
+    assertUnchanged("df", "/df",
+      k => bktOf(k).exists(b => !audit.touchedDfBkts.contains(b)))
+  }
+
+  test("purge night: canonical departs, df margin departs, emptied shards vanish") {
+    import spark.implicits._
+    // Crafted corpus (part = doc_id % 8), purge set {1, 13, 6}:
+    //   A=1  (shard 1) "applepie9 bananaz9" — cleaned "applepie9
+    //        bananaz9"; canonical of group {1, 10}. PURGED: doc 10 must
+    //        re-canonicalize to itself (min DEPARTS — the non-additive
+    //        case a global ck→min scalar could not recover).
+    //   B=10 (shard 2) "applepie9 bananaz9 zebraxx9 zebraxx9" — second
+    //        block boilerplate (df 2 with C, both survive) → cleaned
+    //        equals A's → "duplicate" before, "kept" after.
+    //   C=3  (shard 3) "zebraxx9 zebraxx9 cinnamon9 gingerly9" — shares
+    //        only the still-df-2 block; shard 3 must stay byte-identical.
+    //   D=4  (shard 4) "walnutt9 velvetty9 dcareone9 dcaretwo9" — first
+    //        block shared ONLY with purged E (df 2 → 1): the DOWNWARD
+    //        crossing; the paragraph must RESURFACE in D's cleaned text.
+    //   E=13 (shard 5) "walnutt9 velvetty9 equalone9 equaltwo9" — PURGED
+    //        (the df margin). Sole shard-5 doc → shard 5 fully empties.
+    //   F=6  (shard 6) "figgy9 dates9" — PURGED; sole shard-6 doc.
+    //   U=7  (shard 7) "untouched9 pristine9 stays9 same9" — untouched.
+    val docs = Seq(
+      (1L, "en", "applepie9 bananaz9"),
+      (10L, "en", "applepie9 bananaz9 zebraxx9 zebraxx9"),
+      (3L, "en", "zebraxx9 zebraxx9 cinnamon9 gingerly9"),
+      (4L, "en", "walnutt9 velvetty9 dcareone9 dcaretwo9"),
+      (13L, "en", "walnutt9 velvetty9 equalone9 equaltwo9"),
+      (6L, "en", "figgy9 dates9"),
+      (7L, "en", "untouched9 pristine9 stays9 same9")
+    ).toDF("doc_id", "lang", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pl12_craft").toString
+    val d = Incremental.Dirs(root)
+    Incremental.baseBuild(spark, d, docs)
+    def stages(r: String) = spark.read.parquet(Incremental.Dirs(r).table)
+      .select("doc_id", "stage")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pre = stages(root)
+    assert(pre(1L) == "kept" && pre(10L) == "duplicate",
+      s"fixture broken: expected {1→kept, 10→duplicate}, got $pre")
+    val ckOf = (id: Long) => spark.read.parquet(d.ck)
+      .filter(col("doc_id") === id).select("ck")
+      .collect().map(_.getString(0)).toSeq
+    val ckD0 = ckOf(4L)
+    assert(ckD0.size == 1)
+
+    val audit = Incremental.purgeNightOf(spark, d,
+      Seq(1L, 13L, 6L).toDF("doc_id"))
+    assert(audit.purgeParts == Seq(1, 5, 6))
+    // The df margin departed: at least one hash LEFT the drop set.
+    assert(audit.uncrossedBhBkts.nonEmpty, "no downward crossing — " +
+      "the purge fixture's df margin did not flip")
+    // D contained the uncrossed hash → shard 4 rewritten; C/U untouched.
+    assert(audit.affectedParts.toSet == Set(1, 2, 4, 5, 6),
+      audit.affectedParts.toString)
+    // Canonical departure: doc 10 re-canonicalizes to itself.
+    val post = stages(root)
+    assert(post(10L) == "kept",
+      s"doc 10 still labeled against the departed canonical: $post")
+    // Resurfacing: D's content key changed (its cleaned text grew back).
+    val ckD1 = ckOf(4L)
+    assert(ckD1.size == 1 && ckD1 != ckD0,
+      "the dropped paragraph did not resurface in doc 4")
+    // Fully-purged shards lose EVERY artifact partition — no ghosts.
+    for (p <- Seq(5, 6); a <- Seq("/docs", "/table", "/ck", "/cm")) {
+      assert(sub(audit.postFiles, s"$a/part=$p").isEmpty,
+        s"ghost $a partition survived for emptied shard $p")
+    }
+    assert(sub(audit.preFiles, "/docs/part=5").nonEmpty &&
+      sub(audit.preFiles, "/table/part=6").nonEmpty,
+      "fixture broken: emptied shards had no base partitions")
+    // Convergence: the purged world ≡ a from-scratch build over the
+    // survivors (the property that catches any missed dependency).
+    val fullRoot = java.nio.file.Files
+      .createTempDirectory("graft_pl12_full").toString
+    Incremental.baseBuild(spark, Incremental.Dirs(fullRoot),
+      docs.filter(!col("doc_id").isin(1L, 13L, 6L)))
+    def rows(r: String) = spark.read.parquet(Incremental.Dirs(r).table)
+      .select("doc_id", "lang", "stage", "part")
+      .collect().map(_.toSeq).toSet
+    val inc = rows(root)
+    val full = rows(fullRoot)
+    assert(inc == full,
+      s"purge diverged from the surviving-corpus recompute:\n" +
+        s"  inc-only=${(inc diff full).take(4)}\n" +
+        s"  full-only=${(full diff inc).take(4)}")
+  }
+
   test("emptied shard loses its ck/cm partitions (ghost-postings divergence fixture)") {
     import spark.implicits._
     // Crafted corpus (part = doc_id % 8):
