@@ -49,13 +49,40 @@ import graft.sources.{Scratch, Tables}
   *     unknowable without the other members — which is exactly why the
   *     staged artifact is the per-shard partial, the associative form.)
   *
-  * Ghost-partition rule (the round-8 advice's empty-shard hazard): the
-  * ck/cm rewrite DELETES every affected shard's partition directories
-  * and re-appends the new rows, instead of dynamic-overwriting — a
-  * shard whose rescore leaves ZERO passing docs must actually lose its
-  * old partition, or later nights build canonical maps from ghost
-  * postings and diverge from the full recompute (IncrementalSpec pins
-  * this with a crafted fixture where a delta night empties a shard).
+  * Ghost-partition rule (the round-8 advice's empty-shard hazard): a
+  * rewritten partition that receives ZERO rows must actually LOSE its
+  * directory — a shard whose rescore leaves no passing docs with a
+  * surviving ck/cm partition makes later nights build canonical maps
+  * from ghost postings and diverge from the full recompute
+  * (IncrementalSpec pins this with a crafted fixture where a delta
+  * night empties a shard). Under the commit protocol below this is the
+  * manifest's `staged=false` replace: a delete-only publish action.
+  *
+  * NIGHT COMMIT PROTOCOL (the round-9 verdict's mid-night atomicity
+  * boundary, closed): a night used to interleave live-dir mutations
+  * (append docs → overwrite df → read it back → overwrite table →
+  * delete+append ck/cm), so a crash between any two strands a
+  * half-merged state only a lake-format transaction could fix. Now:
+  *
+  *   1. STAGE — the whole night computes against the PRE-state
+  *      artifacts (plus in-memory views of the unpublished delta) and
+  *      writes every output under `root/_staging/<night>/<artifact>`;
+  *      the live tree is read-only throughout.
+  *   2. COMMIT — a MANIFEST describing every publish action (partition
+  *      replaces with a staged/delete-only flag, ledger appends) is
+  *      written aside and atomically renamed into the staging dir.
+  *      The rename is the commit point.
+  *   3. PUBLISH — idempotent dir renames / file moves: a replace whose
+  *      staged dir is gone was already applied (skip); a delete-only
+  *      replace re-deletes a dir that is already absent (no-op); an
+  *      append moves only the files still in staging. A crash anywhere
+  *      in publish is completed by [[recoverPending]].
+  *
+  * Recovery rule: staging WITH a manifest = committed night — finish
+  * the publish; staging WITHOUT = uncommitted attempt — discard it,
+  * the live tree was never touched, the night simply reruns. The
+  * crash-injection specs in IncrementalSpec kill a night at both
+  * points and prove convergence to the full recompute after restart.
   *
   * Night 0 builds base shards; then TWO delta nights land in sequence —
   * the second night runs against artifacts the first night's rewrite
@@ -74,11 +101,10 @@ import graft.sources.{Scratch, Tables}
   *      ≤Parts-int driver scalar (st22's routing class).
   *   3. Rewrites ONLY the affected shards (docs read partition-pruned
   *      from the snapshot) against the bucket-pruned drop set and the
-  *      partial-merged canonical map, dynamic-partition-overwrites
-  *      exactly those table shard directories, and delete+re-appends
-  *      their ck/cm partitions. Untouched files in EVERY artifact are
-  *      byte-identical across the night — IncrementalSpec audits the
-  *      whole tree, not just the output table.
+  *      partial-merged canonical map, staging replacement content for
+  *      exactly those table/ck/cm partitions. Untouched files in EVERY
+  *      artifact are byte-identical across the night — IncrementalSpec
+  *      audits the whole tree, not just the output table.
   *
   * The oracle is the FULL RECOMPUTE over the final corpus (pl08's
   * per-doc CTE chain at this operator's threshold): the incremental
@@ -130,13 +156,15 @@ object Incremental {
       .withColumn("ck", md5(col("txt")))
   }
 
-  /** The drop set (bh with df ≥ MinDf) PRUNED to the buckets a probe's
-    * hashes touch — an anti-join consumer only ever needs the drop rows
-    * its own hashes could match, so the staged df artifact is read
-    * O(touched buckets), never end-to-end. */
-  private def dropFor(s: SparkSession, d: Dirs, probeBh: DataFrame): DataFrame =
-    Scratch.routeBuckets(s.read.parquet(d.df), "bhbkt",
-        probeBh.select(bhBktOf(col("bh"))))
+  /** The drop set (bh with df ≥ MinDf) from a df RELATION, pruned to
+    * the buckets a probe's hashes touch — an anti-join consumer only
+    * ever needs the drop rows its own hashes could match, so the df
+    * view is read O(touched buckets), never end-to-end. (Mid-night the
+    * relation is the pre-state artifact outside the merged buckets
+    * unioned with the in-memory merge — the staged df is not published
+    * until the commit point.) */
+  private def dropFrom(dfRel: DataFrame, probeBh: DataFrame): DataFrame =
+    Scratch.routeBuckets(dfRel, "bhbkt", probeBh.select(bhBktOf(col("bh"))))
       .filter(col("n") >= MinDf).select(col("bh"))
 
   /** Funnel attribution of a scored relation against a canonical map. */
@@ -169,17 +197,129 @@ object Incremental {
   private def snapshotFiles(root: java.io.File): Map[String, (Long, Long)] =
     Scratch.snapshotTree(root)
 
-  private def deleteKeyDirs(dir: String, key: String, vals: Seq[Int]): Unit =
-    vals.foreach { p =>
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(dir, s"$key=$p"))
-    }
+  // ------------------------------------------------------------------
+  // Night commit protocol: stage → manifest (commit point) → publish.
+  // ------------------------------------------------------------------
 
-  private def deletePartDirs(dir: String, parts: Seq[Int]): Unit =
-    deleteKeyDirs(dir, "part", parts)
+  /** Crash injected by the atomicity specs; scoped by artifact root so
+    * parallel suites cannot trip each other's failpoints. Points:
+    * "pre-manifest" (staging complete, commit not written — the whole
+    * night must be discardable) and "mid-publish" (one replace applied,
+    * the rest pending — recovery must finish the publish). */
+  private[graft] final class InjectedNightCrash(point: String)
+    extends RuntimeException(s"injected night crash at $point")
+  @volatile private[graft] var failAt: Option[(String, String)] = None
+  private def failIf(root: String, point: String): Unit =
+    if (failAt.contains((root, point))) throw new InjectedNightCrash(point)
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles(); if (kids != null) kids.foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  private def stageDirOf(d: Dirs, tag: String): java.io.File =
+    new java.io.File(new java.io.File(d.root, "_staging"), tag)
+
+  /** One publish action: replace the live `artifact/dir` partition with
+    * the staged one (`staged=true`), or delete it outright
+    * (`staged=false` — the ghost rule: the rewrite emitted zero rows
+    * for it, so the directory must vanish, not linger). */
+  private final case class Replace(artifact: String, dir: String, staged: Boolean)
+
+  /** THE COMMIT POINT: write the manifest aside and atomically rename
+    * it in. Before the rename the night is invisible (staging is
+    * discarded on recovery); after it the night WILL be published,
+    * by this process or by [[recoverPending]] after a crash. */
+  private def commitNight(stage: java.io.File,
+      replaces: Seq[(String, Seq[String])], appends: Seq[String]): Unit = {
+    val lines =
+      replaces.flatMap { case (art, dirs) =>
+        dirs.map { dir =>
+          val staged = new java.io.File(new java.io.File(stage, art), dir).exists()
+          s"R|$art|$dir|${if (staged) 1 else 0}"
+        }
+      } ++ appends.map(a => s"A|$a")
+    val tmp = new java.io.File(stage, "MANIFEST.tmp")
+    java.nio.file.Files.write(tmp.toPath,
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp.toPath,
+      new java.io.File(stage, "MANIFEST").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+  }
+
+  private def readManifest(stage: java.io.File): (Seq[Replace], Seq[String]) = {
+    val lines = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(stage, "MANIFEST").toPath),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
+    val rs = lines.collect { case l if l.startsWith("R|") =>
+      val Array(_, art, dir, fl) = l.split("\\|")
+      Replace(art, dir, fl == "1")
+    }
+    (rs, lines.collect { case l if l.startsWith("A|") => l.drop(2) })
+  }
+
+  /** Apply a committed manifest to the live dirs. Every step is
+    * IDEMPOTENT so a crashed publish re-applies cleanly: a staged
+    * replace whose staging dir is gone was already moved (skip); a
+    * delete-only replace re-deletes an absent dir (no-op); an append
+    * moves only the data files still sitting in staging (renames
+    * removed the rest). Replaces run before appends so the mid-publish
+    * failpoint lands exactly on the old "between the df overwrite and
+    * the table rewrite" hazard the round-9 verdict documented. */
+  private def publishManifest(d: Dirs, stage: java.io.File): Unit = {
+    val (replaces, appends) = readManifest(stage)
+    var applied = 0
+    replaces.foreach { r =>
+      val liveDir = new java.io.File(new java.io.File(d.root, r.artifact), r.dir)
+      val stagedDir = new java.io.File(new java.io.File(stage, r.artifact), r.dir)
+      if (r.staged) {
+        if (stagedDir.exists()) {
+          deleteRec(liveDir)
+          liveDir.getParentFile.mkdirs()
+          require(stagedDir.renameTo(liveDir),
+            s"night publish: rename $stagedDir -> $liveDir failed")
+        } // else: already published by a crashed attempt — skip
+      } else deleteRec(liveDir)
+      applied += 1
+      if (applied == 1) failIf(d.root, "mid-publish")
+    }
+    appends.foreach { a =>
+      val stagedArt = new java.io.File(stage, a)
+      val liveArt = new java.io.File(d.root, a)
+      Option(stagedArt.listFiles()).toSeq.flatten.filter(_.isDirectory)
+        .foreach { pdir =>
+          val livePDir = new java.io.File(liveArt, pdir.getName)
+          livePDir.mkdirs()
+          Option(pdir.listFiles()).toSeq.flatten
+            .filter(f => f.isFile && !f.getName.startsWith("_") &&
+              !f.getName.startsWith("."))
+            .foreach { f =>
+              require(f.renameTo(new java.io.File(livePDir, f.getName)),
+                s"night publish: move $f -> $livePDir failed")
+            }
+        }
+    }
+  }
+
+  /** Complete or discard every staged night left behind by a crash:
+    * a staging dir WITH a manifest is a committed night — finish its
+    * publish (idempotent) and, for marker-managed nights, write the
+    * done-marker; one WITHOUT a manifest never touched the live tree —
+    * discard it and let the night rerun. Returns the tags published. */
+  private[graft] def recoverPending(d: Dirs): Seq[String] = {
+    val stRoot = new java.io.File(d.root, "_staging")
+    Option(stRoot.listFiles()).toSeq.flatten.filter(_.isDirectory)
+      .sortBy(_.getName).flatMap { stage =>
+        val committed = new java.io.File(stage, "MANIFEST").exists()
+        if (committed) {
+          publishManifest(d, stage)
+          if (stage.getName.startsWith("night_"))
+            new java.io.File(d.root, s"_${stage.getName}.done").createNewFile(): Unit
+        }
+        deleteRec(stage)
+        if (committed) Some(stage.getName) else None
+      }
+  }
 
   /** Night 0: the base snapshot build — full-batch over `baseDocs`,
     * writing every staged artifact in its incremental layout. */
@@ -217,23 +357,33 @@ object Incremental {
     * guarantees every row's part IS p — the batch runner filters the
     * snapshot-to-be, the streaming leg passes the arriving micro-batch).
     * Every read in here is delta-sized or pruned to touched buckets /
-    * affected shard directories; nothing scans a full ledger. */
+    * affected shard directories; nothing scans a full ledger. Runs
+    * under the night COMMIT PROTOCOL (object doc): phase 1 computes
+    * against the pre-state artifacts plus in-memory delta views and
+    * stages every output; the manifest rename commits; publish applies
+    * idempotent renames. The live tree is never half-merged. */
   private[graft] def nightOf(
       s: SparkSession, d: Dirs, deltaDocs: DataFrame, p: Int): NightAudit = {
+    val stage = stageDirOf(d, s"night_$p")
+    require(!new java.io.File(stage, "MANIFEST").exists(),
+      s"night_$p: a committed staging is pending — run recoverPending first")
+    deleteRec(stage)
     val preFiles = snapshotFiles(new java.io.File(d.root))
-    // Ledger appends: the delta's docs and postings only — prior files
-    // untouched (audited).
-    deltaDocs.select(col("doc_id"), col("lang"), col("text"), lit(p).as("part"))
-      .write.mode("append").partitionBy("part").parquet(d.docs)
-    val deltaBlocks = Curation.webBlocksOf(deltaDocs)
+    def st(a: String) = new java.io.File(stage, a).getPath
+    // ---- Phase 1: compute + stage (live dirs are read-only) ---------
+    val deltaD = deltaDocs.select(col("doc_id"), col("lang"), col("text"))
+      .localCheckpoint()
+    deltaD.withColumn("part", lit(p))
+      .write.mode("overwrite").partitionBy("part").parquet(st("docs"))
+    val deltaBlocks = Curation.webBlocksOf(deltaD)
     val deltaBh = Curation.bhOf(deltaBlocks).persist()
     deltaBh.select(col("doc_id"), col("bh"), bhBktOf(col("bh")).as("bhbkt"))
-      .write.mode("append").partitionBy("bhbkt").parquet(d.bh)
+      .write.mode("overwrite").partitionBy("bhbkt").parquet(st("bh"))
     // Additive df merge over the TOUCHED buckets only: old counts from
     // the pruned staged artifact, new counts = old + the delta's
     // per-hash distinct-doc partials (shards partition docs, so a
     // (doc, bh) pair appears in exactly one night — the merge is exact).
-    // localCheckpoint cuts the lineage before the self-overwrite.
+    // localCheckpoint materializes it once for the crossing read + view.
     val deltaDf = deltaBh.select(col("doc_id"), col("bh")).distinct()
       .groupBy(col("bh")).agg(count(lit(1)).as("dn"))
     val touchedDfBkts = deltaDf.select(bhBktOf(col("bh")))
@@ -252,12 +402,19 @@ object Incremental {
       .filter(col("n_old") < MinDf && col("n_new") >= MinDf)
       .select(col("bh")).persist()
     merged.select(col("bh"), col("n_new").as("n"), bhBktOf(col("bh")).as("bhbkt"))
-      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bhbkt").parquet(d.df)
+      .write.mode("overwrite").partitionBy("bhbkt").parquet(st("df"))
+    // Post-merge df VIEW (the staged artifact is unpublished): pre-state
+    // counts outside the touched buckets — partition-pruned — unioned
+    // with the in-memory merge for the touched ones.
+    val dfView = s.read.parquet(d.df)
+      .filter(!col("bhbkt").isin(touchedDfBkts: _*))
+      .select(col("bh"), col("n"), col("bhbkt"))
+      .unionByName(merged.select(col("bh"), col("n_new").as("n"),
+        bhBktOf(col("bh")).as("bhbkt")))
     // Affected docs, tier 1: contain a crossed hash (cleaned text /
-    // quality / content key all change) — the postings ledger is read
-    // ONLY here, pruned to the crossed hashes' buckets — plus every
-    // delta doc.
+    // quality / content key all change) — the pre-state postings ledger
+    // is read ONLY here, pruned to the crossed hashes' buckets (the
+    // delta's own docs join below) — plus every delta doc.
     val crossedBhBkts = crossed.select(bhBktOf(col("bh")))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val aff1 = Scratch.routeBuckets(s.read.parquet(d.bh), "bhbkt",
@@ -265,20 +422,26 @@ object Incremental {
       .join(crossed.hint("shuffle_hash"), Seq("bh"))
       .select(col("doc_id"))
     val affDocs = aff1
-      .unionByName(deltaDocs.select(col("doc_id")))
+      .unionByName(deltaD.select(col("doc_id")))
       .distinct().persist()
     val affParts1 = affDocs.select(partOf(col("doc_id")).as("part"))
       .distinct().collect().map(_.getInt(0)).toSeq
+    // Snapshot VIEW including the unpublished delta: pre-state shard
+    // dirs (partition-pruned) unioned with the in-memory delta rows.
+    def docsView(parts: Seq[Int]): DataFrame =
+      s.read.parquet(d.docs)
+        .filter(col("part").isin(parts: _*))
+        .select(col("doc_id"), col("lang"), col("text"))
+        .unionByName(deltaD)
     // Tier 2: content-key groups touched by tier-1/delta docs — old keys
     // from the ck postings (pruned to the tier-1 docs' shard dirs), new
     // keys rescored for the affected docs only (read partition-pruned
-    // from the snapshot, never a corpus rescan).
-    val affDocsFull = s.read.parquet(d.docs)
-      .filter(col("part").isin(affParts1: _*))
+    // from the snapshot view, never a corpus rescan).
+    val affDocsFull = docsView(affParts1)
       .join(affDocs.hint("shuffle_hash"), Seq("doc_id"))
     val affBlocks = Curation.webBlocksOf(affDocsFull)
     val affBh = Curation.bhOf(affBlocks).persist()
-    val scoredAff = scoredFromBh(affBlocks, affBh, dropFor(s, d, affBh))
+    val scoredAff = scoredFromBh(affBlocks, affBh, dropFrom(dfView, affBh))
     val oldCks = s.read.parquet(d.ck)
       .filter(col("part").isin(affParts1: _*))
       .join(affDocs.hint("shuffle_hash"), Seq("doc_id"))
@@ -297,17 +460,16 @@ object Incremental {
     val affectedParts = affDocs.select(partOf(col("doc_id")).as("part"))
       .unionByName(aff2Parts)
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    // ---- Rewrite ONLY the affected shards -------------------------
-    val rwDocs = s.read.parquet(d.docs)
-      .filter(col("part").isin(affectedParts: _*))
+    // ---- Rewrite ONLY the affected shards (still staged) ------------
+    val rwDocs = docsView(affectedParts)
     val rwBlocks = Curation.webBlocksOf(rwDocs)
     val rwBh = Curation.bhOf(rwBlocks).persist()
-    val scoredRw = scoredFromBh(rwBlocks, rwBh, dropFor(s, d, rwBh)).persist()
+    val scoredRw = scoredFromBh(rwBlocks, rwBh, dropFrom(dfView, rwBh)).persist()
     val ckNew = scoredRw.filter(col("q") >= 0.5)
       .select(col("doc_id"), col("ck"), partOf(col("doc_id")).as("part"))
     val cmNew = ckNew.groupBy(col("ck"), col("part"))
       .agg(min(col("doc_id")).as("min_id"))
-      .localCheckpoint() // materialize before the cm partition delete
+      .localCheckpoint()
     // Canonical map for the rewrite's keys: unaffected shards' staged
     // partials (pruned to the needed buckets, affected shards' stale
     // partials EXCLUDED) min-merged with the rewrite's own partials.
@@ -318,22 +480,24 @@ object Incremental {
     val canon = cmOld.unionByName(cmNew.select(col("ck"), col("min_id")))
       .groupBy(col("ck")).agg(min(col("min_id")).as("canon_id"))
     stagesOf(scoredRw, canon)
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("part").parquet(d.table)
-    // ck/cm rewrite: DELETE the affected partitions, then append the new
-    // rows — a shard that lost all passing docs must actually lose its
-    // partition (dynamic overwrite would leave the ghost and later
-    // nights would canonicalize against departed docs; IncrementalSpec
-    // pins the divergence this caused).
-    deletePartDirs(d.ck, affectedParts)
+      .write.mode("overwrite").partitionBy("part").parquet(st("table"))
     ckNew.withColumn("ckbkt", ckBktOf(col("ck")))
-      .write.mode("append").partitionBy("part", "ckbkt").parquet(d.ck)
-    deletePartDirs(d.cm, affectedParts)
+      .write.mode("overwrite").partitionBy("part", "ckbkt").parquet(st("ck"))
     cmNew.withColumn("ckbkt", ckBktOf(col("ck")))
-      .write.mode("append").partitionBy("part", "ckbkt").parquet(d.cm)
+      .write.mode("overwrite").partitionBy("part", "ckbkt").parquet(st("cm"))
     Seq(scoredRw, rwBh, changedCks, affDocs, affBh, crossed, deltaBh)
       .foreach(_.unpersist(blocking = false))
+    failIf(d.root, "pre-manifest")
+    // ---- Phase 2 + 3: commit, publish, clean the staging -------------
+    commitNight(stage,
+      replaces = Seq(
+        "df" -> touchedDfBkts.map(b => s"bhbkt=$b"),
+        "table" -> affectedParts.map(q => s"part=$q"),
+        "ck" -> affectedParts.map(q => s"part=$q"),
+        "cm" -> affectedParts.map(q => s"part=$q")),
+      appends = Seq("docs", "bh"))
+    publishManifest(d, stage)
+    deleteRec(stage)
     NightAudit(p, affectedParts, touchedDfBkts, crossedBhBkts,
       preFiles, snapshotFiles(new java.io.File(d.root)))
   }
@@ -364,18 +528,23 @@ object Incremental {
     *     surviving docs and min-merged with the pruned unaffected
     *     partials, never a full ck-ledger groupBy;
     *   - the purged docs are PHYSICALLY removed from docs/ and bh/
-    *     (ss15's delete-compaction discipline: read the affected
-    *     partition dirs, anti-join the purge set, materialize, delete
-    *     the dirs, re-append survivors — a fully-purged shard actually
-    *     loses its directory, the ghost-partition rule).
+    *     (ss15's delete-compaction discipline: survivors of the affected
+    *     partitions are staged, and the publish replaces the dirs — a
+    *     fully-purged shard stages NOTHING, so its replace is
+    *     delete-only and the directory actually vanishes, the
+    *     ghost-partition rule).
     * Every read is purge-sized or pruned to touched buckets / affected
     * shard dirs; the oracle is the full recompute over the SURVIVING
-    * corpus. The output table is rewritten delete+append (not dynamic
-    * overwrite) because a fully-purged shard must lose its table
-    * partition too. */
+    * corpus. Runs under the same COMMIT PROTOCOL as [[nightOf]] — all
+    * outputs staged, manifest rename commits, publish is idempotent. */
   private[graft] def purgeNightOf(
       s: SparkSession, d: Dirs, purgeIds: DataFrame): PurgeAudit = {
+    val stage = stageDirOf(d, "purge")
+    require(!new java.io.File(stage, "MANIFEST").exists(),
+      "purge: a committed staging is pending — run recoverPending first")
+    deleteRec(stage)
     val preFiles = snapshotFiles(new java.io.File(d.root))
+    def st(a: String) = new java.io.File(stage, a).getPath
     val purge = purgeIds.select(col("doc_id")).distinct().localCheckpoint()
     val purgeParts = purge.select(partOf(col("doc_id")).as("part"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
@@ -387,7 +556,7 @@ object Incremental {
       .join(purge.hint("shuffle_hash"), Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("text"))
     val purgedBh = Curation.bhOf(Curation.webBlocksOf(purgedDocs))
-      .localCheckpoint() // materialize BEFORE docs/bh dirs are rewritten
+      .localCheckpoint()
     val purgedBhBkts = purgedBh.select(bhBktOf(col("bh")))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     // NEGATIVE df merge over the touched buckets only: new = old - the
@@ -415,35 +584,42 @@ object Incremental {
       .select(col("bh")).localCheckpoint()
     val uncrossedBhBkts = uncrossed.select(bhBktOf(col("bh")))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    // Delete+append, not dynamic overwrite: a bucket whose every count
-    // hit zero writes NO rows, and dynamic overwrite would leave its
-    // stale directory behind (ghost counts keeping departed hashes in
-    // the drop set). merged is checkpointed — safe to delete its source.
-    deleteKeyDirs(d.df, "bhbkt", touchedDfBkts)
+    // Staged df replacement for the touched buckets: counts that hit
+    // zero write NO rows, and a bucket whose every count vanished
+    // stages no dir at all — its publish is delete-only (ghost rule).
     merged.filter(col("n_new") > 0)
       .select(col("bh"), col("n_new").as("n"), bhBktOf(col("bh")).as("bhbkt"))
-      .write.mode("append").partitionBy("bhbkt").parquet(d.df)
-    // ---- Physical purge (ss15's delete compaction) -----------------
+      .write.mode("overwrite").partitionBy("bhbkt").parquet(st("df"))
+    val dfView = s.read.parquet(d.df)
+      .filter(!col("bhbkt").isin(touchedDfBkts: _*))
+      .select(col("bh"), col("n"), col("bhbkt"))
+      .unionByName(merged.filter(col("n_new") > 0)
+        .select(col("bh"), col("n_new").as("n"), bhBktOf(col("bh")).as("bhbkt")))
+    // ---- Stage the physical purge (ss15's delete compaction) --------
     // docs/: survivors of the purged docs' shards only.
-    val docsSurv = s.read.parquet(d.docs)
+    s.read.parquet(d.docs)
       .filter(col("part").isin(purgeParts: _*))
       .join(purge.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"), col("text"), col("part"))
-      .localCheckpoint()
-    deletePartDirs(d.docs, purgeParts)
-    docsSurv.write.mode("append").partitionBy("part").parquet(d.docs)
+      .write.mode("overwrite").partitionBy("part").parquet(st("docs"))
     // bh/: survivors of the buckets holding the departing postings.
-    val bhSurv = s.read.parquet(d.bh)
+    s.read.parquet(d.bh)
       .filter(col("bhbkt").isin(purgedBhBkts: _*))
       .join(purge.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("bh"), col("bhbkt"))
-      .localCheckpoint()
-    deleteKeyDirs(d.bh, "bhbkt", purgedBhBkts)
-    bhSurv.write.mode("append").partitionBy("bhbkt").parquet(d.bh)
-    // ---- Affected-shard discovery (post-purge reads: survivors only)
+      .write.mode("overwrite").partitionBy("bhbkt").parquet(st("bh"))
+    // Survivor VIEWS (the purge is unpublished): pre-state ledgers
+    // anti-joined with the purge set; partition pruning still reaches
+    // the scans below the anti-join.
+    val bhView = s.read.parquet(d.bh)
+      .join(purge.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+    def docsView(parts: Seq[Int]): DataFrame = s.read.parquet(d.docs)
+      .filter(col("part").isin(parts: _*))
+      .join(purge.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+    // ---- Affected-shard discovery (survivor views) -------------------
     // Tier 1: surviving docs containing an UNCROSSED hash — their drop
     // set shrank, so their cleaned text grows back. Read bucket-pruned.
-    val aff1 = Scratch.routeBuckets(s.read.parquet(d.bh), "bhbkt",
+    val aff1 = Scratch.routeBuckets(bhView, "bhbkt",
         uncrossed.select(bhBktOf(col("bh"))))
       .join(uncrossed.hint("shuffle_hash"), Seq("bh"))
       .select(col("doc_id")).distinct().localCheckpoint()
@@ -453,7 +629,7 @@ object Incremental {
     // group may need a new canonical — including the min-departs case)
     // or by tier-1 docs (old group loses them / new group gains them).
     // Old keys come from the ck postings pruned to those docs' shards
-    // (purged docs' ck rows still staged — ck/ is rewritten below);
+    // (purged docs' ck rows still staged — ck/ is replaced at publish);
     // new keys from rescoring the tier-1 docs against the NEW drop set.
     val t2SeedParts = (purgeParts ++ aff1Parts).distinct
     val oldCks = s.read.parquet(d.ck)
@@ -461,12 +637,11 @@ object Incremental {
       .join(purge.unionByName(aff1).distinct().hint("shuffle_hash"),
         Seq("doc_id"))
       .select(col("ck"))
-    val aff1Full = s.read.parquet(d.docs)
-      .filter(col("part").isin(aff1Parts: _*))
+    val aff1Full = docsView(aff1Parts)
       .join(aff1.hint("shuffle_hash"), Seq("doc_id"))
     val aff1Blocks = Curation.webBlocksOf(aff1Full)
     val aff1Bh = Curation.bhOf(aff1Blocks).persist()
-    val scoredAff = scoredFromBh(aff1Blocks, aff1Bh, dropFor(s, d, aff1Bh))
+    val scoredAff = scoredFromBh(aff1Blocks, aff1Bh, dropFrom(dfView, aff1Bh))
     val changedCks = oldCks
       .unionByName(scoredAff.filter(col("q") >= 0.5).select(col("ck")))
       .distinct().persist()
@@ -477,12 +652,11 @@ object Incremental {
     val affectedParts = aff2Parts
       .collect().map(_.getInt(0)).toSeq
       .++(purgeParts).++(aff1Parts).distinct.sorted
-    // ---- Rewrite ONLY the affected shards (surviving docs) ----------
-    val rwDocs = s.read.parquet(d.docs)
-      .filter(col("part").isin(affectedParts: _*))
+    // ---- Rewrite ONLY the affected shards (surviving docs, staged) ---
+    val rwDocs = docsView(affectedParts)
     val rwBlocks = Curation.webBlocksOf(rwDocs)
     val rwBh = Curation.bhOf(rwBlocks).persist()
-    val scoredRw = scoredFromBh(rwBlocks, rwBh, dropFor(s, d, rwBh)).persist()
+    val scoredRw = scoredFromBh(rwBlocks, rwBh, dropFrom(dfView, rwBh)).persist()
     val ckNew = scoredRw.filter(col("q") >= 0.5)
       .select(col("doc_id"), col("ck"), partOf(col("doc_id")).as("part"))
     val cmNew = ckNew.groupBy(col("ck"), col("part"))
@@ -494,39 +668,49 @@ object Incremental {
       .select(col("ck"), col("min_id"))
     val canon = cmOld.unionByName(cmNew.select(col("ck"), col("min_id")))
       .groupBy(col("ck")).agg(min(col("min_id")).as("canon_id"))
-    val tableNew = stagesOf(scoredRw, canon).localCheckpoint()
-    // Delete+append, not dynamic overwrite: a fully-purged shard must
-    // actually lose its table partition (the ghost rule applied to the
-    // output table itself — dynamic overwrite keeps a partition that
-    // receives zero rows).
-    deletePartDirs(d.table, affectedParts)
-    tableNew.write.mode("append").partitionBy("part").parquet(d.table)
-    deletePartDirs(d.ck, affectedParts)
+    // A fully-purged shard stages NO table/ck/cm rows — delete-only
+    // replaces at publish (the ghost rule applied to the output table).
+    stagesOf(scoredRw, canon)
+      .write.mode("overwrite").partitionBy("part").parquet(st("table"))
     ckNew.withColumn("ckbkt", ckBktOf(col("ck")))
-      .write.mode("append").partitionBy("part", "ckbkt").parquet(d.ck)
-    deletePartDirs(d.cm, affectedParts)
+      .write.mode("overwrite").partitionBy("part", "ckbkt").parquet(st("ck"))
     cmNew.withColumn("ckbkt", ckBktOf(col("ck")))
-      .write.mode("append").partitionBy("part", "ckbkt").parquet(d.cm)
+      .write.mode("overwrite").partitionBy("part", "ckbkt").parquet(st("cm"))
     Seq(scoredRw, rwBh, changedCks, aff1Bh)
       .foreach(_.unpersist(blocking = false))
+    failIf(d.root, "pre-manifest")
+    commitNight(stage,
+      replaces = Seq(
+        "df" -> touchedDfBkts.map(b => s"bhbkt=$b"),
+        "docs" -> purgeParts.map(q => s"part=$q"),
+        "bh" -> purgedBhBkts.map(b => s"bhbkt=$b"),
+        "table" -> affectedParts.map(q => s"part=$q"),
+        "ck" -> affectedParts.map(q => s"part=$q"),
+        "cm" -> affectedParts.map(q => s"part=$q")),
+      appends = Seq())
+    publishManifest(d, stage)
+    deleteRec(stage)
     PurgeAudit(purgeParts, affectedParts, touchedDfBkts, uncrossedBhBkts,
       purgedBhBkts, preFiles, snapshotFiles(new java.io.File(d.root)))
   }
 
-  /** [[nightOf]] behind a per-shard DONE marker — the idempotence the
-    * STREAMING leg (st35) needs: foreachBatch is at-least-once, and a
-    * replayed night would append its postings and df partials TWICE
-    * (the merge is additive, so a replay is not self-collapsing the way
-    * the sink-as-state partial ops are). The marker is written only
-    * after the night completes, so a whole-night replay — the
-    * foreachBatch replay class — is a no-op; recovery from a crash
-    * MID-night needs the transactional table commit production lake
-    * formats provide (the same boundary io10's overwrite has). Returns
-    * whether the night actually ran. */
+  /** [[nightOf]] behind a per-shard DONE marker + pending-night
+    * recovery — the idempotence the STREAMING leg (st35) needs:
+    * foreachBatch is at-least-once, and a replayed night would append
+    * its postings and df partials TWICE (the merge is additive, so a
+    * replay is not self-collapsing the way the sink-as-state partial
+    * ops are). A whole-night replay is a no-op (marker present); a
+    * redelivery after a mid-night crash finds either a committed
+    * staging (recovery finishes the publish — the manifest is the
+    * commit point) or an uncommitted one (discarded; the live tree was
+    * never touched, so the night simply reruns). The old "crash
+    * between the df overwrite and the table rewrite" boundary no
+    * longer exists. Returns whether this call did the night's work. */
   private[graft] def nightIdempotent(
       s: SparkSession, d: Dirs, deltaDocs: DataFrame, p: Int): Boolean = {
+    val recovered = recoverPending(d).contains(s"night_$p")
     val marker = new java.io.File(d.root, s"_night_$p.done")
-    if (marker.exists()) false
+    if (marker.exists()) recovered
     else {
       nightOf(s, d, deltaDocs, p)
       marker.createNewFile()

@@ -263,6 +263,130 @@ class IncrementalSpec extends SparkSpec {
         s"  full-only=${(full diff inc).take(4)}")
   }
 
+  // ---- Night commit protocol: crash-injection fixtures --------------
+  // The round-9 verdict's boundary: a crash between a night's artifact
+  // writes used to strand a half-merged state. Under the staged commit
+  // protocol a night is atomic at the manifest rename — these specs
+  // kill it on BOTH sides of that point and prove convergence.
+
+  private def liveTree(root: String) =
+    graft.sources.Scratch.snapshotTree(new java.io.File(root))
+      .filter { case (rel, _) => !rel.startsWith("/_") }
+
+  private def tableRows(root: String) =
+    spark.read.parquet(Incremental.Dirs(root).table)
+      .select("doc_id", "lang", "stage", "part")
+      .collect().map(_.toSeq).toSet
+
+  test("a night killed before its manifest leaves the live tree untouched and reruns cleanly") {
+    import spark.implicits._
+    val docs = Seq(
+      (2L, "en", "applepie3 bananaz3"),
+      (5L, "en", "applepie3 bananaz3 zebraxx3 zebraxx3"),
+      (3L, "en", "zebraxx3 zebraxx3 walnutt3 velvetty3"),
+      (7L, "en", "applepie3 bananaz3")
+    ).toDF("doc_id", "lang", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pl11_crash_pre").toString
+    val d = Incremental.Dirs(root)
+    Incremental.baseBuild(spark, d,
+      docs.filter(col("doc_id") % Incremental.Parts =!= 7))
+    val delta = docs.filter(col("doc_id") % Incremental.Parts === 7)
+    val pre = liveTree(root)
+    Incremental.failAt = Some((root, "pre-manifest"))
+    try intercept[Incremental.InjectedNightCrash] {
+      Incremental.nightIdempotent(spark, d, delta, 7)
+    } finally Incremental.failAt = None
+    // Nothing before the commit point may touch the live tree: the
+    // crashed attempt is invisible outside _staging.
+    assert(liveTree(root) == pre,
+      "an uncommitted night mutated the live artifact tree")
+    assert(!new java.io.File(root, "_night_7.done").exists())
+    // Redelivery discards the uncommitted staging and reruns the night.
+    assert(Incremental.nightIdempotent(spark, d, delta, 7),
+      "redelivery after a pre-commit crash did not rerun the night")
+    val fullRoot = java.nio.file.Files
+      .createTempDirectory("graft_pl11_crash_pre_full").toString
+    Incremental.runIncremental(spark, docs, fullRoot, Seq())
+    assert(tableRows(root) == tableRows(fullRoot),
+      "post-crash rerun diverged from the full recompute")
+  }
+
+  test("a night killed mid-publish is completed by recovery on redelivery") {
+    import spark.implicits._
+    val docs = Seq(
+      (2L, "en", "applepie4 bananaz4"),
+      (5L, "en", "applepie4 bananaz4 zebraxx4 zebraxx4"),
+      (3L, "en", "zebraxx4 zebraxx4 walnutt4 velvetty4"),
+      (7L, "en", "applepie4 bananaz4")
+    ).toDF("doc_id", "lang", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pl11_crash_pub").toString
+    val d = Incremental.Dirs(root)
+    Incremental.baseBuild(spark, d,
+      docs.filter(col("doc_id") % Incremental.Parts =!= 7))
+    val delta = docs.filter(col("doc_id") % Incremental.Parts === 7)
+    Incremental.failAt = Some((root, "mid-publish"))
+    try intercept[Incremental.InjectedNightCrash] {
+      Incremental.nightIdempotent(spark, d, delta, 7)
+    } finally Incremental.failAt = None
+    // Committed (manifest present) but only partially published — the
+    // exact half-merged window the old in-place writes could strand.
+    assert(new java.io.File(root, "_staging/night_7/MANIFEST").exists(),
+      "mid-publish crash lost its committed manifest")
+    assert(!new java.io.File(root, "_night_7.done").exists())
+    // Redelivery (the foreachBatch at-least-once class) finishes the
+    // publish instead of re-running — and then marks the night done.
+    assert(Incremental.nightIdempotent(spark, d, delta, 7),
+      "recovery did not complete the committed night")
+    assert(new java.io.File(root, "_night_7.done").exists())
+    assert(!new java.io.File(root, "_staging/night_7").exists(),
+      "published staging not cleaned up")
+    val fullRoot = java.nio.file.Files
+      .createTempDirectory("graft_pl11_crash_pub_full").toString
+    Incremental.runIncremental(spark, docs, fullRoot, Seq())
+    assert(tableRows(root) == tableRows(fullRoot),
+      "recovered night diverged from the full recompute")
+    // A further replay is a structural no-op.
+    val after = graft.sources.Scratch.snapshotTree(new java.io.File(root))
+    assert(!Incremental.nightIdempotent(spark, d, delta, 7))
+    assert(graft.sources.Scratch.snapshotTree(new java.io.File(root)) == after,
+      "replay after recovery mutated the artifact tree")
+  }
+
+  test("a purge killed mid-publish is completed by recoverPending") {
+    import spark.implicits._
+    // df-margin pair (walnutt8-velvetty8 paragraph, df 2): purging 13
+    // un-crosses the hash, so the rewrite spans shard 4 too — the
+    // recovered publish must land BOTH the physical purge and the
+    // resurfacing rewrite.
+    val docs = Seq(
+      (4L, "en", "walnutt8 velvetty8 dcareone8 dcaretwo8"),
+      (13L, "en", "walnutt8 velvetty8 equalone8 equaltwo8"),
+      (7L, "en", "untouched8 pristine8 stays8 same8")
+    ).toDF("doc_id", "lang", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pl12_crash_pub").toString
+    val d = Incremental.Dirs(root)
+    Incremental.baseBuild(spark, d, docs)
+    Incremental.failAt = Some((root, "mid-publish"))
+    try intercept[Incremental.InjectedNightCrash] {
+      Incremental.purgeNightOf(spark, d, Seq(13L).toDF("doc_id"))
+    } finally Incremental.failAt = None
+    assert(Incremental.recoverPending(d) == Seq("purge"),
+      "recoverPending did not publish the committed purge")
+    val fullRoot = java.nio.file.Files
+      .createTempDirectory("graft_pl12_crash_pub_full").toString
+    Incremental.baseBuild(spark, Incremental.Dirs(fullRoot),
+      docs.filter(col("doc_id") =!= 13L))
+    assert(tableRows(root) == tableRows(fullRoot),
+      "recovered purge diverged from the surviving-corpus recompute")
+    assert(spark.read.parquet(d.docs).filter(col("doc_id") === 13L).isEmpty,
+      "purged doc survived the recovered publish")
+    // Recovery is one-shot: nothing left pending.
+    assert(Incremental.recoverPending(d).isEmpty)
+  }
+
   test("emptied shard loses its ck/cm partitions (ghost-postings divergence fixture)") {
     import spark.implicits._
     // Crafted corpus (part = doc_id % 8):
