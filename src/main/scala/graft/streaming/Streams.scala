@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import java.util.concurrent.atomic.AtomicInteger
@@ -469,6 +469,76 @@ object Streams {
       .filter(col("quality") >= 0.5 && col("contaminated") === 0)
       .select(col("doc_id"), col("lang"), col("quality"))
 
+  // ------------------------------------------------------------------
+  // Dedup-ledger compaction (io07/st24's small-file discipline applied
+  // to st19/st36's signature ledgers — the round-9 verdict's growth
+  // item: every trigger appends one parquet delta per write task and
+  // every probe reads the accumulating file set forever).
+  // ------------------------------------------------------------------
+
+  private def ledgerDataFiles(dir: String): Seq[java.io.File] =
+    Option(new java.io.File(dir).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith("."))
+
+  private def deleteRecDir(f: java.io.File): Unit = {
+    val kids = f.listFiles(); if (kids != null) kids.foreach(deleteRecDir)
+    f.delete(): Unit
+  }
+
+  /** Complete (or discard) a ledger compaction a crash interrupted:
+    * the swap below is live → `_old`, `_compacting` → live, drop
+    * `_old`; the only window where the live dir is missing has a fully
+    * written (`_SUCCESS`-marked) `_compacting` to promote. Any other
+    * leftover side dir is a dead attempt — the live ledger is intact,
+    * discard them. Called at step entry so an at-least-once replay of
+    * the surrounding trigger always probes a complete ledger. */
+  private[graft] def ledgerRecover(dir: String): Unit = {
+    val live = new java.io.File(dir)
+    val tmp = new java.io.File(dir + "_compacting")
+    val old = new java.io.File(dir + "_old")
+    if (!live.exists() && new java.io.File(tmp, "_SUCCESS").exists()) {
+      require(tmp.renameTo(live), s"ledger recover: promote $tmp failed")
+      deleteRecDir(old)
+    } else {
+      deleteRecDir(tmp)
+      deleteRecDir(old)
+    }
+  }
+
+  /** When the accumulated delta-file count passes `maxDeltas`, collapse
+    * the ledger into ceil(rows / rowsPerFile) files hash-bucketed by
+    * `keys` (equal band keys co-locate — the bucketed-table shape the
+    * probe's shuffle-hash join wants), staged aside and swapped in with
+    * two renames so readers never see a half-written ledger. Content-
+    * preserving by construction — the st19/st36 oracles and the replay
+    * spec run THROUGH compactions unchanged. Production sizes
+    * `maxDeltas` well above the per-trigger task count so the O(ledger)
+    * rewrite amortizes (io07's record-budget discipline); the fixture
+    * default is low so the path is exercised live, not just in specs.
+    * Returns whether a compaction ran. */
+  private[graft] def ledgerCompact(dir: String, keys: Seq[Column],
+      maxDeltas: Int = 16, rowsPerFile: Long = 4000000L): Boolean = {
+    if (ledgerDataFiles(dir).size <= maxDeltas) false
+    else {
+      val ss = SparkSession.active
+      val live = new java.io.File(dir)
+      val tmp = new java.io.File(dir + "_compacting")
+      val old = new java.io.File(dir + "_old")
+      deleteRecDir(tmp)
+      val src = ss.read.parquet(dir)
+      val width = math.max(1L,
+        math.ceil(src.count().toDouble / rowsPerFile).toLong).toInt
+      src.repartition(width, hash(keys: _*))
+        .write.mode("overwrite").parquet(tmp.getPath)
+      deleteRecDir(old)
+      require(live.renameTo(old), s"ledger compact: stash $live failed")
+      require(tmp.renameTo(live), s"ledger compact: promote $tmp failed")
+      deleteRecDir(old)
+      true
+    }
+  }
+
   /** st19's ledger bootstrap: seed each ledger/sink with an EMPTY
     * correctly-typed relation so batch 0 probes a valid (empty) ledger
     * and the read-back never hits a missing path. */
@@ -491,9 +561,12 @@ object Streams {
     * then append this batch's signatures/shingles. Extracted so the
     * split-invariance and replay-idempotence claims are spec-testable. */
   private[graft] def neardupStep(batch: DataFrame,
-      bandsDir: String, setsDir: String, outDir: String): Unit = {
+      bandsDir: String, setsDir: String, outDir: String,
+      maxDeltas: Int = 16): Unit = {
     import graft.operators.Dedup
     val ss = batch.sparkSession
+    ledgerRecover(bandsDir)
+    ledgerRecover(setsDir)
     val sets = Dedup.shingleSetsOf(
       batch.repartition(ss.sparkContext.defaultParallelism, col("doc_id")))
       .persist()
@@ -518,6 +591,12 @@ object Streams {
     sets.write.mode("append").parquet(setsDir)
     sets.unpersist(blocking = false)
     bands.unpersist(blocking = false)
+    // Threshold-gated small-file collapse: the signature ledger buckets
+    // by band key (the probe's join key), the shingle ledger by doc_id
+    // (the verify's lookup key).
+    ledgerCompact(bandsDir, Seq(col("bk")), maxDeltas)
+    ledgerCompact(setsDir, Seq(col("doc_id")), maxDeltas)
+    ()
   }
 
   /** st36's ledger bootstrap (neardupSeed's discipline): seed the band
@@ -549,9 +628,10 @@ object Streams {
     * distinct. At 100 TB the ledger is a parquet table bucketed by
     * (band, bv). */
   private[graft] def phashStep(batch: DataFrame,
-      bandsDir: String, outDir: String): Unit = {
+      bandsDir: String, outDir: String, maxDeltas: Int = 16): Unit = {
     import graft.operators.Multimodal
     val ss = batch.sparkSession
+    ledgerRecover(bandsDir)
     val bands = Multimodal.phashBands(
       Multimodal.phashWideOf(
         batch.repartition(ss.sparkContext.defaultParallelism, col("doc_id"))),
@@ -575,6 +655,10 @@ object Streams {
     // Ledger append AFTER the probe (intra already covered in-batch).
     bands.write.mode("append").parquet(bandsDir)
     bands.unpersist(blocking = false)
+    // Threshold-gated small-file collapse, bucketed by the probe's
+    // (band, bv) join key.
+    ledgerCompact(bandsDir, Seq(col("band"), col("bv")), maxDeltas)
+    ()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -79,6 +79,81 @@ class StreamingReplaySpec extends SparkSpec {
     assert(got.except(expected).isEmpty && expected.except(got).isEmpty)
   }
 
+  test("st19 ledger compaction collapses delta files without changing content") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val (bandsDir, setsDir, outDir) = (
+      s"$tmp/graft_spec_lc19_bands", s"$tmp/graft_spec_lc19_sets",
+      s"$tmp/graft_spec_lc19_out")
+    def dataFiles(dir: String) =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    Streams.neardupSeed(docs.limit(0), bandsDir, setsDir, outDir)
+    val splits = (0 to 2).map(r => docs.filter(col("doc_id") % 3 === r))
+    // maxDeltas = 0: compact after EVERY step — the hostile cadence.
+    // Fixture rows sit far under one file budget, so each ledger
+    // collapses to a single hash-bucketed file.
+    Streams.neardupStep(splits(0), bandsDir, setsDir, outDir, maxDeltas = 0)
+    assert(dataFiles(bandsDir).size == 1 && dataFiles(setsDir).size == 1,
+      s"compaction did not collapse the ledgers: " +
+        s"bands=${dataFiles(bandsDir).size} sets=${dataFiles(setsDir).size}")
+    val compacted = graft.sources.Scratch
+      .snapshotTree(new java.io.File(bandsDir))
+    // A later append below threshold must leave the compacted file
+    // byte-identical (appends only ADD deltas — io07's discipline).
+    Streams.neardupStep(splits(1), bandsDir, setsDir, outDir,
+      maxDeltas = 1000000)
+    val after = graft.sources.Scratch
+      .snapshotTree(new java.io.File(bandsDir))
+    assert(compacted.forall { case (k, v) => after.get(k).contains(v) },
+      "a sub-threshold append rewrote a compacted ledger file")
+    assert(after.size > compacted.size, "append produced no delta files")
+    Streams.neardupStep(splits(2), bandsDir, setsDir, outDir, maxDeltas = 0)
+    assert(dataFiles(bandsDir).size == 1 && dataFiles(setsDir).size == 1)
+    // Content preservation end-to-end: pairs through two compactions
+    // still equal the batch all-pairs oracle.
+    val got = spark.read.parquet(outDir).distinct()
+    val expected = graft.operators.Dedup
+      .queries("dd03_minhash_lsh_pairs")(spark, sfDir)
+    assert(got.count() == expected.count() &&
+      got.except(expected).isEmpty && expected.except(got).isEmpty,
+      "pairs diverged from the batch oracle across compactions")
+  }
+
+  test("st36 ledger compaction + interrupted-swap recovery are content-preserving") {
+    val tmp = System.getProperty("java.io.tmpdir")
+    val (bandsDir, outDir) = (
+      s"$tmp/graft_spec_lc36_bands", s"$tmp/graft_spec_lc36_out")
+    def dataFiles(dir: String) =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    Streams.phashSeed(docs.limit(0), bandsDir, outDir)
+    val splits = (0 to 2).map(r => docs.filter(col("doc_id") % 3 === r))
+    Streams.phashStep(splits(0), bandsDir, outDir, maxDeltas = 0)
+    assert(dataFiles(bandsDir).size == 1)
+    // Interrupted-swap window: the live dir was renamed away and the
+    // complete (_SUCCESS-marked) compacted dir not yet promoted — the
+    // next step's recovery must promote it, not fail or rebuild.
+    val live = new java.io.File(bandsDir)
+    assert(live.renameTo(new java.io.File(bandsDir + "_compacting")),
+      "fixture: could not simulate the interrupted swap")
+    Streams.phashStep(splits(1), bandsDir, outDir, maxDeltas = 0)
+    // Dead-attempt window: junk _compacting WITHOUT _SUCCESS while the
+    // live ledger is intact — recovery must discard it.
+    val junk = new java.io.File(bandsDir + "_compacting")
+    assert(junk.mkdirs())
+    Streams.phashStep(splits(2), bandsDir, outDir, maxDeltas = 0)
+    assert(!junk.exists(), "dead compaction attempt not discarded")
+    assert(dataFiles(bandsDir).size == 1)
+    val got = spark.read.parquet(outDir).distinct()
+    val expected = graft.operators.Multimodal
+      .queries("mm10_phash_wide_neardup")(spark, sfDir)
+    assert(got.count() == expected.count() &&
+      got.except(expected).isEmpty && expected.except(got).isEmpty,
+      "pairs diverged from the batch oracle across compaction + recovery")
+  }
+
   test("st24 streamed index ingest is split- and replay-invariant at compaction") {
     val emb = Tables.embeddings(spark, sfDir)
     val tmp = System.getProperty("java.io.tmpdir")
