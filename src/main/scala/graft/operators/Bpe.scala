@@ -10,9 +10,16 @@ import graft.sources.Tables
 /** BPE subword tokenization — train + encode (SURVEY.md §2.5 text
   * family, ta26). Every real training-data pipeline packs SUBWORD
   * tokens, not whitespace tokens: the tokenizer itself is trained on
-  * the corpus (byte-pair encoding: start from characters, repeatedly
-  * merge the most frequent adjacent symbol pair), then every document
-  * is encoded with the learned merges in rank order. The reference's
+  * the corpus (byte-pair encoding: start from a BYTE-LEVEL base
+  * alphabet, repeatedly merge the most frequent adjacent symbol pair),
+  * then every document is encoded with the learned merges in rank
+  * order. The base alphabet is BYTES, GPT-2's convention (Radford et
+  * al. 2019, public literature): a symbol is a hex-pair string ("68"),
+  * merges concatenate hex pairs, and ANY input script — CJK, Arabic,
+  * emoji, bytes that are not valid UTF-8 sequences of one char —
+  * decomposes into base symbols, so encode is TOTAL: no UNK token
+  * exists, and an out-of-vocabulary word falls back to its byte
+  * decomposition rather than an opaque passthrough. The reference's
   * MiddleFunc contract (/root/reference/pipe/node.go:19) admits any
   * per-element transform; the TRAINING loop is the part Spark has to
   * shape: a bounded number of merge rounds, each one corpus-wide
@@ -57,10 +64,11 @@ import graft.sources.Tables
   * symbol list: merge when the accumulator's last symbol is `a` and
   * the incoming symbol is `b` ("a a a" + (a,a) → "aa a", never
   * "a aa"). Words are carried as '|'-delimited symbol strings
-  * ("|l|o|w"), so "last symbol is a" is the string test
-  * endswith(acc, '|a') — symbols never contain '|' (delimiter-bearing
-  * tokens are excluded from training and pass through encoding as
-  * single opaque symbols, identically in both engines).
+  * ("|6C|6F|77" for "low"), so "last symbol is a" is the string test
+  * endswith(acc, '|a') — symbols are hex pairs and can never contain
+  * '|', which is exactly why the byte-level base also retires the old
+  * delimiter-token exclusion: a word CONTAINING '|' encodes as bytes
+  * ("7C") like any other, identically in both engines.
   */
 object Bpe {
 
@@ -98,12 +106,27 @@ object Bpe {
 
   private val toks = "filter(split(text, ' '), x -> x <> '')"
 
-  /** Corpus token stream (doc_id, word), delimiter-bearing tokens
-    * excluded (see object doc). */
+  /** The byte decomposition of a string column as a '|'-delimited
+    * symbol state ("low" → "|6C|6F|77"): UTF-8 bytes as uppercase hex
+    * pairs — the byte-level base alphabet (object doc). Also the OOV
+    * ENCODE FALLBACK: a word absent from the trained dict decomposes
+    * into base symbols, so encode is total on any script. */
+  private[graft] def byteStateSql(c: String): String = {
+    val h = s"hex(encode($c, 'UTF-8'))"
+    s"concat('|', array_join(transform(sequence(0, length($h) div 2 - 1), " +
+      s"i -> substring($h, i*2+1, 2)), '|'))"
+  }
+
+  /** The DuckDB twin of [[byteStateSql]] (both engines hex uppercase). */
+  private def dbByteState(c: String): String =
+    s"'|' || array_to_string(list_transform(range(len(hex(encode($c)))//2), " +
+      s"i -> hex(encode($c))[i*2+1:i*2+2]), '|')"
+
+  /** Corpus token stream (doc_id, word) — no exclusions: the byte-level
+    * base makes every token encodable (object doc). */
   private def tokenStream(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), explode(expr(toks)).as("word"))
-      .filter(!col("word").contains("|"))
 
   /** The symbol array of a delimited word state ("|l|o|w" → [l,o,w]). */
   private val arr = "slice(split(s, '[|]'), 2, size(split(s, '[|]')) - 1)"
@@ -185,8 +208,7 @@ object Bpe {
       s: SparkSession, d: String): (DataFrame, Seq[(Int, String, String)]) = {
     val words0 = tokenStream(s, d)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .withColumn("s",
-        concat(lit("|"), array_join(expr("split(word, '')"), "|")))
+      .withColumn("s", expr(byteStateSql("word")))
     var words = words0.localCheckpoint()
     val merges = Seq.newBuilder[(Int, String, String)]
     var rank = 0
@@ -272,7 +294,6 @@ object Bpe {
       batchLocal: Boolean = false): DataFrame = {
     val tok = batch
       .select(col("doc_id"), explode(expr(toks)).as("word"))
-      .filter(!col("word").contains("|"))
     // Streaming leg (`batchLocal`): the dict artifact is bucket-
     // partitioned by word key; route the BATCH's word buckets into the
     // scan (static PartitionFilters, st22's discipline) so a trigger
@@ -286,10 +307,13 @@ object Bpe {
               lit(graft.sources.Scratch.ServeBuckets))))
           .select(col("word"), col("s"))
       else dict
+    // OOV fallback = the BYTE DECOMPOSITION (never an opaque
+    // passthrough): every emitted symbol is a trained symbol or a base
+    // byte, so downstream vocab lookups cannot hit an UNK.
     val enc = tok.hint("shuffle_hash")
       .join(dictSide.hint("shuffle_hash"), Seq("word"), "left")
       .select(col("doc_id"),
-        coalesce(col("s"), concat(lit("|"), col("word"))).as("s"))
+        coalesce(col("s"), expr(byteStateSql("word"))).as("s"))
     val perDoc = enc.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(expr("size(split(s, '[|]')) - 1")).as("n_subwords"),
@@ -305,18 +329,17 @@ object Bpe {
         coalesce(col("enc_checksum"), lit(0L)).as("enc_checksum"))
   }
 
-  /** Non-delimiter token array with stable positions — ta33's decode
-    * path needs in-document ORDER, so the '|' exclusion happens inside
-    * the array (before posexplode), keeping Spark and DuckDB positions
-    * aligned by construction. */
-  private val toksND =
-    "filter(split(text, ' '), x -> x <> '' AND NOT contains(x, '|'))"
+  /** Token array with stable positions — ta33's decode path needs
+    * in-document ORDER (posexplode over the same array both engines
+    * build). No exclusions: the byte-level base encodes every token. */
+  private val toksND = toks
 
   /** ta33's body, extracted relation-parametric (subwordsPartial's
     * discipline) so the spec can probe it with a CORRUPTED dictionary:
-    * decode every encoded token (strip the '|' delimiters — BPE merges
-    * only ever concatenate, so a healthy dict decodes to the original
-    * word), reassemble the document in token order, and report per doc
+    * decode every encoded token (strip the '|' delimiters and UNHEX the
+    * byte symbols — BPE merges only ever concatenate, so a healthy dict
+    * decodes to the original word's exact bytes), reassemble the
+    * document in token order, and report per doc
     * (n_tokens, n_mismatch, roundtrip_ok vs the normalized original).
     * This is the LOSSLESSNESS AUDIT a tokenizer artifact gets before a
     * training run burns cluster hours on it: a corrupted or stale dict
@@ -332,11 +355,16 @@ object Bpe {
     val dec = tok.hint("shuffle_hash")
       .join(dict.hint("shuffle_hash"), Seq("word"), "left")
       .select(col("doc_id"), col("pos"), col("word"),
-        translate(coalesce(col("s"), concat(lit("|"), col("word"))), "|", "")
+        expr("decode(unhex(translate(" +
+          s"coalesce(s, ${byteStateSql("word")}), '|', '')), 'UTF-8')")
           .as("decoded"))
+    // Null-safe mismatch: a structurally corrupted symbol (odd-length
+    // hex) decodes to NULL, which must COUNT as a mismatch, not slip
+    // through a null comparison.
     val perDoc = dec.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        sum(when(col("decoded") =!= col("word"), 1L).otherwise(0L)).as("n_mismatch"),
+        sum(when(!(col("decoded") <=> col("word")), 1L).otherwise(0L))
+          .as("n_mismatch"),
         md5(array_join(
           expr("transform(array_sort(collect_list(struct(pos, decoded))), x -> x.decoded)"),
           " ")).as("tmd5"))
@@ -460,8 +488,7 @@ object Bpe {
     * one list_reduce fold applying the whole batch (b values unique in
     * a non-interfering set, so the set rides the fold as a filter). */
   private[operators] def withSqlPrefix: String = {
-    val dtoks =
-      "list_filter(string_split(text, ' '), x -> x <> '' AND NOT contains(x, '|'))"
+    val dtoks = "list_filter(string_split(text, ' '), x -> x <> '')"
     // MATERIALIZED per round: DuckDB inlines multi-referenced CTEs, and
     // bpe_p/bpe_x are each referenced more than once per round — inlined,
     // the upstream chain would re-expand ~4× per round (4^Rounds scans of
@@ -521,11 +548,11 @@ object Bpe {
           SELECT doc_id, unnest($dtoks) AS word FROM documents),
         bpe_w0 AS (
           SELECT word, count(*) AS freq,
-            '|' || array_to_string(string_split(word, ''), '|') AS s
+            ${dbByteState("word")} AS s
           FROM bpe_tok GROUP BY word),
         $rounds,
         bpe_enc AS (
-          SELECT t.doc_id, coalesce(w.s, '|' || t.word) AS s
+          SELECT t.doc_id, coalesce(w.s, ${dbByteState("t.word")}) AS s
           FROM bpe_tok t LEFT JOIN bpe_w$Rounds w ON t.word = w.word),
         bpe_doc AS (
           SELECT doc_id, count(*) AS n_words,
@@ -568,19 +595,20 @@ object Bpe {
       s"""$withSqlPrefix,
           rt_l AS (
             SELECT doc_id, list_filter(string_split(text, ' '),
-              x -> x <> '' AND NOT contains(x, '|')) AS l
+              x -> x <> '') AS l
             FROM documents),
           rt_tok AS (
             SELECT doc_id, unnest(range(len(l))) AS pos, unnest(l) AS word
             FROM rt_l),
           rt_dec AS (
             SELECT t.doc_id, t.pos, t.word,
-              replace(coalesce(w.s, '|' || t.word), '|', '') AS decoded
+              decode(from_hex(replace(
+                coalesce(w.s, ${dbByteState("t.word")}), '|', ''))) AS decoded
             FROM rt_tok t LEFT JOIN bpe_w$Rounds w ON t.word = w.word),
           rt_doc AS (
             SELECT doc_id, count(*) AS n_tokens,
-              CAST(sum(CASE WHEN decoded <> word THEN 1 ELSE 0 END) AS BIGINT)
-                AS n_mismatch,
+              CAST(sum(CASE WHEN decoded IS DISTINCT FROM word
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
               md5(string_agg(decoded, ' ' ORDER BY pos)) AS tmd5
             FROM rt_dec GROUP BY doc_id)
           SELECT d.doc_id,
@@ -588,7 +616,7 @@ object Bpe {
             CAST(coalesce(r.n_mismatch, 0) AS BIGINT) AS n_mismatch,
             coalesce(r.tmd5, md5(''))
               = md5(array_to_string(list_filter(string_split(d.text, ' '),
-                  x -> x <> '' AND NOT contains(x, '|')), ' ')) AS roundtrip_ok
+                  x -> x <> ''), ' ')) AS roundtrip_ok
           FROM documents d LEFT JOIN rt_doc r ON d.doc_id = r.doc_id""",
     "ta34_tokenizer_fertility" ->
       s"""$withSqlPrefix

@@ -48,10 +48,16 @@ class BpeSpec extends SparkSpec {
     * remaining budget), at saturation (empty batch), or at the
     * `maxRounds` guard. Returns (merges in global rank order, final
     * word → symbols dictionary). */
+  /** The byte-level base alphabet: UTF-8 bytes as uppercase hex pairs
+    * (the distributed loop's symbol universe). */
+  private def byteSyms(w: String): List[String] =
+    w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .map(b => f"${b & 0xff}%02X").toList
+
   private def refTrain(freqs: Map[String, Long], maxRounds: Int,
       target: Int = Bpe.MergeTarget)
       : (List[(String, String)], Map[String, List[String]]) = {
-    var dict = freqs.map { case (w, _) => w -> w.split("").toList }
+    var dict = freqs.map { case (w, _) => w -> byteSyms(w) }
     var merges = List.empty[(String, String)]
     var round = 0
     var saturated = false
@@ -76,7 +82,6 @@ class BpeSpec extends SparkSpec {
     import spark.implicits._
     graft.sources.Tables.documents(spark, sfDir)
       .select(explode(expr("filter(split(text, ' '), x -> x <> '')")).as("w"))
-      .filter(!col("w").contains("|"))
       .groupBy("w").count()
       .as[(String, Long)].collect().toMap
   }
@@ -105,12 +110,13 @@ class BpeSpec extends SparkSpec {
     assert(got == refMerges, s"got $got\nexpected $refMerges")
   }
 
-  test("training actually merges: dictionary contains multi-char symbols") {
+  test("training actually merges: dictionary contains multi-byte symbols") {
     val dict = Bpe.bpeDict(spark, sfDir)
+    // A base symbol is one hex pair (length 2); any merge yields >= 4.
     val merged = dict
-      .filter(expr("exists(slice(split(s, '[|]'), 2, size(split(s, '[|]')) - 1), x -> length(x) >= 2)"))
+      .filter(expr("exists(slice(split(s, '[|]'), 2, size(split(s, '[|]')) - 1), x -> length(x) >= 4)"))
       .count()
-    assert(merged > 0, "no word gained a merged symbol after 8 rounds")
+    assert(merged > 0, "no word gained a merged symbol after training")
   }
 
   test("encoding checksum is consistent with per-word dictionary states") {
@@ -158,13 +164,13 @@ class BpeSpec extends SparkSpec {
     val ok = Bpe.roundtripAudit(docs, dict)
     assert(ok.filter(col("n_mismatch") =!= 0 || !col("roundtrip_ok")).count() == 0,
       "healthy dict failed the round-trip audit")
-    // Corrupt ONE dictionary entry (drop its first symbol character —
-    // the decoded word loses a char): every doc containing that word
+    // Corrupt ONE dictionary entry (drop its first byte symbol "|XY" —
+    // the decoded word loses a byte): every doc containing that word
     // must flag, and no other doc may.
     import spark.implicits._
     val victim = dict.orderBy(col("word")).select(col("word")).as[String].head()
     val corrupted = dict.withColumn("s",
-      when(col("word") === victim, expr("substring(s, 3)")).otherwise(col("s")))
+      when(col("word") === victim, expr("substring(s, 4)")).otherwise(col("s")))
     val flagged = Bpe.roundtripAudit(docs, corrupted)
       .filter(col("n_mismatch") > 0 && !col("roundtrip_ok"))
       .select(col("doc_id")).as[Long].collect().toSet
@@ -216,19 +222,20 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.batchSelect(disjoint, cap = 2) == Seq(("a", "b"), ("c", "d")))
     // And a target-driven reference run on a corpus that saturates
     // UNDER the target stops at saturation, not the guard: "abab"
-    // yields merges (a,b) then (ab,ab) then nothing.
+    // (bytes 61 62 61 62) yields merges (61,62) then (6162,6162),
+    // then nothing.
     val (m2, d2) = refTrain(Map("abab" -> 2L), maxRounds = 10, target = 64)
-    assert(m2 == List(("a", "b"), ("ab", "ab")))
-    assert(d2("abab") == List("abab"))
+    assert(m2 == List(("61", "62"), ("6162", "6162")))
+    assert(d2("abab") == List("61626162"))
   }
 
   test("exhausted training is stable (degenerate corpus, empty batches)") {
-    // All single-char words: no round finds any pair, every batch is
+    // All single-byte words: no round finds any pair, every batch is
     // empty, and the dictionary must come through unchanged.
     val counts = Map("a" -> 3L, "b" -> 2L, "c" -> 1L)
     val (merges, dict) = refTrain(counts, 3)
     assert(merges.isEmpty)
-    assert(dict == Map("a" -> List("a"), "b" -> List("b"), "c" -> List("c")))
+    assert(dict == Map("a" -> List("61"), "b" -> List("62"), "c" -> List("63")))
   }
 
   test("batch selection excludes interfering pairs (chains + created-symbol collisions)") {
@@ -248,6 +255,46 @@ class BpeSpec extends SparkSpec {
     val without = Seq(("a", "b", 10L), ("c", "d", 8L), ("x", "y", 8L))
       .toDF("a", "b", "cnt")
     assert(Bpe.batchSelect(without) == Seq(("a", "b"), ("c", "d"), ("x", "y")))
+  }
+
+  test("byte-level base: any script encodes with zero UNKs and round-trips losslessly") {
+    import spark.implicits._
+    // Scripts the old char-level base had no trained symbols for — CJK,
+    // Arabic, Cyrillic, emoji (4-byte UTF-8), accented Latin — plus a
+    // delimiter-bearing token (the retired exclusion class) and ASCII.
+    val docs = Seq(
+      (1L, "zh", "你好 世界"),
+      (2L, "ar", "مرحبا بالعالم"),
+      (3L, "ru", "привет мир"),
+      (4L, "emoji", "🚀 rocket 🚀"),
+      (5L, "mix", "café a|b naïve"),
+      (6L, "en", "plain ascii text")
+    ).toDF("doc_id", "lang", "text")
+    val emptyDict = Seq.empty[(String, String)].toDF("word", "s")
+    // Encode with NO trained merges: every word falls back to its byte
+    // decomposition — n_subwords = exact UTF-8 byte count, nothing
+    // opaque, no UNK class at all.
+    val stats = Bpe.subwordsPartial(docs, emptyDict)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = Seq(
+      (1L, "你好 世界"), (2L, "مرحبا بالعالم"), (3L, "привет мир"),
+      (4L, "🚀 rocket 🚀"), (5L, "café a|b naïve"), (6L, "plain ascii text")
+    ).map { case (id, text) =>
+      val ws = text.split(" ").filter(_.nonEmpty)
+      id -> (ws.length.toLong, ws.map(byteSyms(_).size.toLong).sum)
+    }.toMap
+    assert(stats == expected,
+      s"byte-fallback subword counts diverge: $stats vs $expected")
+    // Round-trip through the byte fallback alone is lossless on every
+    // script, and stays lossless when the words are OOV against the
+    // TRAINED fixture dict (the fallback path a multilingual crawl
+    // actually hits).
+    for (dict <- Seq(emptyDict,
+        Bpe.bpeDict(spark, sfDir).select(col("word"), col("s")))) {
+      val bad = Bpe.roundtripAudit(docs, dict)
+        .filter(col("n_mismatch") =!= 0 || !col("roundtrip_ok")).count()
+      assert(bad == 0, "non-Latin text failed the byte-level round-trip")
+    }
   }
 
   test("simultaneous batch fold equals one-at-a-time application in every order") {
