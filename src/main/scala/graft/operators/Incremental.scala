@@ -783,6 +783,22 @@ object Incremental {
     }
   }
 
+  /** pl13 — the COMPOSED cross-modality takedown: one purge predicate
+    * driven through BOTH delete legs — pl12's curation DELETE night on
+    * the text corpus (purgeNightOf, verbatim) and ss15's two-phase
+    * vector delete on the index (Similarity.ivfDeleteRun, verbatim) —
+    * then the dq04 modality-pairing contract re-audited over the
+    * SURVIVING ARTIFACTS themselves (never the source tables): a real
+    * takedown is only done when neither modality retains the purged
+    * ids and no vector is orphaned by the text purge. Returns the text
+    * artifact dirs and the purged vector index dir. */
+  private[graft] def pl13Run(s: SparkSession, d: String): (Dirs, String) = {
+    val textDirs = pl12Run(s, d).dirs
+    val vecAudit = Similarity.ivfDeleteRun(s, "e2e", d,
+      pmod(col("vec_id"), lit(PurgeMod.toLong)) === PurgeRem)
+    (textDirs, vecAudit.live)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pl11_incremental_snapshot" -> ((s, d) => {
       val audit = pl11Run(s, d)
@@ -800,6 +816,34 @@ object Incremental {
       val audit = pl12Run(s, d)
       s.read.parquet(audit.dirs.table)
         .select(col("doc_id"), col("lang"), col("stage"), col("part"))
+    }),
+
+    // -- pl13: composed cross-modality takedown — the same purge
+    //    predicate through pl12's text purge AND ss15's vector delete,
+    //    then dq04's pairing contract over the surviving ARTIFACTS:
+    //    counts must equal the oracle's over the purged tables, and the
+    //    purged-id residues (computed from the artifacts, zero in the
+    //    oracle by construction) prove neither leg leaked.
+    "pl13_delete_e2e" -> ((s, d) => {
+      val (textDirs, vecLive) = pl13Run(s, d)
+      val docs = s.read.parquet(textDirs.docs)
+        .select(col("doc_id")).distinct().withColumn("has_doc", lit(1))
+      val vecs = s.read.parquet(vecLive)
+        .select(col("vec_id").as("doc_id")).distinct()
+        .withColumn("has_vec", lit(1))
+      val purged = pmod(col("doc_id"), lit(PurgeMod.toLong)) === PurgeRem
+      docs.join(vecs, Seq("doc_id"), "full_outer")
+        .agg(
+          sum(coalesce(col("has_doc"), lit(0)).cast("long")).as("n_docs"),
+          sum(coalesce(col("has_vec"), lit(0)).cast("long")).as("n_vecs"),
+          sum((col("has_doc").isNotNull && col("has_vec").isNotNull)
+            .cast("long")).as("n_paired"),
+          sum(col("has_vec").isNull.cast("long")).as("n_text_only"),
+          sum(col("has_doc").isNull.cast("long")).as("n_vec_only"),
+          sum((col("has_doc").isNotNull && purged).cast("long"))
+            .as("n_purged_docs_left"),
+          sum((col("has_vec").isNotNull && purged).cast("long"))
+            .as("n_purged_vecs_left"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -821,5 +865,33 @@ object Incremental {
           s"pl12src AS (SELECT * FROM documents WHERE doc_id % $PurgeMod <> $PurgeRem),\n")
       s"""SELECT doc_id, lang, stage, CAST(doc_id % $Parts AS INT) AS part
           FROM ($rows)"""
-    })
+    },
+
+    // dq04's pairing over the purged WORLD (both tables filtered by the
+    // takedown predicate) — the artifact-derived Spark counts must
+    // converge to it, and the residue columns are zero by construction
+    // here while being real artifact scans on the Spark side.
+    "pl13_delete_e2e" ->
+      s"""WITH dd AS (SELECT DISTINCT doc_id FROM documents
+                      WHERE doc_id % $PurgeMod <> $PurgeRem),
+               vv AS (SELECT DISTINCT vec_id AS doc_id FROM embeddings
+                      WHERE vec_id % $PurgeMod <> $PurgeRem),
+               j AS (SELECT dd.doc_id IS NOT NULL AS has_doc,
+                            vv.doc_id IS NOT NULL AS has_vec,
+                            coalesce(dd.doc_id, vv.doc_id) AS doc_id
+                     FROM dd FULL JOIN vv ON dd.doc_id = vv.doc_id)
+          SELECT
+            CAST(sum(CASE WHEN has_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN has_vec THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs,
+            CAST(sum(CASE WHEN has_doc AND has_vec THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_paired,
+            CAST(sum(CASE WHEN has_doc AND NOT has_vec THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_text_only,
+            CAST(sum(CASE WHEN has_vec AND NOT has_doc THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_vec_only,
+            CAST(sum(CASE WHEN has_doc AND doc_id % $PurgeMod = $PurgeRem
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_purged_docs_left,
+            CAST(sum(CASE WHEN has_vec AND doc_id % $PurgeMod = $PurgeRem
+              THEN 1 ELSE 0 END) AS BIGINT) AS n_purged_vecs_left
+          FROM j""")
 }

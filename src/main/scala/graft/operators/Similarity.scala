@@ -267,19 +267,27 @@ object Similarity {
     * merge-on-read ≡ post-compaction, and the oracle is ss02's probe
     * over the surviving corpus. Deletes here: vec_id % 7 = 3 in cells
     * 0-4 (cells 5-9 stay untouched so the byte audit is non-vacuous). */
-  private[graft] def ivfDeleted(s: SparkSession, d: String): DeleteAudit = {
+  /** The two-phase delete body, parametric in the TOMBSTONE PREDICATE
+    * and the staged dir pair — extracted so ss15 and the composed
+    * cross-modality takedown (pl13) run the SAME vector purge path
+    * verbatim, each against its own staged copy of the index. Memoized
+    * per live dir (the write-once staging lock every index uses). */
+  private[graft] def ivfDeleteRun(s: SparkSession, tag: String, d: String,
+      tombPred: org.apache.spark.sql.Column): DeleteAudit = {
     graft.sources.Scratch.cleanupStale(s)
     val slug = s.sparkContext.applicationId + "_" +
       d.replaceAll("[^A-Za-z0-9]", "_")
-    val live = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_ivf_del_$slug")
-    val tomb = new java.io.File(System.getProperty("java.io.tmpdir"), s"graft_ivf_tmb_$slug")
+    val live = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_${tag}_$slug")
+    val tomb = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_${tag}t_$slug")
     def snapshot(root: java.io.File): Map[String, (Long, Long)] =
       graft.sources.Scratch.snapshotTree(root)
     stagedDelAudits.synchronized {
       stagedDelAudits.getOrElseUpdate(live.getPath, {
         val all = vecs(s, d).select(col("vec_id"), col("e"), col("nrm"), col("label"))
         all.write.mode("overwrite").partitionBy("label").parquet(live.getPath)
-        all.filter(col("vec_id") % 7 === 3 && col("label") < 5)
+        all.filter(tombPred)
           .select(col("vec_id"), col("label"))
           .write.mode("overwrite").partitionBy("label").parquet(tomb.getPath)
         val pre = snapshot(live)
@@ -304,6 +312,10 @@ object Similarity {
       })
     }
   }
+
+  private[graft] def ivfDeleted(s: SparkSession, d: String): DeleteAudit =
+    ivfDeleteRun(s, "del", d, col("vec_id") % 7 === 3 && col("label") < 5)
+
   private val stagedDelAudits =
     scala.collection.concurrent.TrieMap.empty[String, DeleteAudit]
 

@@ -387,6 +387,45 @@ class IncrementalSpec extends SparkSpec {
     assert(Incremental.recoverPending(d).isEmpty)
   }
 
+  test("pl13 composed takedown: both modality legs purge, neither leaks") {
+    val (textDirs, vecLive) = Incremental.pl13Run(spark, sfDir)
+    val purgedDoc = col("doc_id") % Incremental.PurgeMod === Incremental.PurgeRem
+    val purgedVec = col("vec_id") % Incremental.PurgeMod === Incremental.PurgeRem
+    // The text leg (pl12's purge, reused verbatim) left no purged doc in
+    // any artifact, and the vector leg (ss15's delete, reused verbatim)
+    // left no purged vector in the index.
+    for (a <- Seq(textDirs.docs, textDirs.bh, textDirs.table, textDirs.ck))
+      assert(spark.read.parquet(a).filter(purgedDoc).isEmpty,
+        s"purged doc survived the composed takedown in $a")
+    assert(spark.read.parquet(vecLive).filter(purgedVec).isEmpty,
+      "purged vector survived the composed takedown")
+    // The vector leg's audit (memoized — same staged run): the rewrite
+    // was confined to the cells holding tombstones, and any untouched
+    // cell directory is byte-identical across the delete.
+    val audit = graft.operators.Similarity.ivfDeleteRun(spark, "e2e", sfDir,
+      org.apache.spark.sql.functions.pmod(col("vec_id"),
+        org.apache.spark.sql.functions.lit(Incremental.PurgeMod.toLong))
+        === Incremental.PurgeRem)
+    assert(audit.affected.nonEmpty, "vector delete audit is empty")
+    def cellOf(rel: String): Option[Int] =
+      "label=(\\d+)".r.findFirstMatchIn(rel).map(_.group(1).toInt)
+    val untouchedPre = audit.preFiles.filter {
+      case (k, _) => cellOf(k).exists(c => !audit.affected.contains(c))
+    }
+    val untouchedPost = audit.postFiles.filter {
+      case (k, _) => cellOf(k).exists(c => !audit.affected.contains(c))
+    }
+    assert(untouchedPre == untouchedPost,
+      "untouched vector cells changed across the composed delete")
+    // Cross-modality contract: no surviving vector is orphaned relative
+    // to the purged text corpus beyond what the source pairing allows
+    // (the query's oracle pins the exact counts; here the residues).
+    val row = graft.SparkEntry.queries("pl13_delete_e2e")(spark, sfDir)
+      .collect()(0)
+    assert(row.getAs[Long]("n_purged_docs_left") == 0L &&
+      row.getAs[Long]("n_purged_vecs_left") == 0L)
+  }
+
   test("emptied shard loses its ck/cm partitions (ghost-postings divergence fixture)") {
     import spark.implicits._
     // Crafted corpus (part = doc_id % 8):
