@@ -177,9 +177,19 @@ object Bench {
         "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.Ee+-]+)".r.findAllMatchIn(txt)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Exception => Map.empty }
+    // Dev subset filter (comma-separated name prefixes): time only the
+    // matching queries — the profiling loop for a single watch item.
+    // The history merge below keeps every other query's recorded best,
+    // so a filtered run can only tighten baselines, never drop them.
+    val registry = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(ps) =>
+        val prefixes = ps.split(",").toSeq.filter(_.nonEmpty)
+        SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
     val calibPre = calibrate()
     val calibParPre = calibratePar(cpus.toInt)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = registry.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (sec, ok) = timeOne(name, fn)
       (name, sec, ok)
     }

@@ -467,18 +467,29 @@ object Dedup {
     // by ~round 12 physical planning hangs multiplying million-digit
     // BigInts — observed on mm11's pair graph). Row-conversion cost is
     // O(edges) per round — pair-graph-sized, a corpus fraction.
-    def fresh(df: DataFrame): DataFrame = {
+    // fresh() returns the rebuilt frame PLUS the checkpoint's cached-RDD
+    // handle so the loop can FREE superseded rounds immediately: left to
+    // the async context cleaner, ~one dead checkpoint RDD per round
+    // survives the loop and is reaped during whatever query runs NEXT —
+    // measured as +0.6–0.9 s of block-manager/cleaner churn on the
+    // FOLLOWING query (the round-9 dq05 watch item: dq05 sits right
+    // after dd09 in the bench's alphabetical order).
+    def fresh(df: DataFrame)
+        : (DataFrame, Option[org.apache.spark.rdd.RDD[_]]) = {
       val cp = df.localCheckpoint()
-      loop.createDataFrame(cp.rdd, cp.schema)
+      val handle = cp.queryExecution.logical.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
+      (loop.createDataFrame(cp.rdd, cp.schema), handle)
     }
     {
       // The input pair plan (often an upstream banded join) is read
       // twice (vertex set + edge set) — persist for the two reads.
       val p = pairs.persist()
-      val verts = fresh(p.select(col("doc_a").as("id"))
+      val (verts, vertsH) = fresh(p.select(col("doc_a").as("id"))
         .union(p.select(col("doc_b").as("id"))).distinct())
       // Edges oriented large -> small, deduped, self-loops dropped.
-      var e = fresh(p.filter(col("doc_a") =!= col("doc_b"))
+      var (e, eH) = fresh(p.filter(col("doc_a") =!= col("doc_b"))
         .select(greatest(col("doc_a"), col("doc_b")).as("u"),
           least(col("doc_a"), col("doc_b")).as("v")).distinct())
       p.unpersist(blocking = false)
@@ -516,7 +527,7 @@ object Dedup {
           .filter(col("v") =!= col("m"))
           .select(col("v").as("u"), col("m").as("v"))
           .unionByName(ssMin.select(col("u"), col("m").as("v")))
-        val next = fresh(star.filter(col("u") =!= col("v")).distinct())
+        val (next, nextH) = fresh(star.filter(col("u") =!= col("v")).distinct())
         // Fixpoint test, two-tier: both sets are DISTINCT, so unequal
         // COUNTS prove inequality without touching row contents — and
         // the count is near-free here (fresh() just materialized next
@@ -532,7 +543,11 @@ object Dedup {
             .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
             .filter(col("c") === 1).isEmpty
         prevEdgeCount = nextEdgeCount
+        // The superseded round's checkpoint blocks are dead the moment
+        // `e` is reassigned — free them NOW, inside dd09's own clock.
+        eH.foreach(_.unpersist(blocking = false))
         e = next
+        eH = nextH
         rounds += 1
       }
       // A silent non-converged exit would emit WRONG clusters (a
@@ -544,8 +559,11 @@ object Dedup {
       val out = verts.join(e, verts("id") === e("u"), "left")
         .select(col("id").as("doc_id"),
           coalesce(col("v"), col("id")).as("canonical_id"))
-        .localCheckpoint()
-      ss.createDataFrame(out.rdd, out.schema)
+        .localCheckpoint() // eager: materialized before the frees below
+      val res = ss.createDataFrame(out.rdd, out.schema)
+      eH.foreach(_.unpersist(blocking = false))
+      vertsH.foreach(_.unpersist(blocking = false))
+      res
     }
   }
 
