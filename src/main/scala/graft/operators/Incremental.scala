@@ -313,8 +313,10 @@ object Incremental {
         val committed = new java.io.File(stage, "MANIFEST").exists()
         if (committed) {
           publishManifest(d, stage)
-          if (stage.getName.startsWith("night_"))
-            new java.io.File(d.root, s"_${stage.getName}.done").createNewFile(): Unit
+          // Marker-managed nights (delta AND purge) get their done-
+          // marker here, so an at-least-once redelivery of the same
+          // night after the recovery is a no-op.
+          new java.io.File(d.root, s"_${stage.getName}.done").createNewFile(): Unit
         }
         deleteRec(stage)
         if (committed) Some(stage.getName) else None
@@ -538,10 +540,11 @@ object Incremental {
     * corpus. Runs under the same COMMIT PROTOCOL as [[nightOf]] — all
     * outputs staged, manifest rename commits, publish is idempotent. */
   private[graft] def purgeNightOf(
-      s: SparkSession, d: Dirs, purgeIds: DataFrame): PurgeAudit = {
-    val stage = stageDirOf(d, "purge")
+      s: SparkSession, d: Dirs, purgeIds: DataFrame,
+      tag: String = "purge"): PurgeAudit = {
+    val stage = stageDirOf(d, tag)
     require(!new java.io.File(stage, "MANIFEST").exists(),
-      "purge: a committed staging is pending — run recoverPending first")
+      s"$tag: a committed staging is pending — run recoverPending first")
     deleteRec(stage)
     val preFiles = snapshotFiles(new java.io.File(d.root))
     def st(a: String) = new java.io.File(stage, a).getPath
@@ -717,6 +720,25 @@ object Incremental {
     }
   }
 
+  /** [[purgeNightOf]] behind the same done-marker + recovery discipline
+    * — the idempotence the STREAMING takedown leg (st37) needs: a purge
+    * night is even less self-collapsing than a delta night (a replayed
+    * NEGATIVE df merge would decrement counts twice and trip the
+    * fail-loud non-negativity check at best, silently drop surviving
+    * paragraphs at worst). `tag` must be a deterministic function of
+    * the purge batch's CONTENT (the caller derives it from the purge
+    * predicate), so a replayed delivery maps to the same marker. */
+  private[graft] def purgeIdempotent(
+      s: SparkSession, d: Dirs, purgeIds: DataFrame, tag: String): Boolean = {
+    val recovered = recoverPending(d).contains(tag)
+    val marker = new java.io.File(d.root, s"_$tag.done")
+    if (marker.exists()) recovered
+    else {
+      purgeNightOf(s, d, purgeIds, tag)
+      marker.createNewFile()
+    }
+  }
+
   /** The full incremental run over any documents-shaped relation: base
     * build over every shard NOT in `deltaParts`, then one night per
     * delta shard in sequence. Relation-parametric so the spec can drive
@@ -755,6 +777,17 @@ object Incremental {
     * empties) live in IncrementalSpec. */
   private[graft] val PurgeMod = 16
   private[graft] val PurgeRem = 5
+
+  /** The funnel recompute over a purged world — the oracle every purge
+    * leg (pl12 batch, st37 streaming) converges to: pl08's CTE chain at
+    * this operator's threshold, source filtered to the SURVIVORS of
+    * `survivorPred`. */
+  private[graft] def purgedFunnelSql(survivorPred: String): String = {
+    val rows = Curation.funnelRowsSqlFor(MinDf, src = "purgesrc",
+      extraCtes = s"purgesrc AS (SELECT * FROM documents WHERE $survivorPred),\n")
+    s"""SELECT doc_id, lang, stage, CAST(doc_id % $Parts AS INT) AS part
+        FROM ($rows)"""
+  }
 
   private[graft] final case class Pl12Audit(
     dirs: Dirs, night: NightAudit, purge: PurgeAudit)
@@ -859,13 +892,8 @@ object Incremental {
     // filtered by the purge predicate) — the incremental purge must
     // converge to exactly the world in which the purged docs never
     // existed.
-    "pl12_takedown_purge" -> {
-      val rows = Curation.funnelRowsSqlFor(MinDf, src = "pl12src",
-        extraCtes =
-          s"pl12src AS (SELECT * FROM documents WHERE doc_id % $PurgeMod <> $PurgeRem),\n")
-      s"""SELECT doc_id, lang, stage, CAST(doc_id % $Parts AS INT) AS part
-          FROM ($rows)"""
-    },
+    "pl12_takedown_purge" ->
+      purgedFunnelSql(s"doc_id % $PurgeMod <> $PurgeRem"),
 
     // dq04's pairing over the purged WORLD (both tables filtered by the
     // takedown predicate) — the artifact-derived Spark counts must

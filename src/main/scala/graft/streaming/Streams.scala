@@ -415,17 +415,91 @@ object Streams {
     }
   }
 
+  /** st37's purge-request feed: two takedown batches (doc_id only),
+    * landed as separate files so the SECOND purge night runs against
+    * artifacts the first purge's rewrite already refreshed (the
+    * stale-side-artifact rot point, exercised not assumed). The two
+    * predicates are shard-confined to DIFFERENT crawl shards
+    * (doc_id%16 = 5 → shard 5, doc_id%16 = 9 → shard 1). */
+  private def st37PurgeFeed(s: SparkSession, d: String) = {
+    val ids = graft.sources.Tables.documents(s, d).select(col("doc_id"))
+    val feed = stagedFeed(s, d, "st37p") { f =>
+      val t0 = System.currentTimeMillis() - 180000
+      stageFeedFile(f, ids.filter(pmod(col("doc_id"), lit(16L)) === 5),
+        "p1.parquet", t0)
+      stageFeedFile(f, ids.filter(pmod(col("doc_id"), lit(16L)) === 9),
+        "p2.parquet", t0 + 60000)
+    }
+    (feed, ids.schema)
+  }
+
+  /** st37's build — STREAMING TAKEDOWN: pl12's purge night driven by
+    * arriving delete-request micro-batches (the GDPR/licensing queue a
+    * production corpus actually consumes) instead of a batch runner.
+    * The full corpus is built once pre-stream; each trigger lands one
+    * takedown batch and runs the complete O(purge + affected) DELETE
+    * night (negative df merge, downward crossings, re-canonicalization,
+    * physical removal) under the night commit protocol, behind a
+    * CONTENT-DERIVED purge marker (Incremental.purgeIdempotent — the
+    * batch's doc_id%16 remainder names the night, so an at-least-once
+    * replay maps to the same marker and is a structural no-op).
+    * Memoized per (app, fixture); oracle = the funnel recompute over
+    * the survivors of BOTH purges. */
+  private val stagedPurgeStreams =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.Incremental.Dirs]
+  private def st37StreamRun(s: SparkSession, d: String): graft.operators.Incremental.Dirs = {
+    import graft.operators.Incremental
+    val root = graft.sources.Scratch.dir(s, d, "st37_root")
+    stagedPurgeStreams.synchronized {
+      stagedPurgeStreams.getOrElseUpdate(root, {
+        val fsPath = new org.apache.hadoop.fs.Path(root)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+        val dirs = Incremental.Dirs(root)
+        Incremental.baseBuild(s, dirs,
+          graft.sources.Tables.documents(s, d)
+            .select(col("doc_id"), col("lang"), col("text")))
+        val (feed, schema) = st37PurgeFeed(s, d)
+        val rem = pmod(col("doc_id"), lit(16L)).cast("int")
+        val q = s.readStream.schema(schema)
+          .option("pathGlobFilter", "*.parquet")
+          .option("maxFilesPerTrigger", "1") // one takedown batch per trigger
+          .parquet(feed.toString)
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // Purge groups present in this trigger — a bounded driver
+            // scalar (st22's routing class); processed in remainder
+            // order so a combined trigger applies purges in sequence.
+            val rems = batch.select(rem.as("r")).distinct()
+              .collect().map(_.getInt(0)).toSeq.sorted
+            rems.foreach { r =>
+              Incremental.purgeIdempotent(s, dirs,
+                batch.filter(rem === r), s"purge_r$r")
+              ()
+            }
+          }
+          .start()
+        q.awaitTermination()
+        org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+        dirs
+      })
+    }
+  }
+
   /** Bench-setup hook: build every staged feed for fixture `d` so the
     * timed streaming queries measure the operator, not the scaffold. */
   def prepareFeeds(s: SparkSession, d: String): Unit = {
     st06Feed(s, d); st14Feed(s, d); st16Feed(s, d)
-    docsFeed(s, d); embFeed(s, d); pl11DeltaFeed(s, d)
+    docsFeed(s, d); embFeed(s, d); pl11DeltaFeed(s, d); st37PurgeFeed(s, d)
     ()
   }
 
-  /** Bench-setup hook: run st35's one-time streamed build pre-clock
-    * (pl11Run's discipline — the timed query measures the read-back). */
+  /** Bench-setup hook: run st35's/st37's one-time streamed builds
+    * pre-clock (pl11Run's discipline — the timed query measures the
+    * read-back). */
   def prepareIncrementalStream(s: SparkSession, d: String): Unit = {
+    st37StreamRun(s, d)
     pl11StreamRun(s, d)
     ()
   }
@@ -1450,6 +1524,22 @@ object Streams {
         .select(col("doc_id"), col("lang"), col("stage"), col("part"))
     }),
 
+    // -- STREAMING TAKEDOWN — pl12's DELETE night driven by arriving
+    //    delete-request micro-batches (the GDPR/licensing queue): each
+    //    trigger runs the full purge night (negative df merge, downward
+    //    crossings resurfacing paragraphs, re-canonicalization where a
+    //    group minimum departs, physical removal from every ledger)
+    //    against artifacts the previous purge already rewrote, under
+    //    the night commit protocol behind CONTENT-DERIVED purge markers
+    //    (purgeIdempotent — replays are structural no-ops). The result
+    //    must converge to the funnel recompute over the survivors of
+    //    BOTH purges.
+    "st37_stream_takedown" -> ((s, d) => {
+      val dirs = st37StreamRun(s, d)
+      s.read.parquet(dirs.table)
+        .select(col("doc_id"), col("lang"), col("stage"), col("part"))
+    }),
+
     // -- STREAMING RAG SERVING — the full retrieval path as a stream
     //    (st22 serves the PROBE; this serves the whole pl06 pipeline):
     //    query vectors arrive on the feed, each micro-batch probes the
@@ -2150,6 +2240,11 @@ object Streams {
     // recompute over the final corpus — pl11's oracle verbatim.
     "st35_stream_incremental_curation" ->
       graft.operators.Incremental.oracleSql("pl11_incremental_snapshot"),
+    // st37: the streamed purges must converge to the funnel recompute
+    // over the world in which BOTH takedown batches never existed.
+    "st37_stream_takedown" ->
+      graft.operators.Incremental
+        .purgedFunnelSql("doc_id % 16 NOT IN (5, 9)"),
     // st34: bucket counts are additive, so the whole-table histogram +
     // rank walk is the exact twin of the merged micro-batch partials.
     "st34_stream_quantile_monitor" ->

@@ -387,6 +387,31 @@ class IncrementalSpec extends SparkSpec {
     assert(Incremental.recoverPending(d).isEmpty)
   }
 
+  test("streamed purges are replay-idempotent behind content-derived markers") {
+    import spark.implicits._
+    // A purge night is not self-collapsing (a replayed NEGATIVE df
+    // merge would decrement twice): the content-derived marker must
+    // make redelivery a structural no-op — st37's at-least-once class.
+    val docs = Seq(
+      (4L, "en", "walnutt5 velvetty5 dcareone5 dcaretwo5"),
+      (13L, "en", "walnutt5 velvetty5 equalone5 equaltwo5"),
+      (7L, "en", "untouched5 pristine5 stays5 same5")
+    ).toDF("doc_id", "lang", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_st37_replay").toString
+    val d = Incremental.Dirs(root)
+    Incremental.baseBuild(spark, d, docs)
+    val purge = Seq(13L).toDF("doc_id")
+    assert(Incremental.purgeIdempotent(spark, d, purge, "purge_r13"),
+      "first delivery did not run the purge")
+    def tree = graft.sources.Scratch.snapshotTree(new java.io.File(root))
+    val after1 = tree
+    assert(!Incremental.purgeIdempotent(spark, d, purge, "purge_r13"),
+      "replayed purge ran again past the done-marker")
+    assert(tree == after1, "replayed purge mutated the artifact tree")
+    assert(spark.read.parquet(d.docs).filter(col("doc_id") === 13L).isEmpty)
+  }
+
   test("pl13 composed takedown: both modality legs purge, neither leaks") {
     val (textDirs, vecLive) = Incremental.pl13Run(spark, sfDir)
     val purgedDoc = col("doc_id") % Incremental.PurgeMod === Incremental.PurgeRem
