@@ -174,6 +174,38 @@ object Multimodal {
     * long in both engines. */
   private[graft] val WideHashBits = WideGridRows * (WideGridCols - 1)
 
+  /** mm12's takedown-seed predicate (doc_id % mod = rem) — chosen so
+    * the seed set intersects the fixture's perceptual pair graph at
+    * every SF (verified against the brute pair oracle: ≥3 paired seeds
+    * at sf0.001 and sf0.01), making the cluster EXPANSION non-vacuous;
+    * deterministic and SQL-twin-able like pl12's purge predicate. */
+  private[graft] val TakedownSeedMod = 13
+  private[graft] val TakedownSeedRem = 4
+
+  /** mm09's brute-force pair set as DuckDB SQL (doc_a, doc_b) — the
+    * shared oracle building block for the cluster consumers (mm11
+    * survivorship, mm12 takedown propagation). */
+  private val mm9BrutePairsSql = """WITH pb AS (
+           SELECT doc_id, list_transform(range(16),
+             i -> CAST(concat('0x', substr(md5(text), CAST(i AS INT)*2+1, 2))
+                    AS BIGINT)) AS p
+           FROM documents),
+         ph AS (
+           SELECT doc_id,
+             CAST(list_sum(list_transform(range(15),
+               i -> CASE WHEN p[CAST(i AS INT)+1] < p[CAST(i AS INT)+2]
+                    THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT)
+             + CAST(list_sum(list_transform(range(12),
+               i -> CASE WHEN p[CAST(i AS INT)+1] < p[CAST(i AS INT)+5]
+                    THEN (1::BIGINT << (15 + CAST(i AS INT))) ELSE 0 END))
+               AS BIGINT) AS phash
+           FROM pb)
+         SELECT doc_a, doc_b FROM (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.phash, b.phash)) AS hamming
+           FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
+         WHERE hamming <= 2"""
+
   /** mm10's decode+hash pass: parse the GRF-v3 container and compute
     * the [[WideHashBits]]-bit gradient dHash over the decoded raster.
     * Same typed-mapPartitions shape as [[phashOf]]; a media library's
@@ -451,6 +483,35 @@ object Multimodal {
           col("kept_m").as("kept_pixels"))
     }),
 
+    // -- PERCEPTUAL TAKEDOWN PROPAGATION — the blob-side expansion a
+    //    real takedown needs (an image's takedown must reach its crops
+    //    and re-encodes, not just the reported blob): a deterministic
+    //    SEED set expands to EVERY member of every perceptual cluster
+    //    (mm09's pairs → dd09's componentsOf) containing a seed, and
+    //    the emitted manifest — (doc_id, seed|neardup) — is exactly
+    //    what pl12/st37's purge nights consume as purgeIds. Seeds with
+    //    no near-dups purge alone (they have no pair-graph row — the
+    //    union covers them); cluster members' shuffles are id-only and
+    //    the seed-canonical relation is a corpus fraction → both joins
+    //    shuffle-hash, never broadcast.
+    "mm12_takedown_propagation" -> ((s, d) => {
+      val seedPred = pmod(col("doc_id"), lit(TakedownSeedMod.toLong)) ===
+        TakedownSeedRem
+      val seeds = Tables.documents(s, d).select(col("doc_id"))
+        .filter(seedPred)
+      val labels = Dedup.componentsOf(
+        queries("mm09_phash_neardup")(s, d).select(col("doc_a"), col("doc_b")))
+      val seedCanon = labels.hint("shuffle_hash")
+        .join(seeds.hint("shuffle_hash"), Seq("doc_id"))
+        .select(col("canonical_id")).distinct()
+      val members = labels.hint("shuffle_hash")
+        .join(seedCanon.hint("shuffle_hash"), Seq("canonical_id"))
+        .select(col("doc_id"))
+      members.unionByName(seeds).distinct()
+        .select(col("doc_id"),
+          when(seedPred, "seed").otherwise("neardup").as("reason"))
+    }),
+
     // -- BATCHED feature extraction — the GPU-inference deployment
     //    shape (`mapInPandas` batch-UDF analog in typed Scala): one
     //    expensive model handle per PARTITION (here the digest stands
@@ -607,31 +668,12 @@ object Multimodal {
              CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
            FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
          WHERE hamming <= 2""",
-    // mm11: exact recursive-CTE reachability over mm09's brute-force
-    // pair set (dd09's oracle discipline), then keep-best ranked by the
-    // closed-form decoded pixel count (mm02's header arithmetic).
-    "mm11_phash_survivorship" -> {
-      val mm9 = """WITH pb AS (
-           SELECT doc_id, list_transform(range(16),
-             i -> CAST(concat('0x', substr(md5(text), CAST(i AS INT)*2+1, 2))
-                    AS BIGINT)) AS p
-           FROM documents),
-         ph AS (
-           SELECT doc_id,
-             CAST(list_sum(list_transform(range(15),
-               i -> CASE WHEN p[CAST(i AS INT)+1] < p[CAST(i AS INT)+2]
-                    THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT)
-             + CAST(list_sum(list_transform(range(12),
-               i -> CASE WHEN p[CAST(i AS INT)+1] < p[CAST(i AS INT)+5]
-                    THEN (1::BIGINT << (15 + CAST(i AS INT))) ELSE 0 END))
-               AS BIGINT) AS phash
-           FROM pb)
-         SELECT doc_a, doc_b FROM (
-           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             bit_count(xor(a.phash, b.phash)) AS hamming
-           FROM ph a JOIN ph b ON a.doc_id < b.doc_id)
-         WHERE hamming <= 2"""
-      s"""WITH RECURSIVE mmpairs AS ($mm9),
+    // mm11/mm12: exact recursive-CTE reachability over mm09's
+    // brute-force pair set (dd09's oracle discipline); mm11 then ranks
+    // keep-best by the closed-form decoded pixel count (mm02's header
+    // arithmetic), mm12 restricts to seed-containing components.
+    "mm11_phash_survivorship" ->
+      s"""WITH RECURSIVE mmpairs AS ($mm9BrutePairsSql),
           mmedges AS (SELECT doc_a AS src, doc_b AS dst FROM mmpairs
                       UNION ALL
                       SELECT doc_b, doc_a FROM mmpairs),
@@ -656,8 +698,43 @@ object Multimodal {
             CAST(sum(n_pixels) AS BIGINT) AS total_pixels,
             min(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
             min(CASE WHEN rn = 1 THEN n_pixels END) AS kept_pixels
-          FROM mmrk GROUP BY canonical_id"""
-    },
+          FROM mmrk GROUP BY canonical_id""",
+
+    // mm12: the same recursive reachability, restricted to components
+    // containing a SEED — the takedown manifest's oracle. The manifest
+    // unions the seeds themselves (a seed with no near-dups purges
+    // alone; it has no mmlbl row — the pair graph only knows paired
+    // docs). The final DISTINCT is LOAD-BEARING: inside WITH RECURSIVE,
+    // DuckDB evaluates a non-self-referencing CTE's UNION as UNION ALL
+    // (verified: `WITH RECURSIVE r(..) .., a AS (SELECT 1 UNION
+    // SELECT 1) SELECT count(*) FROM a` returns 2), so mmman's union
+    // does NOT dedup the seed∩member overlap.
+    "mm12_takedown_propagation" ->
+      s"""WITH RECURSIVE mmpairs AS ($mm9BrutePairsSql),
+          mmedges AS (SELECT doc_a AS src, doc_b AS dst FROM mmpairs
+                      UNION ALL
+                      SELECT doc_b, doc_a FROM mmpairs),
+          mmverts AS (SELECT DISTINCT src AS id FROM mmedges),
+          mmreach(id, r) AS (
+            SELECT id, id FROM mmverts
+            UNION
+            SELECT mmedges.src, mmreach.r
+            FROM mmedges JOIN mmreach ON mmreach.id = mmedges.dst),
+          mmlbl AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS canonical_id
+                    FROM mmreach GROUP BY id),
+          mmseeds AS (SELECT doc_id FROM documents
+                      WHERE doc_id % $TakedownSeedMod = $TakedownSeedRem),
+          mmsc AS (SELECT DISTINCT l.canonical_id
+                   FROM mmlbl l JOIN mmseeds s ON l.doc_id = s.doc_id),
+          mmman AS (
+            SELECT l.doc_id FROM mmlbl l
+            JOIN mmsc c ON l.canonical_id = c.canonical_id
+            UNION
+            SELECT doc_id FROM mmseeds)
+          SELECT DISTINCT doc_id,
+            CASE WHEN doc_id % $TakedownSeedMod = $TakedownSeedRem
+                 THEN 'seed' ELSE 'neardup' END AS reason
+          FROM mmman""",
     // Recomputes the md5-derived fake embedding per byte: byte i of the
     // digest is hex chars [2i+1, 2i+2], offset to [-128, 127].
     "mm07_batch_infer" ->

@@ -1167,6 +1167,42 @@ class OperatorsSpec extends SparkSpec {
       s"extra=${(got diff expect).take(3)} missed=${(expect diff got).take(3)}")
   }
 
+  // mm12: the takedown manifest must be the CLOSURE of the seed set
+  // under perceptual-cluster membership — every cluster touching a
+  // manifest member is fully contained, the expansion is non-vacuous
+  // (real neardup rows on the fixture), and nothing outside
+  // seeds ∪ their clusters leaks in.
+  test("mm12 takedown manifest is the exact seed-cluster closure") {
+    val pairs = SparkEntry.queries("mm09_phash_neardup")(spark, sfDir)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val allDocs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    val seeds = allDocs.filter(id =>
+      id % Multimodal.TakedownSeedMod == Multimodal.TakedownSeedRem).toSet
+    val seedRoots = seeds.filter(parent.contains).map(find)
+    val expect = seeds ++ parent.keys.filter(m => seedRoots(find(m)))
+    val got = SparkEntry.queries("mm12_takedown_propagation")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == expect,
+      s"extra=${(got.keySet diff expect).take(3)} " +
+        s"missed=${(expect diff got.keySet).take(3)}")
+    assert(got.count(_._2 == "neardup") > 0,
+      "no propagation on the fixture — the expansion is vacuous")
+    assert(got.forall { case (id, reason) =>
+      (reason == "seed") == seeds(id)
+    }, "reason labels disagree with the seed predicate")
+  }
+
   // pl05: full driver-side recomputation of the composed web-curation
   // pipeline (extract -> paragraph dedup -> quality gate -> exact
   // dedup) — the structural ground truth (4 extracted blocks per doc,
