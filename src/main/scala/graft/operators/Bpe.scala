@@ -428,20 +428,28 @@ object Bpe {
     // -- The VOCABULARY artifact — merges (ta29) map text to symbols;
     //    the vocab maps symbols to integer token ids, and a training
     //    launcher sizes its embedding matrix from exactly this relation.
-    //    Corpus symbol frequencies come from the staged DICT, weighted
-    //    by word frequency — a vocab-sized input (Heaps-law sublinear),
-    //    NOT a corpus rescan: freq-weighted symbol counts over the dict
-    //    equal encoded-corpus symbol counts exactly, because every
-    //    non-delimiter token is a dict word. Ids are assigned by
+    //    GPT-2's shape: the COMPLETE 256-entry byte base alphabet ships
+    //    (zero-frequency bytes included — every possible input byte has
+    //    a token id, which is what makes encode UNK-free by
+    //    construction, not by luck of corpus coverage) plus the merged
+    //    symbols. Corpus symbol frequencies come from the staged DICT,
+    //    weighted by word frequency — a vocab-sized input (Heaps-law
+    //    sublinear), NOT a corpus rescan: freq-weighted symbol counts
+    //    over the dict equal encoded-corpus symbol counts exactly,
+    //    because every token is a dict word. Ids are assigned by
     //    (freq desc, symbol asc) — deterministic cross-engine. The
     //    global row_number runs over the VOCAB relation only (the
     //    shipped artifact is bounded — real tokenizers cap it at ~100k
     //    entries), the documented bounded-relation class.
     "ta30_bpe_vocab" -> ((s, d) => {
       val w = Window.orderBy(col("freq").desc, col("symbol").asc)
-      bpeDict(s, d)
+      val corpus = bpeDict(s, d)
         .select(col("freq").as("wf"), explode(expr(arr)).as("symbol"))
         .groupBy(col("symbol")).agg(sum(col("wf")).as("freq"))
+      val base = s.range(256)
+        .select(format_string("%02X", col("id")).as("symbol"))
+      base.join(corpus, Seq("symbol"), "full_outer")
+        .select(col("symbol"), coalesce(col("freq"), lit(0L)).as("freq"))
         .select(row_number().over(w).as("token_id"), col("symbol"), col("freq"))
     }),
 
@@ -463,6 +471,46 @@ object Bpe {
     //    the lang flag-back is corpus-sized on both sides → shuffle-
     //    hash; the result is O(languages). Fertility reported in exact
     //    integer ppm (floor division — engine-neutral, no float sums).
+    // -- THE TOKEN-ID ENCODING — the tensor a training run consumes:
+    //    every document as its ORDERED token-id sequence under the
+    //    shipped vocab (ta30's ids — byte base included, so the id
+    //    lookup is TOTAL: even an OOV word's byte fallback resolves).
+    //    Per doc: n_tokens (≡ ta26's subword count), a commutative
+    //    id_sum cross-check, and an md5 of the space-joined id sequence
+    //    in (word pos, symbol pos) order — the md5 pins the ORDER,
+    //    which is what the packed training tensor actually is. Vocab
+    //    and dict are corpus-derived → shuffle-hash joins; the per-doc
+    //    reassembly is a document-bounded sorted collect (pl06's
+    //    class); id resolution is an INNER join — a missing id would
+    //    DROP a token and fail the oracle hash, never emit an UNK.
+    "ta38_token_ids" -> ((s, d) => {
+      val vocab = queries("ta30_bpe_vocab")(s, d)
+        .select(col("symbol"), col("token_id"))
+      val tok = Tables.documents(s, d).select(col("doc_id"),
+        posexplode(expr(toksND)).as(Seq("pos", "word")))
+      val syms = tok.hint("shuffle_hash")
+        .join(bpeDict(s, d).select(col("word"), col("s")).hint("shuffle_hash"),
+          Seq("word"), "left")
+        .select(col("doc_id"), col("pos"),
+          coalesce(col("s"), expr(byteStateSql("word"))).as("s"))
+        .select(col("doc_id"), col("pos"),
+          posexplode(expr(arr)).as(Seq("k", "symbol")))
+      val perDoc = syms.hint("shuffle_hash")
+        .join(vocab.hint("shuffle_hash"), Seq("symbol"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("token_id").cast("long")).as("id_sum"),
+          md5(array_join(expr(
+            "transform(array_sort(collect_list(struct(pos, k, token_id))), " +
+              "x -> cast(x.token_id as string))"), " ")).as("ids_md5"))
+      Tables.documents(s, d).select(col("doc_id")).hint("shuffle_hash")
+        .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("id_sum"), lit(0L)).as("id_sum"),
+          coalesce(col("ids_md5"), md5(lit(""))).as("ids_md5"))
+    }),
+
     "ta34_tokenizer_fertility" -> ((s, d) => {
       val stats = stagedDocStats(s, d)
         .select(col("doc_id"), col("n_words"), col("n_subwords"))
@@ -562,6 +610,24 @@ object Bpe {
           FROM bpe_enc GROUP BY doc_id)"""
   }
 
+  /** ta30's vocab as a DuckDB SELECT (assumes bpe_w{Rounds} in scope) —
+    * shared by the ta30 oracle and ta38's id-resolution oracle. */
+  private def vocabSqlBody: String =
+    s"""SELECT CAST(row_number() OVER (ORDER BY freq DESC, symbol ASC) AS INT)
+            AS token_id,
+          symbol, freq
+        FROM (
+          SELECT coalesce(c.symbol, b.symbol) AS symbol,
+            CAST(coalesce(c.freq, 0) AS BIGINT) AS freq
+          FROM (SELECT printf('%02X', CAST(i AS INT)) AS symbol
+                FROM range(256) t(i)) b
+          FULL JOIN (
+            SELECT symbol, CAST(sum(freq) AS BIGINT) AS freq FROM (
+              SELECT freq, unnest(string_split(s[2:], '|')) AS symbol
+              FROM bpe_w$Rounds)
+            GROUP BY symbol) c
+          ON b.symbol = c.symbol)"""
+
   def oracleSql: Map[String, String] = Map(
     "ta26_bpe_tokenize" ->
       s"""$withSqlPrefix
@@ -583,14 +649,7 @@ object Bpe {
     },
     "ta30_bpe_vocab" ->
       s"""$withSqlPrefix
-          SELECT CAST(row_number() OVER (ORDER BY freq DESC, symbol ASC) AS INT)
-              AS token_id,
-            symbol, freq
-          FROM (
-            SELECT symbol, CAST(sum(freq) AS BIGINT) AS freq FROM (
-              SELECT freq, unnest(string_split(s[2:], '|')) AS symbol
-              FROM bpe_w$Rounds)
-            GROUP BY symbol)""",
+          $vocabSqlBody""",
     "ta33_bpe_roundtrip" ->
       s"""$withSqlPrefix,
           rt_l AS (
@@ -618,6 +677,41 @@ object Bpe {
               = md5(array_to_string(list_filter(string_split(d.text, ' '),
                   x -> x <> ''), ' ')) AS roundtrip_ok
           FROM documents d LEFT JOIN rt_doc r ON d.doc_id = r.doc_id""",
+    "ta38_token_ids" ->
+      s"""$withSqlPrefix,
+          v38 AS ($vocabSqlBody),
+          l38 AS (
+            SELECT doc_id, list_filter(string_split(text, ' '),
+              x -> x <> '') AS l
+            FROM documents),
+          t38 AS (
+            SELECT doc_id, unnest(range(len(l))) AS pos, unnest(l) AS word
+            FROM l38),
+          s38 AS (
+            SELECT t.doc_id, t.pos,
+              string_split(coalesce(w.s, ${dbByteState("t.word")})[2:], '|')
+                AS syms
+            FROM t38 t LEFT JOIN bpe_w$Rounds w ON t.word = w.word),
+          y38 AS (
+            SELECT doc_id, pos, unnest(list_transform(range(len(syms)),
+              i -> struct_pack(k := i, symbol := syms[CAST(i AS INT)+1])),
+              recursive := true)
+            FROM s38),
+          i38 AS (
+            SELECT y.doc_id, y.pos, y.k, v.token_id
+            FROM y38 y JOIN v38 v ON y.symbol = v.symbol),
+          d38 AS (
+            SELECT doc_id, count(*) AS n_tokens,
+              CAST(sum(token_id) AS BIGINT) AS id_sum,
+              md5(string_agg(CAST(token_id AS VARCHAR), ' '
+                ORDER BY pos, k)) AS ids_md5
+            FROM i38 GROUP BY doc_id)
+          SELECT d.doc_id,
+            CAST(coalesce(x.n_tokens, 0) AS BIGINT) AS n_tokens,
+            CAST(coalesce(x.id_sum, 0) AS BIGINT) AS id_sum,
+            coalesce(x.ids_md5, md5('')) AS ids_md5
+          FROM documents d LEFT JOIN d38 x ON d.doc_id = x.doc_id""",
+
     "ta34_tokenizer_fertility" ->
       s"""$withSqlPrefix
           SELECT lang, count(*) AS n_docs,

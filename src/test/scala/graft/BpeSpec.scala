@@ -142,7 +142,14 @@ class BpeSpec extends SparkSpec {
       .groupMapReduce(_._1)(_._2)(_ + _)
     val got = graft.SparkEntry.queries("ta30_bpe_vocab")(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
-    assert(got.map(t => t._2 -> t._3).toMap == refVocab, "symbol frequencies differ")
+    val gotMap = got.map(t => t._2 -> t._3).toMap
+    // Symbols with corpus mass = exactly the reference's weighted
+    // counts; the COMPLETE 256-byte base ships alongside (zero-freq
+    // bytes included — every possible input byte has a token id).
+    assert(gotMap.filter(_._2 > 0) == refVocab, "symbol frequencies differ")
+    val allBytes = (0 until 256).map(i => f"$i%02X").toSet
+    assert(gotMap.keySet == allBytes ++ refVocab.keySet,
+      "vocab is not byte-base ∪ corpus symbols")
     // Ids are 1..N in (freq desc, symbol asc) order — the embedding-
     // matrix contract.
     val sorted = got.sortBy(_._1)
@@ -255,6 +262,20 @@ class BpeSpec extends SparkSpec {
     val without = Seq(("a", "b", 10L), ("c", "d", 8L), ("x", "y", 8L))
       .toDF("a", "b", "cnt")
     assert(Bpe.batchSelect(without) == Seq(("a", "b"), ("c", "d"), ("x", "y")))
+  }
+
+  test("ta38 token-id resolution is total: count parity with ta26") {
+    // ta38 resolves every emitted symbol through an INNER vocab join —
+    // a missing id would silently drop a token. Parity of per-doc
+    // token counts with ta26's subword counts proves nothing dropped
+    // (the byte base makes the lookup total by construction).
+    val ids = graft.SparkEntry.queries("ta38_token_ids")(spark, sfDir)
+      .select(col("doc_id"), col("n_tokens"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val subs = Bpe.docSubwords(spark, sfDir)
+      .select(col("doc_id"), col("n_subwords"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ids == subs, "a token dropped at id resolution")
   }
 
   test("byte-level base: any script encodes with zero UNKs and round-trips losslessly") {
