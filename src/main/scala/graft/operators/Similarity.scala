@@ -32,7 +32,7 @@ import graft.functions.VectorFunctions.vecDot
   */
 object Similarity {
 
-  private def vecs(s: SparkSession, d: String): DataFrame =
+  private[graft] def vecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(
       col("vec_id"), col("label"), col("embedding").as("e"))
       // Norm is per-vector: computed once here, never per candidate pair.
@@ -291,23 +291,10 @@ object Similarity {
           .select(col("vec_id"), col("label"))
           .write.mode("overwrite").partitionBy("label").parquet(tomb.getPath)
         val pre = snapshot(live)
-        val tombDf = s.read.parquet(tomb.getPath)
-        val affected = tombDf.select(col("label")).distinct()
+        deleteCompactCells(s, live.getPath, s.read.parquet(tomb.getPath))
+        val affected = s.read.parquet(tomb.getPath)
+          .select(col("label")).distinct()
           .collect().map(_.getInt(0)).toSeq.sorted
-        val survivors = s.read.parquet(live.getPath)
-          .filter(col("label").isin(affected: _*))
-          .join(tombDf.select(col("vec_id")).hint("shuffle_hash"),
-            Seq("vec_id"), "left_anti")
-          .select(col("vec_id"), col("e"), col("nrm"), col("label"))
-          .localCheckpoint() // materialize before replacing the dirs it reads
-        affected.foreach { lbl =>
-          def rm(f: java.io.File): Unit = {
-            val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-            f.delete(): Unit
-          }
-          rm(new java.io.File(live, s"label=$lbl"))
-        }
-        survivors.write.mode("append").partitionBy("label").parquet(live.getPath)
         DeleteAudit(live.getPath, tomb.getPath, affected, pre, snapshot(live))
       })
     }
@@ -315,6 +302,50 @@ object Similarity {
 
   private[graft] def ivfDeleted(s: SparkSession, d: String): DeleteAudit =
     ivfDeleteRun(s, "del", d, col("vec_id") % 7 === 3 && col("label") < 5)
+
+  /** The DELETE-COMPACTION kernel shared by every vector delete leg
+    * (ss15 batch, pl13's composed takedown, st38's streaming tombstone
+    * ingest): rewrite ONLY the cells holding tombstoned rows, via a
+    * STAGED SWAP so a crash can never strand a half-rewritten cell —
+    * survivors of the affected cells are written aside (with their
+    * _SUCCESS marker), then each affected cell dir is deleted and its
+    * staged replacement renamed in (a fully-deleted cell stages no dir
+    * — delete-only, the ghost rule). Idempotent under replay and under
+    * crash-restart at any point: as long as the tombstones are still
+    * pending, a re-run recomputes survivors from the CURRENT live tree
+    * (already-swapped cells simply have nothing left to remove) and
+    * re-swaps — deletes are naturally self-collapsing. Returns the
+    * affected cell ids (a ≤cell-count driver scalar). */
+  private[graft] def deleteCompactCells(
+      s: SparkSession, live: String, tomb: DataFrame): Seq[Int] = {
+    def rm(f: java.io.File): Unit = {
+      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+      f.delete(): Unit
+    }
+    val tombIds = tomb.select(col("vec_id")).distinct()
+    val affected = tomb.select(col("label")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.isEmpty) affected
+    else {
+      val tmp = new java.io.File(live + "_delcompact")
+      rm(tmp)
+      s.read.parquet(live)
+        .filter(col("label").isin(affected: _*))
+        .join(tombIds.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("e"), col("nrm"), col("label"))
+        .write.mode("overwrite").partitionBy("label").parquet(tmp.getPath)
+      affected.foreach { lbl =>
+        val liveCell = new java.io.File(live, s"label=$lbl")
+        val stagedCell = new java.io.File(tmp, s"label=$lbl")
+        rm(liveCell)
+        if (stagedCell.exists())
+          require(stagedCell.renameTo(liveCell),
+            s"delete compaction: swap of cell $lbl failed")
+      }
+      rm(tmp)
+      affected
+    }
+  }
 
   private val stagedDelAudits =
     scala.collection.concurrent.TrieMap.empty[String, DeleteAudit]
@@ -1160,7 +1191,10 @@ object Similarity {
   /** ss15's oracle: ss02's probe with the tombstoned rows (vec_id % 7 =
     * 3 in cells 0-4) removed from the INDEX side only — queries are
     * external input and keep their vectors. */
-  private lazy val dIvfTopkDel =
+  /** ss02's exact probe with the index side EXCLUDING `deletedPred`
+    * (over alias b) — the shared surviving-corpus oracle for every
+    * delete leg (ss15 batch, st38 streaming). */
+  private[graft] def dIvfTopkExcluding(deletedPred: String): String =
       s"""WITH v AS ($dVecs)
           SELECT query_id, neighbor_id, cos, rnk FROM (
             SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -1169,8 +1203,11 @@ object Similarity {
                 ORDER BY $dCosAB DESC, b.vec_id ASC) AS INT) AS rnk
             FROM v a JOIN v b
               ON a.vec_id % 50 = 0 AND a.label = b.label AND a.vec_id <> b.vec_id
-              AND NOT (b.vec_id % 7 = 3 AND b.label < 5))
+              AND NOT ($deletedPred))
           WHERE rnk <= 3"""
+
+  private lazy val dIvfTopkDel =
+    dIvfTopkExcluding("b.vec_id % 7 = 3 AND b.label < 5")
 
   private lazy val dLshAnn =
       s"""WITH v AS ($dVecs),

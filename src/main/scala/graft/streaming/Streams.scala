@@ -487,11 +487,98 @@ object Streams {
     }
   }
 
+  /** st38's tombstone feed: two vector-delete batches (vec_id + the
+    * cell routing key the production delete queue carries), mirroring
+    * st37's text-side predicates. */
+  private def st38TombFeed(s: SparkSession, d: String) = {
+    val ids = graft.sources.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"))
+    val feed = stagedFeed(s, d, "st38t") { f =>
+      val t0 = System.currentTimeMillis() - 180000
+      stageFeedFile(f, ids.filter(pmod(col("vec_id"), lit(16L)) === 5),
+        "t1.parquet", t0)
+      stageFeedFile(f, ids.filter(pmod(col("vec_id"), lit(16L)) === 9),
+        "t2.parquet", t0 + 60000)
+    }
+    (feed, ids.schema)
+  }
+
+  /** st38's per-trigger step, extracted pure for the replay spec:
+    * append the arriving tombstones to the cell-partitioned pending
+    * ledger (O(deletes)), then DELETE-COMPACT every pending tombstone
+    * into the live index (Similarity.deleteCompactCells — the staged-
+    * swap kernel ss15 uses) and retire the ledger. Unlike the text
+    * nights, NO done-marker is needed: deletes are naturally
+    * self-collapsing — a replayed batch re-appends ids that are
+    * already gone from the index, the anti-join removes nothing, and
+    * the retire empties the ledger again (the spec replays a middle
+    * batch and pins byte-level convergence). A crash between compact
+    * and retire re-compacts as a no-op on restart; a crash mid-swap is
+    * covered by the kernel's staged-swap idempotence. */
+  private[graft] def vecTombStep(
+      batch: DataFrame, liveDir: String, tombDir: String): Unit = {
+    import graft.operators.Similarity
+    val ss = batch.sparkSession
+    batch.select(col("vec_id"), col("label"))
+      .write.mode("append").partitionBy("label").parquet(tombDir)
+    val pending = ss.read.parquet(tombDir)
+      .select(col("vec_id"), col("label")).localCheckpoint()
+    Similarity.deleteCompactCells(ss, liveDir, pending)
+    // Retire the compacted ledger: overwrite with an empty, correctly
+    // typed relation (neardupSeed's bootstrap discipline) so the next
+    // trigger's read-back and the final merge-on-read probe stay valid.
+    pending.filter(lit(false))
+      .write.mode("overwrite").parquet(tombDir)
+  }
+
+  /** st38's build — STREAMING VECTOR TOMBSTONE INGEST: the vector-side
+    * twin of st37 (batch: ss15 / pl13; stream: this): delete requests
+    * arrive as micro-batches, each trigger lands its tombstones in the
+    * pending ledger and delete-compacts them into the live index —
+    * trigger 2's compaction rewrites cells trigger 1 already swapped
+    * (the stale-artifact exercise). Serving always goes through
+    * MERGE-ON-READ against the pending ledger ([[graft.operators
+    * .Similarity.probeWithTombstones]]), so deletes are visible even
+    * between a ledger append and its compaction. Memoized per (app,
+    * fixture); oracle = ss02's exact probe over the survivors. */
+  private val stagedVecTombRuns =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def st38StreamRun(s: SparkSession, d: String): (String, String) = {
+    import graft.operators.Similarity
+    val live = graft.sources.Scratch.dir(s, d, "st38_live")
+    val tombDir = graft.sources.Scratch.dir(s, d, "st38_tomb")
+    stagedVecTombRuns.synchronized {
+      stagedVecTombRuns.getOrElseUpdate(live, {
+        val vecsAll = Similarity.vecs(s, d)
+          .select(col("vec_id"), col("e"), col("nrm"), col("label"))
+        vecsAll.write.mode("overwrite").partitionBy("label").parquet(live)
+        vecsAll.filter(lit(false)).select(col("vec_id"), col("label"))
+          .write.mode("overwrite").parquet(tombDir)
+        val (feed, schema) = st38TombFeed(s, d)
+        val q = s.readStream.schema(schema)
+          .option("pathGlobFilter", "*.parquet")
+          .option("maxFilesPerTrigger", "1") // one delete batch per trigger
+          .parquet(feed.toString)
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            vecTombStep(batch, live, tombDir)
+          }
+          .start()
+        q.awaitTermination()
+        org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+        (live, tombDir)
+      })
+    }
+  }
+
   /** Bench-setup hook: build every staged feed for fixture `d` so the
     * timed streaming queries measure the operator, not the scaffold. */
   def prepareFeeds(s: SparkSession, d: String): Unit = {
     st06Feed(s, d); st14Feed(s, d); st16Feed(s, d)
     docsFeed(s, d); embFeed(s, d); pl11DeltaFeed(s, d); st37PurgeFeed(s, d)
+    st38TombFeed(s, d)
     ()
   }
 
@@ -1540,6 +1627,21 @@ object Streams {
         .select(col("doc_id"), col("lang"), col("stage"), col("part"))
     }),
 
+    // -- STREAMING VECTOR TOMBSTONE INGEST — st37's vector-side twin:
+    //    delete requests stream in, each trigger appends to the pending
+    //    cell-partitioned ledger and delete-compacts it into the live
+    //    index (ss15's staged-swap kernel); serving merges-on-read
+    //    against whatever is still pending. Replay-idempotent with NO
+    //    markers — deletes are self-collapsing. Oracle: ss02's exact
+    //    probe over the surviving vectors.
+    "st38_stream_vector_takedown" -> ((s, d) => {
+      val (live, tombDir) = st38StreamRun(s, d)
+      graft.operators.Similarity.probeWithTombstones(
+        graft.operators.Similarity.vecs(s, d).filter(col("vec_id") % 50 === 0),
+        s.read.parquet(live),
+        s.read.parquet(tombDir))
+    }),
+
     // -- STREAMING RAG SERVING — the full retrieval path as a stream
     //    (st22 serves the PROBE; this serves the whole pl06 pipeline):
     //    query vectors arrive on the feed, each micro-batch probes the
@@ -2245,6 +2347,11 @@ object Streams {
     "st37_stream_takedown" ->
       graft.operators.Incremental
         .purgedFunnelSql("doc_id % 16 NOT IN (5, 9)"),
+    // st38: ss02's exact probe over the survivors of both streamed
+    // tombstone batches.
+    "st38_stream_vector_takedown" ->
+      graft.operators.Similarity
+        .dIvfTopkExcluding("b.vec_id % 16 IN (5, 9)"),
     // st34: bucket counts are additive, so the whole-table histogram +
     // rank walk is the exact twin of the merged micro-batch partials.
     "st34_stream_quantile_monitor" ->

@@ -154,6 +154,47 @@ class StreamingReplaySpec extends SparkSpec {
       "pairs diverged from the batch oracle across compaction + recovery")
   }
 
+  test("st38 streamed vector tombstones: replay-idempotent, merge-on-read ≡ post-compaction") {
+    import org.apache.spark.sql.functions.lit
+    import graft.operators.Similarity
+    val tmp = System.getProperty("java.io.tmpdir")
+    val live = s"$tmp/graft_spec_st38_live"
+    val tombDir = s"$tmp/graft_spec_st38_tomb"
+    val vecsAll = Similarity.vecs(spark, sfDir)
+      .select(col("vec_id"), col("e"), col("nrm"), col("label"))
+    vecsAll.write.mode("overwrite").partitionBy("label").parquet(live)
+    vecsAll.filter(lit(false)).select(col("vec_id"), col("label"))
+      .write.mode("overwrite").parquet(tombDir)
+    val tombs = Similarity.vecs(spark, sfDir)
+      .select(col("vec_id"), col("label"))
+      .filter(col("vec_id") % 16 === 5 || col("vec_id") % 16 === 9)
+    // 3-way split (the registered query streams 2 batches) with the
+    // middle batch REPLAYED: deletes are self-collapsing, so no marker
+    // protects this path — the replay must converge byte-for-byte.
+    val splits = (0 to 2).map(r => tombs.filter(col("vec_id") % 3 === r))
+    Streams.vecTombStep(splits(0), live, tombDir)
+    Streams.vecTombStep(splits(1), live, tombDir)
+    Streams.vecTombStep(splits(1), live, tombDir) // replay
+    Streams.vecTombStep(splits(2), live, tombDir)
+    assert(spark.read.parquet(live)
+      .filter(col("vec_id") % 16 === 5 || col("vec_id") % 16 === 9).isEmpty,
+      "tombstoned vector survived the streamed compaction")
+    val q = Similarity.vecs(spark, sfDir).filter(col("vec_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    // Post-compaction serve (pending ledger empty, anti-join a no-op).
+    val got = rows(Similarity.probeWithTombstones(q,
+      spark.read.parquet(live), spark.read.parquet(tombDir)))
+    // Merge-on-read serve over a NEVER-compacted copy: full index +
+    // full pending ledger — must answer identically.
+    val gotMor = rows(Similarity.probeWithTombstones(q, vecsAll, tombs))
+    // Ground truth: the probe over the surviving corpus.
+    val expected = rows(Similarity.ivfProbe(q,
+      vecsAll.join(tombs.select(col("vec_id")), Seq("vec_id"), "left_anti")))
+    assert(got == expected, "post-compaction probe diverged from survivors")
+    assert(gotMor == expected, "merge-on-read probe diverged from survivors")
+  }
+
   test("st24 streamed index ingest is split- and replay-invariant at compaction") {
     val emb = Tables.embeddings(spark, sfDir)
     val tmp = System.getProperty("java.io.tmpdir")
