@@ -121,7 +121,11 @@ object Bench {
     // a consumer pays, not the nightly build.
     try graft.operators.Incremental.pl11Run(spark, sfDir)
     catch { case e: Throwable => warn(s"pl11 staging FAILED: ${e.getMessage}") }
-    // st35's streamed nightly build is the same one-time fixture state.
+    // pl12/pl13's takedown artifacts (text purge night + vector delete)
+    // are the same one-time fixture state (pl13Run stages both legs).
+    try { graft.operators.Incremental.pl13Run(spark, sfDir); () }
+    catch { case e: Throwable => warn(s"pl13 staging FAILED: ${e.getMessage}") }
+    // st35's/st37's/st38's streamed builds are the same one-time state.
     try graft.streaming.Streams.prepareIncrementalStream(spark, sfDir)
     catch { case e: Throwable => warn(s"st35 staging FAILED: ${e.getMessage}") }
     try graft.operators.TextAnalysis.trainClassifier(spark, sfDir)

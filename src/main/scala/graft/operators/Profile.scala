@@ -327,6 +327,30 @@ object Profile {
         ("cluster_orphans", 0L, orphans.count()),
         ("ivf_index", emb.count(),
           Similarity.ivfIndex(s, d).count())))
+    }),
+
+    // -- CLASSIFIER CALIBRATION audit — the reliability table a trained
+    //    quality filter (ta36) is judged by before its threshold gates a
+    //    corpus: scores bucketed into 10 bins, per bin the exact doc
+    //    count, positive count, observed positive rate (ppm) and mean
+    //    predicted score (ppm) — calibration means the last two track
+    //    each other, and a bin where they diverge is where the filter
+    //    over/under-claims. One aggregation pass over the scored corpus
+    //    (the model is a memoized 4-long broadcast — the bounded-model
+    //    class), O(bins) output, exact integer arithmetic throughout
+    //    (p ∈ [0, 1e6] so truncating div ≡ flooring //).
+    "dq12_classifier_calibration" -> ((s, d) => {
+      val w = TextAnalysis.trainClassifier(s, d)._2
+      TextAnalysis.classifierScored(
+          TextAnalysis.classifierFeatures(Tables.documents(s, d)), w)
+        .select(least(expr("p div 100000"), lit(9L)).cast("int").as("bin"),
+          col("p"), col("y"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("y") === 1000000L, 1L).otherwise(0L)).as("n_pos"),
+          expr("(sum(CASE WHEN y = 1000000 THEN 1 ELSE 0 END) * 1000000) div count(1)")
+            .as("pos_ppm"),
+          expr("sum(p) div count(1)").as("mean_p_micro"))
     }))
 
   /** st34's counting stage: 256 STATIC 16-char-wide contract buckets
@@ -764,5 +788,19 @@ object Profile {
          UNION ALL
          SELECT 'ivf_index', CAST(count(*) AS BIGINT),
            CAST(count(*) AS BIGINT), true
-         FROM embeddings""")
+         FROM embeddings""",
+
+    // dq12: the same 3-round training unrolled (ta36's CTEs via the
+    // shared scored-docs chain), then the identical integer binning —
+    // p ∈ [0, 1e6] so // ≡ div.
+    "dq12_classifier_calibration" ->
+      s"""WITH ${TextAnalysis.scoredDocsSql}
+          SELECT CAST(least(p // 100000, 9) AS INT) AS bin,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(CASE WHEN y = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_pos,
+            CAST(sum(CASE WHEN y = 1000000 THEN 1 ELSE 0 END) * 1000000
+              // count(*) AS BIGINT) AS pos_ppm,
+            CAST(sum(p) // count(*) AS BIGINT) AS mean_p_micro
+          FROM c36scored GROUP BY 1""")
 }

@@ -1198,17 +1198,24 @@ object TextAnalysis {
         UNION ALL SELECT 2, w0, w1, w2, w3, n_correct FROM c36w2
         UNION ALL SELECT 3, w0, w1, w2, w3, n_correct FROM c36w3"""
 
-  /** st31's oracle: every document scored against the ROUND-3 weights
-    * (c36w3) with the same integer sigmoid — the serving contract. */
-  private[graft] def st31Sql: String =
-    s"""WITH $ta36Ctes
-        SELECT doc_id, p AS p_micro, (p >= 500000) AS keep FROM (
-          SELECT doc_id,
+  /** Every document scored against the ROUND-3 weights (c36w3) with the
+    * same integer sigmoid, as a CTE chain ending in c36scored
+    * (doc_id, y, p) — shared by st31's serving oracle and dq12's
+    * calibration oracle so score and audit can never drift. */
+  private[graft] def scoredDocsSql: String =
+    s"""$ta36Ctes,
+        c36scored AS (
+          SELECT doc_id, y,
             500000 + ${tdiv("z * 1000000", "2 * (1000000 + abs(z))")} AS p
-          FROM (SELECT cf.doc_id,
+          FROM (SELECT cf.doc_id, cf.y,
                   ${tdiv("w.w0 * f0 + w.w1 * f1 + w.w2 * f2 + w.w3 * f3", "1000000")}
                     AS z
                 FROM c36f cf CROSS JOIN c36w3 w))"""
+
+  /** st31's oracle: the serving contract over the scored relation. */
+  private[graft] def st31Sql: String =
+    s"""WITH $scoredDocsSql
+        SELECT doc_id, p AS p_micro, (p >= 500000) AS keep FROM c36scored"""
 
   def oracleSql: Map[String, String] = Map(
     "ta36_classifier_train" -> ta36Sql,

@@ -519,8 +519,14 @@ object Streams {
       batch: DataFrame, liveDir: String, tombDir: String): Unit = {
     import graft.operators.Similarity
     val ss = batch.sparkSession
+    // Ledger layout is deliberately FLAT (no label partition dirs): the
+    // empty bootstrap/retire writes have no partition values to create
+    // dirs from, and a mixed flat+partitioned directory breaks parquet
+    // partition discovery. The ledger is tiny (pending deletes between
+    // compactions); production buckets it by cell the way ss15's
+    // nonempty batch ledger is.
     batch.select(col("vec_id"), col("label"))
-      .write.mode("append").partitionBy("label").parquet(tombDir)
+      .write.mode("append").parquet(tombDir)
     val pending = ss.read.parquet(tombDir)
       .select(col("vec_id"), col("label")).localCheckpoint()
     Similarity.deleteCompactCells(ss, liveDir, pending)
@@ -582,11 +588,12 @@ object Streams {
     ()
   }
 
-  /** Bench-setup hook: run st35's/st37's one-time streamed builds
-    * pre-clock (pl11Run's discipline — the timed query measures the
-    * read-back). */
+  /** Bench-setup hook: run st35's/st37's/st38's one-time streamed
+    * builds pre-clock (pl11Run's discipline — the timed query measures
+    * the read-back). */
   def prepareIncrementalStream(s: SparkSession, d: String): Unit = {
     st37StreamRun(s, d)
+    st38StreamRun(s, d)
     pl11StreamRun(s, d)
     ()
   }

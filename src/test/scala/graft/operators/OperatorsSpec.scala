@@ -196,6 +196,25 @@ class OperatorsSpec extends SparkSpec {
       s"${r.getString(0)}: expected ${r.getLong(1)}, actual ${r.getLong(2)}"))
   }
 
+  // dq12: the calibration table's bins PARTITION the scored corpus —
+  // doc totals conserve, positives equal the label definition's count,
+  // and every rate/mean stays in [0, 1e6] ppm.
+  test("dq12 calibration bins partition the corpus and conserve labels") {
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val rows = SparkEntry.queries("dq12_classifier_calibration")(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).distinct.length == rows.length, "duplicate bins")
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 9))
+    assert(rows.map(_._2).sum == docs.count(), "docs not conserved")
+    assert(rows.map(_._3).sum ==
+      docs.filter(org.apache.spark.sql.functions.col("lang") === "en").count(),
+      "positives != label definition count")
+    assert(rows.forall(r => r._4 >= 0 && r._4 <= 1000000L &&
+      r._5 >= 0 && r._5 <= 1000000L), "ppm out of range")
+    assert(rows.length >= 2, "degenerate: every score in one bin")
+  }
+
   // pl09: the epoch plan must account for EVERY upsampled copy exactly
   // once across shards, with non-degenerate routing and budgets.
   test("pl09 shards cover every ta35 copy exactly once") {
