@@ -143,8 +143,10 @@ object Bench {
         "dd16_keep_best", "io09_dynamic_pruning", "io13_aqe_skew_join",
         "dd18_substring_spans",
         // ta26 trains + stages the BPE dictionary (shared by ta09);
-        // ta27 stages the positioned line-hash index.
-        "ta26_bpe_tokenize", "ta27_line_dedup").foreach { n =>
+        // ta27 stages the positioned line-hash index; mm11 stages the
+        // resolved phash cluster relation (shared by mm12).
+        "ta26_bpe_tokenize", "ta27_line_dedup",
+        "mm11_phash_survivorship").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => warn(s"setup $n FAILED: ${e.getMessage}") }

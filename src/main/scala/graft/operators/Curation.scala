@@ -317,6 +317,47 @@ object Curation {
             .otherwise("kept").as("stage"))
         .groupBy(col("lang"), col("stage"))
         .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // -- PROVENANCE LEDGER — the per-document lineage relation a
+    //    compliance review (or a takedown impact analysis) asks for:
+    //    WHY did this doc ship (funnel stage + its content-key
+    //    canonical), WHOSE near-dup cluster does it belong to (dd09's
+    //    resolved labels — the takedown blast radius), WHERE does it
+    //    train (ta08's split), and is it benchmark-tainted (dd08's
+    //    shared-gram count). Nothing is recomputed: the funnel shares
+    //    webScored's relation, clusters/grams come from the staged
+    //    write-once artifacts, and every join is doc_id-keyed
+    //    shuffle-hash (corpus-vs-corpus, never broadcast). One wide
+    //    audit row per document — the table that answers "show me
+    //    every reason this doc is (not) in the training set".
+    "pl14_provenance" -> ((s, d) => {
+      val scored = webScored(s, d)
+      val pass = scored.filter(col("q") >= 0.5)
+        .withColumn("ck", md5(col("txt")))
+      val canon = pass.groupBy(col("ck")).agg(min(col("doc_id")).as("canon_id"))
+      val webCanon = pass.hint("shuffle_hash")
+        .join(canon.hint("shuffle_hash"), "ck")
+        .select(col("doc_id"), col("canon_id"))
+      val clusters = Dedup.stagedClusters(s, d)
+      val contamination = Dedup.queries("dd08_contamination")(s, d)
+      val bucket = expr(
+        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
+      scored.hint("shuffle_hash")
+        .join(webCanon.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .join(clusters.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .join(contamination.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          when(col("n_kept") === 0, "boilerplate_only")
+            .when(col("q") < 0.5, "low_quality")
+            .when(col("doc_id") =!= col("canon_id"), "duplicate")
+            .otherwise("kept").as("stage"),
+          coalesce(col("canon_id"), col("doc_id")).as("content_canon"),
+          coalesce(col("canonical_id"), col("doc_id")).as("cluster_canon"),
+          when(bucket < 80, "train").when(bucket < 90, "val")
+            .otherwise("test").as("split"),
+          (pmod(col("doc_id"), lit(10L)) === 0).as("bench_member"),
+          coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
     })
   )
 
@@ -781,6 +822,36 @@ object Curation {
                        LEFT JOIN p5canon c ON p.ck = c.ck)
           GROUP BY lang, stage""",
 
+
+    // pl14: the funnel CTEs + the dd09/dd08 sub-oracles composed as
+    // subqueries (pl01's discipline) — stage, content canonical,
+    // cluster canonical, split, and contamination in one per-doc row.
+    "pl14_provenance" -> {
+      val cont = Dedup.oracleSql("dd08_contamination")
+      val canon = Dedup.oracleSql("dd09_dedup_clusters")
+      s"""WITH ${p5CtesFor(3)},
+          pl14_cont AS (SELECT doc_id, n_shared_grams FROM ($cont)),
+          pl14_lbl AS (SELECT doc_id, canonical_id FROM ($canon))
+          SELECT s.doc_id, s.lang,
+            CASE WHEN s.n_kept = 0 THEN 'boilerplate_only'
+                 WHEN s.q < 0.5 THEN 'low_quality'
+                 WHEN s.doc_id <> c.canon_id THEN 'duplicate'
+                 ELSE 'kept' END AS stage,
+            CAST(coalesce(c.canon_id, s.doc_id) AS BIGINT) AS content_canon,
+            CAST(coalesce(l.canonical_id, s.doc_id) AS BIGINT) AS cluster_canon,
+            CASE WHEN s.b < 80 THEN 'train' WHEN s.b < 90 THEN 'val'
+                 ELSE 'test' END AS split,
+            (s.doc_id % 10 = 0) AS bench_member,
+            CAST(coalesce(ct.n_shared_grams, 0) AS BIGINT) AS n_shared_grams
+          FROM (SELECT p5s.*,
+                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 100 AS b
+                FROM p5s) s
+          LEFT JOIN p5p p ON s.doc_id = p.doc_id
+          LEFT JOIN p5canon c ON p.ck = c.ck
+          LEFT JOIN pl14_lbl l ON s.doc_id = l.doc_id
+          LEFT JOIN pl14_cont ct ON s.doc_id = ct.doc_id"""
+    },
 
     // Composed from the same stages' oracle SQL (public maps) — outer
     // CTE names are pl_-prefixed to avoid capture of the sub-oracles'

@@ -215,6 +215,37 @@ class OperatorsSpec extends SparkSpec {
     assert(rows.length >= 2, "degenerate: every score in one bin")
   }
 
+  // pl14: the provenance ledger is a COMPOSITION — every column must
+  // agree exactly with the registered query that owns that dimension
+  // (funnel stages with pl08, contamination with dd08, split with
+  // ta08, cluster labels with the staged dd09 relation).
+  test("pl14 provenance cross-checks its constituent queries") {
+    val rows = SparkEntry.queries("pl14_provenance")(spark, sfDir).collect()
+    assert(rows.length ==
+      graft.sources.Tables.documents(spark, sfDir).count())
+    val stages = rows.groupBy(r => (r.getString(1), r.getString(2)))
+      .view.mapValues(_.length.toLong).toMap
+    val pl08 = SparkEntry.queries("pl08_funnel_audit")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(stages == pl08, "stage rollup diverged from pl08")
+    val cont = SparkEntry.queries("dd08_contamination")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotCont = rows.filter(_.getLong(7) > 0)
+      .map(r => r.getLong(0) -> r.getLong(7)).toMap
+    assert(gotCont == cont, "contamination column diverged from dd08")
+    val ta08 = SparkEntry.queries("ta08_split_assign")(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val gotSplit = rows.groupBy(r => (r.getString(5), r.getString(1)))
+      .view.mapValues(_.length.toLong).toMap
+    assert(gotSplit == ta08, "split rollup diverged from ta08")
+    val lbl = Dedup.stagedClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(4) == lbl.getOrElse(r.getLong(0), r.getLong(0)),
+        s"doc ${r.getLong(0)}: cluster canonical diverged from dd09's labels")
+    }
+  }
+
   // pl09: the epoch plan must account for EVERY upsampled copy exactly
   // once across shards, with non-degenerate routing and budgets.
   test("pl09 shards cover every ta35 copy exactly once") {
