@@ -329,11 +329,6 @@ object Bpe {
         coalesce(col("enc_checksum"), lit(0L)).as("enc_checksum"))
   }
 
-  /** Token array with stable positions — ta33's decode path needs
-    * in-document ORDER (posexplode over the same array both engines
-    * build). No exclusions: the byte-level base encodes every token. */
-  private val toksND = toks
-
   /** ta33's body, extracted relation-parametric (subwordsPartial's
     * discipline) so the spec can probe it with a CORRUPTED dictionary:
     * decode every encoded token (strip the '|' delimiters and UNHEX the
@@ -351,7 +346,7 @@ object Bpe {
     * join is doc_id-keyed shuffle hash. */
   private[graft] def roundtripAudit(docs: DataFrame, dict: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
-      posexplode(expr(toksND)).as(Seq("pos", "word")))
+      posexplode(expr(toks)).as(Seq("pos", "word")))
     val dec = tok.hint("shuffle_hash")
       .join(dict.hint("shuffle_hash"), Seq("word"), "left")
       .select(col("doc_id"), col("pos"), col("word"),
@@ -368,7 +363,7 @@ object Bpe {
         md5(array_join(
           expr("transform(array_sort(collect_list(struct(pos, decoded))), x -> x.decoded)"),
           " ")).as("tmd5"))
-    docs.select(col("doc_id"), md5(array_join(expr(toksND), " ")).as("orig_md5"))
+    docs.select(col("doc_id"), md5(array_join(expr(toks), " ")).as("orig_md5"))
       .hint("shuffle_hash")
       .join(perDoc.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -487,7 +482,7 @@ object Bpe {
       val vocab = queries("ta30_bpe_vocab")(s, d)
         .select(col("symbol"), col("token_id"))
       val tok = Tables.documents(s, d).select(col("doc_id"),
-        posexplode(expr(toksND)).as(Seq("pos", "word")))
+        posexplode(expr(toks)).as(Seq("pos", "word")))
       val syms = tok.hint("shuffle_hash")
         .join(bpeDict(s, d).select(col("word"), col("s")).hint("shuffle_hash"),
           Seq("word"), "left")

@@ -68,8 +68,6 @@ object Curation {
         .select(col("doc_id"))
       val kept = Dedup.queries("dd16_keep_best")(s, d)
         .select(col("kept_doc_id").as("doc_id"))
-      val bucket = expr(
-        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
       // qual and toks are PER-DOCUMENT relations — corpus-sized, same
       // no-broadcast rule as the cluster/kept sets. All four joins key
       // on doc_id, so the shuffle-hash exchanges line up and AQE can
@@ -82,8 +80,7 @@ object Curation {
         .join(kept.withColumn("is_kept", lit(1)).hint("shuffle_hash"),
               Seq("doc_id"), "left")
         .filter(col("clustered").isNull || col("is_kept") === 1)
-        .withColumn("split",
-          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .withColumn("split", TextAnalysis.splitCol)
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
              sum(col("n_tokens").cast("long")).as("n_tokens"))
@@ -341,8 +338,6 @@ object Curation {
         .select(col("doc_id"), col("canon_id"))
       val clusters = Dedup.stagedClusters(s, d)
       val contamination = Dedup.queries("dd08_contamination")(s, d)
-      val bucket = expr(
-        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
       scored.hint("shuffle_hash")
         .join(webCanon.hint("shuffle_hash"), Seq("doc_id"), "left")
         .join(clusters.hint("shuffle_hash"), Seq("doc_id"), "left")
@@ -354,8 +349,7 @@ object Curation {
             .otherwise("kept").as("stage"),
           coalesce(col("canon_id"), col("doc_id")).as("content_canon"),
           coalesce(col("canonical_id"), col("doc_id")).as("cluster_canon"),
-          when(bucket < 80, "train").when(bucket < 90, "val")
-            .otherwise("test").as("split"),
+          TextAnalysis.splitCol.as("split"),
           (pmod(col("doc_id"), lit(10L)) === 0).as("bench_member"),
           coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
     })
@@ -839,14 +833,10 @@ object Curation {
                  ELSE 'kept' END AS stage,
             CAST(coalesce(c.canon_id, s.doc_id) AS BIGINT) AS content_canon,
             CAST(coalesce(l.canonical_id, s.doc_id) AS BIGINT) AS cluster_canon,
-            CASE WHEN s.b < 80 THEN 'train' WHEN s.b < 90 THEN 'val'
-                 ELSE 'test' END AS split,
+            ${TextAnalysis.dbSplitCase("s.doc_id")} AS split,
             (s.doc_id % 10 = 0) AS bench_member,
             CAST(coalesce(ct.n_shared_grams, 0) AS BIGINT) AS n_shared_grams
-          FROM (SELECT p5s.*,
-                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                    AS BIGINT) % 100 AS b
-                FROM p5s) s
+          FROM p5s s
           LEFT JOIN p5p p ON s.doc_id = p.doc_id
           LEFT JOIN p5canon c ON p.ck = c.ck
           LEFT JOIN pl14_lbl l ON s.doc_id = l.doc_id
@@ -887,12 +877,8 @@ object Curation {
           pl3_kept AS (SELECT kept_doc_id AS doc_id FROM ($kept)),
           pl3_base AS (
             SELECT d.doc_id, d.lang, t.n_tokens,
-              CASE WHEN d.b < 80 THEN 'train'
-                   WHEN d.b < 90 THEN 'val' ELSE 'test' END AS split
-            FROM (SELECT doc_id, lang,
-                    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                      AS BIGINT) % 100 AS b
-                  FROM documents) d
+              ${TextAnalysis.dbSplitCase("d.doc_id")} AS split
+            FROM documents d
             JOIN pl3_tok t ON t.doc_id = d.doc_id
             JOIN pl3_qual q ON q.doc_id = d.doc_id
             WHERE q.quality >= 0.5

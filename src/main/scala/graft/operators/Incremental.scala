@@ -212,10 +212,7 @@ object Incremental {
   private def failIf(root: String, point: String): Unit =
     if (failAt.contains((root, point))) throw new InjectedNightCrash(point)
 
-  private def deleteRec(f: java.io.File): Unit = {
-    val kids = f.listFiles(); if (kids != null) kids.foreach(deleteRec)
-    f.delete(): Unit
-  }
+  private def deleteRec(f: java.io.File): Unit = Scratch.deleteRec(f)
 
   private def stageDirOf(d: Dirs, tag: String): java.io.File =
     new java.io.File(new java.io.File(d.root, "_staging"), tag)

@@ -287,13 +287,18 @@ object Similarity {
       stagedDelAudits.getOrElseUpdate(live.getPath, {
         val all = vecs(s, d).select(col("vec_id"), col("e"), col("nrm"), col("label"))
         all.write.mode("overwrite").partitionBy("label").parquet(live.getPath)
-        all.filter(tombPred)
-          .select(col("vec_id"), col("label"))
-          .write.mode("overwrite").partitionBy("label").parquet(tomb.getPath)
+        // The tombstone relation stays IN MEMORY for the compaction and
+        // the audit: an empty predicate's partitioned write produces no
+        // data files, and reading such a dir back fails schema
+        // inference — the kernel must degrade to a no-op delete, not
+        // abort the run. The parquet ledger is still written (the
+        // merge-on-read consumers and specs probe it).
+        val tombRel = all.filter(tombPred)
+          .select(col("vec_id"), col("label")).localCheckpoint()
+        tombRel.write.mode("overwrite").partitionBy("label").parquet(tomb.getPath)
         val pre = snapshot(live)
-        deleteCompactCells(s, live.getPath, s.read.parquet(tomb.getPath))
-        val affected = s.read.parquet(tomb.getPath)
-          .select(col("label")).distinct()
+        deleteCompactCells(s, live.getPath, tombRel)
+        val affected = tombRel.select(col("label")).distinct()
           .collect().map(_.getInt(0)).toSeq.sorted
         DeleteAudit(live.getPath, tomb.getPath, affected, pre, snapshot(live))
       })
@@ -318,17 +323,30 @@ object Similarity {
     * affected cell ids (a ≤cell-count driver scalar). */
   private[graft] def deleteCompactCells(
       s: SparkSession, live: String, tomb: DataFrame): Seq[Int] = {
-    def rm(f: java.io.File): Unit = {
-      val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-      f.delete(): Unit
-    }
+    import graft.sources.Scratch.deleteRec
+    // RECOVERY FIRST: a _SUCCESS-marked staging is a COMMITTED
+    // compaction — its cell dirs are the truth for every cell they
+    // hold, so complete the interrupted swap before computing anything.
+    // (Discarding it instead would destroy the only copy of a cell's
+    // survivors when the crash landed between that cell's delete and
+    // its promote; delete-only cells need nothing here — their
+    // tombstones are still pending, so the re-run below re-deletes
+    // them.) Then any UNcommitted staging is a dead attempt — discard.
+    val tmp = new java.io.File(live + "_delcompact")
+    if (new java.io.File(tmp, "_SUCCESS").exists())
+      Option(tmp.listFiles()).toSeq.flatten.filter(_.isDirectory)
+        .foreach { stagedCell =>
+          val liveCell = new java.io.File(live, stagedCell.getName)
+          deleteRec(liveCell)
+          require(stagedCell.renameTo(liveCell),
+            s"delete compaction recovery: promote ${stagedCell.getName} failed")
+        }
+    deleteRec(tmp)
     val tombIds = tomb.select(col("vec_id")).distinct()
     val affected = tomb.select(col("label")).distinct()
       .collect().map(_.getInt(0)).toSeq.sorted
     if (affected.isEmpty) affected
     else {
-      val tmp = new java.io.File(live + "_delcompact")
-      rm(tmp)
       s.read.parquet(live)
         .filter(col("label").isin(affected: _*))
         .join(tombIds.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
@@ -337,12 +355,12 @@ object Similarity {
       affected.foreach { lbl =>
         val liveCell = new java.io.File(live, s"label=$lbl")
         val stagedCell = new java.io.File(tmp, s"label=$lbl")
-        rm(liveCell)
+        deleteRec(liveCell)
         if (stagedCell.exists())
           require(stagedCell.renameTo(liveCell),
             s"delete compaction: swap of cell $lbl failed")
       }
-      rm(tmp)
+      deleteRec(tmp)
       affected
     }
   }

@@ -282,11 +282,8 @@ object TextAnalysis {
     //    those things across engines). Narrow, no shuffle until the
     //    audit aggregation.
     "ta08_split_assign" -> ((s, d) => {
-      val bucket = expr(
-        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
       Tables.documents(s, d)
-        .withColumn("split",
-          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .withColumn("split", splitCol)
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
              sum(expr(s"size($toks)").cast("long")).as("n_tokens"))
@@ -418,11 +415,8 @@ object TextAnalysis {
     //    auto-broadcast at fixture scale. Output: per held-out split,
     //    gram-bearing docs and how many leak.
     "ta21_split_leakage" -> ((s, d) => {
-      val bucket = expr(
-        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
       val grams = Dedup.stagedGrams(s, d, 8)
-        .withColumn("split",
-          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .withColumn("split", splitCol)
       val evalG = grams.filter(col("split") =!= "train")
         .select(col("split"), col("doc_id"), col("gh")).distinct()
       val trainG = grams.filter(col("split") === "train")
@@ -1050,6 +1044,22 @@ object TextAnalysis {
            sum(col("micro_bits")).as("sum_micro"))
   }
 
+  /** ta08's deterministic split rule — md5 bucket (0..99) of the doc id
+    * with 80/10/10 thresholds — ONE definition shared by the split
+    * assigner (ta08) and the provenance ledger (pl14), so the
+    * compliance column can never silently drift from the assignment a
+    * retuned split would actually use. [[dbSplitCase]] is its DuckDB
+    * twin, parametric in the id expression. */
+  private[graft] def splitCol: org.apache.spark.sql.Column = {
+    val b = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
+    when(b < 80, "train").when(b < 90, "val").otherwise("test")
+  }
+  private[graft] def dbSplitCase(id: String): String = {
+    val b = s"CAST(concat('0x', substr(md5(CAST($id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END"
+  }
+
   /** ta36's per-doc feature relation (doc_id, y, f0..f3) in exact
     * integer micro-units — shared by training (ta36) and the streaming
     * scoring leg (st31, which computes it per micro-batch). */
@@ -1471,13 +1481,10 @@ object TextAnalysis {
           CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+'))) AS INT) AS n_uniq_runs
           FROM documents""",
     "ta08_split_assign" ->
-      s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
-                 ELSE 'test' END AS split,
+      s"""SELECT ${dbSplitCase("doc_id")} AS split,
           lang, count(*) AS n_docs,
           CAST(sum(len($dtoks)) AS BIGINT) AS n_tokens
-          FROM (SELECT lang, text,
-                  CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
-                FROM documents)
+          FROM documents
           GROUP BY 1, 2""",
     "ta10_boilerplate" ->
       s"""WITH g AS (
@@ -1508,12 +1515,8 @@ object TextAnalysis {
               FROM (SELECT doc_id, $dtoks AS tk FROM documents
                     WHERE len($dtoks) >= 8))),
           sp AS (
-            SELECT doc_id, CASE WHEN b < 80 THEN 'train'
-                                WHEN b < 90 THEN 'val' ELSE 'test' END AS split
-            FROM (SELECT doc_id,
-                    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-                      AS BIGINT) % 100 AS b
-                  FROM documents)),
+            SELECT doc_id, ${dbSplitCase("doc_id")} AS split
+            FROM documents),
           gs AS (SELECT g.doc_id, sp.split, g.gh FROM g JOIN sp USING (doc_id)),
           traing AS (SELECT DISTINCT gh FROM gs WHERE split = 'train')
           SELECT split, count(*) AS n_docs,

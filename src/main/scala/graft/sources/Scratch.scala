@@ -31,9 +31,12 @@ object Scratch {
 
   private def tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  /** Recursive delete — THE shared file-tree removal helper (like
+    * [[snapshotTree]], one definition for every staged-artifact
+    * lifecycle: night staging, ledger compaction, cell swaps). */
+  def deleteRec(f: java.io.File): Unit = {
     val kids = f.listFiles()
-    if (kids != null) kids.foreach(deleteRecursively)
+    if (kids != null) kids.foreach(deleteRec)
     f.delete(): Unit
   }
 
@@ -49,7 +52,7 @@ object Scratch {
         entries.foreach { f =>
           if (f.getName.startsWith("graft_") && !f.getName.contains(appId) &&
               f.lastModified() < cutoff)
-            try deleteRecursively(f)
+            try deleteRec(f)
             catch { case _: Exception => () }
         }
     }

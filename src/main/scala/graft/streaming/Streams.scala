@@ -649,10 +649,8 @@ object Streams {
       .filter(f => f.isFile && !f.getName.startsWith("_") &&
         !f.getName.startsWith("."))
 
-  private def deleteRecDir(f: java.io.File): Unit = {
-    val kids = f.listFiles(); if (kids != null) kids.foreach(deleteRecDir)
-    f.delete(): Unit
-  }
+  private def deleteRecDir(f: java.io.File): Unit =
+    graft.sources.Scratch.deleteRec(f)
 
   /** Complete (or discard) a ledger compaction a crash interrupted:
     * the swap below is live → `_old`, `_compacting` → live, drop

@@ -195,6 +195,46 @@ class StreamingReplaySpec extends SparkSpec {
     assert(gotMor == expected, "merge-on-read probe diverged from survivors")
   }
 
+  test("deleteCompactCells recovers a crash between a cell's delete and its promote") {
+    import graft.operators.Similarity
+    import graft.sources.Scratch
+    val tmp = System.getProperty("java.io.tmpdir")
+    val live = s"$tmp/graft_spec_delrec_live"
+    val vecsAll = Similarity.vecs(spark, sfDir)
+      .select(col("vec_id"), col("e"), col("nrm"), col("label"))
+    vecsAll.write.mode("overwrite").partitionBy("label").parquet(live)
+    val tomb = vecsAll.filter(col("label") === 0 && col("vec_id") % 7 === 2)
+      .select(col("vec_id"), col("label")).localCheckpoint()
+    assert(tomb.count() > 0 && vecsAll.filter(col("label") === 0).count() > tomb.count(),
+      "fixture: cell 0 needs both tombstones and survivors")
+    // Reconstruct the EXACT crash window the kernel's contract covers:
+    // a previous run fully staged cell 0's survivors (_SUCCESS marker
+    // written), deleted the live cell dir, and died before the promote.
+    val staging = new java.io.File(live + "_delcompact")
+    spark.read.parquet(live).filter(col("label") === 0)
+      .join(tomb.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("e"), col("nrm"), col("label"))
+      .write.mode("overwrite").partitionBy("label").parquet(staging.getPath)
+    Scratch.deleteRec(new java.io.File(live, "label=0"))
+    val otherCellsPre = Scratch.snapshotTree(new java.io.File(live))
+    // The replayed compaction (tombstones still pending) must PROMOTE
+    // the committed staging — discarding it would destroy the only
+    // remaining copy of cell 0's survivors.
+    Similarity.deleteCompactCells(spark, live, tomb)
+    val cell0 = spark.read.parquet(live).filter(col("label") === 0)
+    assert(cell0.count() ==
+      vecsAll.filter(col("label") === 0).count() - tomb.count(),
+      "cell 0's survivors were lost across the crash window")
+    assert(cell0.filter(col("vec_id") % 7 === 2).isEmpty,
+      "a tombstoned vector survived the recovered compaction")
+    // Untouched cells byte-identical through recovery + re-compaction.
+    val otherCellsPost = Scratch.snapshotTree(new java.io.File(live))
+      .filter { case (k, _) => !k.startsWith("/label=0") }
+    assert(otherCellsPre.filter { case (k, _) => !k.startsWith("/label=0") }
+      == otherCellsPost, "an untouched cell changed during recovery")
+    assert(!staging.exists(), "staging not cleaned after recovery")
+  }
+
   test("st24 streamed index ingest is split- and replay-invariant at compaction") {
     val emb = Tables.embeddings(spark, sfDir)
     val tmp = System.getProperty("java.io.tmpdir")
