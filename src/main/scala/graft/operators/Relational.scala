@@ -463,6 +463,28 @@ object Relational {
     //    test, so the oracle's island break is STRICT (ts > prev_end).
     //    Same scale shape as q28: one
     //    shuffle on user_id, per-key sort bounded by user history.
+    // -- RECURSIVE CTE (SQL:2023 WITH RECURSIVE, new in Spark 4's
+    //    UnionLoop operator): the ancestor-chain walk over the
+    //    decimal-trie hierarchy parent(k) = k div 10 — the org-chart /
+    //    BOM traversal class relational engines are judged on, and the
+    //    one query shape that is IMPOSSIBLE without recursion or a
+    //    driver-side loop. Each iteration is one bounded pass; depth is
+    //    log10(max key) (~6 at any fixture SF), never data-sized, so
+    //    the loop count is a constant at 100 TB too. Output: customers
+    //    per chain depth. DuckDB runs the identical standard SQL.
+    "q65_recursive_cte" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("c_q65")
+      s.sql("""
+        WITH RECURSIVE chain(c, anc, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM c_q65
+          UNION ALL
+          SELECT c, anc div 10, depth + 1 FROM chain WHERE anc > 0
+        )
+        SELECT depth, count(*) AS n_customers FROM (
+          SELECT c, max(depth) AS depth FROM chain GROUP BY c
+        ) GROUP BY depth""")
+    }),
+
     "q64_dynamic_session" -> ((s, d) => {
       // session_window requires a CalendarIntervalType gap expression
       // (typed INTERVAL literals are DayTimeIntervalType) — make_interval
@@ -769,6 +791,18 @@ object Relational {
                FROM events))
            GROUP BY user_id, sess)
          GROUP BY user_id""",
+    // q65: the identical standard recursive SQL (// is DuckDB's integer
+    // division, div Spark's — both flooring on the positive keys).
+    "q65_recursive_cte" ->
+      """WITH RECURSIVE chain(c, anc, depth) AS (
+           SELECT c_custkey, c_custkey, 0 FROM customer
+           UNION ALL
+           SELECT c, anc // 10, depth + 1 FROM chain WHERE anc > 0
+         )
+         SELECT depth, count(*) AS n_customers FROM (
+           SELECT c, max(depth) AS depth FROM chain GROUP BY c)
+         GROUP BY depth""",
+
     // Dynamic gaps: a session's end is the running MAX of member ends
     // (ts + that event's own gap); a new session starts only when the
     // next event's ts STRICTLY exceeds it (boundary events merge —

@@ -196,6 +196,22 @@ class OperatorsSpec extends SparkSpec {
       s"${r.getString(0)}: expected ${r.getLong(1)}, actual ${r.getLong(2)}"))
   }
 
+  // q65: the recursion must actually plan through Spark 4's UnionLoop
+  // operator (not silently degrade), and the depth histogram must
+  // partition the customer table.
+  test("q65 recursive CTE plans through UnionLoop and partitions customers") {
+    val df = SparkEntry.queries("q65_recursive_cte")(spark, sfDir)
+    assert(df.queryExecution.optimizedPlan.toString.contains("UnionLoop"),
+      "recursive CTE did not plan through the UnionLoop operator")
+    val rows = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.values.sum ==
+      graft.sources.Tables.customer(spark, sfDir).count(),
+      "depth histogram does not partition the customer table")
+    // custkey 0 (the root itself) legitimately has depth 0; multiple
+    // depth levels prove the recursion actually iterated.
+    assert(rows.keys.min >= 0 && rows.size >= 2, "degenerate hierarchy")
+  }
+
   // dq12: the calibration table's bins PARTITION the scored corpus —
   // doc totals conserve, positives equal the label definition's count,
   // and every rate/mean stays in [0, 1e6] ppm.
