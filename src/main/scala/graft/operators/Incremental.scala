@@ -199,13 +199,39 @@ object Incremental {
 
   // ------------------------------------------------------------------
   // Night commit protocol: stage → manifest (commit point) → publish.
+  //
+  // ATOMICITY ASSUMPTIONS (object-store portability note): the commit
+  // point is an ATOMIC_MOVE rename of the manifest, and every publish
+  // step is a `File.renameTo` — both atomic only WITHIN one filesystem.
+  // The staging tree lives under `root/_staging`, so same-filesystem
+  // holds unless a mount point interposes; [[withWriterLock]] asserts
+  // it once per root (the cheap canary). An object-store port (S3/GCS
+  // have no atomic rename) replaces the renames with copy-then-
+  // manifest-pointer-swap and readers with the manifest-pinned file
+  // listings of [[graft.sources.Pinned]] — the protocol's commit-point
+  // and recovery semantics carry over unchanged.
+  //
+  // SINGLE WRITER: nights assume one writer per artifact root. The
+  // assumption is ENFORCED, not just documented — [[withWriterLock]]
+  // takes a lease file under the root (atomic create; stale-holder
+  // takeover by age) and a second concurrent night fails loud with
+  // [[ConcurrentNightWriter]] instead of interleaving staging and
+  // publishes. Completed nights are recorded in ONE append-only log
+  // (`_nights.log` — [[recordDone]]/[[doneTags]]) rather than a
+  // marker file per night, and the record is written by
+  // [[publishManifest]] itself (an `M|tag` manifest action) BEFORE the
+  // committed staging is destroyed — so there is no crash window in
+  // which a published night looks unpublished to a replay.
   // ------------------------------------------------------------------
 
   /** Crash injected by the atomicity specs; scoped by artifact root so
     * parallel suites cannot trip each other's failpoints. Points:
     * "pre-manifest" (staging complete, commit not written — the whole
-    * night must be discardable) and "mid-publish" (one replace applied,
-    * the rest pending — recovery must finish the publish). */
+    * night must be discardable), "mid-publish" (one replace applied,
+    * the rest pending — recovery must finish the publish), and
+    * "post-publish" (published and done-log recorded, committed
+    * staging not yet destroyed — a redelivery must recover without
+    * RERUNNING the night). */
   private[graft] final class InjectedNightCrash(point: String)
     extends RuntimeException(s"injected night crash at $point")
   @volatile private[graft] var failAt: Option[(String, String)] = None
@@ -217,6 +243,133 @@ object Incremental {
   private def stageDirOf(d: Dirs, tag: String): java.io.File =
     new java.io.File(new java.io.File(d.root, "_staging"), tag)
 
+  // ------------------------------------------------------------------
+  // Writer mutual exclusion: one night at a time per artifact root.
+  // ------------------------------------------------------------------
+
+  /** A second writer raced an in-flight night on the same root — the
+    * loser must fail LOUD (and rerun later), never interleave. */
+  private[graft] final class ConcurrentNightWriter(msg: String)
+    extends IllegalStateException(msg)
+
+  /** In-process lease table: root → (owner thread, re-entry depth).
+    * The file lease below excludes other PROCESSES; this excludes other
+    * threads of this one and makes the lock re-entrant (the idempotent
+    * wrappers hold it around recovery + the night body, which itself
+    * acquires). */
+  private val heldLeases = TrieMap.empty[String, (Thread, Int)]
+
+  /** Single-writer lease for a night root: `_WRITER.lock` under the
+    * root, atomically created (`Files.createFile`), content = holder
+    * token. A live lock from another writer fails loud; a STALE lock
+    * (holder died without release — age over `staleMs` with no
+    * heartbeat touch) is taken over by delete-and-recreate, where the
+    * recreate re-races atomically (two takeover attempts: exactly one
+    * wins the create). Also runs the same-filesystem canary once — the
+    * rename-atomicity assumption the commit protocol stands on. */
+  private[graft] def withWriterLock[T](d: Dirs,
+      staleMs: Long = 10L * 60L * 1000L)(body: => T): T = {
+    val me = Thread.currentThread()
+    heldLeases.get(d.root) match {
+      case Some((t, n)) if t eq me =>
+        heldLeases.update(d.root, (me, n + 1))
+        try body
+        finally heldLeases.update(d.root, (me, n))
+      case Some(_) =>
+        throw new ConcurrentNightWriter(
+          s"another night holds the writer lease for ${d.root} (this JVM)")
+      case None =>
+        if (heldLeases.putIfAbsent(d.root, (me, 1)).isDefined)
+          throw new ConcurrentNightWriter(
+            s"another night holds the writer lease for ${d.root} (this JVM)")
+        val root = new java.io.File(d.root)
+        root.mkdirs()
+        assertSameFileStore(root)
+        val lock = new java.io.File(root, "_WRITER.lock")
+        def tryCreate(): Boolean =
+          try { java.nio.file.Files.createFile(lock.toPath); true }
+          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        try {
+          var acquired = tryCreate()
+          if (!acquired &&
+              System.currentTimeMillis() - lock.lastModified() > staleMs) {
+            lock.delete() // stale holder: take over (create re-races)
+            acquired = tryCreate()
+          }
+          if (!acquired)
+            throw new ConcurrentNightWriter(
+              s"writer lease $lock is held by another process " +
+                s"(age ${System.currentTimeMillis() - lock.lastModified()} ms)")
+          try body
+          finally { lock.delete(): Unit }
+        } finally { heldLeases.remove(d.root): Unit }
+    }
+  }
+
+  /** The object-store canary: the commit protocol's renames are atomic
+    * only within one filesystem, so the staging tree must share the
+    * live tree's FileStore. Checked once per root per process. */
+  private val fsChecked = TrieMap.empty[String, Boolean]
+  private def assertSameFileStore(root: java.io.File): Unit =
+    fsChecked.getOrElseUpdate(root.getPath, {
+      val staging = new java.io.File(root, "_staging")
+      staging.mkdirs()
+      val a = java.nio.file.Files.getFileStore(root.toPath)
+      val b = java.nio.file.Files.getFileStore(staging.toPath)
+      require(a == b,
+        s"night commit protocol: staging ($staging, $b) and live root " +
+          s"($root, $a) are on different filesystems — dir renames would " +
+          "not be atomic; port the publish to copy+manifest (object-store " +
+          "design note in the protocol doc) before running here")
+      true
+    })
+
+  // ------------------------------------------------------------------
+  // Completed-night log: ONE append-only file instead of a marker file
+  // per night (the marker-file census grew one file per night forever).
+  // ------------------------------------------------------------------
+
+  private def nightLog(d: Dirs) = new java.io.File(d.root, "_nights.log")
+
+  /** Record `tag` as published. Called by [[publishManifest]] for
+    * manifest `M|` actions — i.e. BEFORE the committed staging dir is
+    * deleted, so a crash can never destroy the staging of a night that
+    * has not yet been recorded (the round-10 advice's residual window).
+    * Single-writer (the lease) ⇒ appends never interleave; a crash
+    * mid-append leaves a torn final line that matches no tag, and the
+    * still-pending manifest re-publishes and re-appends on recovery.
+    * Duplicate lines are harmless — membership is the only query. */
+  private def recordDone(d: Dirs, tag: String): Unit = {
+    val out = new java.io.FileOutputStream(nightLog(d), true)
+    try out.write((tag + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The set of published night tags. Folds any LEGACY per-night
+    * marker files (`_<tag>.done`) into the log on first read — the
+    * one-time migration from the round-10 marker-file scheme; replay
+    * idempotence is preserved because membership is unioned before the
+    * markers are deleted. */
+  private[graft] def doneTags(d: Dirs): Set[String] = {
+    val root = new java.io.File(d.root)
+    val legacy = Option(root.listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.startsWith("_") &&
+        f.getName.endsWith(".done"))
+    legacy.foreach { f =>
+      recordDone(d, f.getName.stripPrefix("_").stripSuffix(".done"))
+      f.delete(): Unit
+    }
+    val log = nightLog(d)
+    if (!log.exists()) Set.empty
+    else new String(java.nio.file.Files.readAllBytes(log.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).toSet
+  }
+
+  /** Whether night `tag` has been published (spec hook). */
+  private[graft] def nightDone(d: Dirs, tag: String): Boolean =
+    doneTags(d).contains(tag)
+
   /** One publish action: replace the live `artifact/dir` partition with
     * the staged one (`staged=true`), or delete it outright
     * (`staged=false` — the ghost rule: the rewrite emitted zero rows
@@ -226,16 +379,21 @@ object Incremental {
   /** THE COMMIT POINT: write the manifest aside and atomically rename
     * it in. Before the rename the night is invisible (staging is
     * discarded on recovery); after it the night WILL be published,
-    * by this process or by [[recoverPending]] after a crash. */
+    * by this process or by [[recoverPending]] after a crash. A
+    * marker-managed night (the streaming at-least-once class) records
+    * its done-log entry as a manifest ACTION (`M|tag`), so the record
+    * is written by publish itself — before the staging is destroyed —
+    * on both the primary path and the recovery path. */
   private def commitNight(stage: java.io.File,
-      replaces: Seq[(String, Seq[String])], appends: Seq[String]): Unit = {
+      replaces: Seq[(String, Seq[String])], appends: Seq[String],
+      marker: Option[String] = None): Unit = {
     val lines =
       replaces.flatMap { case (art, dirs) =>
         dirs.map { dir =>
           val staged = new java.io.File(new java.io.File(stage, art), dir).exists()
           s"R|$art|$dir|${if (staged) 1 else 0}"
         }
-      } ++ appends.map(a => s"A|$a")
+      } ++ appends.map(a => s"A|$a") ++ marker.map(m => s"M|$m").toSeq
     val tmp = new java.io.File(stage, "MANIFEST.tmp")
     java.nio.file.Files.write(tmp.toPath,
       lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -244,7 +402,8 @@ object Incremental {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
   }
 
-  private def readManifest(stage: java.io.File): (Seq[Replace], Seq[String]) = {
+  private def readManifest(
+      stage: java.io.File): (Seq[Replace], Seq[String], Seq[String]) = {
     val lines = new String(java.nio.file.Files.readAllBytes(
         new java.io.File(stage, "MANIFEST").toPath),
       java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq.filter(_.nonEmpty)
@@ -252,7 +411,8 @@ object Incremental {
       val Array(_, art, dir, fl) = l.split("\\|")
       Replace(art, dir, fl == "1")
     }
-    (rs, lines.collect { case l if l.startsWith("A|") => l.drop(2) })
+    (rs, lines.collect { case l if l.startsWith("A|") => l.drop(2) },
+      lines.collect { case l if l.startsWith("M|") => l.drop(2) })
   }
 
   /** Apply a committed manifest to the live dirs. Every step is
@@ -264,7 +424,7 @@ object Incremental {
     * failpoint lands exactly on the old "between the df overwrite and
     * the table rewrite" hazard the round-9 verdict documented. */
   private def publishManifest(d: Dirs, stage: java.io.File): Unit = {
-    val (replaces, appends) = readManifest(stage)
+    val (replaces, appends, markers) = readManifest(stage)
     var applied = 0
     replaces.foreach { r =>
       val liveDir = new java.io.File(new java.io.File(d.root, r.artifact), r.dir)
@@ -296,28 +456,39 @@ object Incremental {
             }
         }
     }
+    // Done-log records LAST (all data is live) but still BEFORE the
+    // caller deletes the staging dir — re-running this publish after a
+    // crash at any point re-applies no-ops and re-records (duplicate
+    // log lines are harmless), so the round-10 advice's post-publish/
+    // pre-marker window no longer exists.
+    markers.foreach(recordDone(d, _))
   }
 
   /** Complete or discard every staged night left behind by a crash:
     * a staging dir WITH a manifest is a committed night — finish its
-    * publish (idempotent) and, for marker-managed nights, write the
-    * done-marker; one WITHOUT a manifest never touched the live tree —
-    * discard it and let the night rerun. Returns the tags published. */
+    * publish (idempotent; the manifest's `M|` action re-records the
+    * done-log entry); one WITHOUT a manifest never touched the live
+    * tree — discard it (this is also the `_staging` GC: aged discards
+    * from dead runs are reaped here, and the idempotent wrappers call
+    * this at every night entry). Returns the tags published. Under the
+    * single-writer lease at most ONE committed staging can pend (each
+    * night publishes before the next commits) — asserted, because the
+    * lexicographic publish order below would silently misorder
+    * committed nights (`night_10` before `night_2`) if that invariant
+    * ever broke. */
   private[graft] def recoverPending(d: Dirs): Seq[String] = {
     val stRoot = new java.io.File(d.root, "_staging")
-    Option(stRoot.listFiles()).toSeq.flatten.filter(_.isDirectory)
-      .sortBy(_.getName).flatMap { stage =>
-        val committed = new java.io.File(stage, "MANIFEST").exists()
-        if (committed) {
-          publishManifest(d, stage)
-          // Marker-managed nights (delta AND purge) get their done-
-          // marker here, so an at-least-once redelivery of the same
-          // night after the recovery is a no-op.
-          new java.io.File(d.root, s"_${stage.getName}.done").createNewFile(): Unit
-        }
-        deleteRec(stage)
-        if (committed) Some(stage.getName) else None
-      }
+    val pending = Option(stRoot.listFiles()).toSeq.flatten
+      .filter(_.isDirectory).sortBy(_.getName)
+    require(pending.count(st => new java.io.File(st, "MANIFEST").exists()) <= 1,
+      s"recovery: multiple committed stagings pend under $stRoot — the " +
+        "single-writer invariant is broken and publish order is undefined")
+    pending.flatMap { stage =>
+      val committed = new java.io.File(stage, "MANIFEST").exists()
+      if (committed) publishManifest(d, stage)
+      deleteRec(stage)
+      if (committed) Some(stage.getName) else None
+    }
   }
 
   /** Night 0: the base snapshot build — full-batch over `baseDocs`,
@@ -360,9 +531,12 @@ object Incremental {
     * under the night COMMIT PROTOCOL (object doc): phase 1 computes
     * against the pre-state artifacts plus in-memory delta views and
     * stages every output; the manifest rename commits; publish applies
-    * idempotent renames. The live tree is never half-merged. */
+    * idempotent renames. The live tree is never half-merged. Holds the
+    * single-writer lease; `marker` (set by [[nightIdempotent]]) rides
+    * the manifest as an `M|` action. */
   private[graft] def nightOf(
-      s: SparkSession, d: Dirs, deltaDocs: DataFrame, p: Int): NightAudit = {
+      s: SparkSession, d: Dirs, deltaDocs: DataFrame, p: Int,
+      marker: Option[String] = None): NightAudit = withWriterLock(d) {
     val stage = stageDirOf(d, s"night_$p")
     require(!new java.io.File(stage, "MANIFEST").exists(),
       s"night_$p: a committed staging is pending — run recoverPending first")
@@ -494,8 +668,12 @@ object Incremental {
         "table" -> affectedParts.map(q => s"part=$q"),
         "ck" -> affectedParts.map(q => s"part=$q"),
         "cm" -> affectedParts.map(q => s"part=$q")),
-      appends = Seq("docs", "bh"))
+      appends = Seq("docs", "bh"), marker = marker)
     publishManifest(d, stage)
+    // Failpoint for the round-10 advice's residual window: published
+    // (and done-log recorded by publish) but the committed staging not
+    // yet destroyed — a redelivery must NOT rerun the night.
+    failIf(d.root, "post-publish")
     deleteRec(stage)
     NightAudit(p, affectedParts, touchedDfBkts, crossedBhBkts,
       preFiles, snapshotFiles(new java.io.File(d.root)))
@@ -535,10 +713,12 @@ object Incremental {
     * Every read is purge-sized or pruned to touched buckets / affected
     * shard dirs; the oracle is the full recompute over the SURVIVING
     * corpus. Runs under the same COMMIT PROTOCOL as [[nightOf]] — all
-    * outputs staged, manifest rename commits, publish is idempotent. */
+    * outputs staged, manifest rename commits, publish is idempotent.
+    * Holds the single-writer lease; `marker` rides the manifest. */
   private[graft] def purgeNightOf(
       s: SparkSession, d: Dirs, purgeIds: DataFrame,
-      tag: String = "purge"): PurgeAudit = {
+      tag: String = "purge",
+      marker: Option[String] = None): PurgeAudit = withWriterLock(d) {
     val stage = stageDirOf(d, tag)
     require(!new java.io.File(stage, "MANIFEST").exists(),
       s"$tag: a committed staging is pending — run recoverPending first")
@@ -687,54 +867,60 @@ object Incremental {
         "table" -> affectedParts.map(q => s"part=$q"),
         "ck" -> affectedParts.map(q => s"part=$q"),
         "cm" -> affectedParts.map(q => s"part=$q")),
-      appends = Seq())
+      appends = Seq(), marker = marker)
     publishManifest(d, stage)
+    failIf(d.root, "post-publish")
     deleteRec(stage)
     PurgeAudit(purgeParts, affectedParts, touchedDfBkts, uncrossedBhBkts,
       purgedBhBkts, preFiles, snapshotFiles(new java.io.File(d.root)))
   }
 
-  /** [[nightOf]] behind a per-shard DONE marker + pending-night
-    * recovery — the idempotence the STREAMING leg (st35) needs:
-    * foreachBatch is at-least-once, and a replayed night would append
-    * its postings and df partials TWICE (the merge is additive, so a
-    * replay is not self-collapsing the way the sink-as-state partial
-    * ops are). A whole-night replay is a no-op (marker present); a
-    * redelivery after a mid-night crash finds either a committed
-    * staging (recovery finishes the publish — the manifest is the
-    * commit point) or an uncommitted one (discarded; the live tree was
-    * never touched, so the night simply reruns). The old "crash
-    * between the df overwrite and the table rewrite" boundary no
-    * longer exists. Returns whether this call did the night's work. */
+  /** [[nightOf]] behind the done-LOG + pending-night recovery — the
+    * idempotence the STREAMING leg (st35) needs: foreachBatch is
+    * at-least-once, and a replayed night would append its postings and
+    * df partials TWICE (the merge is additive, so a replay is not
+    * self-collapsing the way the sink-as-state partial ops are). A
+    * whole-night replay is a no-op (log entry present); a redelivery
+    * after a mid-night crash finds either a committed staging
+    * (recovery finishes the publish — the manifest is the commit
+    * point, and its `M|` action re-records the log entry) or an
+    * uncommitted one (discarded; the live tree was never touched, so
+    * the night simply reruns). The done record is written by publish
+    * itself, before the staging is destroyed — no crash window ever
+    * shows a published night as unrecorded. The whole sequence
+    * (recovery + night) runs under ONE writer lease, so a racing
+    * second writer cannot discard this night's in-progress staging.
+    * Returns whether this call did the night's work. */
   private[graft] def nightIdempotent(
-      s: SparkSession, d: Dirs, deltaDocs: DataFrame, p: Int): Boolean = {
-    val recovered = recoverPending(d).contains(s"night_$p")
-    val marker = new java.io.File(d.root, s"_night_$p.done")
-    if (marker.exists()) recovered
-    else {
-      nightOf(s, d, deltaDocs, p)
-      marker.createNewFile()
+      s: SparkSession, d: Dirs, deltaDocs: DataFrame, p: Int): Boolean =
+    withWriterLock(d) {
+      val tag = s"night_$p"
+      val recovered = recoverPending(d).contains(tag)
+      if (doneTags(d).contains(tag)) recovered
+      else {
+        nightOf(s, d, deltaDocs, p, marker = Some(tag))
+        true
+      }
     }
-  }
 
-  /** [[purgeNightOf]] behind the same done-marker + recovery discipline
+  /** [[purgeNightOf]] behind the same done-log + recovery discipline
     * — the idempotence the STREAMING takedown leg (st37) needs: a purge
     * night is even less self-collapsing than a delta night (a replayed
     * NEGATIVE df merge would decrement counts twice and trip the
     * fail-loud non-negativity check at best, silently drop surviving
     * paragraphs at worst). `tag` must be a deterministic function of
     * the purge batch's CONTENT (the caller derives it from the purge
-    * predicate), so a replayed delivery maps to the same marker. */
+    * predicate), so a replayed delivery maps to the same log entry. */
   private[graft] def purgeIdempotent(
-      s: SparkSession, d: Dirs, purgeIds: DataFrame, tag: String): Boolean = {
-    val recovered = recoverPending(d).contains(tag)
-    val marker = new java.io.File(d.root, s"_$tag.done")
-    if (marker.exists()) recovered
-    else {
-      purgeNightOf(s, d, purgeIds, tag)
-      marker.createNewFile()
+      s: SparkSession, d: Dirs, purgeIds: DataFrame, tag: String): Boolean =
+    withWriterLock(d) {
+      val recovered = recoverPending(d).contains(tag)
+      if (doneTags(d).contains(tag)) recovered
+      else {
+        purgeNightOf(s, d, purgeIds, tag, marker = Some(tag))
+        true
+      }
     }
-  }
 
   /** The full incremental run over any documents-shaped relation: base
     * build over every shard NOT in `deltaParts`, then one night per

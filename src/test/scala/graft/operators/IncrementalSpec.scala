@@ -301,7 +301,7 @@ class IncrementalSpec extends SparkSpec {
     // crashed attempt is invisible outside _staging.
     assert(liveTree(root) == pre,
       "an uncommitted night mutated the live artifact tree")
-    assert(!new java.io.File(root, "_night_7.done").exists())
+    assert(!Incremental.nightDone(d, "night_7"))
     // Redelivery discards the uncommitted staging and reruns the night.
     assert(Incremental.nightIdempotent(spark, d, delta, 7),
       "redelivery after a pre-commit crash did not rerun the night")
@@ -334,12 +334,12 @@ class IncrementalSpec extends SparkSpec {
     // exact half-merged window the old in-place writes could strand.
     assert(new java.io.File(root, "_staging/night_7/MANIFEST").exists(),
       "mid-publish crash lost its committed manifest")
-    assert(!new java.io.File(root, "_night_7.done").exists())
+    assert(!Incremental.nightDone(d, "night_7"))
     // Redelivery (the foreachBatch at-least-once class) finishes the
     // publish instead of re-running — and then marks the night done.
     assert(Incremental.nightIdempotent(spark, d, delta, 7),
       "recovery did not complete the committed night")
-    assert(new java.io.File(root, "_night_7.done").exists())
+    assert(Incremental.nightDone(d, "night_7"))
     assert(!new java.io.File(root, "_staging/night_7").exists(),
       "published staging not cleaned up")
     val fullRoot = java.nio.file.Files
@@ -410,6 +410,120 @@ class IncrementalSpec extends SparkSpec {
       "replayed purge ran again past the done-marker")
     assert(tree == after1, "replayed purge mutated the artifact tree")
     assert(spark.read.parquet(d.docs).filter(col("doc_id") === 13L).isEmpty)
+  }
+
+  test("a night killed after publish but before staging cleanup does not rerun") {
+    import spark.implicits._
+    // The round-10 advice's residual window: the old primary path wrote
+    // its done-marker only AFTER discarding the committed staging, so a
+    // crash in between made a published night look unpublished and an
+    // at-least-once redelivery reran it (double-appending the additive
+    // ledgers). The done record now rides the manifest and is written
+    // by publish itself — this failpoint lands exactly in the old
+    // window and the redelivery must recover, not rerun.
+    val docs = Seq(
+      (2L, "en", "applepie6 bananaz6"),
+      (5L, "en", "applepie6 bananaz6 zebraxx6 zebraxx6"),
+      (3L, "en", "zebraxx6 zebraxx6 walnutt6 velvetty6"),
+      (7L, "en", "applepie6 bananaz6")
+    ).toDF("doc_id", "lang", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pl11_crash_post").toString
+    val d = Incremental.Dirs(root)
+    Incremental.baseBuild(spark, d,
+      docs.filter(col("doc_id") % Incremental.Parts =!= 7))
+    val delta = docs.filter(col("doc_id") % Incremental.Parts === 7)
+    Incremental.failAt = Some((root, "post-publish"))
+    try intercept[Incremental.InjectedNightCrash] {
+      Incremental.nightIdempotent(spark, d, delta, 7)
+    } finally Incremental.failAt = None
+    // Published AND recorded — the committed staging merely lingers.
+    assert(Incremental.nightDone(d, "night_7"),
+      "publish did not record the done-log entry before cleanup")
+    assert(new java.io.File(root, "_staging/night_7/MANIFEST").exists())
+    val published = liveTree(root)
+    // Redelivery: recovery re-applies no-op publishes and discards the
+    // staging; the night must NOT rerun (no double-append).
+    assert(Incremental.nightIdempotent(spark, d, delta, 7),
+      "redelivery did not recover the lingering committed staging")
+    assert(!new java.io.File(root, "_staging/night_7").exists())
+    assert(liveTree(root) == published,
+      "redelivery after a post-publish crash mutated the live tree — " +
+        "the night reran")
+    val fullRoot = java.nio.file.Files
+      .createTempDirectory("graft_pl11_crash_post_full").toString
+    Incremental.runIncremental(spark, docs, fullRoot, Seq())
+    assert(tableRows(root) == tableRows(fullRoot))
+    // A further replay is a plain done-log no-op.
+    assert(!Incremental.nightIdempotent(spark, d, delta, 7))
+  }
+
+  test("two racing nights on one root: exactly one wins, the loser fails loud") {
+    import spark.implicits._
+    val docs = Seq(
+      (2L, "en", "applepie7 bananaz7"),
+      (5L, "en", "applepie7 bananaz7 zebraxx7 zebraxx7"),
+      (3L, "en", "zebraxx7 zebraxx7 walnutt7 velvetty7"),
+      (7L, "en", "applepie7 bananaz7")
+    ).toDF("doc_id", "lang", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pl11_lease").toString
+    val d = Incremental.Dirs(root)
+    Incremental.baseBuild(spark, d,
+      docs.filter(col("doc_id") % Incremental.Parts =!= 7))
+    val delta = docs.filter(col("doc_id") % Incremental.Parts === 7)
+    // Writer A holds the lease (as a night in progress would); writer B
+    // — another thread, the in-JVM race — must fail loud immediately,
+    // never block, never touch A's staging.
+    Incremental.withWriterLock(d) {
+      @volatile var caught: Throwable = null
+      val b = new Thread(() =>
+        try { Incremental.nightIdempotent(spark, d, delta, 7); () }
+        catch { case e: Throwable => caught = e })
+      b.start(); b.join(60000)
+      assert(caught != null, "the racing writer did not fail")
+      assert(caught.isInstanceOf[Incremental.ConcurrentNightWriter],
+        s"racing writer failed with the wrong error: $caught")
+    }
+    // CROSS-PROCESS leg: a live lock FILE from another process (no
+    // in-JVM entry) also excludes...
+    val lock = new java.io.File(root, "_WRITER.lock")
+    assert(lock.createNewFile())
+    intercept[Incremental.ConcurrentNightWriter] {
+      Incremental.nightIdempotent(spark, d, delta, 7)
+    }
+    // ...until it goes STALE (holder died): age-based takeover wins the
+    // lease and the night runs to convergence.
+    assert(lock.setLastModified(System.currentTimeMillis() - 11 * 60 * 1000L))
+    assert(Incremental.nightIdempotent(spark, d, delta, 7),
+      "stale-lease takeover did not run the night")
+    assert(!lock.exists(), "the winning night did not release the lease")
+    val fullRoot = java.nio.file.Files
+      .createTempDirectory("graft_pl11_lease_full").toString
+    Incremental.runIncremental(spark, docs, fullRoot, Seq())
+    assert(tableRows(root) == tableRows(fullRoot))
+  }
+
+  test("legacy per-night marker files migrate into the done-log once") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pl11_migrate").toString
+    val d = Incremental.Dirs(root)
+    new java.io.File(root).mkdirs()
+    // A round-10 tree: marker files, no log.
+    assert(new java.io.File(root, "_night_3.done").createNewFile())
+    assert(new java.io.File(root, "_purge_r9.done").createNewFile())
+    assert(Incremental.doneTags(d) == Set("night_3", "purge_r9"))
+    // Markers folded in and deleted; membership survives (replay
+    // idempotence across the migration).
+    assert(!new java.io.File(root, "_night_3.done").exists())
+    assert(Incremental.doneTags(d) == Set("night_3", "purge_r9"))
+    // A marker-managed replay of the migrated night is a no-op.
+    val delta = Seq((3L, "en", "anything goes")).toDF("doc_id", "lang", "text")
+    Incremental.baseBuild(spark, d,
+      Seq((2L, "en", "base doc here")).toDF("doc_id", "lang", "text"))
+    assert(!Incremental.nightIdempotent(spark, d, delta, 3),
+      "a migrated done record did not suppress the replay")
   }
 
   test("pl13 composed takedown: both modality legs purge, neither leaks") {
