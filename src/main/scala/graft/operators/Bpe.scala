@@ -405,6 +405,37 @@ object Bpe {
     s.read.parquet(dir.getPath)
   }
 
+  /** The resolved per-token id stream under the shipped vocab —
+    * (doc_id, pos = word position, k = symbol position within the word,
+    * token_id) — ta38's resolution join extracted so the training-
+    * tensor materialization (ta39) emits the SAME ids it audits. The
+    * id resolution is an INNER join on the vocab: a dropped id fails
+    * ta38's count parity and ta39's conservation spec, never an UNK. */
+  private def tokenIdStream(s: SparkSession, d: String): DataFrame = {
+    val vocab = queries("ta30_bpe_vocab")(s, d)
+      .select(col("symbol"), col("token_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(expr(toks)).as(Seq("pos", "word")))
+      .hint("shuffle_hash")
+      .join(bpeDict(s, d).select(col("word"), col("s")).hint("shuffle_hash"),
+        Seq("word"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("s"), expr(byteStateSql("word"))).as("s"))
+      .select(col("doc_id"), col("pos"),
+        posexplode(expr(arr)).as(Seq("k", "symbol")))
+      .hint("shuffle_hash")
+      .join(vocab.hint("shuffle_hash"), Seq("symbol"))
+      .select(col("doc_id"), col("pos"), col("k"), col("token_id"))
+  }
+
+  /** ta39's tensor geometry: fixed context-window width W, separator
+    * token id 0 (vocab ids start at 1 — the reserved EOT slot every
+    * real tokenizer keeps), pad id −1 with loss mask 0. W is sized so
+    * the cut BINDS at fixture scale (documents straddle windows and
+    * shards end in a partial window); production sets the model's
+    * context length. */
+  private[graft] val TensorW = 512
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- Train a BPE tokenizer on the corpus, encode every document
     //    with it, report per-doc word/subword counts + an encoding
@@ -479,19 +510,7 @@ object Bpe {
     //    class); id resolution is an INNER join — a missing id would
     //    DROP a token and fail the oracle hash, never emit an UNK.
     "ta38_token_ids" -> ((s, d) => {
-      val vocab = queries("ta30_bpe_vocab")(s, d)
-        .select(col("symbol"), col("token_id"))
-      val tok = Tables.documents(s, d).select(col("doc_id"),
-        posexplode(expr(toks)).as(Seq("pos", "word")))
-      val syms = tok.hint("shuffle_hash")
-        .join(bpeDict(s, d).select(col("word"), col("s")).hint("shuffle_hash"),
-          Seq("word"), "left")
-        .select(col("doc_id"), col("pos"),
-          coalesce(col("s"), expr(byteStateSql("word"))).as("s"))
-        .select(col("doc_id"), col("pos"),
-          posexplode(expr(arr)).as(Seq("k", "symbol")))
-      val perDoc = syms.hint("shuffle_hash")
-        .join(vocab.hint("shuffle_hash"), Seq("symbol"))
+      val perDoc = tokenIdStream(s, d)
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
           sum(col("token_id").cast("long")).as("id_sum"),
@@ -504,6 +523,78 @@ object Bpe {
           coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
           coalesce(col("id_sum"), lit(0L)).as("id_sum"),
           coalesce(col("ids_md5"), md5(lit(""))).as("ids_md5"))
+    }),
+
+    // -- THE TRAINING TENSOR — the artifact a trainer memory-maps, the
+    //    op that closes ingest→tensor end-to-end: ta35's fractional-
+    //    epoch copies (each copy is one unit of the training stream),
+    //    laid out in ta14's deterministic shard order (shard/scatter
+    //    hashes over the COPY key, so copies of one doc spread across
+    //    the stream), each copy emitting its ta38 ordered token-id
+    //    sequence plus ONE doc-boundary separator (id 0), the whole
+    //    per-shard stream chunked into fixed-W context windows with a
+    //    loss mask (1 = real token, 0 = separator/padding; only the
+    //    shard's LAST window pads, with id −1). Per (shard, window):
+    //    counts + order-pinning md5s of the full W-slot id and mask
+    //    rows — the md5 IS the tensor content, the conservation spec
+    //    pins that every token id lands exactly per its copy count.
+    //    Scale: shards are the parallel unit (each packs
+    //    independently — no global sort; production sizes shard count
+    //    to cluster width); the copies×ids join IS the materialization
+    //    job (output-sized, never more); the per-window collect is
+    //    W-bounded (512 structs — pl06's document-bounded class).
+    "ta39_training_tensor" -> ((s, d) => {
+      val W = TensorW
+      val copies = TextAnalysis.epochCopies(Tables.documents(s, d))
+        .withColumn("shard", expr(
+          "cast(conv(substring(md5(concat('sh', cast(doc_id as string), ':', " +
+            "cast(copy_idx as string))), 1, 8), 16, 10) as bigint) % 8"))
+      // Copy lengths from the STAGED per-doc stats (n_subwords ≡ the id
+      // stream's per-doc count — ta38's parity), so the offset pass
+      // never re-encodes the corpus.
+      val cps = copies.hint("shuffle_hash")
+        .join(stagedDocStats(s, d).select(col("doc_id"),
+            col("n_subwords").as("len")).hint("shuffle_hash"),
+          Seq("doc_id"))
+      // Per-shard base offsets: prefix sum of (len + 1) in ta14's
+      // (scatter key, id) order — one window per shard, no global sort.
+      val wOrd = Window.partitionBy(col("shard"))
+        .orderBy(col("ord_key").asc, col("doc_id").asc, col("copy_idx").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val based = cps
+        .withColumn("cum", sum(col("len") + 1).over(wOrd))
+        .select(col("doc_id"), col("copy_idx"), col("shard"), col("len"),
+          (col("cum") - (col("len") + 1)).as("base"))
+        .localCheckpoint() // referenced by both the token and separator legs
+      val ids = tokenIdStream(s, d)
+        .withColumn("tokidx",
+          row_number().over(Window.partitionBy(col("doc_id"))
+            .orderBy(col("pos").asc, col("k").asc)) - 1)
+      val toksLeg = based.hint("shuffle_hash")
+        .join(ids.hint("shuffle_hash"), Seq("doc_id"))
+        .select(col("shard"), (col("base") + col("tokidx")).as("gpos"),
+          col("token_id").cast("long").as("tid"))
+      val sepLeg = based
+        .select(col("shard"), (col("base") + col("len")).as("gpos"),
+          lit(0L).as("tid"))
+      toksLeg.unionByName(sepLeg)
+        .select(col("shard"), expr(s"gpos div $W").as("win"),
+          (col("gpos") % W).as("slot"), col("tid"))
+        .groupBy(col("shard"), col("win"))
+        .agg(count(lit(1)).as("n_filled"),
+          sum(when(col("tid") =!= 0L, 1L).otherwise(0L)).as("n_real"),
+          sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_sep"),
+          expr("array_join(transform(array_sort(collect_list(struct(slot, tid))), " +
+            "x -> cast(x.tid as string)), ' ')").as("idsj"),
+          expr("array_join(transform(array_sort(collect_list(struct(slot, tid))), " +
+            "x -> IF(x.tid = 0, '0', '1')), ' ')").as("maskj"))
+        .select(col("shard"), col("win"),
+          col("n_real"), col("n_sep"),
+          (lit(W.toLong) - col("n_filled")).as("n_pad"),
+          md5(concat(col("idsj"),
+            expr(s"repeat(' -1', cast($W - n_filled as int))"))).as("ids_md5"),
+          md5(concat(col("maskj"),
+            expr(s"repeat(' 0', cast($W - n_filled as int))"))).as("mask_md5"))
     }),
 
     "ta34_tokenizer_fertility" -> ((s, d) => {
@@ -706,6 +797,91 @@ object Bpe {
             CAST(coalesce(x.id_sum, 0) AS BIGINT) AS id_sum,
             coalesce(x.ids_md5, md5('')) AS ids_md5
           FROM documents d LEFT JOIN d38 x ON d.doc_id = x.doc_id""",
+
+    // ta39: the same id stream (ta38's CTEs), composed with ta35's
+    // copy arithmetic and ta14's shard/scatter hashes over the copy
+    // key, unrolled into the identical per-shard prefix-sum packing.
+    "ta39_training_tensor" -> {
+      val W = TensorW
+      s"""$withSqlPrefix,
+          v39 AS ($vocabSqlBody),
+          l39 AS (
+            SELECT doc_id, list_filter(string_split(text, ' '),
+              x -> x <> '') AS l
+            FROM documents),
+          t39 AS (
+            SELECT doc_id, unnest(range(len(l))) AS pos, unnest(l) AS word
+            FROM l39),
+          s39 AS (
+            SELECT t.doc_id, t.pos,
+              string_split(coalesce(w.s, ${dbByteState("t.word")})[2:], '|')
+                AS syms
+            FROM t39 t LEFT JOIN bpe_w$Rounds w ON t.word = w.word),
+          y39 AS (
+            SELECT doc_id, pos, unnest(list_transform(range(len(syms)),
+              i -> struct_pack(k := i, symbol := syms[CAST(i AS INT)+1])),
+              recursive := true)
+            FROM s39),
+          i39 AS (
+            SELECT y.doc_id, y.pos, y.k, v.token_id,
+              row_number() OVER (PARTITION BY y.doc_id ORDER BY y.pos, y.k)
+                - 1 AS tokidx
+            FROM y39 y JOIN v39 v ON y.symbol = v.symbol),
+          len39 AS (
+            SELECT doc_id, count(*) AS len FROM i39 GROUP BY doc_id),
+          e39 AS (
+            SELECT doc_id, source,
+              CAST(CASE CAST(concat('0x', substr(md5(source), 1, 8)) AS BIGINT)
+                  % 3
+                WHEN 0 THEN 250 WHEN 1 THEN 125 ELSE 50 END AS BIGINT) AS centi,
+              CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 100 AS b
+            FROM documents),
+          c39 AS (
+            SELECT doc_id,
+              centi // 100 + CASE WHEN b < centi % 100 THEN 1 ELSE 0 END
+                AS n_copies
+            FROM e39),
+          x39 AS (
+            SELECT doc_id,
+              CAST(unnest(range(1, CAST(n_copies AS INT) + 1)) AS INT)
+                AS copy_idx
+            FROM c39 WHERE n_copies > 0),
+          cp39 AS (
+            SELECT x.doc_id, x.copy_idx,
+              CAST(concat('0x', substr(md5(concat(CAST(x.doc_id AS VARCHAR),
+                ':', CAST(x.copy_idx AS VARCHAR))), 1, 8)) AS BIGINT)
+                AS ord_key,
+              CAST(concat('0x', substr(md5(concat('sh',
+                CAST(x.doc_id AS VARCHAR), ':',
+                CAST(x.copy_idx AS VARCHAR))), 1, 8)) AS BIGINT) % 8 AS shard,
+              CAST(coalesce(n.len, 0) AS BIGINT) AS len
+            FROM x39 x LEFT JOIN len39 n ON x.doc_id = n.doc_id),
+          cb39 AS (
+            SELECT doc_id, copy_idx, shard, len,
+              sum(len + 1) OVER (PARTITION BY shard
+                ORDER BY ord_key ASC, doc_id ASC, copy_idx ASC
+                ROWS UNBOUNDED PRECEDING) - (len + 1) AS base
+            FROM cp39),
+          st39 AS (
+            SELECT c.shard, c.base + i.tokidx AS gpos,
+              CAST(i.token_id AS BIGINT) AS tid
+            FROM cb39 c JOIN i39 i ON c.doc_id = i.doc_id
+            UNION ALL
+            SELECT shard, base + len AS gpos, CAST(0 AS BIGINT) AS tid
+            FROM cb39)
+          SELECT shard, gpos // $W AS win,
+            CAST(sum(CASE WHEN tid <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_real,
+            CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sep,
+            CAST($W - count(*) AS BIGINT) AS n_pad,
+            md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY gpos % $W)
+              || repeat(' -1', CAST($W - count(*) AS INT))) AS ids_md5,
+            md5(string_agg(CASE WHEN tid = 0 THEN '0' ELSE '1' END, ' '
+                ORDER BY gpos % $W)
+              || repeat(' 0', CAST($W - count(*) AS INT))) AS mask_md5
+          FROM st39 GROUP BY shard, win"""
+    },
 
     "ta34_tokenizer_fertility" ->
       s"""$withSqlPrefix

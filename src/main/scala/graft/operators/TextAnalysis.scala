@@ -32,6 +32,34 @@ object TextAnalysis {
     * same lambda works inside any surrounding expression). */
   private val toks = "filter(split(text, ' '), x -> x <> '')"
 
+  /** ta35's fractional-epoch copy materialization, extracted relation-
+    * parametric so the tensor materialization (ta39, which emits each
+    * copy's token ids into the training stream) runs the IDENTICAL
+    * copy-count arithmetic — a drifted reimplementation there would
+    * silently break the copy-count conservation ta39's spec pins.
+    * Output: (doc_id, source, copy_idx ∈ [1, n_copies], ord_key). */
+  private[operators] def epochCopies(docs: DataFrame): DataFrame = {
+    val centi = expr(
+      "CASE cast(conv(substring(md5(source), 1, 8), 16, 10) as bigint) % 3 " +
+        "WHEN 0 THEN 250 WHEN 1 THEN 125 ELSE 50 END")
+    val bucket = expr(
+      "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
+    docs
+      .select(col("doc_id"), col("source"), centi.as("centi"),
+        bucket.as("bucket"))
+      .select(col("doc_id"), col("source"),
+        (expr("centi div 100") +
+          when(col("bucket") < col("centi") % 100, 1L).otherwise(0L))
+          .as("n_copies"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "CASE WHEN n_copies > 0 THEN sequence(1, cast(n_copies as int)) " +
+            "ELSE cast(array() as array<int>) END")).as("copy_idx"))
+      .select(col("doc_id"), col("source"), col("copy_idx"),
+        expr("cast(conv(substring(md5(concat(cast(doc_id as string), ':', " +
+          "cast(copy_idx as string))), 1, 8), 16, 10) as bigint)").as("ord_key"))
+  }
+
   /** ta31's window rule, parametric over the document relation so the
     * streaming chunking leg (st27) chunks each micro-batch with the
     * SAME in-row pass the batch op uses — chunking is per-doc, so batch
@@ -831,27 +859,7 @@ object TextAnalysis {
     //    copies of one doc scatter across the training stream instead
     //    of running back-to-back (the clumping the epoch trick exists
     //    to avoid).
-    "ta35_epoch_upsample" -> ((s, d) => {
-      val centi = expr(
-        "CASE cast(conv(substring(md5(source), 1, 8), 16, 10) as bigint) % 3 " +
-          "WHEN 0 THEN 250 WHEN 1 THEN 125 ELSE 50 END")
-      val bucket = expr(
-        "cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint) % 100")
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), centi.as("centi"),
-          bucket.as("bucket"))
-        .select(col("doc_id"), col("source"),
-          (expr("centi div 100") +
-            when(col("bucket") < col("centi") % 100, 1L).otherwise(0L))
-            .as("n_copies"))
-        .select(col("doc_id"), col("source"),
-          explode(expr(
-            "CASE WHEN n_copies > 0 THEN sequence(1, cast(n_copies as int)) " +
-              "ELSE cast(array() as array<int>) END")).as("copy_idx"))
-        .select(col("doc_id"), col("source"), col("copy_idx"),
-          expr("cast(conv(substring(md5(concat(cast(doc_id as string), ':', " +
-            "cast(copy_idx as string))), 1, 8), 16, 10) as bigint)").as("ord_key"))
-    }),
+    "ta35_epoch_upsample" -> ((s, d) => epochCopies(Tables.documents(s, d))),
 
     // -- QUALITY-CLASSIFIER TRAINING — the trainable version of ta23
     //    (which ships FIXED weights): full-batch logistic-regression

@@ -318,6 +318,41 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("ta39 training tensor: conservation, window bounds, padding only at shard tails") {
+    val W = Bpe.TensorW
+    val win = SparkEntry.queries("ta39_training_tensor")(spark, sfDir)
+      .select("shard", "win", "n_real", "n_sep", "n_pad").persist()
+    try {
+      // Every window holds exactly W slots: real + separator + pad.
+      assert(win.filter(col("n_real") + col("n_sep") + col("n_pad")
+        =!= W.toLong).isEmpty, s"a window does not hold exactly $W slots")
+      // Conservation: every non-separator id appears exactly per its
+      // ta35 copy count — Σ n_real ≡ Σ over copies of the doc's ta38
+      // token count — and one separator lands per copy.
+      val copies = SparkEntry.queries("ta35_epoch_upsample")(spark, sfDir)
+        .select("doc_id")
+      val perDoc = SparkEntry.queries("ta38_token_ids")(spark, sfDir)
+        .select("doc_id", "n_tokens")
+      val expected = copies.join(perDoc, "doc_id")
+        .agg(sum(col("n_tokens")), count(lit(1)))
+        .collect()(0)
+      val got = win.agg(sum(col("n_real")), sum(col("n_sep"))).collect()(0)
+      assert(got.getLong(0) == expected.getLong(0),
+        s"token conservation broken: tensor holds ${got.getLong(0)} real " +
+          s"ids, the upsampled corpus encodes ${expected.getLong(0)}")
+      assert(got.getLong(1) == expected.getLong(1),
+        "separator count != copy count")
+      // The cut BINDS at fixture scale (docs straddle windows) and
+      // padding appears ONLY in each shard's final window.
+      assert(win.count() > 8, "fixture degenerated to one window per shard")
+      val lastWin = win.groupBy(col("shard"))
+        .agg(max(col("win")).as("last_win"))
+      assert(win.join(lastWin, "shard")
+        .filter(col("n_pad") > 0 && col("win") =!= col("last_win")).isEmpty,
+        "padding appeared before a shard's final window")
+    } finally { win.unpersist(blocking = false); () }
+  }
+
   test("simultaneous batch fold equals one-at-a-time application in every order") {
     import spark.implicits._
     // Adversarial states: repeats ("a a a"), interleavings, the created
