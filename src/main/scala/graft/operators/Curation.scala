@@ -352,6 +352,54 @@ object Curation {
           TextAnalysis.splitCol.as("split"),
           (pmod(col("doc_id"), lit(10L)) === 0).as("bench_member"),
           coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"))
+    }),
+
+    // -- pl16: the VECTOR/BLOB provenance leg pl14 lacked — one lineage
+    //    row per vector, derived from the DELETE-LIFECYCLE ARTIFACTS
+    //    themselves (never the source predicates): index cell, text
+    //    pairing, ss15's post-compaction survival + tombstone-ledger
+    //    membership, st38's streaming-delete survival, the perceptual
+    //    cluster canonical of the paired blob (mm11's component
+    //    labels), and mm12 takedown-manifest membership — so a
+    //    takedown impact analysis is ONE query across modalities
+    //    (text via pl14, vector/blob via this). All joins are
+    //    id-keyed corpus-vs-corpus → shuffle-hash, never broadcast.
+    //    The oracle recomputes each flag from the tables (the delete
+    //    predicates, the recursive cluster closure) — artifact truth
+    //    must converge to source truth.
+    "pl16_provenance_vec" -> ((s, d) => {
+      val del = Similarity.ivfDeleted(s, d)
+      val (live38, _) = graft.streaming.Streams.st38StreamRun(s, d)
+      val vecs = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("hd", lit(1))
+      val inLive = s.read.parquet(del.live).select(col("vec_id")).distinct()
+        .withColumn("il", lit(1))
+      val tombed = s.read.parquet(del.tomb).select(col("vec_id")).distinct()
+        .withColumn("tb", lit(1))
+      val in38 = s.read.parquet(live38).select(col("vec_id")).distinct()
+        .withColumn("i38", lit(1))
+      val clusters = Multimodal.stagedPhashClusters(s, d)
+        .select(col("doc_id").as("vec_id"), col("canonical_id"))
+      val manifest = Multimodal.queries("mm12_takedown_propagation")(s, d)
+        .select(col("doc_id").as("vec_id")).withColumn("td", lit(1))
+      vecs.hint("shuffle_hash")
+        .join(docs.withColumnRenamed("doc_id", "vec_id")
+          .hint("shuffle_hash"), Seq("vec_id"), "left")
+        .join(inLive.hint("shuffle_hash"), Seq("vec_id"), "left")
+        .join(tombed.hint("shuffle_hash"), Seq("vec_id"), "left")
+        .join(in38.hint("shuffle_hash"), Seq("vec_id"), "left")
+        .join(clusters.hint("shuffle_hash"), Seq("vec_id"), "left")
+        .join(manifest.hint("shuffle_hash"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("label"),
+          col("hd").isNotNull.as("has_doc"),
+          col("il").isNotNull.as("in_live_index"),
+          col("tb").isNotNull.as("tombstoned"),
+          col("i38").isNull.as("st38_deleted"),
+          when(col("hd").isNotNull,
+            coalesce(col("canonical_id"), col("vec_id")))
+            .as("blob_cluster_canon"),
+          (col("hd").isNotNull && col("td").isNotNull).as("takedown_member"))
     })
   )
 
@@ -842,6 +890,52 @@ object Curation {
           LEFT JOIN pl14_lbl l ON s.doc_id = l.doc_id
           LEFT JOIN pl14_cont ct ON s.doc_id = ct.doc_id"""
     },
+
+    // pl16: every artifact-derived flag recomputed from the TABLES —
+    // ss15's tombstone predicate (vec_id % 7 = 3 in cells < 5, the
+    // Similarity.ivfDeleted constants), st38's streamed delete set
+    // (vec_id % 16 ∈ {5, 9} — the st38TombFeed batches), the
+    // perceptual-cluster canonical via the same recursive closure as
+    // mm11/mm12, and manifest membership via mm12's seed∪closure.
+    "pl16_provenance_vec" ->
+      s"""WITH RECURSIVE p16pairs AS (${Multimodal.mm9BrutePairsSql}),
+          p16edges AS (SELECT doc_a AS src, doc_b AS dst FROM p16pairs
+                       UNION ALL
+                       SELECT doc_b, doc_a FROM p16pairs),
+          p16verts AS (SELECT DISTINCT src AS id FROM p16edges),
+          p16reach(id, r) AS (
+            SELECT id, id FROM p16verts
+            UNION
+            SELECT p16edges.src, p16reach.r
+            FROM p16edges JOIN p16reach ON p16reach.id = p16edges.dst),
+          p16lbl AS (SELECT id AS doc_id, CAST(min(r) AS BIGINT)
+                       AS canonical_id
+                     FROM p16reach GROUP BY id),
+          p16seeds AS (SELECT doc_id FROM documents
+                       WHERE doc_id % ${Multimodal.TakedownSeedMod}
+                         = ${Multimodal.TakedownSeedRem}),
+          p16sc AS (SELECT DISTINCT l.canonical_id
+                    FROM p16lbl l JOIN p16seeds s ON l.doc_id = s.doc_id),
+          p16man AS (
+            SELECT DISTINCT doc_id FROM (
+              SELECT l.doc_id FROM p16lbl l
+              JOIN p16sc c ON l.canonical_id = c.canonical_id
+              UNION
+              SELECT doc_id FROM p16seeds))
+          SELECT e.vec_id, e.label,
+            d.doc_id IS NOT NULL AS has_doc,
+            NOT (e.vec_id % 7 = 3 AND e.label < 5) AS in_live_index,
+            (e.vec_id % 7 = 3 AND e.label < 5) AS tombstoned,
+            e.vec_id % 16 IN (5, 9) AS st38_deleted,
+            CASE WHEN d.doc_id IS NOT NULL
+                 THEN CAST(coalesce(l.canonical_id, d.doc_id) AS BIGINT)
+            END AS blob_cluster_canon,
+            (d.doc_id IS NOT NULL AND m.doc_id IS NOT NULL)
+              AS takedown_member
+          FROM embeddings e
+          LEFT JOIN documents d ON e.vec_id = d.doc_id
+          LEFT JOIN p16lbl l ON d.doc_id = l.doc_id
+          LEFT JOIN p16man m ON d.doc_id = m.doc_id""",
 
     // Composed from the same stages' oracle SQL (public maps) — outer
     // CTE names are pl_-prefixed to avoid capture of the sub-oracles'

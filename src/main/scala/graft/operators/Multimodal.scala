@@ -211,7 +211,7 @@ object Multimodal {
   /** mm09's brute-force pair set as DuckDB SQL (doc_a, doc_b) — the
     * shared oracle building block for the cluster consumers (mm11
     * survivorship, mm12 takedown propagation). */
-  private val mm9BrutePairsSql = """WITH pb AS (
+  private[operators] val mm9BrutePairsSql = """WITH pb AS (
            SELECT doc_id, list_transform(range(16),
              i -> CAST(concat('0x', substr(md5(text), CAST(i AS INT)*2+1, 2))
                     AS BIGINT)) AS p

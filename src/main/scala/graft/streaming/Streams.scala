@@ -549,7 +549,7 @@ object Streams {
     * fixture); oracle = ss02's exact probe over the survivors. */
   private val stagedVecTombRuns =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
-  private def st38StreamRun(s: SparkSession, d: String): (String, String) = {
+  private[graft] def st38StreamRun(s: SparkSession, d: String): (String, String) = {
     import graft.operators.Similarity
     val live = graft.sources.Scratch.dir(s, d, "st38_live")
     val tombDir = graft.sources.Scratch.dir(s, d, "st38_tomb")

@@ -565,6 +565,31 @@ class IncrementalSpec extends SparkSpec {
       row.getAs[Long]("n_purged_vecs_left") == 0L)
   }
 
+  test("pl16 provenance: delete legs coherent, st38 ledger drained") {
+    val rows = graft.SparkEntry.queries("pl16_provenance_vec")(spark, sfDir)
+      .persist()
+    try {
+      // A tombstoned vector must be GONE from the post-compaction
+      // index (the two flags come from different artifacts — ledger vs
+      // live tree — so this is a real cross-artifact invariant, not a
+      // tautology), and manifest membership implies text pairing.
+      assert(rows.filter(col("tombstoned") && col("in_live_index")).isEmpty,
+        "a tombstoned vector survived ss15's delete compaction")
+      assert(rows.filter(col("takedown_member") && !col("has_doc")).isEmpty,
+        "a doc-less vector claims mm12 takedown membership")
+      assert(rows.filter(col("st38_deleted")).count() > 0 &&
+        rows.filter(col("tombstoned")).count() > 0,
+        "fixture produced no deletes — the provenance flags are vacuous")
+      // st38's pending ledger is retired after its last compaction —
+      // the drained state the 'st38_deleted = absent from live' flag
+      // relies on.
+      val (_, tombDir) =
+        graft.streaming.Streams.st38StreamRun(spark, sfDir)
+      assert(spark.read.parquet(tombDir).isEmpty,
+        "st38 pending tombstone ledger not drained after the run")
+    } finally { rows.unpersist(blocking = false); () }
+  }
+
   test("emptied shard loses its ck/cm partitions (ghost-postings divergence fixture)") {
     import spark.implicits._
     // Crafted corpus (part = doc_id % 8):
