@@ -637,10 +637,18 @@ object Curation {
           (if (partCols.nonEmpty) w.partitionBy(partCols: _*) else w)
             .parquet(dir.getPath)
         }
+        graft.sources.Pinned.commit(dir): Unit
         dir.getPath
       })
     }
-    s.read.parquet(dir.getPath)
+    // SERVING READS ARE MANIFEST-PINNED (graft.sources.Pinned): the
+    // per-trigger consumers (st28's doc resolve, st32's funnel probes)
+    // scan exactly the last committed snapshot's file set, so a future
+    // artifact refresh publishing concurrently with a trigger can
+    // never hand the probe a torn directory. basePath keeps the bkt
+    // partition column and the routed partition pruning identical to
+    // the directory read.
+    graft.sources.Pinned.read(s, dir)
   }
 
   /** Serving-artifact bucket width (Scratch.ServeBuckets). Every staged

@@ -390,6 +390,23 @@ object Dedup {
         jaccardOf(col("inter"), col("x.sh"), col("y.sh")).as("jaccard"))
       .filter(col("jaccard") >= minJ)
 
+  /** The full MinHash-LSH verified-pair pipeline over ANY documents-
+    * shaped relation — candidate generation and Jaccard verification
+    * are both PAIRWISE (band keys and shingle sets are per-doc), so
+    * pairs over a doc SUBSET equal the full corpus's pairs restricted
+    * to it; pl15's estate purge leans on exactly that to recompute
+    * only the affected components' labels. */
+  private[operators] def lshPairsOf(docs: DataFrame): DataFrame = {
+    val sets = shingleSetsOf(docs)
+    val bands = bandKeysOf(minhashWideOf(sets, 8))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(cand, sets, 0.5)
+  }
+
   private def lshPairs(s: SparkSession, d: String): DataFrame = {
     val bands = bandKeysOf(minhashWide(s, d, 8))
     val cand = bands.as("a")
@@ -1161,16 +1178,70 @@ object Dedup {
   private val dshStr =
     s"list_transform(range(len($dtoks) - 2), " +
     s"i -> $dtoks[i+1] || ' ' || $dtoks[i+2] || ' ' || $dtoks[i+3])"
-  /** Multiset shingle stream (one row per occurrence) — sig/simhash. */
-  private val dStream =
-    s"SELECT doc_id, unnest($dshStr) AS g FROM documents WHERE len($dtoks) >= 3"
+  /** Multiset shingle stream (one row per occurrence) — sig/simhash.
+    * Parameterized by the source relation so the estate-purge residue
+    * oracle (pl15) can rebuild the same artifacts over a SURVIVOR CTE;
+    * the vals below pin the default-corpus forms every other oracle
+    * uses. */
+  private[operators] def dStreamFor(src: String): String =
+    s"SELECT doc_id, unnest($dshStr) AS g FROM $src WHERE len($dtoks) >= 3"
+  private val dStream = dStreamFor("documents")
   /** Distinct 60-bit-hashed shingle sets — Jaccard verification. */
-  private val dSets =
+  private[operators] def dSetsFor(src: String): String =
     s"""SELECT doc_id, list_distinct(list_transform($dshStr,
           g -> CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT))) AS sh
-        FROM documents WHERE len($dtoks) >= 3"""
+        FROM $src WHERE len($dtoks) >= 3"""
+  private val dSets = dSetsFor("documents")
   private val dA = A.mkString("[", ", ", "]")
   private val dB = B.mkString("[", ", ", "]")
+  private[operators] def dSigFor(src: String): String =
+    s"""WITH e AS (${dStreamFor(src)}),
+        h AS (SELECT doc_id,
+                CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT) % $P AS h31
+              FROM e)
+        SELECT doc_id, CAST(t.hid AS INT) AS hid,
+               min((h31 * ($dA)[CAST(t.hid AS INT) + 1]
+                    + ($dB)[CAST(t.hid AS INT) + 1]) % $P) AS minhash
+        FROM h, range(8) t(hid) GROUP BY 1, 2"""
+  /** Per-doc LSH band keys (doc_id, bk) — the Spark [[bandKeysOf]]
+    * twin, shared by [[dPairsFor]] and the pl15 band-ledger rebuild. */
+  private[operators] def dBandsFor(src: String): String =
+    s"""WITH sig AS (${dSigFor(src)}),
+        band AS (SELECT doc_id, hid // 2 AS band,
+                   min(CASE WHEN hid % 2 = 0 THEN minhash END) AS m0,
+                   min(CASE WHEN hid % 2 = 1 THEN minhash END) AS m1
+                 FROM sig GROUP BY 1, 2)
+        SELECT doc_id, md5(concat(band, '|', m0, '|', m1)) AS bk FROM band"""
+  /** Positioned 8-gram hash stream (doc_id, i, gh) — dd18's g CTE,
+    * source-parameterized for the pl15 gram-index rebuild. */
+  private[operators] def dGramsPosFor(src: String): String = {
+    val g8 = (1 to 8).map(j => s"tk[i+$j]").mkString(" || ' ' || ")
+    s"""SELECT doc_id, i,
+          CAST(concat('0x', substr(md5($g8), 1, 15)) AS BIGINT) AS gh
+        FROM (
+          SELECT doc_id, tk, unnest(range(len(tk) - 7)) AS i
+          FROM (SELECT doc_id, $dtoks AS tk FROM $src
+                WHERE len($dtoks) >= 8))"""
+  }
+  /** dd03's verified-pair oracle over any source — dd09's edge source
+    * and the pl15 cluster-label rebuild. */
+  private[operators] def dPairsFor(src: String): String =
+    s"""WITH sig AS (${dSigFor(src)}),
+        band AS (SELECT doc_id, hid // 2 AS band,
+                   min(CASE WHEN hid % 2 = 0 THEN minhash END) AS m0,
+                   min(CASE WHEN hid % 2 = 1 THEN minhash END) AS m1
+                 FROM sig GROUP BY 1, 2),
+        bk AS (SELECT doc_id, md5(concat(band, '|', m0, '|', m1)) AS k FROM band),
+        cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM bk a JOIN bk b ON a.k = b.k AND a.doc_id < b.doc_id),
+        sets AS (${dSetsFor(src)})
+        SELECT doc_a, doc_b, jaccard FROM (
+          SELECT doc_a, doc_b,
+            round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
+          FROM cand JOIN sets x ON doc_a = x.doc_id
+                    JOIN sets y ON doc_b = y.doc_id)
+        WHERE jaccard >= 0.5"""
   private val dSig =
     s"""WITH e AS ($dStream),
         h AS (SELECT doc_id,

@@ -456,6 +456,14 @@ object Incremental {
             }
         }
     }
+    // Every published artifact gets its snapshot listing committed
+    // (graft.sources.Pinned) so concurrent probes resolve a consistent
+    // pre- or post-night file set instead of the torn directory the
+    // rename sequence above exposes. Content-idempotent: a recovery
+    // republish finds the listing unchanged and commits nothing.
+    (replaces.map(_.artifact) ++ appends).distinct.foreach { a =>
+      graft.sources.Pinned.commit(new java.io.File(d.root, a)): Unit
+    }
     // Done-log records LAST (all data is live) but still BEFORE the
     // caller deletes the staging dir — re-running this publish after a
     // crash at any point re-applies no-ops and re-records (duplicate
@@ -521,6 +529,11 @@ object Incremental {
       .write.mode("overwrite").partitionBy("part").parquet(d.table)
     ckPost.unpersist(blocking = false)
     bhPost.unpersist(blocking = false)
+    // Initial snapshot listings — nights then commit a new version per
+    // published artifact, and pinned readers never see a torn tree.
+    Seq(d.table, d.docs, d.bh, d.df, d.ck, d.cm).foreach { a =>
+      graft.sources.Pinned.commit(new java.io.File(a)): Unit
+    }
   }
 
   /** One delta night: shard `p` arrives as `deltaDocs` (the caller
@@ -1015,7 +1028,265 @@ object Incremental {
     (textDirs, vecAudit.live)
   }
 
+  // ------------------------------------------------------------------
+  // pl15 — ESTATE-WIDE TAKEDOWN: the round-10 verdict's #1 gap. pl12
+  // purges docs/, bh/ and the pl11 artifact tree — but a purged doc's
+  // text and derived content persist in the OTHER staged artifacts a
+  // serving/dedup stack keeps: the doc-serve lookup (st28's shape —
+  // raw text), the shingle-set and band ledgers (st19's shapes), the
+  // positioned gram index (dd08/ta10/ta20/dd18's shape), the
+  // perceptual band ledger (st36's shape), and the near-dup cluster
+  // labels (dd09's shape — purged ids linger as members AND as
+  // canonicals). A GDPR/licensing purge that leaves raw text in a
+  // serving artifact has not purged. pl15 drives ONE purge predicate
+  // through every estate artifact under the SAME commit protocol
+  // (stage survivors → manifest rename → idempotent publish), then
+  // audits the whole estate for residue; the oracle is each
+  // artifact's builder re-run over the surviving corpus.
+  //
+  // Per-artifact purge shape (the 100 TB story):
+  //   - doc-bucketed artifacts (docserve/sets/grams/phash — partition
+  //     key derived from doc_id): rewrite ONLY the purged ids' bucket
+  //     directories, survivors anti-joined, emptied buckets delete-only
+  //     (the ghost rule).
+  //   - the band ledger (bucketed by the PROBE key bk, not doc_id): a
+  //     doc-keyed purge cannot prune by partition — affected buckets
+  //     are DISCOVERED by one columnar semi-join scan of the ledger's
+  //     (doc_id, bucket) columns, then only those buckets rewrite.
+  //     This is the documented full-scan-discovery class; production
+  //     amortizes it by purging in nightly batches (a purge night is
+  //     rare next to the per-trigger probes the bk layout serves).
+  //   - cluster labels (bucketed by canonical_id): removing a doc can
+  //     SPLIT its component, so affected components (those holding a
+  //     purged doc) are recomputed over their SURVIVING members only —
+  //     LSH pairs are pairwise (band keys and shingle sets are
+  //     per-doc), so pairs over the member subset equal the corpus
+  //     pairs restricted to it, and no new cross-component pair can
+  //     appear (it would have been a pair before). O(affected
+  //     components), never a corpus re-cluster. New canonicals can
+  //     land in NEW buckets — the rewrite set is the union of old and
+  //     new canonical buckets, with unaffected same-bucket rows
+  //     carried through the staged replace.
+  // ------------------------------------------------------------------
+
+  /** Generic staged-replace night: the commit protocol (stage →
+    * manifest → publish) for ANY artifact tree under `d.root`, reused
+    * by the estate purge. `stageFn` writes every staged output under
+    * the stage dir it is handed and returns the replace actions. */
+  private def stagedReplaceNight(d: Dirs, tag: String)(
+      stageFn: java.io.File => Seq[(String, Seq[String])]): Unit =
+    withWriterLock(d) {
+      val stage = stageDirOf(d, tag)
+      require(!new java.io.File(stage, "MANIFEST").exists(),
+        s"$tag: a committed staging is pending — run recoverPending first")
+      deleteRec(stage)
+      val replaces = stageFn(stage)
+      failIf(d.root, "pre-manifest")
+      commitNight(stage, replaces, appends = Seq())
+      publishManifest(d, stage)
+      failIf(d.root, "post-publish")
+      deleteRec(stage)
+    }
+
+  /** Estate artifact names → partition column. The band ledger and
+    * the labels artifact are listed with their non-doc partition keys
+    * (see the purge-shape doc above). */
+  private val EstateArts = Seq(
+    "docserve" -> "bkt", "sets" -> "skt", "grams" -> "gbkt",
+    "phash" -> "pbkt", "bands" -> "bandbkt", "labels" -> "cbkt")
+
+  private def estDir(root: String, art: String): String =
+    new java.io.File(root, art).getPath
+
+  private val EstB = Scratch.ServeBuckets
+
+  /** Build every estate artifact from `docs` (write-once). */
+  private[graft] def estateBuild(
+      s: SparkSession, root: String, docs: DataFrame): Unit = {
+    val bkt = pmod(col("doc_id"), lit(EstB.toLong)).cast("int")
+    docs.select(col("doc_id"), col("text"), bkt.as("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(estDir(root, "docserve"))
+    val sets = Dedup.shingleSetsOf(docs)
+    sets.withColumn("skt", bkt)
+      .write.mode("overwrite").partitionBy("skt").parquet(estDir(root, "sets"))
+    Dedup.bandKeysOf(Dedup.minhashWideOf(sets, 8))
+      .withColumn("bandbkt", pmod(hash(col("bk")), lit(EstB)))
+      .write.mode("overwrite").partitionBy("bandbkt").parquet(estDir(root, "bands"))
+    Dedup.gramStreamPosOf(docs, 8).withColumn("gbkt", bkt)
+      .write.mode("overwrite").partitionBy("gbkt").parquet(estDir(root, "grams"))
+    Multimodal.phashBands(Multimodal.phashWideOf(docs),
+        Multimodal.WideHashBits, 2, 15)
+      .withColumn("pbkt", bkt)
+      .write.mode("overwrite").partitionBy("pbkt").parquet(estDir(root, "phash"))
+    Dedup.componentsOf(Dedup.lshPairsOf(docs))
+      .withColumn("cbkt", pmod(col("canonical_id"), lit(EstB.toLong)).cast("int"))
+      .write.mode("overwrite").partitionBy("cbkt").parquet(estDir(root, "labels"))
+    EstateArts.foreach { case (a, _) =>
+      graft.sources.Pinned.commit(new java.io.File(estDir(root, a))): Unit
+    }
+  }
+
+  /** Which partitions each estate leg rewrote + whole-tree snapshots —
+    * the spec pins that everything else stayed byte-identical. */
+  private[graft] final case class EstateAudit(
+    root: String, touched: Map[String, Seq[Int]],
+    preFiles: Map[String, (Long, Long)], postFiles: Map[String, (Long, Long)])
+
+  /** The estate purge night (see the family doc above). */
+  private[graft] def estatePurge(
+      s: SparkSession, root: String, purgeIds: DataFrame,
+      tag: String = "estate_purge"): EstateAudit = {
+    val d = Dirs(root)
+    val preFiles = snapshotFiles(new java.io.File(root))
+    val purge = purgeIds.select(col("doc_id")).distinct().localCheckpoint()
+    val touched = scala.collection.mutable.Map.empty[String, Seq[Int]]
+    stagedReplaceNight(d, tag) { stage =>
+      def st(a: String) = new java.io.File(stage, a).getPath
+      val pBkts = purge
+        .select(pmod(col("doc_id"), lit(EstB.toLong)).cast("int"))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      // Doc-bucketed legs: pruned survivor rewrite of the purged
+      // buckets only.
+      def docBucketLeg(art: String, pcol: String): (String, Seq[String]) = {
+        val live = s.read.parquet(estDir(root, art))
+        live.filter(col(pcol).isin(pBkts: _*))
+          .join(purge.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").partitionBy(pcol).parquet(st(art))
+        touched(art) = pBkts
+        art -> pBkts.map(b => s"$pcol=$b")
+      }
+      val docLegs = Seq("docserve" -> "bkt", "sets" -> "skt",
+        "grams" -> "gbkt", "phash" -> "pbkt").map {
+        case (a, c) => docBucketLeg(a, c)
+      }
+      // Band ledger: discover the buckets holding purged rows by one
+      // (doc_id, bandbkt)-column semi-join scan, rewrite only those.
+      val bandsLive = s.read.parquet(estDir(root, "bands"))
+      val bandBkts = bandsLive
+        .join(purge.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+        .select(col("bandbkt")).distinct().collect().map(_.getInt(0)).toSeq.sorted
+      bandsLive.filter(col("bandbkt").isin(bandBkts: _*))
+        .join(purge.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("bandbkt").parquet(st("bands"))
+      touched("bands") = bandBkts
+      // Cluster labels: recompute the affected components over their
+      // surviving members (doc text read bucket-pruned from the
+      // PRE-state docserve artifact — the live tree is read-only until
+      // publish).
+      val labelsLive = s.read.parquet(estDir(root, "labels"))
+      val affCanon = labelsLive
+        .join(purge.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+        .select(col("canonical_id")).distinct().localCheckpoint()
+      val oldBkts = affCanon
+        .select(pmod(col("canonical_id"), lit(EstB.toLong)).cast("int"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val labelsLeg: Seq[(String, Seq[String])] = if (oldBkts.isEmpty) {
+        // No purged doc is clustered — the labels artifact is untouched.
+        touched("labels") = Seq()
+        Seq()
+      } else {
+      val survMembers = labelsLive.filter(col("cbkt").isin(oldBkts: _*))
+        .join(affCanon.hint("shuffle_hash"), Seq("canonical_id"))
+        .select(col("doc_id"))
+        .join(purge.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val survBkts = survMembers
+        .select(pmod(col("doc_id"), lit(EstB.toLong)).cast("int"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val survDocs = s.read.parquet(estDir(root, "docserve"))
+        .filter(col("bkt").isin(survBkts: _*))
+        .join(survMembers.hint("shuffle_hash"), Seq("doc_id"))
+        .select(col("doc_id"), col("text"))
+      val newLabels = Dedup.componentsOf(Dedup.lshPairsOf(survDocs))
+        .localCheckpoint()
+      val newBkts = newLabels
+        .select(pmod(col("canonical_id"), lit(EstB.toLong)).cast("int"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      val targetBkts = (oldBkts ++ newBkts).distinct.sorted
+      labelsLive.filter(col("cbkt").isin(targetBkts: _*))
+        .join(affCanon.hint("shuffle_hash"), Seq("canonical_id"), "left_anti")
+        .select(col("doc_id"), col("canonical_id"))
+        .unionByName(newLabels.select(col("doc_id"), col("canonical_id")))
+        .withColumn("cbkt",
+          pmod(col("canonical_id"), lit(EstB.toLong)).cast("int"))
+        .write.mode("overwrite").partitionBy("cbkt").parquet(st("labels"))
+      touched("labels") = targetBkts
+      Seq("labels" -> targetBkts.map(b => s"cbkt=$b"))
+      }
+      docLegs ++ Seq("bands" -> bandBkts.map(b => s"bandbkt=$b")) ++ labelsLeg
+    }
+    EstateAudit(root, touched.toMap, preFiles,
+      snapshotFiles(new java.io.File(root)))
+  }
+
+  /** The residue/convergence audit rows over the LIVE estate: per
+    * artifact — row count, doc-id sum, a commutative content checksum
+    * (per-term mod keeps the i64 sum exact in both engines), and the
+    * count of rows still REFERENCING a purged id (doc_id, and for the
+    * labels leg canonical_id too) — zero after a correct purge, and
+    * structurally zero in the survivor-rebuilt oracle. */
+  private val P15 = 1000003L
+  private[graft] def estateAuditRows(s: SparkSession, root: String): DataFrame = {
+    val purged = pmod(col("doc_id"), lit(PurgeMod.toLong)) === PurgeRem
+    def row(name: String, df: DataFrame, content: Column,
+        extraPurged: Column = lit(false)): DataFrame =
+      df.agg(
+          count(lit(1)).as("n_rows"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"),
+          coalesce(sum(content), lit(0L)).as("content_sum"),
+          coalesce(sum((purged || extraPurged).cast("long")), lit(0L))
+            .as("n_purged_refs"))
+        .select(lit(name).as("artifact"), col("n_rows"), col("id_sum"),
+          col("content_sum"), col("n_purged_refs"))
+    def rd(a: String) = s.read.parquet(estDir(root, a))
+    row("docserve", rd("docserve"),
+      pmod(expr("cast(conv(substring(md5(text), 1, 15), 16, 10) as bigint)"),
+        lit(P15)))
+      .unionByName(row("sets", rd("sets"),
+        expr(s"aggregate(sh, cast(0 as bigint), (a, x) -> a + pmod(x, $P15))")))
+      .unionByName(row("bands", rd("bands"),
+        pmod(expr("cast(conv(substring(bk, 1, 15), 16, 10) as bigint)"),
+          lit(P15))))
+      .unionByName(row("grams", rd("grams"),
+        pmod(col("gh"), lit(P15)) + col("i").cast("long")))
+      .unionByName(row("phash", rd("phash"),
+        pmod(col("phash"), lit(P15)) + col("band").cast("long") + col("bv")))
+      .unionByName(row("labels", rd("labels"), col("canonical_id"),
+        extraPurged =
+          pmod(col("canonical_id"), lit(PurgeMod.toLong)) === PurgeRem))
+  }
+
+  private val stagedEstateRuns = TrieMap.empty[String, EstateAudit]
+
+  /** pl15's staged lifecycle: estate build over the full corpus, then
+    * the estate purge at pl12's predicate. Memoized per (app, fixture). */
+  private[graft] def pl15Run(s: SparkSession, d: String): EstateAudit = {
+    val root = new java.io.File(Scratch.dir(s, d, "pl15"))
+    stagedEstateRuns.synchronized {
+      stagedEstateRuns.getOrElseUpdate(root.getPath, {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        estateBuild(s, root.getPath, docs)
+        estatePurge(s, root.getPath,
+          docs.filter(pmod(col("doc_id"), lit(PurgeMod.toLong)) === PurgeRem)
+            .select(col("doc_id")))
+      })
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- pl15: estate-wide takedown — ONE purge predicate through every
+    //    text-bearing staged artifact outside pl11's tree (doc-serve
+    //    lookup, shingle/band ledgers, positioned gram index,
+    //    perceptual band ledger, cluster labels), each under the night
+    //    commit protocol, then the zero-residue audit. The oracle
+    //    REBUILDS each artifact over the surviving corpus — checksum
+    //    convergence means the purged estate is indistinguishable from
+    //    a world where the purged docs never existed.
+    "pl15_estate_takedown" -> ((s, d) => {
+      val audit = pl15Run(s, d)
+      estateAuditRows(s, audit.root)
+    }),
+
     "pl11_incremental_snapshot" -> ((s, d) => {
       val audit = pl11Run(s, d)
       s.read.parquet(audit.dirs.table)
@@ -1063,6 +1334,90 @@ object Incremental {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    // pl15: each estate artifact REBUILT over the surviving corpus
+    // (the same Dedup/Multimodal SQL fragments the per-operator
+    // oracles use, source-parameterized), aggregated with the same
+    // commutative checksums; the purged-reference columns are
+    // structurally zero here while being real artifact scans on the
+    // Spark side.
+    "pl15_estate_takedown" -> {
+      val src = "p15src"
+      s"""WITH RECURSIVE $src AS (
+            SELECT * FROM documents WHERE doc_id % $PurgeMod <> $PurgeRem),
+          p15sets AS (${Dedup.dSetsFor(src)}),
+          p15bands AS (${Dedup.dBandsFor(src)}),
+          p15grams AS (${Dedup.dGramsPosFor(src)}),
+          p15ph AS (${Multimodal.dWidePhashFor(src)}),
+          p15phb AS (
+            SELECT doc_id, phash, CAST(t.band AS INT) AS band,
+                   (phash >> (CAST(t.band AS INT) * 20)) & 1048575 AS bv
+            FROM p15ph, range(3) t(band)),
+          p15pairs AS (${Dedup.dPairsFor(src)}),
+          p15edges AS (SELECT doc_a AS srcv, doc_b AS dst FROM p15pairs
+                       UNION ALL
+                       SELECT doc_b, doc_a FROM p15pairs),
+          p15verts AS (SELECT DISTINCT srcv AS id FROM p15edges),
+          p15reach(id, r) AS (
+            SELECT id, id FROM p15verts
+            UNION
+            SELECT p15edges.srcv, p15reach.r
+            FROM p15edges JOIN p15reach ON p15reach.id = p15edges.dst),
+          p15lbl AS (SELECT id AS doc_id,
+                       CAST(min(r) AS BIGINT) AS canonical_id
+                     FROM p15reach GROUP BY id)
+          SELECT 'docserve' AS artifact,
+            CAST(count(*) AS BIGINT) AS n_rows,
+            CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum,
+            CAST(coalesce(sum(CAST(concat('0x', substr(md5(text), 1, 15))
+              AS BIGINT) % $P15), 0) AS BIGINT) AS content_sum,
+            CAST(coalesce(sum(CASE WHEN doc_id % $PurgeMod = $PurgeRem
+              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_purged_refs
+          FROM $src
+          UNION ALL
+          SELECT 'sets',
+            CAST(count(*) AS BIGINT),
+            CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+            CAST(coalesce(sum(list_sum(list_transform(sh,
+              x -> x % $P15))), 0) AS BIGINT),
+            CAST(coalesce(sum(CASE WHEN doc_id % $PurgeMod = $PurgeRem
+              THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM p15sets
+          UNION ALL
+          SELECT 'bands',
+            CAST(count(*) AS BIGINT),
+            CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+            CAST(coalesce(sum(CAST(concat('0x', substr(bk, 1, 15))
+              AS BIGINT) % $P15), 0) AS BIGINT),
+            CAST(coalesce(sum(CASE WHEN doc_id % $PurgeMod = $PurgeRem
+              THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM p15bands
+          UNION ALL
+          SELECT 'grams',
+            CAST(count(*) AS BIGINT),
+            CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+            CAST(coalesce(sum(gh % $P15 + i), 0) AS BIGINT),
+            CAST(coalesce(sum(CASE WHEN doc_id % $PurgeMod = $PurgeRem
+              THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM p15grams
+          UNION ALL
+          SELECT 'phash',
+            CAST(count(*) AS BIGINT),
+            CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+            CAST(coalesce(sum(phash % $P15 + band + bv), 0) AS BIGINT),
+            CAST(coalesce(sum(CASE WHEN doc_id % $PurgeMod = $PurgeRem
+              THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM p15phb
+          UNION ALL
+          SELECT 'labels',
+            CAST(count(*) AS BIGINT),
+            CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+            CAST(coalesce(sum(canonical_id), 0) AS BIGINT),
+            CAST(coalesce(sum(CASE WHEN doc_id % $PurgeMod = $PurgeRem
+              OR canonical_id % $PurgeMod = $PurgeRem
+              THEN 1 ELSE 0 END), 0) AS BIGINT)
+          FROM p15lbl"""
+    },
+
     // Full from-scratch recompute over the final corpus at this
     // operator's threshold — incremental must converge to it exactly.
     "pl11_incremental_snapshot" -> {

@@ -208,6 +208,23 @@ object Multimodal {
     s.read.parquet(dir.getPath)
   }
 
+  /** mm10's wide 60-bit gradient phash per doc as DuckDB SQL
+    * (doc_id, phash), source-parameterized — the pl15 band-ledger
+    * rebuild derives (band, bv) from it with the same 3×20-bit
+    * pigeonhole layout [[bandLayout]] computes for (60, radius 2). */
+  private[operators] def dWidePhashFor(src: String): String =
+    s"""WITH pb AS (
+          SELECT doc_id, list_transform(range(66),
+            i -> ord(substr(rpad(text, 66, ' '), CAST(i AS INT)+1, 1))) AS p
+          FROM $src)
+        SELECT doc_id,
+          CAST(list_sum(list_transform(range(60),
+            b -> CASE WHEN p[(b//10)*11 + (b%10) + 1]
+                       < p[(b//10)*11 + (b%10) + 2]
+                 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)) AS BIGINT)
+            AS phash
+        FROM pb"""
+
   /** mm09's brute-force pair set as DuckDB SQL (doc_a, doc_b) — the
     * shared oracle building block for the cluster consumers (mm11
     * survivorship, mm12 takedown propagation). */

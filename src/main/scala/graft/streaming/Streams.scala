@@ -642,6 +642,16 @@ object Streams {
   // to st19/st36's signature ledgers — the round-9 verdict's growth
   // item: every trigger appends one parquet delta per write task and
   // every probe reads the accumulating file set forever).
+  //
+  // CONTENT RETENTION: compaction bounds the FILE count; ledger ROWS
+  // are intentionally retained forever — that is what makes cross-
+  // batch near-dup detection correct (a dup of a year-old doc must
+  // still match). Rows leave the ledger only through the ESTATE PURGE
+  // (Incremental.estatePurge — pl15): a takedown anti-joins the purged
+  // ids out of exactly these ledger shapes (the `sets`/`bands`/`phash`
+  // estate legs) under the night commit protocol, which is the one
+  // retention story a compliance regime actually needs. A time-based
+  // TTL would be WRONG here — it silently re-admits old duplicates.
   // ------------------------------------------------------------------
 
   private def ledgerDataFiles(dir: String): Seq[java.io.File] =
