@@ -300,8 +300,22 @@ object Incremental {
             throw new ConcurrentNightWriter(
               s"writer lease $lock is held by another process " +
                 s"(age ${System.currentTimeMillis() - lock.lastModified()} ms)")
+          // HEARTBEAT: a night longer than staleMs must not look stale
+          // to a takeover probe — a daemon touches the lease while the
+          // body runs, so age-based takeover only ever fires on a
+          // lease whose holder actually died.
+          val beat = new Thread(() =>
+            try while (!Thread.currentThread().isInterrupted) {
+              Thread.sleep(math.max(1000L, staleMs / 3))
+              lock.setLastModified(System.currentTimeMillis()): Unit
+            } catch { case _: InterruptedException => () })
+          beat.setDaemon(true)
+          beat.start()
           try body
-          finally { lock.delete(): Unit }
+          finally {
+            beat.interrupt()
+            lock.delete(): Unit
+          }
         } finally { heldLeases.remove(d.root): Unit }
     }
   }
@@ -1073,7 +1087,8 @@ object Incremental {
     * manifest → publish) for ANY artifact tree under `d.root`, reused
     * by the estate purge. `stageFn` writes every staged output under
     * the stage dir it is handed and returns the replace actions. */
-  private def stagedReplaceNight(d: Dirs, tag: String)(
+  private def stagedReplaceNight(d: Dirs, tag: String,
+      marker: Option[String] = None)(
       stageFn: java.io.File => Seq[(String, Seq[String])]): Unit =
     withWriterLock(d) {
       val stage = stageDirOf(d, tag)
@@ -1082,7 +1097,7 @@ object Incremental {
       deleteRec(stage)
       val replaces = stageFn(stage)
       failIf(d.root, "pre-manifest")
-      commitNight(stage, replaces, appends = Seq())
+      commitNight(stage, replaces, appends = Seq(), marker = marker)
       publishManifest(d, stage)
       failIf(d.root, "post-publish")
       deleteRec(stage)
@@ -1135,12 +1150,13 @@ object Incremental {
   /** The estate purge night (see the family doc above). */
   private[graft] def estatePurge(
       s: SparkSession, root: String, purgeIds: DataFrame,
-      tag: String = "estate_purge"): EstateAudit = {
+      tag: String = "estate_purge",
+      marker: Option[String] = None): EstateAudit = {
     val d = Dirs(root)
     val preFiles = snapshotFiles(new java.io.File(root))
     val purge = purgeIds.select(col("doc_id")).distinct().localCheckpoint()
     val touched = scala.collection.mutable.Map.empty[String, Seq[Int]]
-    stagedReplaceNight(d, tag) { stage =>
+    stagedReplaceNight(d, tag, marker) { stage =>
       def st(a: String) = new java.io.File(stage, a).getPath
       val pBkts = purge
         .select(pmod(col("doc_id"), lit(EstB.toLong)).cast("int"))
@@ -1226,8 +1242,10 @@ object Incremental {
     * labels leg canonical_id too) — zero after a correct purge, and
     * structurally zero in the survivor-rebuilt oracle. */
   private val P15 = 1000003L
-  private[graft] def estateAuditRows(s: SparkSession, root: String): DataFrame = {
-    val purged = pmod(col("doc_id"), lit(PurgeMod.toLong)) === PurgeRem
+  private[graft] def estateAuditRows(s: SparkSession, root: String,
+      purgedOf: Column => Column =
+        c => pmod(c, lit(PurgeMod.toLong)) === PurgeRem): DataFrame = {
+    val purged = purgedOf(col("doc_id"))
     def row(name: String, df: DataFrame, content: Column,
         extraPurged: Column = lit(false)): DataFrame =
       df.agg(
@@ -1252,8 +1270,30 @@ object Incremental {
       .unionByName(row("phash", rd("phash"),
         pmod(col("phash"), lit(P15)) + col("band").cast("long") + col("bv")))
       .unionByName(row("labels", rd("labels"), col("canonical_id"),
-        extraPurged =
-          pmod(col("canonical_id"), lit(PurgeMod.toLong)) === PurgeRem))
+        extraPurged = purgedOf(col("canonical_id"))))
+  }
+
+  /** [[estatePurge]] behind the done-log + recovery discipline — the
+    * idempotence the STREAMING estate-takedown leg (st39) rides. An
+    * estate purge is naturally replay-idempotent (deletes
+    * self-collapse — the anti-joins remove nothing the second time and
+    * the labels leg finds no clustered purged doc), but the log gate
+    * makes a replayed delivery a structural NO-OP instead of a
+    * harmless full re-run, and keeps the streaming legs uniform
+    * (st35/st37/st39 all recover-then-check). `tag` must derive from
+    * the batch's CONTENT. */
+  private[graft] def estatePurgeIdempotent(
+      s: SparkSession, root: String, purgeIds: DataFrame,
+      tag: String): Boolean = {
+    val d = Dirs(root)
+    withWriterLock(d) {
+      val recovered = recoverPending(d).contains(tag)
+      if (doneTags(d).contains(tag)) recovered
+      else {
+        estatePurge(s, root, purgeIds, tag, marker = Some(tag))
+        true
+      }
+    }
   }
 
   private val stagedEstateRuns = TrieMap.empty[String, EstateAudit]
@@ -1333,6 +1373,90 @@ object Incremental {
             .as("n_purged_vecs_left"))
     }))
 
+  /** The estate residue/convergence oracle, parameterized by the
+    * survivor predicate — shared by pl15 (one purge) and st39 (the
+    * streamed two-batch purge): every artifact is REBUILT over the
+    * survivors from the same source-parameterized SQL fragments the
+    * per-operator oracles use, aggregated with the same commutative
+    * checksums; `purgedOf` renders the purged-reference CASE for a
+    * given column (structurally zero over survivors, a real artifact
+    * scan on the Spark side). */
+  private[graft] def estateOracleSql(
+      survWhere: String, purgedOf: String => String): String = {
+    val src = "p15src"
+    def purgedCol(c: String) =
+      s"CAST(coalesce(sum(CASE WHEN ${purgedOf(c)} THEN 1 ELSE 0 END), 0) AS BIGINT)"
+    s"""WITH RECURSIVE $src AS (
+          SELECT * FROM documents WHERE $survWhere),
+        p15sets AS (${Dedup.dSetsFor(src)}),
+        p15bands AS (${Dedup.dBandsFor(src)}),
+        p15grams AS (${Dedup.dGramsPosFor(src)}),
+        p15ph AS (${Multimodal.dWidePhashFor(src)}),
+        p15phb AS (
+          SELECT doc_id, phash, CAST(t.band AS INT) AS band,
+                 (phash >> (CAST(t.band AS INT) * 20)) & 1048575 AS bv
+          FROM p15ph, range(3) t(band)),
+        p15pairs AS (${Dedup.dPairsFor(src)}),
+        p15edges AS (SELECT doc_a AS srcv, doc_b AS dst FROM p15pairs
+                     UNION ALL
+                     SELECT doc_b, doc_a FROM p15pairs),
+        p15verts AS (SELECT DISTINCT srcv AS id FROM p15edges),
+        p15reach(id, r) AS (
+          SELECT id, id FROM p15verts
+          UNION
+          SELECT p15edges.srcv, p15reach.r
+          FROM p15edges JOIN p15reach ON p15reach.id = p15edges.dst),
+        p15lbl AS (SELECT id AS doc_id,
+                     CAST(min(r) AS BIGINT) AS canonical_id
+                   FROM p15reach GROUP BY id)
+        SELECT 'docserve' AS artifact,
+          CAST(count(*) AS BIGINT) AS n_rows,
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum,
+          CAST(coalesce(sum(CAST(concat('0x', substr(md5(text), 1, 15))
+            AS BIGINT) % $P15), 0) AS BIGINT) AS content_sum,
+          ${purgedCol("doc_id")} AS n_purged_refs
+        FROM $src
+        UNION ALL
+        SELECT 'sets',
+          CAST(count(*) AS BIGINT),
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+          CAST(coalesce(sum(list_sum(list_transform(sh,
+            x -> x % $P15))), 0) AS BIGINT),
+          ${purgedCol("doc_id")}
+        FROM p15sets
+        UNION ALL
+        SELECT 'bands',
+          CAST(count(*) AS BIGINT),
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+          CAST(coalesce(sum(CAST(concat('0x', substr(bk, 1, 15))
+            AS BIGINT) % $P15), 0) AS BIGINT),
+          ${purgedCol("doc_id")}
+        FROM p15bands
+        UNION ALL
+        SELECT 'grams',
+          CAST(count(*) AS BIGINT),
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+          CAST(coalesce(sum(gh % $P15 + i), 0) AS BIGINT),
+          ${purgedCol("doc_id")}
+        FROM p15grams
+        UNION ALL
+        SELECT 'phash',
+          CAST(count(*) AS BIGINT),
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+          CAST(coalesce(sum(phash % $P15 + band + bv), 0) AS BIGINT),
+          ${purgedCol("doc_id")}
+        FROM p15phb
+        UNION ALL
+        SELECT 'labels',
+          CAST(count(*) AS BIGINT),
+          CAST(coalesce(sum(doc_id), 0) AS BIGINT),
+          CAST(coalesce(sum(canonical_id), 0) AS BIGINT),
+          CAST(coalesce(sum(CASE WHEN ${purgedOf("doc_id")}
+            OR ${purgedOf("canonical_id")}
+            THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM p15lbl"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     // pl15: each estate artifact REBUILT over the surviving corpus
     // (the same Dedup/Multimodal SQL fragments the per-operator
@@ -1340,83 +1464,9 @@ object Incremental {
     // commutative checksums; the purged-reference columns are
     // structurally zero here while being real artifact scans on the
     // Spark side.
-    "pl15_estate_takedown" -> {
-      val src = "p15src"
-      s"""WITH RECURSIVE $src AS (
-            SELECT * FROM documents WHERE doc_id % $PurgeMod <> $PurgeRem),
-          p15sets AS (${Dedup.dSetsFor(src)}),
-          p15bands AS (${Dedup.dBandsFor(src)}),
-          p15grams AS (${Dedup.dGramsPosFor(src)}),
-          p15ph AS (${Multimodal.dWidePhashFor(src)}),
-          p15phb AS (
-            SELECT doc_id, phash, CAST(t.band AS INT) AS band,
-                   (phash >> (CAST(t.band AS INT) * 20)) & 1048575 AS bv
-            FROM p15ph, range(3) t(band)),
-          p15pairs AS (${Dedup.dPairsFor(src)}),
-          p15edges AS (SELECT doc_a AS srcv, doc_b AS dst FROM p15pairs
-                       UNION ALL
-                       SELECT doc_b, doc_a FROM p15pairs),
-          p15verts AS (SELECT DISTINCT srcv AS id FROM p15edges),
-          p15reach(id, r) AS (
-            SELECT id, id FROM p15verts
-            UNION
-            SELECT p15edges.srcv, p15reach.r
-            FROM p15edges JOIN p15reach ON p15reach.id = p15edges.dst),
-          p15lbl AS (SELECT id AS doc_id,
-                       CAST(min(r) AS BIGINT) AS canonical_id
-                     FROM p15reach GROUP BY id)
-          SELECT 'docserve' AS artifact,
-            CAST(count(*) AS BIGINT) AS n_rows,
-            CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum,
-            CAST(coalesce(sum(CAST(concat('0x', substr(md5(text), 1, 15))
-              AS BIGINT) % $P15), 0) AS BIGINT) AS content_sum,
-            CAST(coalesce(sum(CASE WHEN doc_id % $PurgeMod = $PurgeRem
-              THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_purged_refs
-          FROM $src
-          UNION ALL
-          SELECT 'sets',
-            CAST(count(*) AS BIGINT),
-            CAST(coalesce(sum(doc_id), 0) AS BIGINT),
-            CAST(coalesce(sum(list_sum(list_transform(sh,
-              x -> x % $P15))), 0) AS BIGINT),
-            CAST(coalesce(sum(CASE WHEN doc_id % $PurgeMod = $PurgeRem
-              THEN 1 ELSE 0 END), 0) AS BIGINT)
-          FROM p15sets
-          UNION ALL
-          SELECT 'bands',
-            CAST(count(*) AS BIGINT),
-            CAST(coalesce(sum(doc_id), 0) AS BIGINT),
-            CAST(coalesce(sum(CAST(concat('0x', substr(bk, 1, 15))
-              AS BIGINT) % $P15), 0) AS BIGINT),
-            CAST(coalesce(sum(CASE WHEN doc_id % $PurgeMod = $PurgeRem
-              THEN 1 ELSE 0 END), 0) AS BIGINT)
-          FROM p15bands
-          UNION ALL
-          SELECT 'grams',
-            CAST(count(*) AS BIGINT),
-            CAST(coalesce(sum(doc_id), 0) AS BIGINT),
-            CAST(coalesce(sum(gh % $P15 + i), 0) AS BIGINT),
-            CAST(coalesce(sum(CASE WHEN doc_id % $PurgeMod = $PurgeRem
-              THEN 1 ELSE 0 END), 0) AS BIGINT)
-          FROM p15grams
-          UNION ALL
-          SELECT 'phash',
-            CAST(count(*) AS BIGINT),
-            CAST(coalesce(sum(doc_id), 0) AS BIGINT),
-            CAST(coalesce(sum(phash % $P15 + band + bv), 0) AS BIGINT),
-            CAST(coalesce(sum(CASE WHEN doc_id % $PurgeMod = $PurgeRem
-              THEN 1 ELSE 0 END), 0) AS BIGINT)
-          FROM p15phb
-          UNION ALL
-          SELECT 'labels',
-            CAST(count(*) AS BIGINT),
-            CAST(coalesce(sum(doc_id), 0) AS BIGINT),
-            CAST(coalesce(sum(canonical_id), 0) AS BIGINT),
-            CAST(coalesce(sum(CASE WHEN doc_id % $PurgeMod = $PurgeRem
-              OR canonical_id % $PurgeMod = $PurgeRem
-              THEN 1 ELSE 0 END), 0) AS BIGINT)
-          FROM p15lbl"""
-    },
+    "pl15_estate_takedown" ->
+      estateOracleSql(s"doc_id % $PurgeMod <> $PurgeRem",
+        c => s"$c % $PurgeMod = $PurgeRem"),
 
     // Full from-scratch recompute over the final corpus at this
     // operator's threshold — incremental must converge to it exactly.

@@ -287,6 +287,7 @@ object Similarity {
       stagedDelAudits.getOrElseUpdate(live.getPath, {
         val all = vecs(s, d).select(col("vec_id"), col("e"), col("nrm"), col("label"))
         all.write.mode("overwrite").partitionBy("label").parquet(live.getPath)
+        graft.sources.Pinned.commit(live): Unit // v1 — compactions bump it
         // The tombstone relation stays IN MEMORY for the compaction and
         // the audit: an empty predicate's partitioned write produces no
         // data files, and reading such a dir back fails schema
@@ -361,6 +362,12 @@ object Similarity {
             s"delete compaction: swap of cell $lbl failed")
       }
       deleteRec(tmp)
+      // The live index MUTATES under serving (unlike the write-once
+      // staged indexes), so every compaction commits the new file
+      // listing — a probe racing the cell swaps resolves a consistent
+      // pre- or post-compaction snapshot through Pinned instead of a
+      // torn cell mix (Incremental.publishManifest's discipline).
+      graft.sources.Pinned.commit(new java.io.File(live)): Unit
       affected
     }
   }

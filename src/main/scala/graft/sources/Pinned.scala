@@ -76,7 +76,15 @@ object Pinned {
     * Content-idempotent: if the listing equals the latest committed
     * SNAP, nothing is written (recovery republishes and replays stay
     * structural no-ops). Caller must be the single writer (the night
-    * lease); the rename is the only visibility point. */
+    * lease); the rename is the only visibility point. RETENTION: only
+    * the latest two snapshots are kept (the done-log discipline — a
+    * census file per publish forever is the marker-file mistake
+    * again). Older listings are stale by construction — the publish
+    * that superseded them already deleted their replaced data files —
+    * and a reader that resolved one holds its file list in memory, so
+    * deleting the listing file cannot affect an in-flight scan; the
+    * previous version is kept so a reader racing the commit can still
+    * re-resolve one step back. */
   def commit(root: java.io.File): Int = {
     val files = dataFiles(root)
     resolve(root) match {
@@ -91,6 +99,12 @@ object Pinned {
         java.nio.file.Files.move(tmp.toPath,
           new java.io.File(dir, f"SNAP-$next%08d").toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        Option(dir.listFiles()).toSeq.flatten.foreach { f =>
+          f.getName match {
+            case SnapRe(n) if n.toInt < next - 1 => f.delete(): Unit
+            case _ => ()
+          }
+        }
         next
     }
   }

@@ -91,11 +91,18 @@ object Scratch {
     * granularity would pass — which is the right strength for "this
     * partition directory was not touched" audits. */
   def snapshotTree(root: java.io.File): Map[String, (Long, Long)] = {
+    // "_"-prefixed entries are PROTOCOL state (markers, _staging,
+    // _snapshots listings, the done-log, the writer lease), not
+    // artifact content — the audits compare data files only (snapshot
+    // GC legitimately retires old listings mid-run).
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      if (f.isDirectory)
+        Option(f.listFiles()).toSeq.flatten
+          .filterNot(k => k.isDirectory && k.getName.startsWith("_"))
+          .flatMap(walk)
       else Seq(f)
     walk(root)
-      .filterNot(f => f.getName.startsWith(".") || f.getName == "_SUCCESS")
+      .filterNot(f => f.getName.startsWith(".") || f.getName.startsWith("_"))
       .map(f => f.getPath.stripPrefix(root.getPath) -> (f.length(), f.lastModified()))
       .toMap
   }

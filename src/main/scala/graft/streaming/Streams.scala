@@ -487,6 +487,59 @@ object Streams {
     }
   }
 
+  /** st39's build — STREAMING ESTATE TAKEDOWN: the missing streaming
+    * leg of the delete matrix (text batch pl12 / stream st37; vector
+    * batch ss15 / stream st38; ESTATE batch pl15 / stream THIS). The
+    * full estate (doc-serve lookup, shingle/band ledgers, gram index,
+    * perceptual bands, cluster labels) is built once pre-stream; each
+    * trigger lands one delete-request batch (st37's queue, reused
+    * verbatim) and runs the complete estate purge night — pruned
+    * survivor rewrites, affected-component-only relabeling — under the
+    * commit protocol behind CONTENT-DERIVED tags
+    * (Incremental.estatePurgeIdempotent: the batch's doc_id%16
+    * remainder names the night, so an at-least-once replay is a
+    * structural no-op; the second trigger purges artifacts the first
+    * already rewrote — the stale-side-artifact rot point). Memoized
+    * per (app, fixture); oracle = every artifact REBUILT over the
+    * survivors of BOTH purges. */
+  private val stagedEstateStreams =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def st39StreamRun(s: SparkSession, d: String): String = {
+    import graft.operators.Incremental
+    val root = graft.sources.Scratch.dir(s, d, "st39_root")
+    stagedEstateStreams.synchronized {
+      stagedEstateStreams.getOrElseUpdate(root, {
+        val fsPath = new org.apache.hadoop.fs.Path(root)
+        fsPath.getFileSystem(s.sparkContext.hadoopConfiguration).delete(fsPath, true)
+        Incremental.estateBuild(s, root,
+          graft.sources.Tables.documents(s, d)
+            .select(col("doc_id"), col("text")))
+        val (feed, schema) = st37PurgeFeed(s, d)
+        val rem = pmod(col("doc_id"), lit(16L)).cast("int")
+        val q = s.readStream.schema(schema)
+          .option("pathGlobFilter", "*.parquet")
+          .option("maxFilesPerTrigger", "1") // one takedown batch per trigger
+          .parquet(feed.toString)
+          .writeStream
+          .outputMode(OutputMode.Append())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val rems = batch.select(rem.as("r")).distinct()
+              .collect().map(_.getInt(0)).toSeq.sorted
+            rems.foreach { r =>
+              Incremental.estatePurgeIdempotent(s, root,
+                batch.filter(rem === r), s"estate_purge_r$r")
+              ()
+            }
+          }
+          .start()
+        q.awaitTermination()
+        org.apache.spark.sql.graft.CatalystBridge.unloadStateStores()
+        root
+      })
+    }
+  }
+
   /** st38's tombstone feed: two vector-delete batches (vec_id + the
     * cell routing key the production delete queue carries), mirroring
     * st37's text-side predicates. */
@@ -558,6 +611,7 @@ object Streams {
         val vecsAll = Similarity.vecs(s, d)
           .select(col("vec_id"), col("e"), col("nrm"), col("label"))
         vecsAll.write.mode("overwrite").partitionBy("label").parquet(live)
+        graft.sources.Pinned.commit(new java.io.File(live)): Unit
         vecsAll.filter(lit(false)).select(col("vec_id"), col("label"))
           .write.mode("overwrite").parquet(tombDir)
         val (feed, schema) = st38TombFeed(s, d)
@@ -594,6 +648,7 @@ object Streams {
   def prepareIncrementalStream(s: SparkSession, d: String): Unit = {
     st37StreamRun(s, d)
     st38StreamRun(s, d)
+    st39StreamRun(s, d)
     pl11StreamRun(s, d)
     ()
   }
@@ -1651,10 +1706,27 @@ object Streams {
     //    probe over the surviving vectors.
     "st38_stream_vector_takedown" -> ((s, d) => {
       val (live, tombDir) = st38StreamRun(s, d)
+      // The serving probe reads the MUTATING live index through its
+      // pinned snapshot (each compaction commits one), so a probe
+      // racing a compaction's cell swaps can never see a torn mix.
       graft.operators.Similarity.probeWithTombstones(
         graft.operators.Similarity.vecs(s, d).filter(col("vec_id") % 50 === 0),
-        s.read.parquet(live),
+        graft.sources.Pinned.read(s, new java.io.File(live)),
         s.read.parquet(tombDir))
+    }),
+
+    // -- STREAMING ESTATE TAKEDOWN — pl15's estate purge driven by
+    //    arriving delete-request micro-batches (st37's queue): each
+    //    trigger runs the full estate night (pruned survivor rewrites,
+    //    affected-component-only relabeling) against artifacts the
+    //    previous trigger already rewrote, under the commit protocol
+    //    behind content-derived tags. Result = the zero-residue audit;
+    //    oracle rebuilds every artifact over the survivors of BOTH
+    //    purge batches.
+    "st39_stream_estate_takedown" -> ((s, d) => {
+      val root = st39StreamRun(s, d)
+      graft.operators.Incremental.estateAuditRows(s, root,
+        purgedOf = c => pmod(c, lit(16L)).isin(5L, 9L))
     }),
 
     // -- STREAMING RAG SERVING — the full retrieval path as a stream
@@ -2367,6 +2439,12 @@ object Streams {
     "st38_stream_vector_takedown" ->
       graft.operators.Similarity
         .dIvfTopkExcluding("b.vec_id % 16 IN (5, 9)"),
+    // st39: every estate artifact rebuilt over the survivors of BOTH
+    // streamed purge batches — pl15's oracle builder at the two-batch
+    // predicate.
+    "st39_stream_estate_takedown" ->
+      graft.operators.Incremental.estateOracleSql(
+        "doc_id % 16 NOT IN (5, 9)", c => s"$c % 16 IN (5, 9)"),
     // st34: bucket counts are additive, so the whole-table histogram +
     // rank walk is the exact twin of the merged micro-batch partials.
     "st34_stream_quantile_monitor" ->

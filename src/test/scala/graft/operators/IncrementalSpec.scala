@@ -742,6 +742,59 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("estate purge killed mid-publish recovers; replay idempotent; snapshots GC'd") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "dupkx alpha2 bravo2 charlie2 delta2 echo2"),
+      (9L, "dupkx alpha2 bravo2 charlie2 delta2 echo2"),
+      (17L, "dupkx alpha2 bravo2 charlie2 delta2 echo2"),
+      (3L, "lonely2 words2 that2 match2 nothing2 else2 here2 now2")
+    ).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pl15_crash").toString
+    Incremental.estateBuild(spark, root, docs)
+    val d = Incremental.Dirs(root)
+    // The estate purge runs under the same commit protocol as the
+    // nights — kill it mid-publish and recovery must finish it.
+    Incremental.failAt = Some((root, "mid-publish"))
+    try intercept[Incremental.InjectedNightCrash] {
+      Incremental.estatePurge(spark, root, Seq(1L).toDF("doc_id"))
+    } finally Incremental.failAt = None
+    assert(new java.io.File(root, "_staging/estate_purge/MANIFEST").exists())
+    assert(Incremental.recoverPending(d) == Seq("estate_purge"),
+      "recovery did not publish the committed estate purge")
+    // Converges to the estate built from survivors only.
+    val fullRoot = java.nio.file.Files
+      .createTempDirectory("graft_pl15_crash_full").toString
+    Incremental.estateBuild(spark, fullRoot, docs.filter(col("doc_id") =!= 1L))
+    for (art <- Seq("docserve", "sets", "grams", "phash", "bands", "labels")) {
+      val a = spark.read.parquet(new java.io.File(root, art).getPath)
+      val b = spark.read.parquet(new java.io.File(fullRoot, art).getPath)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"$art diverged from the survivor rebuild after recovery")
+    }
+    // An at-least-once REPLAY of the whole purge is naturally
+    // idempotent — deletes self-collapse (the anti-joins remove
+    // nothing, the labels leg finds no clustered purged doc) — and
+    // converges to the same tree.
+    Incremental.estatePurge(spark, root, Seq(1L).toDF("doc_id"))
+    val again = spark.read
+      .parquet(new java.io.File(root, "labels").getPath)
+      .select("doc_id", "canonical_id")
+      .collect().map(_.toSeq).toSet
+    assert(again == spark.read
+      .parquet(new java.io.File(fullRoot, "labels").getPath)
+      .select("doc_id", "canonical_id")
+      .collect().map(_.toSeq).toSet)
+    // Snapshot retention: at most two listings per artifact, ever.
+    for (art <- Seq("docserve", "sets", "grams", "phash", "bands", "labels")) {
+      val snaps = Option(new java.io.File(
+        new java.io.File(root, art), "_snapshots").listFiles())
+        .toSeq.flatten.filter(_.getName.startsWith("SNAP-"))
+      assert(snaps.size <= 2, s"$art: ${snaps.size} snapshot listings retained")
+    }
+  }
+
   test("pl16 provenance: delete legs coherent, st38 ledger drained") {
     val rows = graft.SparkEntry.queries("pl16_provenance_vec")(spark, sfDir)
       .persist()
