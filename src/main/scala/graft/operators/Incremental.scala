@@ -1058,6 +1058,18 @@ object Incremental {
   // audits the whole estate for residue; the oracle is each
   // artifact's builder re-run over the surviving corpus.
   //
+  // Scope note — estate vs per-process cache: the fixture harness's
+  // (app, fixture)-scoped staged artifacts (Dedup.stagedGrams,
+  // Curation.stagedFunnel, the staged indexes) are CACHES — they die
+  // with the process and rebuild from the source tables, so purging
+  // the source purges them by construction on next build. What a
+  // deployment must purge IN PLACE is the DURABLE estate: the
+  // long-lived artifact trees that outlive processes and serve
+  // traffic. pl15's six artifact trees are exactly those shapes,
+  // owned under one root, purged in place under the commit protocol —
+  // the production story, with the caches' lifecycle documented here
+  // so nobody mistakes them for retained state.
+  //
   // Per-artifact purge shape (the 100 TB story):
   //   - doc-bucketed artifacts (docserve/sets/grams/phash — partition
   //     key derived from doc_id): rewrite ONLY the purged ids' bucket
