@@ -173,6 +173,25 @@ class PlanQualitySpec extends SparkSpec {
       "probe plan re-runs the corpus encode:\n" + p.take(3000))
   }
 
+  test("manifest-pinned reads keep planning-time partition pruning (Pinned)") {
+    // The Pinned doc claims basePath makes a snapshot-listing read
+    // identical to a directory read for pruning — pin it: a bkt filter
+    // over the pinned doc-serve artifact must land in PartitionFilters
+    // (directory pruning), not as a post-scan filter, and the bkt
+    // column must come from the path, not the file schema.
+    val docServe = graft.operators.Curation.stagedDocServe(spark, sfDir)
+    val p = docServe.filter(org.apache.spark.sql.functions.col("bkt") === 3)
+      .queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(pf.contains("bkt"),
+      s"bkt not in PartitionFilters of the pinned read [$pf]:\n" + p.take(2000))
+    val readSchema = "ReadSchema: (struct<[^>]*>)".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("bkt"),
+      s"bkt read from files instead of the path [$readSchema]")
+  }
+
   test("partitioned read prunes to the filtered partition (io04)") {
     val p = plan("io04_partitioned_pruning")
     // The lang filter must be INSIDE the PartitionFilters bracket
