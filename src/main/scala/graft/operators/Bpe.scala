@@ -411,7 +411,7 @@ object Bpe {
     * tensor materialization (ta39) emits the SAME ids it audits. The
     * id resolution is an INNER join on the vocab: a dropped id fails
     * ta38's count parity and ta39's conservation spec, never an UNK. */
-  private def tokenIdStream(s: SparkSession, d: String): DataFrame = {
+  private[graft] def tokenIdStream(s: SparkSession, d: String): DataFrame = {
     val vocab = queries("ta30_bpe_vocab")(s, d)
       .select(col("symbol"), col("token_id"))
     Tables.documents(s, d)
@@ -551,11 +551,17 @@ object Bpe {
             "cast(copy_idx as string))), 1, 8), 16, 10) as bigint) % 8"))
       // Copy lengths from the STAGED per-doc stats (n_subwords ≡ the id
       // stream's per-doc count — ta38's parity), so the offset pass
-      // never re-encodes the corpus.
+      // never re-encodes the corpus. LEFT join + coalesce(len, 0):
+      // the oracle LEFT-joins its per-doc lengths the same way, so a
+      // zero-token document (empty text, or a stats row missing from
+      // the staged artifact) still emits its separator slot on BOTH
+      // engines instead of silently vanishing from one stream and
+      // shifting every later slot in the shard.
       val cps = copies.hint("shuffle_hash")
         .join(stagedDocStats(s, d).select(col("doc_id"),
             col("n_subwords").as("len")).hint("shuffle_hash"),
-          Seq("doc_id"))
+          Seq("doc_id"), "left")
+        .withColumn("len", coalesce(col("len"), lit(0L)))
       // Per-shard base offsets: prefix sum of (len + 1) in ta14's
       // (scatter key, id) order — one window per shard, no global sort.
       val wOrd = Window.partitionBy(col("shard"))
@@ -582,17 +588,30 @@ object Bpe {
           (col("gpos") % W).as("slot"), col("tid"))
         .groupBy(col("shard"), col("win"))
         .agg(count(lit(1)).as("n_filled"),
+          // slot ≡ gpos within a (shard, win) group (gpos = win·W + slot),
+          // so distinct-slot IS the gpos-uniqueness count.
+          countDistinct(col("slot")).as("n_gpos"),
           sum(when(col("tid") =!= 0L, 1L).otherwise(0L)).as("n_real"),
           sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_sep"),
           expr("array_join(transform(array_sort(collect_list(struct(slot, tid))), " +
             "x -> cast(x.tid as string)), ' ')").as("idsj"),
           expr("array_join(transform(array_sort(collect_list(struct(slot, tid))), " +
             "x -> IF(x.tid = 0, '0', '1')), ' ')").as("maskj"))
+        // gpos UNIQUENESS GUARD: window slots are well-defined only if
+        // every global position lands exactly once (a staged `len`
+        // disagreeing with the real id-stream length for any doc would
+        // collide later copies' positions). A collision must FAIL LOUD
+        // here — sorted ties would otherwise turn a deterministic
+        // content bug into a flaky-looking hash mismatch downstream.
         .select(col("shard"), col("win"),
           col("n_real"), col("n_sep"),
           (lit(W.toLong) - col("n_filled")).as("n_pad"),
-          md5(concat(col("idsj"),
-            expr(s"repeat(' -1', cast($W - n_filled as int))"))).as("ids_md5"),
+          when(col("n_filled") === col("n_gpos"),
+            md5(concat(col("idsj"),
+              expr(s"repeat(' -1', cast($W - n_filled as int))"))))
+            .otherwise(raise_error(concat(
+              lit("ta39: gpos collision in shard "), col("shard").cast("string"),
+              lit(" win "), col("win").cast("string")))).as("ids_md5"),
           md5(concat(col("maskj"),
             expr(s"repeat(' 0', cast($W - n_filled as int))"))).as("mask_md5"))
     }),
@@ -875,10 +894,17 @@ object Bpe {
               AS n_real,
             CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sep,
             CAST($W - count(*) AS BIGINT) AS n_pad,
-            md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY gpos % $W)
-              || repeat(' -1', CAST($W - count(*) AS INT))) AS ids_md5,
+            -- Tie order PINNED (gpos % W, tid) to match Spark's
+            -- array_sort(struct(slot, tid)) bit-for-bit, and gpos
+            -- uniqueness asserted: a slot collision must error loud,
+            -- never present as run-to-run nondeterministic agg order.
+            CASE WHEN count(*) = count(DISTINCT gpos)
+              THEN md5(string_agg(CAST(tid AS VARCHAR), ' '
+                  ORDER BY gpos % $W, tid)
+                || repeat(' -1', CAST($W - count(*) AS INT)))
+              ELSE error('ta39: gpos collision in shard') END AS ids_md5,
             md5(string_agg(CASE WHEN tid = 0 THEN '0' ELSE '1' END, ' '
-                ORDER BY gpos % $W)
+                ORDER BY gpos % $W, tid)
               || repeat(' 0', CAST($W - count(*) AS INT))) AS mask_md5
           FROM st39 GROUP BY shard, win"""
     },

@@ -38,7 +38,7 @@ object TextAnalysis {
     * copy-count arithmetic — a drifted reimplementation there would
     * silently break the copy-count conservation ta39's spec pins.
     * Output: (doc_id, source, copy_idx ∈ [1, n_copies], ord_key). */
-  private[operators] def epochCopies(docs: DataFrame): DataFrame = {
+  private[graft] def epochCopies(docs: DataFrame): DataFrame = {
     val centi = expr(
       "CASE cast(conv(substring(md5(source), 1, 8), 16, 10) as bigint) % 3 " +
         "WHEN 0 THEN 250 WHEN 1 THEN 125 ELSE 50 END")

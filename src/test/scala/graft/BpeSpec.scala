@@ -353,6 +353,118 @@ class BpeSpec extends SparkSpec {
     } finally { win.unpersist(blocking = false); () }
   }
 
+  // ---- ta39 flake-proofing: an INDEPENDENT local packer (plain Scala
+  // md5/sort/chunk — no Spark expressions, no DuckDB) recomputes the
+  // expected tensor, and the compare repeats within one session so a
+  // rare nondeterminism in the distributed packing would surface here
+  // rather than as a once-a-round oracle-hash flake.
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+  private def h8(s: String): Long =
+    java.lang.Long.parseLong(md5hex(s).take(8), 16)
+
+  /** Local re-derivation of ta39's expected rows: per-doc id sequences
+    * from the resolved token stream, copies from ta35's arithmetic,
+    * shard/order keys and the per-shard prefix-sum packing recomputed
+    * in plain Scala. */
+  private def ta39Expected(dir: String)
+      : Seq[(Long, Long, Long, Long, Long, String, String)] = {
+    val W = Bpe.TensorW
+    val idsPerDoc: Map[Long, Seq[Long]] =
+      Bpe.tokenIdStream(spark, dir).select("doc_id", "pos", "k", "token_id")
+        .collect().toSeq.groupBy(_.getLong(0))
+        .map { case (d, rows) =>
+          d -> rows.sortBy(r => (r.getInt(1), r.getInt(2)))
+            .map(_.getInt(3).toLong)
+        }
+    val copies = graft.operators.TextAnalysis
+      .epochCopies(graft.sources.Tables.documents(spark, dir))
+      .select("doc_id", "copy_idx").collect().toSeq
+      .map(r => (r.getLong(0), r.getInt(1)))
+    copies
+      .map { case (doc, ci) => (h8(s"sh$doc:$ci") % 8, h8(s"$doc:$ci"), doc, ci) }
+      .groupBy(_._1).toSeq
+      .flatMap { case (shard, cps) =>
+        val stream = cps.sortBy { case (_, ord, doc, ci) => (ord, doc, ci) }
+          .flatMap { case (_, _, doc, _) =>
+            idsPerDoc.getOrElse(doc, Seq.empty) :+ 0L }
+        stream.grouped(W).zipWithIndex.map { case (chunk, win) =>
+          val nPad = W - chunk.size
+          val ids = (chunk.map(_.toString) ++ Seq.fill(nPad)("-1")).mkString(" ")
+          val mask = (chunk.map(t => if (t == 0L) "0" else "1") ++
+            Seq.fill(nPad)("0")).mkString(" ")
+          (shard, win.toLong, chunk.count(_ != 0L).toLong,
+            chunk.count(_ == 0L).toLong, nPad.toLong, md5hex(ids), md5hex(mask))
+        }
+      }.sortBy(t => (t._1, t._2))
+  }
+
+  private def ta39Got(dir: String)
+      : Seq[(Long, Long, Long, Long, Long, String, String)] =
+    SparkEntry.queries("ta39_training_tensor")(spark, dir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getString(6)))
+      .sortBy(t => (t._1, t._2))
+
+  test("ta39 stress: bit-exact vs the independent packer, repeated in one session") {
+    val exp = ta39Expected(sfDir)
+    assert(exp.nonEmpty)
+    (1 to 3).foreach { i =>
+      val got = ta39Got(sfDir)
+      assert(got == exp,
+        s"run $i diverged from the independent local packer " +
+          s"(${got.size} vs ${exp.size} windows)")
+    }
+  }
+
+  test("ta39/ta38 zero-token docs: separators land, slots never shift") {
+    // Synthetic corpus with the edge the driver fixtures lack: an
+    // empty-text doc and a whitespace-only doc that STILL draw epoch
+    // copies (sources chosen so md5-derived centi = 250), plus a
+    // zero-copy doc that must vanish from the stream entirely.
+    val dir = java.nio.file.Files.createTempDirectory("graft_ta39_zero")
+      .toFile.getPath
+    val docs = Seq(
+      (900L, "", "wiki"),            // zero tokens, 2 copies
+      (901L, "   ", "wiki"),         // whitespace-only → zero tokens, 3 copies
+      (902L, "the cat sat on the mat", "news"),
+      (903L, "never copied doc", "arxiv"), // n_copies = 0 → absent
+      (904L, "to be or not to be", "web"),
+      (905L, "the quick brown fox jumps over the lazy dog", "forum"))
+    import spark.implicits._
+    docs.toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        col("source"), length(col("text")).cast("long").as("n_chars"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // Copy-count preconditions (the fixture really exercises the edge).
+    val cp = graft.operators.TextAnalysis
+      .epochCopies(graft.sources.Tables.documents(spark, dir))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cp.getOrElse(900L, 0L) == 2L, s"doc 900 copies: $cp")
+    assert(cp.getOrElse(901L, 0L) == 3L, s"doc 901 copies: $cp")
+    assert(!cp.contains(903L), "zero-copy doc leaked into the stream")
+    // The tensor matches the independent packer WITH the zero-token
+    // copies present — each contributes exactly its separator slot.
+    val got = ta39Got(dir)
+    val exp = ta39Expected(dir)
+    assert(got == exp, "tensor diverged on the zero-token corpus")
+    assert(got.map(_._4).sum == cp.values.sum,
+      "separator count != total copy count (zero-token copies dropped?)")
+    // ta38's completion join: zero-token docs report zeros, not absence.
+    val t38 = SparkEntry.queries("ta38_token_ids")(spark, dir)
+      .filter(col("doc_id").isin(900L, 901L))
+      .select("doc_id", "n_tokens", "ids_md5").collect()
+    assert(t38.length == 2)
+    t38.foreach { r =>
+      assert(r.getLong(1) == 0L, s"doc ${r.getLong(0)} has phantom tokens")
+      assert(r.getString(2) == md5hex(""), "empty-doc md5 is not md5('')")
+    }
+  }
+
   test("simultaneous batch fold equals one-at-a-time application in every order") {
     import spark.implicits._
     // Adversarial states: repeats ("a a a"), interleavings, the created
