@@ -228,10 +228,12 @@ object Incremental {
     * parallel suites cannot trip each other's failpoints. Points:
     * "pre-manifest" (staging complete, commit not written — the whole
     * night must be discardable), "mid-publish" (one replace applied,
-    * the rest pending — recovery must finish the publish), and
-    * "post-publish" (published and done-log recorded, committed
-    * staging not yet destroyed — a redelivery must recover without
-    * RERUNNING the night). */
+    * the rest pending — recovery must finish the publish),
+    * "post-pointer" (copy strategy only: listings committed, stale
+    * files not yet reaped — recovery must converge and readers must
+    * never resolve the garbage), and "post-publish" (published and
+    * done-log recorded, committed staging not yet destroyed — a
+    * redelivery must recover without RERUNNING the night). */
   private[graft] final class InjectedNightCrash(point: String)
     extends RuntimeException(s"injected night crash at $point")
   @volatile private[graft] var failAt: Option[(String, String)] = None
@@ -260,13 +262,20 @@ object Incremental {
   private val heldLeases = TrieMap.empty[String, (Thread, Int)]
 
   /** Single-writer lease for a night root: `_WRITER.lock` under the
-    * root, atomically created (`Files.createFile`), content = holder
-    * token. A live lock from another writer fails loud; a STALE lock
-    * (holder died without release — age over `staleMs` with no
-    * heartbeat touch) is taken over by delete-and-recreate, where the
-    * recreate re-races atomically (two takeover attempts: exactly one
-    * wins the create). Also runs the same-filesystem canary once — the
-    * rename-atomicity assumption the commit protocol stands on. */
+    * root, atomically created (`Files.createFile`) and then stamped
+    * with this holder's unique token — heartbeat touches and the
+    * release delete verify the token first, so a stalled holder that
+    * resumes after an age-based takeover can neither keep the new
+    * holder's lock alive nor delete it on exit. A live lock from
+    * another writer fails loud; a STALE lock (holder died without
+    * release — age over `staleMs` with no heartbeat touch) is taken
+    * over by ATOMIC RENAME to a per-claimant name — the rename
+    * succeeds for exactly one claimant (delete+recreate could
+    * interleave as A.delete → A.create → B.delete(A's fresh lock) →
+    * B.create, leaving two holders), after which the create re-races
+    * atomically with any fresh acquirers. Also runs the
+    * same-filesystem canary once — the rename-atomicity assumption
+    * the commit protocol stands on. */
   private[graft] def withWriterLock[T](d: Dirs,
       staleMs: Long = 10L * 60L * 1000L)(body: => T): T = {
     val me = Thread.currentThread()
@@ -284,59 +293,83 @@ object Incremental {
             s"another night holds the writer lease for ${d.root} (this JVM)")
         val root = new java.io.File(d.root)
         root.mkdirs()
-        assertSameFileStore(root)
+        sameFileStore(root): Unit // warms the strategy probe (and _staging)
         val lock = new java.io.File(root, "_WRITER.lock")
+        val token = java.util.UUID.randomUUID().toString
         def tryCreate(): Boolean =
-          try { java.nio.file.Files.createFile(lock.toPath); true }
-          catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          try {
+            java.nio.file.Files.createFile(lock.toPath)
+            // The create is the atomic claim; the token write follows
+            // non-atomically, but nothing reads it earlier than a
+            // takeover probe (≥ staleMs later) or our own heartbeat.
+            java.nio.file.Files.write(lock.toPath,
+              token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        def ownsLock(): Boolean =
+          try new String(java.nio.file.Files.readAllBytes(lock.toPath),
+            java.nio.charset.StandardCharsets.UTF_8) == token
+          catch { case _: Exception => false }
         try {
           var acquired = tryCreate()
           if (!acquired &&
               System.currentTimeMillis() - lock.lastModified() > staleMs) {
-            lock.delete() // stale holder: take over (create re-races)
+            // Stale takeover: rename wins for exactly one claimant.
+            val claim = new java.io.File(root, s"_WRITER.lock.stale.$token")
+            if (lock.renameTo(claim)) claim.delete(): Unit
             acquired = tryCreate()
           }
           if (!acquired)
             throw new ConcurrentNightWriter(
               s"writer lease $lock is held by another process " +
                 s"(age ${System.currentTimeMillis() - lock.lastModified()} ms)")
+          // One-time legacy-marker fold, HERE because this is the one
+          // gate every writer passes: folding from unlocked read paths
+          // (doneTags) would append to _nights.log outside the
+          // single-writer regime its no-interleave argument needs.
+          foldLegacyMarkers(d)
           // HEARTBEAT: a night longer than staleMs must not look stale
           // to a takeover probe — a daemon touches the lease while the
-          // body runs, so age-based takeover only ever fires on a
-          // lease whose holder actually died.
+          // body runs (ownership-checked, see above), so age-based
+          // takeover only ever fires on a lease whose holder died.
           val beat = new Thread(() =>
             try while (!Thread.currentThread().isInterrupted) {
               Thread.sleep(math.max(1000L, staleMs / 3))
-              lock.setLastModified(System.currentTimeMillis()): Unit
+              if (ownsLock())
+                lock.setLastModified(System.currentTimeMillis()): Unit
             } catch { case _: InterruptedException => () })
           beat.setDaemon(true)
           beat.start()
           try body
           finally {
             beat.interrupt()
-            lock.delete(): Unit
+            if (ownsLock()) lock.delete(): Unit
           }
         } finally { heldLeases.remove(d.root): Unit }
     }
   }
 
-  /** The object-store canary: the commit protocol's renames are atomic
-    * only within one filesystem, so the staging tree must share the
-    * live tree's FileStore. Checked once per root per process. */
+  /** Publish STRATEGY switch (the round-11 canary, demoted from a
+    * hard require): dir renames are atomic only within one FileStore,
+    * so when the staging tree and the live root share one, publish is
+    * the rename sequence ([[publishManifest]]'s fast path); when they
+    * do not — the object-store shape: S3/GCS have no atomic rename at
+    * all — publish switches to COPY + SNAPSHOT-POINTER
+    * ([[publishByCopy]]), where visibility moves at the committed
+    * listing instead of at renames. Checked once per root per
+    * process; `forceCopyPublish` lets the protocol specs exercise the
+    * copy strategy without a second mounted FileStore. */
+  @volatile private[graft] var forceCopyPublish: Set[String] = Set.empty
   private val fsChecked = TrieMap.empty[String, Boolean]
-  private def assertSameFileStore(root: java.io.File): Unit =
+  private def sameFileStore(root: java.io.File): Boolean =
     fsChecked.getOrElseUpdate(root.getPath, {
       val staging = new java.io.File(root, "_staging")
       staging.mkdirs()
-      val a = java.nio.file.Files.getFileStore(root.toPath)
-      val b = java.nio.file.Files.getFileStore(staging.toPath)
-      require(a == b,
-        s"night commit protocol: staging ($staging, $b) and live root " +
-          s"($root, $a) are on different filesystems — dir renames would " +
-          "not be atomic; port the publish to copy+manifest (object-store " +
-          "design note in the protocol doc) before running here")
-      true
+      java.nio.file.Files.getFileStore(root.toPath) ==
+        java.nio.file.Files.getFileStore(staging.toPath)
     })
+  private def copyStrategy(root: java.io.File): Boolean =
+    forceCopyPublish.contains(root.getPath) || !sameFileStore(root)
 
   // ------------------------------------------------------------------
   // Completed-night log: ONE append-only file instead of a marker file
@@ -349,35 +382,55 @@ object Incremental {
     * manifest `M|` actions — i.e. BEFORE the committed staging dir is
     * deleted, so a crash can never destroy the staging of a night that
     * has not yet been recorded (the round-10 advice's residual window).
-    * Single-writer (the lease) ⇒ appends never interleave; a crash
-    * mid-append leaves a torn final line that matches no tag, and the
-    * still-pending manifest re-publishes and re-appends on recovery.
-    * Duplicate lines are harmless — membership is the only query. */
+    * Single-writer (the lease) ⇒ appends never interleave. The write
+    * LEADS with "\n" to self-heal a torn final line: a crash mid-append
+    * can leave a partial tag with no terminator, and appending `tag\n`
+    * directly would GLUE the recovery re-append onto it
+    * ("nighnight_7") — then doneTags misses the tag and the idempotent
+    * wrapper re-runs a published night, double-appending its additive
+    * ledgers. With the leading newline the torn fragment stays its own
+    * line (matching no real tag) and the re-append lands intact; the
+    * blank lines this produces are filtered by [[doneTags]]. */
   private def recordDone(d: Dirs, tag: String): Unit = {
     val out = new java.io.FileOutputStream(nightLog(d), true)
-    try out.write((tag + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(("\n" + tag + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  /** The set of published night tags. Folds any LEGACY per-night
-    * marker files (`_<tag>.done`) into the log on first read — the
-    * one-time migration from the round-10 marker-file scheme; replay
-    * idempotence is preserved because membership is unioned before the
-    * markers are deleted. */
-  private[graft] def doneTags(d: Dirs): Set[String] = {
-    val root = new java.io.File(d.root)
-    val legacy = Option(root.listFiles()).toSeq.flatten
+  private def legacyMarkers(d: Dirs): Seq[java.io.File] =
+    Option(new java.io.File(d.root).listFiles()).toSeq.flatten
       .filter(f => f.isFile && f.getName.startsWith("_") &&
         f.getName.endsWith(".done"))
-    legacy.foreach { f =>
+
+  /** One-time migration of LEGACY per-night marker files (`_<tag>
+    * .done`, the round-10 scheme) into the log. Called ONLY from
+    * [[withWriterLock]] (every writer's entry gate): folding from
+    * unlocked read paths would let two processes append to
+    * `_nights.log` concurrently, outside the single-writer regime the
+    * log's no-interleave argument depends on. Membership is unioned
+    * into the log before the markers are deleted, so replay
+    * idempotence is preserved. */
+  private def foldLegacyMarkers(d: Dirs): Unit =
+    legacyMarkers(d).foreach { f =>
       recordDone(d, f.getName.stripPrefix("_").stripSuffix(".done"))
       f.delete(): Unit
     }
+
+  /** The set of published night tags: the log's lines unioned with any
+    * not-yet-folded legacy markers. SIDE-EFFECT-FREE — bare read paths
+    * (the nightDone spec hook) must not rewrite state; the legacy fold
+    * itself runs under the writer lease (see [[foldLegacyMarkers]]). */
+  private[graft] def doneTags(d: Dirs): Set[String] = {
+    val legacy = legacyMarkers(d)
+      .map(_.getName.stripPrefix("_").stripSuffix(".done")).toSet
     val log = nightLog(d)
-    if (!log.exists()) Set.empty
-    else new String(java.nio.file.Files.readAllBytes(log.toPath),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").filter(_.nonEmpty).toSet
+    val logged =
+      if (!log.exists()) Set.empty[String]
+      else new String(java.nio.file.Files.readAllBytes(log.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").filter(_.nonEmpty).toSet
+    legacy ++ logged
   }
 
   /** Whether night `tag` has been published (spec hook). */
@@ -439,6 +492,20 @@ object Incremental {
     * the table rewrite" hazard the round-9 verdict documented. */
   private def publishManifest(d: Dirs, stage: java.io.File): Unit = {
     val (replaces, appends, markers) = readManifest(stage)
+    if (copyStrategy(new java.io.File(d.root)))
+      publishByCopy(d, stage, replaces, appends)
+    else
+      publishByRename(d, stage, replaces, appends)
+    // Done-log records LAST (all data is live) but still BEFORE the
+    // caller deletes the staging dir — re-running this publish after a
+    // crash at any point re-applies no-ops and re-records (duplicate
+    // log lines are harmless), so the round-10 advice's post-publish/
+    // pre-marker window no longer exists.
+    markers.foreach(recordDone(d, _))
+  }
+
+  private def publishByRename(d: Dirs, stage: java.io.File,
+      replaces: Seq[Replace], appends: Seq[String]): Unit = {
     var applied = 0
     replaces.foreach { r =>
       val liveDir = new java.io.File(new java.io.File(d.root, r.artifact), r.dir)
@@ -478,12 +545,74 @@ object Incremental {
     (replaces.map(_.artifact) ++ appends).distinct.foreach { a =>
       graft.sources.Pinned.commit(new java.io.File(d.root, a)): Unit
     }
-    // Done-log records LAST (all data is live) but still BEFORE the
-    // caller deletes the staging dir — re-running this publish after a
-    // crash at any point re-applies no-ops and re-records (duplicate
-    // log lines are harmless), so the round-10 advice's post-publish/
-    // pre-marker window no longer exists.
-    markers.foreach(recordDone(d, _))
+  }
+
+  /** The OBJECT-STORE publish: no atomic rename exists (S3/GCS), so
+    * visibility moves from renames to the SNAPSHOT POINTER —
+    *  (1) COPY staged files into the live dirs BESIDE the old files
+    *      (staged part names are fresh UUIDs, so no collision; a
+    *      recovery re-copy overwrites byte-identical content —
+    *      idempotent);
+    *  (2) commit each touched artifact's post-night file LISTING
+    *      ([[graft.sources.Pinned.commitListing]] — the pointer swap;
+    *      on a real store the SNAP rename is a conditional put).
+    *      Pinned readers switch atomically from the pre-night to the
+    *      post-night file set at exactly this point;
+    *  (3) reap the superseded files (old files of replaced dirs,
+    *      delete-only dirs — the ghost rule). Idempotent: a crash here
+    *      leaves garbage no committed listing references, and the
+    *      recovery re-publish re-deletes it.
+    * DIRECT directory reads are not torn-safe between (2) and (3) —
+    * an object-store deployment reads through Pinned, which is the
+    * point of the port; the night's own computations run after
+    * recovery completes the publish, so they never see the window. */
+  private def publishByCopy(d: Dirs, stage: java.io.File,
+      replaces: Seq[Replace], appends: Seq[String]): Unit = {
+    // snapshotTree already excludes protocol state (_-dirs, _/. files).
+    def dataFilesUnder(dir: java.io.File): Seq[java.io.File] =
+      if (!dir.exists()) Seq.empty
+      else Scratch.snapshotTree(dir).keys.toSeq
+        .map(k => new java.io.File(dir, k.stripPrefix("/")))
+    def rel(base: java.io.File, f: java.io.File): String =
+      f.getPath.stripPrefix(base.getPath).stripPrefix("/")
+    def copyInto(srcDir: java.io.File, destDir: java.io.File): Unit =
+      dataFilesUnder(srcDir).foreach { f =>
+        val dest = new java.io.File(destDir, rel(srcDir, f))
+        dest.getParentFile.mkdirs()
+        java.nio.file.Files.copy(f.toPath, dest.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+    // (1) copy new data in; collect the superseded live files.
+    val stale = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+    val ghostDirs = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+    var applied = 0
+    replaces.foreach { r =>
+      val liveDir = new java.io.File(new java.io.File(d.root, r.artifact), r.dir)
+      val stagedDir = new java.io.File(new java.io.File(stage, r.artifact), r.dir)
+      val incoming = dataFilesUnder(stagedDir).map(rel(stagedDir, _)).toSet
+      stale ++= dataFilesUnder(liveDir)
+        .filterNot(f => incoming.contains(rel(liveDir, f)))
+      if (r.staged) copyInto(stagedDir, liveDir)
+      else ghostDirs += liveDir
+      applied += 1
+      if (applied == 1) failIf(d.root, "mid-publish")
+    }
+    appends.foreach { a =>
+      copyInto(new java.io.File(stage, a), new java.io.File(d.root, a))
+    }
+    // (2) pointer swap: post-night listing = what is on disk now minus
+    // the superseded files. Content-idempotent on recovery re-runs.
+    val staleRel = stale.map(f => rel(new java.io.File(d.root), f)).toSet
+    (replaces.map(_.artifact) ++ appends).distinct.foreach { a =>
+      val aRoot = new java.io.File(d.root, a)
+      val post = graft.sources.Pinned.currentFiles(aRoot)
+        .filterNot(f => staleRel.contains(s"$a/$f"))
+      graft.sources.Pinned.commitListing(aRoot, post): Unit
+    }
+    failIf(d.root, "post-pointer")
+    // (3) reap superseded data.
+    stale.foreach(f => f.delete(): Unit)
+    ghostDirs.foreach(deleteRec)
   }
 
   /** Complete or discard every staged night left behind by a crash:
@@ -1069,6 +1198,25 @@ object Incremental {
   // owned under one root, purged in place under the commit protocol —
   // the production story, with the caches' lifecycle documented here
   // so nobody mistakes them for retained state.
+  //
+  // TOKENIZER ARTIFACTS (the staged BPE dict / vocab / doc-stats) are
+  // the deliberate exception to both buckets, decided round 12: at
+  // fixture scale they are (app, fixture) caches, but in production a
+  // tokenizer is a SHIPPED, DURABLE model — and its dict is keyed by
+  // RAW CORPUS WORDS (a rare name a purged document contributed is
+  // literally a dict key, and can surface as a merged vocab symbol):
+  // a known PII retention vector. There is NO sound in-place purge —
+  // merge ranks are global frequency argmaxes, so deleting one
+  // document can reorder every later round; the only correct takedown
+  // is RETRAIN OVER THE SURVIVING CORPUS and republish the dict/vocab
+  // as one staged replace under this same commit protocol (readers
+  // swap at the snapshot pointer; the superseded vocab is reaped like
+  // any stale file). BpeSpec's "tokenizer takedown" test pins the
+  // residue claim: a rebuild over survivors retains no purged-only
+  // word and no vocab symbol that decodes outside the surviving
+  // corpus. Deployments that cannot afford retrain-per-takedown batch
+  // takedowns nightly (the band-ledger amortization note below) and
+  // must treat the interim window as a documented retention SLA.
   //
   // Per-artifact purge shape (the 100 TB story):
   //   - doc-bucketed artifacts (docserve/sets/grams/phash — partition

@@ -54,12 +54,34 @@ object Pinned {
       .map(_.getPath.stripPrefix(root.getPath).stripPrefix("/"))
       .sorted
 
+  /** Flat-vs-sharded listing split point. Above this file count the
+    * committed listing is SHARDED per top-level partition directory
+    * (Iceberg's manifest-list/manifest split): `SNAP-n` becomes a
+    * small manifest-list of `S|<shard>|<listing-file>` lines and the
+    * per-shard file lists live under `SNAP-n.d/`. At 100 TB partition
+    * counts the flat listing is itself a big-data object; the split
+    * keeps the pointer read O(shards) and lets [[resolvePartitions]]
+    * read ONLY the touched shards' listings. */
+  private[sources] val ShardSplit = 64
+
   /** The highest committed snapshot: (version, relative file paths). */
-  def resolve(root: java.io.File): Option[(Int, Seq[String])] = {
-    val snaps = Option(new java.io.File(root, SnapDir).listFiles())
-      .toSeq.flatten
+  def resolve(root: java.io.File): Option[(Int, Seq[String])] =
+    resolveWith(root, _ => true)
+
+  /** [[resolve]] restricted to the given top-level partition dirs —
+    * for a SHARDED snapshot only their listing files are opened
+    * (untouched shards' listings are never read); a flat snapshot
+    * degrades to the full read filtered by shard. */
+  def resolvePartitions(root: java.io.File,
+      shards: Set[String]): Option[(Int, Seq[String])] =
+    resolveWith(root, shards.contains)
+
+  private def resolveWith(root: java.io.File,
+      wantShard: String => Boolean): Option[(Int, Seq[String])] = {
+    val dir = new java.io.File(root, SnapDir)
+    val snaps = Option(dir.listFiles()).toSeq.flatten
       .flatMap(f => f.getName match {
-        case SnapRe(n) => Some((n.toInt, f))
+        case SnapRe(n) if f.isFile => Some((n.toInt, f))
         case _ => None
       })
     if (snaps.isEmpty) None
@@ -68,9 +90,31 @@ object Pinned {
       val lines = new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
         .split("\n").toSeq.filter(_.nonEmpty)
-      Some((v, lines))
+      if (!lines.exists(_.startsWith("S|")))
+        Some((v, lines.filter(l => wantShard(shardOf(l)))))
+      else Some((v, lines.flatMap { l =>
+        val Array(_, shard, rel) = l.split("\\|", 3)
+        if (!wantShard(shard)) Seq.empty
+        else new String(java.nio.file.Files.readAllBytes(
+            new java.io.File(dir, rel).toPath),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").toSeq.filter(_.nonEmpty)
+      }))
     }
   }
+
+  /** A file path's top-level partition dir ("bkt=3/part-x" → "bkt=3");
+    * root-level files shard to "" (never split). */
+  private def shardOf(path: String): String = {
+    val i = path.indexOf('/')
+    if (i < 0) "" else path.substring(0, i)
+  }
+
+  /** The artifact's current on-disk data files (spec/publisher hook —
+    * the copy-strategy publisher computes its post-night listing from
+    * this minus the superseded files). */
+  private[graft] def currentFiles(root: java.io.File): Seq[String] =
+    dataFiles(root)
 
   /** Commit the artifact's current file listing as the next snapshot.
     * Content-idempotent: if the listing equals the latest committed
@@ -85,43 +129,120 @@ object Pinned {
     * deleting the listing file cannot affect an in-flight scan; the
     * previous version is kept so a reader racing the commit can still
     * re-resolve one step back. */
-  def commit(root: java.io.File): Int = {
-    val files = dataFiles(root)
+  def commit(root: java.io.File): Int = commitListing(root, dataFiles(root))
+
+  /** [[commit]] with a CALLER-SUPPLIED listing — the visibility point
+    * of the object-store (copy) publish strategy: new files are copied
+    * in beside the old ones, and THIS pointer swap is what moves
+    * pinned readers from the pre-night to the post-night file set (on
+    * a real object store the SNAP rename is a conditional put — the
+    * same single-key atomicity). The listing must name files that all
+    * exist under `root` when readers resolve it. */
+  def commitListing(root: java.io.File, files: Seq[String]): Int = {
+    val sorted = files.sorted
     resolve(root) match {
-      case Some((v, listed)) if listed == files => v
+      case Some((v, listed)) if listed == sorted => v
       case prior =>
         val next = prior.map(_._1).getOrElse(0) + 1
         val dir = new java.io.File(root, SnapDir)
         dir.mkdirs()
+        // Sharded form above the split point (see [[ShardSplit]]):
+        // per-shard listing files are written FIRST, then the pointer's
+        // atomic rename makes the whole snapshot visible at once —
+        // the same single-visibility-point discipline as the flat form.
+        val body =
+          if (sorted.size > ShardSplit && sorted.forall(_.contains("/"))) {
+            val sub = new java.io.File(dir, f"SNAP-$next%08d.d")
+            sub.mkdirs()
+            sorted.groupBy(shardOf).toSeq.sortBy(_._1).zipWithIndex
+              .map { case ((shard, fs), i) =>
+                val mf = new java.io.File(sub, f"M-$i%05d")
+                java.nio.file.Files.write(mf.toPath, fs.mkString("\n")
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                s"S|$shard|${sub.getName}/${mf.getName}"
+              }.mkString("\n")
+          } else sorted.mkString("\n")
         val tmp = new java.io.File(dir, f"SNAP-$next%08d.tmp")
         java.nio.file.Files.write(tmp.toPath,
-          files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         java.nio.file.Files.move(tmp.toPath,
           new java.io.File(dir, f"SNAP-$next%08d").toPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         Option(dir.listFiles()).toSeq.flatten.foreach { f =>
-          f.getName match {
-            case SnapRe(n) if n.toInt < next - 1 => f.delete(): Unit
-            case _ => ()
+          val ver = f.getName match {
+            case SnapRe(n)    => Some(n.toInt)
+            case SnapDirRe(n) => Some(n.toInt)
+            case _            => None
+          }
+          if (ver.exists(_ < next - 1)) {
+            if (f.isDirectory) deleteRecLocal(f) else f.delete(): Unit
           }
         }
         next
     }
   }
 
+  private val SnapDirRe = "SNAP-(\\d{8})\\.d".r
+  private def deleteRecLocal(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).toSeq.flatten.foreach(deleteRecLocal)
+    f.delete(): Unit
+  }
+
   /** Pinned read: scan exactly the last committed snapshot's files.
     * `basePath` keeps partition-directory columns (and partition
     * pruning) identical to a directory read. An artifact without a
-    * committed snapshot is a wiring bug — fail loud. */
+    * committed snapshot is a wiring bug — fail loud.
+    *
+    * The constructed DataFrame is MEMOIZED per (session, root,
+    * snapshot version): building a relation over an explicit file list
+    * runs the parallel partition-discovery listing JOB whenever the
+    * list exceeds the discovery threshold (~2 s at fixture scale for
+    * the 1000-file doc-serve artifact — measured as st28's entire
+    * round-11 regression), and the result is identical for the same
+    * committed snapshot. resolve() still runs on EVERY call (one tiny
+    * file read), so a publish that bumps the snapshot is picked up by
+    * the very next read — the memo never extends a snapshot's
+    * lifetime, it only deduplicates planning work within one. */
+  private val readCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int), DataFrame]
   def read(s: SparkSession, root: java.io.File): DataFrame = {
-    val (_, files) = resolve(root).getOrElse(
+    val (v, files) = resolve(root).getOrElse(
       throw new IllegalStateException(
         s"pinned read: no committed snapshot under $root — " +
           "the writer must Pinned.commit after publishing"))
-    val paths = files.map(f => new java.io.File(root, f).getPath)
-    if (paths.isEmpty)
+    readCache.getOrElseUpdate((s.sparkContext.applicationId, root.getPath, v), {
+      val paths = files.map(f => new java.io.File(root, f).getPath)
+      if (paths.isEmpty)
+        throw new IllegalStateException(
+          s"pinned read: snapshot under $root lists no data files")
+      s.read.option("basePath", root.getPath).parquet(paths: _*)
+    })
+  }
+
+  /** Partition-PRUNED pinned read: resolve and scan only the named
+    * top-level partition dirs ("bkt=3"-style). On a sharded snapshot
+    * this opens ONLY those shards' listing files ([[resolvePartitions]])
+    * — the serving-leg metadata path at 100 TB partition counts, where
+    * even reading the full listing per stream start is a cost.
+    * `basePath` keeps the partition column and the planner's
+    * PartitionFilters identical to a directory read. An empty
+    * resolution (no touched shard exists) returns None — the caller
+    * supplies its empty-relation shape. */
+  private val readPartCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int, String), DataFrame]
+  def readPartitions(s: SparkSession, root: java.io.File,
+      shards: Set[String]): Option[DataFrame] = {
+    val (v, files) = resolvePartitions(root, shards).getOrElse(
       throw new IllegalStateException(
-        s"pinned read: snapshot under $root lists no data files")
-    s.read.option("basePath", root.getPath).parquet(paths: _*)
+        s"pinned read: no committed snapshot under $root — " +
+          "the writer must Pinned.commit after publishing"))
+    if (files.isEmpty) None
+    else Some(readPartCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, root.getPath, v,
+        shards.toSeq.sorted.mkString(",")), {
+        val paths = files.map(f => new java.io.File(root, f).getPath)
+        s.read.option("basePath", root.getPath).parquet(paths: _*)
+      }))
   }
 }

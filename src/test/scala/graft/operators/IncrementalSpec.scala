@@ -450,6 +450,85 @@ class IncrementalSpec extends SparkSpec {
       "an unchanged artifact minted a new snapshot version")
   }
 
+  test("object-store copy publish: pointer-swap visibility, crash recovery, stale reap") {
+    import spark.implicits._
+    // The copy+manifest-pointer strategy — what the protocol runs where
+    // renames are not atomic (S3/GCS have none): new files copy in
+    // BESIDE the old, visibility moves at the committed snapshot
+    // listing, superseded files are reaped last. Forced on for this
+    // root (no second FileStore exists in the test environment).
+    val docs = Seq(
+      (2L, "en", "applepie8 bananaz8"),
+      (5L, "en", "applepie8 bananaz8 zebraxx8 zebraxx8"),
+      (3L, "en", "zebraxx8 zebraxx8 walnutt8 velvetty8"),
+      (7L, "en", "applepie8 bananaz8"),
+      (14L, "en", "zebraxx8 walnutt8 applepie8")
+    ).toDF("doc_id", "lang", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pl11_copypub").toString
+    Incremental.forceCopyPublish = Incremental.forceCopyPublish + root
+    try {
+      val d = Incremental.Dirs(root)
+      Incremental.baseBuild(spark, d, docs.filter(
+        col("doc_id") % Incremental.Parts =!= 7 &&
+          col("doc_id") % Incremental.Parts =!= 6))
+      val dfDir = new java.io.File(d.df)
+      val preRows = graft.sources.Pinned.read(spark, dfDir)
+        .collect().map(_.toSeq).toSet
+      // NIGHT 1 crashes MID-PUBLISH (one replace's files copied in, no
+      // pointer committed): the pinned probe still resolves the exact
+      // pre-night set — under the copy strategy the old files outlive
+      // the crash, so not even the fail-loud retry path is needed.
+      val delta7 = docs.filter(col("doc_id") % Incremental.Parts === 7)
+      Incremental.failAt = Some((root, "mid-publish"))
+      try intercept[Incremental.InjectedNightCrash] {
+        Incremental.nightIdempotent(spark, d, delta7, 7); ()
+      } finally Incremental.failAt = None
+      assert(graft.sources.Pinned.read(spark, dfDir)
+        .collect().map(_.toSeq).toSet == preRows,
+        "a mid-publish copy crash moved the pinned view before the pointer swap")
+      // Recovery completes the publish: pinned == directory == post.
+      assert(Incremental.nightIdempotent(spark, d, delta7, 7),
+        "redelivery did not recover the committed copy publish")
+      val post7 = graft.sources.Pinned.read(spark, dfDir)
+        .collect().map(_.toSeq).toSet
+      assert(post7 == spark.read.parquet(d.df).collect().map(_.toSeq).toSet,
+        "post-recovery pinned read diverges from the directory read")
+      assert(post7 != preRows, "night 1 published nothing")
+      // NIGHT 2 crashes POST-POINTER (listings committed, stale files
+      // unreaped): pinned readers are already post-night while the
+      // DIRECTORY still holds the superseded files.
+      val delta6 = docs.filter(col("doc_id") % Incremental.Parts === 6)
+      Incremental.failAt = Some((root, "post-pointer"))
+      try intercept[Incremental.InjectedNightCrash] {
+        Incremental.nightIdempotent(spark, d, delta6, 6); ()
+      } finally Incremental.failAt = None
+      val vAtCrash = graft.sources.Pinned.resolve(dfDir).get._1
+      val pinned6 = graft.sources.Pinned.read(spark, dfDir)
+        .collect().map(_.toSeq).toSet
+      assert(pinned6 != post7, "the pointer swap did not land before the crash")
+      assert(spark.read.parquet(d.df).collect().map(_.toSeq).toSet != pinned6,
+        "fixture: no stale files pending after the post-pointer crash")
+      // Recovery reaps the stale files without minting a new snapshot
+      // version (the pointer commit is content-idempotent).
+      assert(Incremental.nightIdempotent(spark, d, delta6, 6),
+        "redelivery did not recover the post-pointer crash")
+      assert(graft.sources.Pinned.resolve(dfDir).get._1 == vAtCrash,
+        "recovery re-publish minted a new snapshot version")
+      assert(spark.read.parquet(d.df).collect().map(_.toSeq).toSet == pinned6,
+        "stale files survived the recovered reap")
+      // End state converges with the full recompute.
+      val fullRoot = java.nio.file.Files
+        .createTempDirectory("graft_pl11_copypub_full").toString
+      Incremental.runIncremental(spark, docs, fullRoot, Seq())
+      assert(tableRows(root) == tableRows(fullRoot),
+        "copy-strategy nights diverged from the full recompute")
+    } finally {
+      Incremental.forceCopyPublish = Incremental.forceCopyPublish - root
+      Incremental.failAt = None
+    }
+  }
+
   test("streamed purges are replay-idempotent behind content-derived markers") {
     import spark.implicits._
     // A purge night is not self-collapsing (a replayed NEGATIVE df
@@ -577,16 +656,115 @@ class IncrementalSpec extends SparkSpec {
     assert(new java.io.File(root, "_night_3.done").createNewFile())
     assert(new java.io.File(root, "_purge_r9.done").createNewFile())
     assert(Incremental.doneTags(d) == Set("night_3", "purge_r9"))
-    // Markers folded in and deleted; membership survives (replay
-    // idempotence across the migration).
-    assert(!new java.io.File(root, "_night_3.done").exists())
-    assert(Incremental.doneTags(d) == Set("night_3", "purge_r9"))
-    // A marker-managed replay of the migrated night is a no-op.
+    // Bare reads are SIDE-EFFECT-FREE: the markers are unioned in but
+    // never rewritten — the fold (log appends + marker deletes) may
+    // only run under the writer lease, else two processes could append
+    // to _nights.log outside the single-writer regime.
+    assert(new java.io.File(root, "_night_3.done").exists(),
+      "a bare doneTags read rewrote on-disk state")
+    // A marker-managed replay of the migrated night is a no-op — and
+    // its lease entry performs the one-time fold.
     val delta = Seq((3L, "en", "anything goes")).toDF("doc_id", "lang", "text")
     Incremental.baseBuild(spark, d,
       Seq((2L, "en", "base doc here")).toDF("doc_id", "lang", "text"))
     assert(!Incremental.nightIdempotent(spark, d, delta, 3),
       "a migrated done record did not suppress the replay")
+    assert(!new java.io.File(root, "_night_3.done").exists(),
+      "the lease entry did not fold the legacy markers")
+    assert(Incremental.doneTags(d) == Set("night_3", "purge_r9"))
+  }
+
+  test("done-log self-heals a torn final line on the next record") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pl11_torn").toString
+    val d = Incremental.Dirs(root)
+    // A crash mid-append left a partial tag with no terminator. The
+    // next record must not GLUE onto it ("nighnight_7" — which would
+    // hide night_7 from doneTags and rerun a published night).
+    java.nio.file.Files.write(
+      new java.io.File(root, "_nights.log").toPath,
+      "night_1\nnigh".getBytes("UTF-8"))
+    assert(new java.io.File(root, "_night_7.done").createNewFile())
+    Incremental.withWriterLock(d)(()) // lease entry folds → recordDone
+    val tags = Incremental.doneTags(d)
+    assert(tags.contains("night_7"),
+      s"recovered tag glued onto the torn line and was lost: $tags")
+    assert(tags.contains("night_1"), s"intact prior line lost: $tags")
+    assert(!tags.exists(_.contains("nighnight")),
+      s"torn fragment merged with the recovery append: $tags")
+  }
+
+  test("lease release verifies ownership: a superseded holder leaves the new lock alone") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pl11_token").toString
+    val d = Incremental.Dirs(root)
+    val lock = new java.io.File(root, "_WRITER.lock")
+    Incremental.withWriterLock(d) {
+      // Simulate an age-based takeover by a second process mid-body:
+      // the lock now carries the NEW holder's token.
+      assert(lock.delete())
+      java.nio.file.Files.write(lock.toPath, "new-holder".getBytes("UTF-8"))
+    }
+    // The superseded holder's exit must NOT delete the new holder's
+    // lock (that would let a third writer in while the second runs).
+    assert(lock.exists(), "superseded holder deleted the new holder's lock")
+    assert(new String(java.nio.file.Files.readAllBytes(lock.toPath),
+      "UTF-8") == "new-holder")
+    assert(lock.delete())
+  }
+
+  private def forkProbe(root: String, mode: String, ms: String): Process = {
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getPath
+    new ProcessBuilder(javaBin, "-cp", System.getProperty("java.class.path"),
+      "graft.operators.LeaseProbe", root, mode, ms)
+      .redirectErrorStream(true).start()
+  }
+
+  test("two-process writer race: heartbeat keeps a live lease, takeover after death, one re-race winner") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lease_2proc").toString
+    val d = Incremental.Dirs(root)
+    // A SECOND JVM acquires and holds (staleMs=2000, heartbeat ~1 s).
+    val holder = forkProbe(root, "hold", "60000")
+    val out = new java.io.BufferedReader(
+      new java.io.InputStreamReader(holder.getInputStream))
+    assert(out.readLine() == "HELD", "holder process never acquired")
+    // A live lock from another PROCESS excludes us, fail-loud...
+    intercept[Incremental.ConcurrentNightWriter] {
+      Incremental.withWriterLock(d, staleMs = 2000L)(())
+    }
+    // ...even after staleMs has elapsed: the holder's heartbeat keeps
+    // the lease fresh, so age-based takeover must NOT fire on it.
+    Thread.sleep(3000L)
+    intercept[Incremental.ConcurrentNightWriter] {
+      Incremental.withWriterLock(d, staleMs = 2000L)(())
+    }
+    // The holder DIES without releasing: heartbeat stops, the lease
+    // goes stale, and this process takes it over (and releases it).
+    holder.destroyForcibly(); holder.waitFor()
+    Thread.sleep(2500L)
+    var entered = false
+    Incremental.withWriterLock(d, staleMs = 2000L) { entered = true }
+    assert(entered, "stale takeover after holder death did not acquire")
+    assert(!new java.io.File(root, "_WRITER.lock").exists())
+    // EXACTLY-ONE-WINNER on a takeover re-race: four claimant JVMs
+    // probe one stale corpse concurrently; the atomic-rename takeover
+    // admits exactly one (delete+recreate could interleave into two
+    // holders), and the winner holds long enough that every other
+    // claimant overlaps it.
+    val lock = new java.io.File(root, "_WRITER.lock")
+    java.nio.file.Files.write(lock.toPath, "dead-holder".getBytes("UTF-8"))
+    assert(lock.setLastModified(System.currentTimeMillis() - 10000L))
+    val racers = (1 to 4).map(_ => forkProbe(root, "try", "5000"))
+    val outcomes = racers.map { p =>
+      assert(p.waitFor(60, java.util.concurrent.TimeUnit.SECONDS))
+      scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+    }
+    assert(outcomes.count(_ == "WON") == 1,
+      s"takeover re-race winners != 1: $outcomes")
+    assert(outcomes.count(_ == "LOST") == 3,
+      s"takeover re-race losers != 3: $outcomes")
   }
 
   test("pl13 composed takedown: both modality legs purge, neither leaks") {
