@@ -465,6 +465,62 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("tokenizer takedown: retrain over survivors leaves no purged-word residue") {
+    import spark.implicits._
+    // The estate-taxonomy decision (Incremental.scala, tokenizer-
+    // artifact note): a BPE dict is keyed by RAW corpus words and its
+    // vocab can merge them into shipped symbols — the PII retention
+    // vector — and merge ranks are global frequency argmaxes, so the
+    // only sound takedown is a REBUILD over the surviving corpus. This
+    // pins the residue claim end-to-end.
+    def writeDocs(rows: Seq[(Long, String)], tag: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(tag).toFile.getPath
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("wiki").as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      dir
+    }
+    def hexDecode(sym: String): String = new String(
+      sym.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray, "UTF-8")
+    val pii = "zq" + ("xj" * 6) // distinctive, heavily repeated → merges
+    val survivors = Seq(
+      (1L, "the cat sat on the mat and the dog sat too"),
+      (2L, "to be or not to be that is the question"),
+      (3L, "the quick brown fox jumps over the lazy dog"))
+    val fullDir = writeDocs(
+      survivors :+ (99L, (s"$pii " * 40) + "common words here"),
+      "graft_tok_full")
+    val survDir = writeDocs(survivors, "graft_tok_surv")
+    // The full training retains the purged doc's raw word as a dict
+    // key and merges it into shipped vocab symbols (the hazard).
+    val fullDict = Bpe.bpeDict(spark, fullDir)
+      .select("word").as[String].collect().toSet
+    assert(fullDict.contains(pii), "fixture: PII word missing from the dict")
+    val fullSyms = SparkEntry.queries("ta30_bpe_vocab")(spark, fullDir)
+      .filter(col("freq") > 0 && length(col("symbol")) > 2)
+      .select("symbol").as[String].collect().toSeq.map(hexDecode)
+    assert(fullSyms.exists(s => s.length >= 2 && pii.contains(s)),
+      "fixture: the PII word never reached the trained vocab")
+    // The rebuild over survivors — the takedown — has zero residue:
+    // the word is not a dict key, and every shipped (freq > 0) merged
+    // symbol decodes to a substring of some SURVIVING word.
+    val survWords = survivors.flatMap(_._2.split(" ").filter(_.nonEmpty)).toSet
+    val survDict = Bpe.bpeDict(spark, survDir)
+      .select("word").as[String].collect().toSet
+    assert(survDict == survWords,
+      s"rebuilt dict keys != surviving corpus words: $survDict")
+    SparkEntry.queries("ta30_bpe_vocab")(spark, survDir)
+      .filter(col("freq") > 0 && length(col("symbol")) > 2)
+      .select("symbol").as[String].collect().toSeq.map(hexDecode)
+      .foreach { s =>
+        assert(survWords.exists(_.contains(s)),
+          s"rebuilt vocab symbol '$s' decodes outside the surviving corpus")
+      }
+  }
+
   test("simultaneous batch fold equals one-at-a-time application in every order") {
     import spark.implicits._
     // Adversarial states: repeats ("a a a"), interleavings, the created
