@@ -543,9 +543,60 @@ object Bpe {
     //    to cluster width); the copies×ids join IS the materialization
     //    job (output-sized, never more); the per-window collect is
     //    W-bounded (512 structs — pl06's document-bounded class).
-    "ta39_training_tensor" -> ((s, d) => {
+    "ta39_training_tensor" -> ((s, d) =>
+      trainingTensorOf(s, d, Tables.documents(s, d))),
+
+    // -- ta39 with an INJECTED ZERO-TOKEN document — the empty-doc slot
+    //    arithmetic under the full ORACLE gate (the round-11 verdict's
+    //    fixture-edge ask; the driver fixtures carry no empty text, so
+    //    the edge is injected identically on both engines, ta19's
+    //    injected-ground-truth discipline): an empty doc trains nothing
+    //    and encodes nothing, but its epoch copies still EMIT their
+    //    separator slots — the exact case where a dropped copy would
+    //    silently shift every later slot in its shards.
+    "ta40_tensor_empty_doc" -> ((s, d) => {
+      import s.implicits._
+      val synth = Seq((EmptyDocId, "", "en", "wiki", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      trainingTensorOf(s, d,
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars").cast("long").as("n_chars"))
+          .unionByName(synth))
+    }),
+
+    "ta34_tokenizer_fertility" -> ((s, d) => {
+      val stats = stagedDocStats(s, d)
+        .select(col("doc_id"), col("n_words"), col("n_subwords"))
+      Tables.documents(s, d).select(col("doc_id"), col("lang"))
+        .hint("shuffle_hash")
+        .join(stats.hint("shuffle_hash"), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_subwords")).as("n_subwords"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
+          when(col("n_words") > 0,
+            expr("(n_subwords * 1000000) div n_words")).otherwise(lit(0L))
+            .as("fertility_ppm"))
+    }))
+
+  /** The injected empty doc's id — far above any fixture doc_id at any
+    * SF; source "wiki" (centi 250) + its md5 bucket give it 3 copies,
+    * so the zero-token separator arithmetic binds in 3 shards. */
+  private[graft] val EmptyDocId = 10000000L
+
+  /** ta39's tensor materialization, relation-parametric over the
+    * document set (ta40 injects a zero-token doc; the copy-length
+    * lookup stays the STAGED stats of fixture `d`, so a doc absent
+    * from the staged artifact exercises the LEFT-join zero path the
+    * oracle mirrors). */
+  private def trainingTensorOf(
+      s: SparkSession, d: String,
+      docsRel: org.apache.spark.sql.DataFrame): DataFrame = {
+    {
       val W = TensorW
-      val copies = TextAnalysis.epochCopies(Tables.documents(s, d))
+      val copies = TextAnalysis.epochCopies(docsRel)
         .withColumn("shard", expr(
           "cast(conv(substring(md5(concat('sh', cast(doc_id as string), ':', " +
             "cast(copy_idx as string))), 1, 8), 16, 10) as bigint) % 8"))
@@ -614,23 +665,8 @@ object Bpe {
               lit(" win "), col("win").cast("string")))).as("ids_md5"),
           md5(concat(col("maskj"),
             expr(s"repeat(' 0', cast($W - n_filled as int))"))).as("mask_md5"))
-    }),
-
-    "ta34_tokenizer_fertility" -> ((s, d) => {
-      val stats = stagedDocStats(s, d)
-        .select(col("doc_id"), col("n_words"), col("n_subwords"))
-      Tables.documents(s, d).select(col("doc_id"), col("lang"))
-        .hint("shuffle_hash")
-        .join(stats.hint("shuffle_hash"), Seq("doc_id"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("n_words")).as("n_words"),
-          sum(col("n_subwords")).as("n_subwords"))
-        .select(col("lang"), col("n_docs"), col("n_words"), col("n_subwords"),
-          when(col("n_words") > 0,
-            expr("(n_subwords * 1000000) div n_words")).otherwise(lit(0L))
-            .as("fertility_ppm"))
-    }))
+    }
+  }
 
   /** The shared DuckDB training+encoding CTE stack (ta26's oracle and
     * ta09's packing oracle both consume `bpe_doc`). Generated from the
@@ -820,7 +856,31 @@ object Bpe {
     // ta39: the same id stream (ta38's CTEs), composed with ta35's
     // copy arithmetic and ta14's shard/scatter hashes over the copy
     // key, unrolled into the identical per-shard prefix-sum packing.
-    "ta39_training_tensor" -> {
+    "ta39_training_tensor" -> tensorOracleSql("documents"),
+
+    // ta40: the identical packing with the injected zero-token doc in
+    // the COPY relation only (it trains nothing and encodes nothing,
+    // so the token-side CTEs stay over the real corpus — exactly as
+    // the Spark side's staged stats never see it).
+    "ta40_tensor_empty_doc" -> tensorOracleSql(
+      s"(SELECT doc_id, source FROM documents UNION ALL " +
+        s"SELECT $EmptyDocId, 'wiki') AS d40"),
+
+    "ta34_tokenizer_fertility" ->
+      s"""$withSqlPrefix
+          SELECT lang, count(*) AS n_docs,
+            CAST(sum(coalesce(b.n_words, 0)) AS BIGINT) AS n_words,
+            CAST(sum(coalesce(b.n_subwords, 0)) AS BIGINT) AS n_subwords,
+            CASE WHEN sum(coalesce(b.n_words, 0)) > 0
+              THEN CAST(sum(coalesce(b.n_subwords, 0)) * 1000000
+                     // sum(coalesce(b.n_words, 0)) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS fertility_ppm
+          FROM documents d LEFT JOIN bpe_doc b ON d.doc_id = b.doc_id
+          GROUP BY lang""")
+
+  /** ta39/ta40's unrolled packing oracle, parameterized by the COPY
+    * relation (doc_id, source). */
+  private def tensorOracleSql(docsRel: String): String = {
       val W = TensorW
       s"""$withSqlPrefix,
           v39 AS ($vocabSqlBody),
@@ -855,7 +915,7 @@ object Bpe {
                 WHEN 0 THEN 250 WHEN 1 THEN 125 ELSE 50 END AS BIGINT) AS centi,
               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                 AS BIGINT) % 100 AS b
-            FROM documents),
+            FROM $docsRel),
           c39 AS (
             SELECT doc_id,
               centi // 100 + CASE WHEN b < centi % 100 THEN 1 ELSE 0 END
@@ -907,17 +967,5 @@ object Bpe {
                 ORDER BY gpos % $W, tid)
               || repeat(' 0', CAST($W - count(*) AS INT))) AS mask_md5
           FROM st39 GROUP BY shard, win"""
-    },
-
-    "ta34_tokenizer_fertility" ->
-      s"""$withSqlPrefix
-          SELECT lang, count(*) AS n_docs,
-            CAST(sum(coalesce(b.n_words, 0)) AS BIGINT) AS n_words,
-            CAST(sum(coalesce(b.n_subwords, 0)) AS BIGINT) AS n_subwords,
-            CASE WHEN sum(coalesce(b.n_words, 0)) > 0
-              THEN CAST(sum(coalesce(b.n_subwords, 0)) * 1000000
-                     // sum(coalesce(b.n_words, 0)) AS BIGINT)
-              ELSE CAST(0 AS BIGINT) END AS fertility_ppm
-          FROM documents d LEFT JOIN bpe_doc b ON d.doc_id = b.doc_id
-          GROUP BY lang""")
+  }
 }

@@ -465,6 +465,17 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("ta40: the injected zero-token doc emits exactly its copies' separators") {
+    // 3 copies (source 'wiki' → centi 250; md5 bucket 39 < 50) landing
+    // in shards 2, 1, 3 — each must add exactly one separator slot and
+    // shift that shard's later slots; totals pin the arithmetic.
+    val s39 = ta39Got(sfDir).map(_._4).sum
+    val s40 = SparkEntry.queries("ta40_tensor_empty_doc")(spark, sfDir)
+      .agg(sum(col("n_sep"))).collect()(0).getLong(0)
+    assert(s40 == s39 + 3,
+      s"injected zero-token copies' separators: $s39 -> $s40 (want +3)")
+  }
+
   test("tokenizer takedown: retrain over survivors leaves no purged-word residue") {
     import spark.implicits._
     // The estate-taxonomy decision (Incremental.scala, tokenizer-
