@@ -638,26 +638,34 @@ object Bpe {
         .select(col("shard"), expr(s"gpos div $W").as("win"),
           (col("gpos") % W).as("slot"), col("tid"))
         .groupBy(col("shard"), col("win"))
+        // ONE sorted collect per window (W-bounded) — idsj/maskj/the
+        // uniqueness check all derive from it in the projection, so
+        // the agg neither collects twice nor pays the distinct-agg
+        // expand a countDistinct guard would add.
         .agg(count(lit(1)).as("n_filled"),
-          // slot ≡ gpos within a (shard, win) group (gpos = win·W + slot),
-          // so distinct-slot IS the gpos-uniqueness count.
-          countDistinct(col("slot")).as("n_gpos"),
           sum(when(col("tid") =!= 0L, 1L).otherwise(0L)).as("n_real"),
           sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_sep"),
-          expr("array_join(transform(array_sort(collect_list(struct(slot, tid))), " +
-            "x -> cast(x.tid as string)), ' ')").as("idsj"),
-          expr("array_join(transform(array_sort(collect_list(struct(slot, tid))), " +
-            "x -> IF(x.tid = 0, '0', '1')), ' ')").as("maskj"))
+          expr("array_sort(collect_list(struct(slot, tid)))").as("srt"))
         // gpos UNIQUENESS GUARD: window slots are well-defined only if
         // every global position lands exactly once (a staged `len`
         // disagreeing with the real id-stream length for any doc would
-        // collide later copies' positions). A collision must FAIL LOUD
-        // here — sorted ties would otherwise turn a deterministic
-        // content bug into a flaky-looking hash mismatch downstream.
+        // collide later copies' positions; slot ≡ gpos within a window).
+        // A collision must FAIL LOUD here — sorted ties would otherwise
+        // turn a deterministic content bug into a flaky-looking hash
+        // mismatch downstream. Sorted array ⇒ duplicates are adjacent.
+        .select(col("shard"), col("win"), col("n_filled"),
+          col("n_real"), col("n_sep"),
+          expr("exists(zip_with(slice(srt, 1, size(srt) - 1), " +
+            "slice(srt, 2, size(srt) - 1), (a, b) -> a.slot = b.slot), " +
+            "x -> x)").as("dup"),
+          expr("array_join(transform(srt, x -> cast(x.tid as string)), ' ')")
+            .as("idsj"),
+          expr("array_join(transform(srt, x -> IF(x.tid = 0, '0', '1')), ' ')")
+            .as("maskj"))
         .select(col("shard"), col("win"),
           col("n_real"), col("n_sep"),
           (lit(W.toLong) - col("n_filled")).as("n_pad"),
-          when(col("n_filled") === col("n_gpos"),
+          when(!col("dup"),
             md5(concat(col("idsj"),
               expr(s"repeat(' -1', cast($W - n_filled as int))"))))
             .otherwise(raise_error(concat(
