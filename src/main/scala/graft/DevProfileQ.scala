@@ -50,10 +50,14 @@ object DevProfileQ {
     }
     sel.foreach { case (name, fn) =>
       (1 to reps).foreach { i =>
+        // Listener events are async: let stragglers from the previous
+        // rep drain before resetting, else reps bleed into each other.
+        Thread.sleep(500L)
         Seq(run, gc, deser, rser, cpu, tasks, shufW, shufR).foreach(_.set(0L))
         val t0 = System.nanoTime()
         fn(s, d).write.format("noop").mode("overwrite").save()
-        val wall = (System.nanoTime() - t0) / 1e9
+        Thread.sleep(500L) // drain this rep's tail before reading
+        val wall = (System.nanoTime() - t0) / 1e9 - 0.5
         println(f"[prof] $name%-24s rep$i wall=$wall%6.2fs taskRun=${run.get / 1e3}%7.1fs cpu=${cpu.get / 1e3}%7.1fs gc=${gc.get / 1e3}%5.1fs deser=${deser.get / 1e3}%5.1fs tasks=${tasks.get}%5d shufW=${shufW.get / 1048576}%5dMB shufR=${shufR.get / 1048576}%5dMB")
       }
     }

@@ -302,8 +302,13 @@ object Incremental {
             // The create is the atomic claim; the token write follows
             // non-atomically, but nothing reads it earlier than a
             // takeover probe (≥ staleMs later) or our own heartbeat.
-            java.nio.file.Files.write(lock.toPath,
+            try java.nio.file.Files.write(lock.toPath,
               token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            catch { case e: Throwable =>
+              // A failed token write must not strand an ownerless lock
+              // that blocks every writer for staleMs.
+              lock.delete(); throw e
+            }
             true
           } catch { case _: java.nio.file.FileAlreadyExistsException => false }
         def ownsLock(): Boolean =
@@ -315,9 +320,25 @@ object Incremental {
           if (!acquired &&
               System.currentTimeMillis() - lock.lastModified() > staleMs) {
             // Stale takeover: rename wins for exactly one claimant.
+            // VERIFY STALENESS AFTER the rename (mtime rides the
+            // rename): between our age probe and the rename, a racing
+            // claimant may have completed its own takeover and created
+            // a FRESH lock at this path — seizing that would admit two
+            // holders. A fresh corpse is restored and the lease
+            // reported held. (Residual exposure: if the restore loses
+            // a create race, the restored corpse surfaces as a second
+            // lock-age epoch — it ages back to stale within staleMs;
+            // the window needs three claimants inside one probe
+            // round-trip after a full staleMs of silence.)
             val claim = new java.io.File(root, s"_WRITER.lock.stale.$token")
-            if (lock.renameTo(claim)) claim.delete(): Unit
-            acquired = tryCreate()
+            if (lock.renameTo(claim)) {
+              if (System.currentTimeMillis() - claim.lastModified() > staleMs) {
+                claim.delete(): Unit
+                acquired = tryCreate()
+              } else {
+                claim.renameTo(lock): Unit // stole a live lock — put it back
+              }
+            } else acquired = tryCreate()
           }
           if (!acquired)
             throw new ConcurrentNightWriter(
@@ -389,11 +410,18 @@ object Incremental {
     * ("nighnight_7") — then doneTags misses the tag and the idempotent
     * wrapper re-runs a published night, double-appending its additive
     * ledgers. With the leading newline the torn fragment stays its own
-    * line (matching no real tag) and the re-append lands intact; the
-    * blank lines this produces are filtered by [[doneTags]]. */
+    * line, and the TERMINATOR SENTINEL ("|end") makes torn lines
+    * unambiguous: a fragment can be a PREFIX of a valid tag ("night_1"
+    * torn out of "night_13" — nights publish in arrival order, so the
+    * shorter tag may genuinely still be pending), and only a line
+    * carrying the full sentinel is trusted. Blank lines are filtered
+    * by [[doneTags]]; tags are '|'-free by the manifest's own "M|tag"
+    * framing. */
+  private val DoneEnd = "|end"
   private def recordDone(d: Dirs, tag: String): Unit = {
+    require(!tag.contains("|"), s"done tag may not contain '|': $tag")
     val out = new java.io.FileOutputStream(nightLog(d), true)
-    try out.write(("\n" + tag + "\n")
+    try out.write(("\n" + tag + DoneEnd + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -420,7 +448,13 @@ object Incremental {
   /** The set of published night tags: the log's lines unioned with any
     * not-yet-folded legacy markers. SIDE-EFFECT-FREE — bare read paths
     * (the nightDone spec hook) must not rewrite state; the legacy fold
-    * itself runs under the writer lease (see [[foldLegacyMarkers]]). */
+    * itself runs under the writer lease (see [[foldLegacyMarkers]]).
+    * ONLY sentinel-terminated lines are trusted ([[recordDone]]): a
+    * torn fragment can equal a shorter VALID tag ("night_1" torn out
+    * of "night_13"), so an unterminated line must never count as done
+    * — the pending manifest re-publishes and re-records it intact on
+    * recovery. (No pre-sentinel logs persist anywhere: artifact roots
+    * are per-application scratch or spec temp dirs.) */
   private[graft] def doneTags(d: Dirs): Set[String] = {
     val legacy = legacyMarkers(d)
       .map(_.getName.stripPrefix("_").stripSuffix(".done")).toSet
@@ -429,7 +463,9 @@ object Incremental {
       if (!log.exists()) Set.empty[String]
       else new String(java.nio.file.Files.readAllBytes(log.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
-        .split("\n").filter(_.nonEmpty).toSet
+        .split("\n").toSeq
+        .collect { case l if l.endsWith(DoneEnd) => l.dropRight(DoneEnd.length) }
+        .toSet
     legacy ++ logged
   }
 

@@ -206,12 +206,24 @@ object Pinned {
     * lifetime, it only deduplicates planning work within one. */
   private val readCache = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int), DataFrame]
+  /** Drop memoized plans of snapshot versions older than v-1 for this
+    * root — mirrors the on-disk SNAP retention, else a long-running
+    * streaming writer that commits a version per compaction leaks one
+    * cached plan (file index + session ref) per version forever. */
+  private def evictStale(cache: scala.collection.concurrent.TrieMap[
+      (String, String, Int), DataFrame], app: String, root: String,
+      v: Int): Unit =
+    cache.keys.foreach { case k @ (a, r, kv) =>
+      if (a == app && r == root && kv < v - 1) cache.remove(k): Unit
+    }
   def read(s: SparkSession, root: java.io.File): DataFrame = {
     val (v, files) = resolve(root).getOrElse(
       throw new IllegalStateException(
         s"pinned read: no committed snapshot under $root — " +
           "the writer must Pinned.commit after publishing"))
-    readCache.getOrElseUpdate((s.sparkContext.applicationId, root.getPath, v), {
+    val app = s.sparkContext.applicationId
+    evictStale(readCache, app, root.getPath, v)
+    readCache.getOrElseUpdate((app, root.getPath, v), {
       val paths = files.map(f => new java.io.File(root, f).getPath)
       if (paths.isEmpty)
         throw new IllegalStateException(
@@ -238,11 +250,17 @@ object Pinned {
         s"pinned read: no committed snapshot under $root — " +
           "the writer must Pinned.commit after publishing"))
     if (files.isEmpty) None
-    else Some(readPartCache.getOrElseUpdate(
-      (s.sparkContext.applicationId, root.getPath, v,
-        shards.toSeq.sorted.mkString(",")), {
-        val paths = files.map(f => new java.io.File(root, f).getPath)
-        s.read.option("basePath", root.getPath).parquet(paths: _*)
-      }))
+    else {
+      val app = s.sparkContext.applicationId
+      readPartCache.keys.foreach { case k @ (a, r, kv, _) =>
+        if (a == app && r == root.getPath && kv < v - 1)
+          readPartCache.remove(k): Unit
+      }
+      Some(readPartCache.getOrElseUpdate(
+        (app, root.getPath, v, shards.toSeq.sorted.mkString(",")), {
+          val paths = files.map(f => new java.io.File(root, f).getPath)
+          s.read.option("basePath", root.getPath).parquet(paths: _*)
+        }))
+    }
   }
 }

@@ -678,18 +678,23 @@ class IncrementalSpec extends SparkSpec {
     val root = java.nio.file.Files
       .createTempDirectory("graft_pl11_torn").toString
     val d = Incremental.Dirs(root)
-    // A crash mid-append left a partial tag with no terminator. The
-    // next record must not GLUE onto it ("nighnight_7" — which would
-    // hide night_7 from doneTags and rerun a published night).
+    // A crash mid-append left partial tags with no terminator: one
+    // garbage fragment ("nigh") and one that EQUALS a shorter valid
+    // tag ("night_1" torn out of "night_13" — the prefix hazard: a
+    // pending night_1 must not look done). The next record must not
+    // GLUE onto the tail fragment either ("nighnight_7" would hide
+    // night_7 from doneTags and rerun a published night).
     java.nio.file.Files.write(
       new java.io.File(root, "_nights.log").toPath,
-      "night_1\nnigh".getBytes("UTF-8"))
+      "night_5|end\nnight_1".getBytes("UTF-8"))
     assert(new java.io.File(root, "_night_7.done").createNewFile())
     Incremental.withWriterLock(d)(()) // lease entry folds → recordDone
     val tags = Incremental.doneTags(d)
     assert(tags.contains("night_7"),
       s"recovered tag glued onto the torn line and was lost: $tags")
-    assert(tags.contains("night_1"), s"intact prior line lost: $tags")
+    assert(tags.contains("night_5"), s"intact prior record lost: $tags")
+    assert(!tags.contains("night_1"),
+      s"a torn prefix fragment counted as a done record: $tags")
     assert(!tags.exists(_.contains("nighnight")),
       s"torn fragment merged with the recovery append: $tags")
   }
@@ -964,11 +969,15 @@ class IncrementalSpec extends SparkSpec {
       .parquet(new java.io.File(fullRoot, "labels").getPath)
       .select("doc_id", "canonical_id")
       .collect().map(_.toSeq).toSet)
-    // Snapshot retention: at most two listings per artifact, ever.
+    // Snapshot retention: at most two listing VERSIONS per artifact,
+    // ever — count pointer files only (a sharded listing adds a
+    // SNAP-n.d dir per version, which is retention-paired, not a
+    // third version).
     for (art <- Seq("docserve", "sets", "grams", "phash", "bands", "labels")) {
       val snaps = Option(new java.io.File(
         new java.io.File(root, art), "_snapshots").listFiles())
-        .toSeq.flatten.filter(_.getName.startsWith("SNAP-"))
+        .toSeq.flatten
+        .filter(f => f.isFile && f.getName.matches("SNAP-\\d{8}"))
       assert(snaps.size <= 2, s"$art: ${snaps.size} snapshot listings retained")
     }
   }
