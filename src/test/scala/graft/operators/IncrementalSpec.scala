@@ -730,27 +730,27 @@ class IncrementalSpec extends SparkSpec {
     val root = java.nio.file.Files
       .createTempDirectory("graft_lease_2proc").toString
     val d = Incremental.Dirs(root)
-    // A SECOND JVM acquires and holds (staleMs=2000, heartbeat ~1 s).
+    // A SECOND JVM acquires and holds (staleMs=3000, heartbeat ~1 s — two missed beats of margin under co-tenant pauses).
     val holder = forkProbe(root, "hold", "60000")
     val out = new java.io.BufferedReader(
       new java.io.InputStreamReader(holder.getInputStream))
     assert(out.readLine() == "HELD", "holder process never acquired")
     // A live lock from another PROCESS excludes us, fail-loud...
     intercept[Incremental.ConcurrentNightWriter] {
-      Incremental.withWriterLock(d, staleMs = 2000L)(())
+      Incremental.withWriterLock(d, staleMs = 3000L)(())
     }
     // ...even after staleMs has elapsed: the holder's heartbeat keeps
     // the lease fresh, so age-based takeover must NOT fire on it.
-    Thread.sleep(3000L)
+    Thread.sleep(4000L)
     intercept[Incremental.ConcurrentNightWriter] {
-      Incremental.withWriterLock(d, staleMs = 2000L)(())
+      Incremental.withWriterLock(d, staleMs = 3000L)(())
     }
     // The holder DIES without releasing: heartbeat stops, the lease
     // goes stale, and this process takes it over (and releases it).
     holder.destroyForcibly(); holder.waitFor()
-    Thread.sleep(2500L)
+    Thread.sleep(3500L)
     var entered = false
-    Incremental.withWriterLock(d, staleMs = 2000L) { entered = true }
+    Incremental.withWriterLock(d, staleMs = 3000L) { entered = true }
     assert(entered, "stale takeover after holder death did not acquire")
     assert(!new java.io.File(root, "_WRITER.lock").exists())
     // EXACTLY-ONE-WINNER on a takeover re-race: four claimant JVMs

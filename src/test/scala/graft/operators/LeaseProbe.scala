@@ -7,7 +7,7 @@ package graft.operators
   * in-process lease table cannot exercise. IncrementalSpec forks this
   * main in a second JVM against the same artifact root.
   *
-  * Modes (all with staleMs = 2000 so the spec's waits stay short):
+  * Modes (all with staleMs = 3000 so the spec's waits stay short):
   *   hold <ms>  acquire, print HELD, sleep <ms> (heartbeating), release
   *   try <ms>   attempt acquire; if won hold <ms> then print WON,
   *              else print LOST (fail-loud ConcurrentNightWriter)
@@ -18,14 +18,14 @@ object LeaseProbe {
     val ms = args(2).toLong
     args(1) match {
       case "hold" =>
-        Incremental.withWriterLock(d, staleMs = 2000L) {
+        Incremental.withWriterLock(d, staleMs = 3000L) {
           println("HELD"); System.out.flush()
           Thread.sleep(ms)
         }
         println("RELEASED")
       case "try" =>
         try {
-          Incremental.withWriterLock(d, staleMs = 2000L)(Thread.sleep(ms))
+          Incremental.withWriterLock(d, staleMs = 3000L)(Thread.sleep(ms))
           println("WON")
         } catch {
           case _: Incremental.ConcurrentNightWriter => println("LOST")
