@@ -56,8 +56,8 @@ object DevProfileQ {
         Seq(run, gc, deser, rser, cpu, tasks, shufW, shufR).foreach(_.set(0L))
         val t0 = System.nanoTime()
         fn(s, d).write.format("noop").mode("overwrite").save()
-        Thread.sleep(500L) // drain this rep's tail before reading
-        val wall = (System.nanoTime() - t0) / 1e9 - 0.5
+        val wall = (System.nanoTime() - t0) / 1e9 // before the drain sleep
+        Thread.sleep(500L) // drain this rep's listener tail before reading
         println(f"[prof] $name%-24s rep$i wall=$wall%6.2fs taskRun=${run.get / 1e3}%7.1fs cpu=${cpu.get / 1e3}%7.1fs gc=${gc.get / 1e3}%5.1fs deser=${deser.get / 1e3}%5.1fs tasks=${tasks.get}%5d shufW=${shufW.get / 1048576}%5dMB shufR=${shufR.get / 1048576}%5dMB")
       }
     }

@@ -261,6 +261,31 @@ object Incremental {
     * acquires). */
   private val heldLeases = TrieMap.empty[String, (Thread, Int)]
 
+  /** root → (token, lock file) of the ACTIVE file lease in this JVM —
+    * the FENCING handle: rename-based FS leases cannot fully exclude a
+    * takeover racing a stalled holder, so the irreversible actions
+    * (the manifest commit point, the publish) re-verify ownership via
+    * [[assertLeaseHeld]] immediately before acting. A superseded
+    * holder fails loud there instead of publishing over the new
+    * holder's night (the Chubby/ZK fencing discipline). */
+  private val activeLeases = TrieMap.empty[String, (String, java.io.File)]
+
+  /** Fence: the current lease holder's token must still be in the lock
+    * file. No-op when no file lease is registered for the root (spec
+    * hooks that drive recovery primitives directly). */
+  private def assertLeaseHeld(d: Dirs): Unit =
+    activeLeases.get(d.root).foreach { case (tok, lock) =>
+      val held =
+        try new String(java.nio.file.Files.readAllBytes(lock.toPath),
+          java.nio.charset.StandardCharsets.UTF_8) == tok
+        catch { case _: Exception => false }
+      if (!held)
+        throw new ConcurrentNightWriter(
+          s"writer lease for ${d.root} was lost (superseded by a stale-" +
+            "lease takeover) — fencing the commit point; this night must " +
+            "rerun under a fresh lease")
+    }
+
   /** Single-writer lease for a night root: `_WRITER.lock` under the
     * root, atomically created (`Files.createFile`) and then stamped
     * with this holder's unique token — heartbeat touches and the
@@ -316,27 +341,34 @@ object Incremental {
             java.nio.charset.StandardCharsets.UTF_8) == token
           catch { case _: Exception => false }
         try {
+          def readToken(f: java.io.File): String =
+            try new String(java.nio.file.Files.readAllBytes(f.toPath),
+              java.nio.charset.StandardCharsets.UTF_8)
+            catch { case _: Exception => "" }
           var acquired = tryCreate()
+          val observedT = if (acquired) "" else readToken(lock)
           if (!acquired &&
               System.currentTimeMillis() - lock.lastModified() > staleMs) {
-            // Stale takeover: rename wins for exactly one claimant.
-            // VERIFY STALENESS AFTER the rename (mtime rides the
-            // rename): between our age probe and the rename, a racing
-            // claimant may have completed its own takeover and created
-            // a FRESH lock at this path — seizing that would admit two
-            // holders. A fresh corpse is restored and the lease
-            // reported held. (Residual exposure: if the restore loses
-            // a create race, the restored corpse surfaces as a second
-            // lock-age epoch — it ages back to stale within staleMs;
-            // the window needs three claimants inside one probe
-            // round-trip after a full staleMs of silence.)
+            // Stale takeover: rename wins for exactly one claimant, and
+            // the claim is VERIFIED after the rename — token AND mtime
+            // must still be the stale state we probed. Between the
+            // probe and the rename a racing claimant can complete its
+            // own takeover and create a FRESH lock at this path;
+            // seizing that would admit two holders. A stolen fresh
+            // lock is restored WITHOUT clobbering (a plain move — if a
+            // third claimant occupied the path meanwhile, the stolen
+            // holder is demoted instead: its token checks stop its
+            // heartbeat/release, and [[assertLeaseHeld]] fences its
+            // commit points, so it can no longer publish).
             val claim = new java.io.File(root, s"_WRITER.lock.stale.$token")
             if (lock.renameTo(claim)) {
-              if (System.currentTimeMillis() - claim.lastModified() > staleMs) {
+              if (readToken(claim) == observedT &&
+                  System.currentTimeMillis() - claim.lastModified() > staleMs) {
                 claim.delete(): Unit
                 acquired = tryCreate()
               } else {
-                claim.renameTo(lock): Unit // stole a live lock — put it back
+                try java.nio.file.Files.move(claim.toPath, lock.toPath): Unit
+                catch { case _: Exception => claim.delete(): Unit }
               }
             } else acquired = tryCreate()
           }
@@ -361,8 +393,10 @@ object Incremental {
             } catch { case _: InterruptedException => () })
           beat.setDaemon(true)
           beat.start()
+          activeLeases.put(d.root, (token, lock)): Unit
           try body
           finally {
+            activeLeases.remove(d.root): Unit
             beat.interrupt()
             if (ownsLock()) lock.delete(): Unit
           }
@@ -418,9 +452,19 @@ object Incremental {
     * by [[doneTags]]; tags are '|'-free by the manifest's own "M|tag"
     * framing. */
   private val DoneEnd = "|end"
+  /** First line of a sentinel-format log. It is what disambiguates a
+    * LEGACY plain-tag line (pre-sentinel format — must be migrated and
+    * trusted) from a NEW-format torn fragment (must be ignored): both
+    * are '|'-free, so only the log's own version marker can tell the
+    * formats apart. */
+  private val LogHeader = "#v2"
   private def recordDone(d: Dirs, tag: String): Unit = {
     require(!tag.contains("|"), s"done tag may not contain '|': $tag")
-    val out = new java.io.FileOutputStream(nightLog(d), true)
+    val log = nightLog(d)
+    if (!log.exists())
+      java.nio.file.Files.write(log.toPath, (LogHeader + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    val out = new java.io.FileOutputStream(log, true)
     try out.write(("\n" + tag + DoneEnd + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -439,11 +483,42 @@ object Incremental {
     * log's no-interleave argument depends on. Membership is unioned
     * into the log before the markers are deleted, so replay
     * idempotence is preserved. */
-  private def foldLegacyMarkers(d: Dirs): Unit =
+  private def foldLegacyMarkers(d: Dirs): Unit = {
     legacyMarkers(d).foreach { f =>
       recordDone(d, f.getName.stripPrefix("_").stripSuffix(".done"))
       f.delete(): Unit
     }
+    migrateDoneLog(d)
+  }
+
+  /** One-time migration of PRE-SENTINEL done-log lines (plain `tag`
+    * with no `|end` terminator — the format before the torn-line fix):
+    * without this, an upgraded root's published nights would parse as
+    * not-done and RERUN, double-appending their additive ledgers. Runs
+    * only under the writer lease. A legacy line that was itself a torn
+    * fragment is blessed here — that is the OLD format's pre-existing
+    * exposure, closed going forward by the sentinel. Rewrite is
+    * tmp + atomic rename (single writer, so no append can interleave). */
+  private def migrateDoneLog(d: Dirs): Unit = {
+    val log = nightLog(d)
+    if (!log.exists()) return
+    val lines = new String(java.nio.file.Files.readAllBytes(log.toPath),
+      java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+      .filter(_.nonEmpty)
+    if (!lines.headOption.contains(LogHeader)) {
+      // A headerless log predates the sentinel format: every plain
+      // line is a complete legacy record — bless it and stamp the
+      // header so '|'-free lines are never blessed again.
+      val migrated = LogHeader +: lines.map(l =>
+        if (l.contains("|")) l else l + DoneEnd)
+      val tmp = new java.io.File(d.root, "_nights.log.tmp")
+      java.nio.file.Files.write(tmp.toPath, (migrated.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp.toPath, log.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    }
+  }
 
   /** The set of published night tags: the log's lines unioned with any
     * not-yet-folded legacy markers. SIDE-EFFECT-FREE — bare read paths
@@ -487,9 +562,10 @@ object Incremental {
     * its done-log entry as a manifest ACTION (`M|tag`), so the record
     * is written by publish itself — before the staging is destroyed —
     * on both the primary path and the recovery path. */
-  private def commitNight(stage: java.io.File,
+  private def commitNight(d: Dirs, stage: java.io.File,
       replaces: Seq[(String, Seq[String])], appends: Seq[String],
       marker: Option[String] = None): Unit = {
+    assertLeaseHeld(d) // fence: never commit on a superseded lease
     val lines =
       replaces.flatMap { case (art, dirs) =>
         dirs.map { dir =>
@@ -527,6 +603,7 @@ object Incremental {
     * failpoint lands exactly on the old "between the df overwrite and
     * the table rewrite" hazard the round-9 verdict documented. */
   private def publishManifest(d: Dirs, stage: java.io.File): Unit = {
+    assertLeaseHeld(d) // fence: never publish on a superseded lease
     val (replaces, appends, markers) = readManifest(stage)
     if (copyStrategy(new java.io.File(d.root)))
       publishByCopy(d, stage, replaces, appends)
@@ -854,7 +931,7 @@ object Incremental {
       .foreach(_.unpersist(blocking = false))
     failIf(d.root, "pre-manifest")
     // ---- Phase 2 + 3: commit, publish, clean the staging -------------
-    commitNight(stage,
+    commitNight(d, stage,
       replaces = Seq(
         "df" -> touchedDfBkts.map(b => s"bhbkt=$b"),
         "table" -> affectedParts.map(q => s"part=$q"),
@@ -1051,7 +1128,7 @@ object Incremental {
     Seq(scoredRw, rwBh, changedCks, aff1Bh)
       .foreach(_.unpersist(blocking = false))
     failIf(d.root, "pre-manifest")
-    commitNight(stage,
+    commitNight(d, stage,
       replaces = Seq(
         "df" -> touchedDfBkts.map(b => s"bhbkt=$b"),
         "docs" -> purgeParts.map(q => s"part=$q"),
@@ -1293,7 +1370,7 @@ object Incremental {
       deleteRec(stage)
       val replaces = stageFn(stage)
       failIf(d.root, "pre-manifest")
-      commitNight(stage, replaces, appends = Seq(), marker = marker)
+      commitNight(d, stage, replaces, appends = Seq(), marker = marker)
       publishManifest(d, stage)
       failIf(d.root, "post-publish")
       deleteRec(stage)

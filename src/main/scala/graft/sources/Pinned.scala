@@ -177,6 +177,11 @@ object Pinned {
           if (ver.exists(_ < next - 1)) {
             if (f.isDirectory) deleteRecLocal(f) else f.delete(): Unit
           }
+          // A *.tmp here is a crashed commit's corpse (this commit's
+          // own tmp was already renamed away) — reap it, else one
+          // leaks per crash forever (the marker-file census mistake).
+          if (f.isFile && f.getName.startsWith("SNAP-") &&
+              f.getName.endsWith(".tmp")) f.delete(): Unit
         }
         next
     }
@@ -204,32 +209,32 @@ object Pinned {
     * file read), so a publish that bumps the snapshot is picked up by
     * the very next read — the memo never extends a snapshot's
     * lifetime, it only deduplicates planning work within one. */
+  /** ONE memo for both read shapes, keyed (app, root, version,
+    * shard-set) with "*" = the full read. Eviction mirrors the on-disk
+    * SNAP retention in one place: everything for the root older than
+    * v-1 goes, REGARDLESS of app id — a recycled SparkSession's
+    * entries would otherwise never match a future eviction probe and
+    * pin the stopped session's plans for the life of the process. */
   private val readCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String, Int), DataFrame]
-  /** Drop memoized plans of snapshot versions older than v-1 for this
-    * root — mirrors the on-disk SNAP retention, else a long-running
-    * streaming writer that commits a version per compaction leaks one
-    * cached plan (file index + session ref) per version forever. */
-  private def evictStale(cache: scala.collection.concurrent.TrieMap[
-      (String, String, Int), DataFrame], app: String, root: String,
-      v: Int): Unit =
-    cache.keys.foreach { case k @ (a, r, kv) =>
-      if (a == app && r == root && kv < v - 1) cache.remove(k): Unit
+    .empty[(String, String, Int, String), DataFrame]
+  private def evictStale(root: String, v: Int): Unit =
+    readCache.keys.foreach { case k @ (_, r, kv, _) =>
+      if (r == root && kv < v - 1) readCache.remove(k): Unit
     }
   def read(s: SparkSession, root: java.io.File): DataFrame = {
     val (v, files) = resolve(root).getOrElse(
       throw new IllegalStateException(
         s"pinned read: no committed snapshot under $root — " +
           "the writer must Pinned.commit after publishing"))
-    val app = s.sparkContext.applicationId
-    evictStale(readCache, app, root.getPath, v)
-    readCache.getOrElseUpdate((app, root.getPath, v), {
-      val paths = files.map(f => new java.io.File(root, f).getPath)
-      if (paths.isEmpty)
-        throw new IllegalStateException(
-          s"pinned read: snapshot under $root lists no data files")
-      s.read.option("basePath", root.getPath).parquet(paths: _*)
-    })
+    evictStale(root.getPath, v)
+    readCache.getOrElseUpdate(
+      (s.sparkContext.applicationId, root.getPath, v, "*"), {
+        val paths = files.map(f => new java.io.File(root, f).getPath)
+        if (paths.isEmpty)
+          throw new IllegalStateException(
+            s"pinned read: snapshot under $root lists no data files")
+        s.read.option("basePath", root.getPath).parquet(paths: _*)
+      })
   }
 
   /** Partition-PRUNED pinned read: resolve and scan only the named
@@ -241,8 +246,6 @@ object Pinned {
     * PartitionFilters identical to a directory read. An empty
     * resolution (no touched shard exists) returns None — the caller
     * supplies its empty-relation shape. */
-  private val readPartCache = scala.collection.concurrent.TrieMap
-    .empty[(String, String, Int, String), DataFrame]
   def readPartitions(s: SparkSession, root: java.io.File,
       shards: Set[String]): Option[DataFrame] = {
     val (v, files) = resolvePartitions(root, shards).getOrElse(
@@ -251,13 +254,10 @@ object Pinned {
           "the writer must Pinned.commit after publishing"))
     if (files.isEmpty) None
     else {
-      val app = s.sparkContext.applicationId
-      readPartCache.keys.foreach { case k @ (a, r, kv, _) =>
-        if (a == app && r == root.getPath && kv < v - 1)
-          readPartCache.remove(k): Unit
-      }
-      Some(readPartCache.getOrElseUpdate(
-        (app, root.getPath, v, shards.toSeq.sorted.mkString(",")), {
+      evictStale(root.getPath, v)
+      Some(readCache.getOrElseUpdate(
+        (s.sparkContext.applicationId, root.getPath, v,
+          shards.toSeq.sorted.mkString(",")), {
           val paths = files.map(f => new java.io.File(root, f).getPath)
           s.read.option("basePath", root.getPath).parquet(paths: _*)
         }))

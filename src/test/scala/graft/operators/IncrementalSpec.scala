@@ -686,7 +686,7 @@ class IncrementalSpec extends SparkSpec {
     // night_7 from doneTags and rerun a published night).
     java.nio.file.Files.write(
       new java.io.File(root, "_nights.log").toPath,
-      "night_5|end\nnight_1".getBytes("UTF-8"))
+      "#v2\nnight_5|end\nnight_1".getBytes("UTF-8"))
     assert(new java.io.File(root, "_night_7.done").createNewFile())
     Incremental.withWriterLock(d)(()) // lease entry folds → recordDone
     val tags = Incremental.doneTags(d)
@@ -697,6 +697,34 @@ class IncrementalSpec extends SparkSpec {
       s"a torn prefix fragment counted as a done record: $tags")
     assert(!tags.exists(_.contains("nighnight")),
       s"torn fragment merged with the recovery append: $tags")
+  }
+
+  test("pre-sentinel done-logs migrate once under the lease; new torn fragments never bless") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pl11_logmig").toString
+    val d = Incremental.Dirs(root)
+    // A HEADERLESS log is the pre-sentinel format: its plain lines are
+    // complete legacy records and must survive the upgrade as done
+    // tags — without the migration every published night would rerun
+    // and double-append its additive ledgers.
+    java.nio.file.Files.write(
+      new java.io.File(root, "_nights.log").toPath,
+      "night_1\nnight_13\n".getBytes("UTF-8"))
+    assert(Incremental.doneTags(d).isEmpty,
+      "unmigrated legacy lines were trusted outside the lease")
+    Incremental.withWriterLock(d)(()) // lease entry migrates
+    assert(Incremental.doneTags(d) == Set("night_1", "night_13"))
+    val body = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "_nights.log").toPath), "UTF-8")
+    assert(body.startsWith("#v2\n"), s"migrated log lacks the header: $body")
+    // Post-migration, a '|'-free line is a NEW-format torn fragment
+    // and must never be blessed by a later lease entry.
+    java.nio.file.Files.write(
+      new java.io.File(root, "_nights.log").toPath,
+      (body + "night_7").getBytes("UTF-8"))
+    Incremental.withWriterLock(d)(())
+    assert(!Incremental.doneTags(d).contains("night_7"),
+      "a torn fragment in a v2 log was blessed by re-migration")
   }
 
   test("lease release verifies ownership: a superseded holder leaves the new lock alone") {

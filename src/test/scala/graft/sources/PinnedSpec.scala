@@ -106,10 +106,23 @@ class PinnedSpec extends SparkSpec {
       .write.mode("append").partitionBy("bkt").parquet(root.getPath)
     val v3 = Pinned.commit(root)
     assert(v3 == v2 + 1)
+    // A crashed commit's leaked tmp must be reaped by the next commit
+    // (one leaked file per crash forever is the marker-file mistake).
+    java.nio.file.Files.write(
+      new java.io.File(snapDir, "SNAP-00000002.tmp").toPath,
+      "corpse".getBytes("UTF-8"))
+    spark.range(21000, 21100)
+      .select(col("id"), lit(1).cast("int").as("bkt"))
+      .write.mode("append").partitionBy("bkt").parquet(root.getPath)
+    val v4 = Pinned.commit(root)
+    assert(v4 == v3 + 1)
     val names = snapDir.listFiles().map(_.getName).toSet
-    assert(!names.contains(f"SNAP-$v1%08d"), s"v1 not GC'd: $names")
-    assert(names.contains(f"SNAP-$v2%08d") && names.contains(f"SNAP-$v3%08d"))
-    assert(names.contains(f"SNAP-$v2%08d.d") == (v2snapSharded(snapDir, v2)),
+    assert(!names.exists(_.endsWith(".tmp")),
+      s"leaked commit tmp not reaped: $names")
+    assert(!names.contains(f"SNAP-$v1%08d") &&
+      !names.contains(f"SNAP-$v2%08d"), s"old versions not GC'd: $names")
+    assert(names.contains(f"SNAP-$v3%08d") && names.contains(f"SNAP-$v4%08d"))
+    assert(names.contains(f"SNAP-$v3%08d.d") == (v2snapSharded(snapDir, v3)),
       "shard dir retention diverged from its pointer")
     // The live sharded resolve is exact.
     val (_, all) = Pinned.resolve(root).get
