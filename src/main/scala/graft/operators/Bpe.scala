@@ -957,7 +957,11 @@ object Bpe {
             UNION ALL
             SELECT shard, base + len AS gpos, CAST(0 AS BIGINT) AS tid
             FROM cb39)
-          SELECT shard, gpos // $W AS win,
+          -- CAST win to BIGINT: cb39's windowed sum(len + 1) promotes to
+          -- HUGEINT in DuckDB, and the promotion rides base -> gpos ->
+          -- gpos // W. Spark emits BIGINT; the driver hash is
+          -- type-sensitive, so the widths must match exactly.
+          SELECT shard, CAST(gpos // $W AS BIGINT) AS win,
             CAST(sum(CASE WHEN tid <> 0 THEN 1 ELSE 0 END) AS BIGINT)
               AS n_real,
             CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sep,

@@ -345,6 +345,18 @@ object Incremental {
             try new String(java.nio.file.Files.readAllBytes(f.toPath),
               java.nio.charset.StandardCharsets.UTF_8)
             catch { case _: Exception => "" }
+          // Reap AGED claim/tombstone corpses (a claimant that crashed
+          // between its rename and the delete/restore): both kinds are
+          // private per-token files held for microseconds, so one older
+          // than staleMs belongs to a dead process — left alone they
+          // accrete one per crash forever (the marker-file census
+          // mistake).
+          Option(root.listFiles()).toSeq.flatten
+            .filter(f => f.isFile &&
+              (f.getName.startsWith("_WRITER.lock.stale.") ||
+                f.getName.startsWith("_WRITER.lock.release.")) &&
+              System.currentTimeMillis() - f.lastModified() > staleMs)
+            .foreach(_.delete(): Unit)
           var acquired = tryCreate()
           val observedT = if (acquired) "" else readToken(lock)
           if (!acquired &&
@@ -376,29 +388,60 @@ object Incremental {
             throw new ConcurrentNightWriter(
               s"writer lease $lock is held by another process " +
                 s"(age ${System.currentTimeMillis() - lock.lastModified()} ms)")
-          // One-time legacy-marker fold, HERE because this is the one
-          // gate every writer passes: folding from unlocked read paths
-          // (doneTags) would append to _nights.log outside the
-          // single-writer regime its no-interleave argument needs.
-          foldLegacyMarkers(d)
-          // HEARTBEAT: a night longer than staleMs must not look stale
-          // to a takeover probe — a daemon touches the lease while the
-          // body runs (ownership-checked, see above), so age-based
-          // takeover only ever fires on a lease whose holder died.
-          val beat = new Thread(() =>
-            try while (!Thread.currentThread().isInterrupted) {
-              Thread.sleep(math.max(1000L, staleMs / 3))
-              if (ownsLock())
-                lock.setLastModified(System.currentTimeMillis()): Unit
-            } catch { case _: InterruptedException => () })
-          beat.setDaemon(true)
-          beat.start()
-          activeLeases.put(d.root, (token, lock)): Unit
-          try body
-          finally {
+          // RELEASE is rename-to-tombstone, not check-then-delete:
+          // `if (ownsLock()) lock.delete()` has a window where a
+          // takeover renames the lock away and a successor recreates a
+          // fresh one between the ownership read and the delete — the
+          // stalled holder would then delete the SUCCESSOR'S live
+          // lock. The rename claims the file atomically; the token
+          // check then decides delete-vs-restore on a private
+          // tombstone no other claimant races (the same discipline as
+          // the stale-takeover claim above).
+          def releaseLock(): Unit = {
+            val tomb = new java.io.File(root, s"_WRITER.lock.release.$token")
+            if (lock.renameTo(tomb)) {
+              if (readToken(tomb) == token) tomb.delete(): Unit
+              else {
+                // We renamed a successor's LIVE lock — restore without
+                // clobbering; if a third claimant occupied the path
+                // meanwhile, the demoted successor is fenced by its own
+                // token checks (heartbeat/release/assertLeaseHeld).
+                try java.nio.file.Files.move(tomb.toPath, lock.toPath): Unit
+                catch { case _: Exception => tomb.delete(): Unit }
+              }
+            } // rename failed: lock already removed/claimed — nothing held
+          }
+          // EVERYTHING after acquisition runs under the release's
+          // try/finally — the legacy fold can fail loud (corrupt
+          // done-log header), and a throw before the body must not
+          // strand an ownerless lock that blocks every writer for
+          // staleMs.
+          var beat: Thread = null
+          try {
+            // One-time legacy-marker fold, HERE because this is the one
+            // gate every writer passes: folding from unlocked read
+            // paths (doneTags) would append to _nights.log outside the
+            // single-writer regime its no-interleave argument needs.
+            foldLegacyMarkers(d)
+            // HEARTBEAT: a night longer than staleMs must not look
+            // stale to a takeover probe — a daemon touches the lease
+            // while the body runs (ownership-checked, see above), so
+            // age-based takeover only ever fires on a lease whose
+            // holder died.
+            beat = new Thread(() =>
+              try while (!Thread.currentThread().isInterrupted) {
+                Thread.sleep(math.max(1000L, staleMs / 3))
+                if (ownsLock())
+                  lock.setLastModified(System.currentTimeMillis()): Unit
+              } catch { case _: InterruptedException => () })
+            beat.setDaemon(true)
+            beat.start()
+            activeLeases.put(d.root, (token, lock)): Unit
+            body
+          } finally {
             activeLeases.remove(d.root): Unit
-            beat.interrupt()
-            if (ownsLock()) lock.delete(): Unit
+            if (beat != null) beat.interrupt()
+            releaseLock()
           }
         } finally { heldLeases.remove(d.root): Unit }
     }
@@ -461,9 +504,19 @@ object Incremental {
   private def recordDone(d: Dirs, tag: String): Unit = {
     require(!tag.contains("|"), s"done tag may not contain '|': $tag")
     val log = nightLog(d)
-    if (!log.exists())
-      java.nio.file.Files.write(log.toPath, (LogHeader + "\n")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    val hdrTmp = new java.io.File(d.root, "_nights.log.hdr.tmp")
+    if (!log.exists()) {
+      // The initial header is written tmp + ATOMIC RENAME: a crash
+      // mid-write of a direct header write could leave a PARTIAL
+      // header ("#v"), which would make the v2 log re-parse as legacy
+      // on the next lease entry and bless torn fragments as done tags
+      // (migrateDoneLog fails loud on such a header, but it must also
+      // never be producible from this path).
+      java.nio.file.Files.write(hdrTmp.toPath, (LogHeader + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(hdrTmp.toPath, log.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    } else if (hdrTmp.exists()) hdrTmp.delete(): Unit // crashed-header corpse
     val out = new java.io.FileOutputStream(log, true)
     try out.write(("\n" + tag + DoneEnd + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -505,6 +558,16 @@ object Incremental {
     val lines = new String(java.nio.file.Files.readAllBytes(log.toPath),
       java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
       .filter(_.nonEmpty)
+    // A '#'-prefixed first line that is not EXACTLY the version header
+    // is corrupt state (no writer produces one: the header write is
+    // tmp + atomic rename, and tags are night/day keys) — re-migrating
+    // such a log would bless whatever fragments follow it as done
+    // tags. Fail loud instead.
+    if (lines.headOption.exists(h => h.startsWith("#") && h != LogHeader))
+      throw new IllegalStateException(
+        s"done log ${log.getPath} has a corrupt version header " +
+          s"'${lines.head}' — refusing to re-migrate; repair the log " +
+          "by hand (expected first line: " + LogHeader + ")")
     if (!lines.headOption.contains(LogHeader)) {
       // A headerless log predates the sentinel format: every plain
       // line is a complete legacy record — bless it and stamp the
@@ -614,13 +677,26 @@ object Incremental {
     // crash at any point re-applies no-ops and re-records (duplicate
     // log lines are harmless), so the round-10 advice's post-publish/
     // pre-marker window no longer exists.
+    assertLeaseHeld(d) // fence: never record done on a superseded lease
     markers.foreach(recordDone(d, _))
   }
 
   private def publishByRename(d: Dirs, stage: java.io.File,
       replaces: Seq[Replace], appends: Seq[String]): Unit = {
+    // The entry fence alone is not enough: a publish is LONG-RUNNING,
+    // and a holder that stalls after passing it (a GC/VM pause also
+    // stalls its heartbeat daemon) can be superseded by an age-based
+    // takeover and then RESUME — its deleteRec/rename sequence would
+    // silently interleave with the new holder's publish. Re-assert
+    // immediately before every visibility point (each replace rename
+    // here, each pointer swap in the copy strategy, the done-log
+    // record), shrinking the unfenced window to one rename. On a real
+    // object store only a conditional-put snapshot pointer closes the
+    // residual window completely — Pinned.commitListing is exactly
+    // that single-key swap point.
     var applied = 0
     replaces.foreach { r =>
+      assertLeaseHeld(d) // fence: re-verify before each destructive rename
       val liveDir = new java.io.File(new java.io.File(d.root, r.artifact), r.dir)
       val stagedDir = new java.io.File(new java.io.File(stage, r.artifact), r.dir)
       if (r.staged) {
@@ -656,6 +732,7 @@ object Incremental {
     // rename sequence above exposes. Content-idempotent: a recovery
     // republish finds the listing unchanged and commits nothing.
     (replaces.map(_.artifact) ++ appends).distinct.foreach { a =>
+      assertLeaseHeld(d) // fence: re-verify before each snapshot commit
       graft.sources.Pinned.commit(new java.io.File(d.root, a)): Unit
     }
   }
@@ -717,13 +794,22 @@ object Incremental {
     // the superseded files. Content-idempotent on recovery re-runs.
     val staleRel = stale.map(f => rel(new java.io.File(d.root), f)).toSet
     (replaces.map(_.artifact) ++ appends).distinct.foreach { a =>
+      // Fence before each pointer swap: a stalled-then-resumed
+      // superseded holder must not move readers onto its stale night's
+      // file set (see publishByRename's fence note; on a real object
+      // store this swap is a conditional put, which closes the window
+      // fully).
+      assertLeaseHeld(d)
       val aRoot = new java.io.File(d.root, a)
       val post = graft.sources.Pinned.currentFiles(aRoot)
         .filterNot(f => staleRel.contains(s"$a/$f"))
       graft.sources.Pinned.commitListing(aRoot, post): Unit
     }
     failIf(d.root, "post-pointer")
-    // (3) reap superseded data.
+    // (3) reap superseded data — fenced: a superseded holder's stale
+    // notion of "superseded files" can include files the NEW holder's
+    // committed listing references.
+    assertLeaseHeld(d)
     stale.foreach(f => f.delete(): Unit)
     ghostDirs.foreach(deleteRec)
   }

@@ -641,7 +641,7 @@ object Relational {
            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
            GROUP BY c_custkey) GROUP BY c_count""",
     "q09_window_topk" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -668,9 +668,9 @@ object Relational {
          FROM orders""",
     "q12_window_rank" ->
       """SELECT s_suppkey, s_nationkey,
-         rank()       OVER w AS rnk,
-         dense_rank() OVER w AS drnk,
-         ntile(4)     OVER w AS quartile
+         CAST(rank()       OVER w AS INT) AS rnk,
+         CAST(dense_rank() OVER w AS INT) AS drnk,
+         CAST(ntile(4)     OVER w AS INT) AS quartile
          FROM supplier
          WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey ASC)""",
     "q13_sort_limit" ->
@@ -734,7 +734,7 @@ object Relational {
     "q20_string_funcs" ->
       """SELECT p_partkey, upper(p_name) AS name_upper,
          regexp_extract(p_name, '^(\w+)', 1) AS first_word,
-         length(p_name) AS name_len,
+         CAST(length(p_name) AS INT) AS name_len,
          concat_ws('-', p_brand, p_type) AS brand_type,
          substring(p_name, 1, 5) AS name_pfx
          FROM part""",

@@ -141,7 +141,16 @@ object Pinned {
   def commitListing(root: java.io.File, files: Seq[String]): Int = {
     val sorted = files.sorted
     resolve(root) match {
-      case Some((v, listed)) if listed == sorted => v
+      // ORDER-INSENSITIVE content compare: a sharded snapshot's
+      // resolve() concatenates per-shard listings in SHARD-NAME order,
+      // which diverges from the global path sort when one shard name
+      // is a proper prefix of another whose next path char sorts below
+      // '/' ("part=2026" vs "part=2026-01" — '-' < '/'). Comparing the
+      // raw concatenation against the sorted candidate would then
+      // never match, and every recovery re-publish would mint a new
+      // snapshot version — breaking the "recovery mints no new
+      // version" invariant the protocol specs pin.
+      case Some((v, listed)) if listed.sorted == sorted => v
       case prior =>
         val next = prior.map(_._1).getOrElse(0) + 1
         val dir = new java.io.File(root, SnapDir)
@@ -218,8 +227,15 @@ object Pinned {
   private val readCache = scala.collection.concurrent.TrieMap
     .empty[(String, String, Int, String), DataFrame]
   private def evictStale(root: String, v: Int): Unit =
-    readCache.keys.foreach { case k @ (_, r, kv, _) =>
-      if (r == root && kv < v - 1) readCache.remove(k): Unit
+    readCache.foreach { case (k @ (_, r, kv, _), df) =>
+      // Two eviction triggers: (a) the root's snapshot advanced past
+      // the entry's version (mirrors the on-disk SNAP retention);
+      // (b) the entry's OWNING session has stopped — an artifact that
+      // is never republished would otherwise pin stopped sessions'
+      // plans for the life of a process that recycles SparkSessions
+      // over static artifacts (an unbounded plan/session leak).
+      if ((r == root && kv < v - 1) ||
+          df.sparkSession.sparkContext.isStopped) readCache.remove(k): Unit
     }
   def read(s: SparkSession, root: java.io.File): DataFrame = {
     val (v, files) = resolve(root).getOrElse(

@@ -727,6 +727,49 @@ class IncrementalSpec extends SparkSpec {
       "a torn fragment in a v2 log was blessed by re-migration")
   }
 
+  test("a corrupt done-log version header fails loud instead of re-migrating") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pl11_hdr").toString
+    val d = Incremental.Dirs(root)
+    // A '#'-prefixed first line that is not exactly '#v2' is corrupt
+    // state (the header write is tmp + atomic rename, so no writer
+    // produces a partial one) — re-migrating would treat the log as
+    // legacy and bless every '|'-free line, including torn fragments.
+    java.nio.file.Files.write(
+      new java.io.File(root, "_nights.log").toPath,
+      "#v\nnight_5|end\nnight_1".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      Incremental.withWriterLock(d)(())
+    }
+    assert(e.getMessage.contains("corrupt"), e.getMessage)
+    // And the refusal must not have blessed anything.
+    assert(!Incremental.doneTags(d).contains("night_1"))
+    // The failed entry must also have released its lease (fail loud,
+    // not deadlock the root).
+    assert(!new java.io.File(root, "_WRITER.lock").exists(),
+      "corrupt-header refusal leaked the writer lease")
+  }
+
+  test("aged takeover-claim and release-tombstone corpses are reaped at lease entry") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pl11_corpse").toString
+    val d = Incremental.Dirs(root)
+    new java.io.File(root).mkdirs()
+    val old = System.currentTimeMillis() - 11 * 60 * 1000L
+    val stale = new java.io.File(root, "_WRITER.lock.stale.dead-claimant")
+    val tomb = new java.io.File(root, "_WRITER.lock.release.dead-holder")
+    val fresh = new java.io.File(root, "_WRITER.lock.stale.live-claimant")
+    for (f <- Seq(stale, tomb, fresh))
+      java.nio.file.Files.write(f.toPath, f.getName.getBytes("UTF-8")): Unit
+    assert(stale.setLastModified(old) && tomb.setLastModified(old))
+    Incremental.withWriterLock(d)(())
+    assert(!stale.exists() && !tomb.exists(),
+      "aged lock corpses were not reaped at lease entry")
+    assert(fresh.exists(),
+      "a FRESH claim file (a live claimant mid-takeover) was reaped")
+    assert(fresh.delete())
+  }
+
   test("lease release verifies ownership: a superseded holder leaves the new lock alone") {
     val root = java.nio.file.Files
       .createTempDirectory("graft_pl11_token").toString

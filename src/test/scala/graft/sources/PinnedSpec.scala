@@ -129,6 +129,31 @@ class PinnedSpec extends SparkSpec {
     assert(all.toSet == Pinned.currentFiles(root).toSet)
   }
 
+  test("sharded recommit is content-idempotent even when a shard name prefixes another") {
+    // "part=2026" is a proper prefix of "part=2026-01", and '-' sorts
+    // below '/': the GLOBAL path sort puts part=2026-01/* before
+    // part=2026/*, while the sharded listing concatenates in
+    // SHARD-NAME order (part=2026 first). An order-sensitive
+    // idempotency compare would never match, and every recovery
+    // re-publish would mint a new snapshot version — breaking the
+    // "recovery mints no new version" invariant.
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pinned_pfx").toFile
+    for (shard <- Seq("part=2026", "part=2026-01"); i <- 0 until 40) {
+      val f = new java.io.File(new java.io.File(root, shard), f"f-$i%03d.parquet")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, "x".getBytes("UTF-8")): Unit
+    }
+    val v1 = Pinned.commit(root) // 80 files > ShardSplit → sharded
+    assert(v2snapSharded(new java.io.File(root, "_snapshots"), v1),
+      "fixture did not cross the shard split")
+    val v2 = Pinned.commit(root) // unchanged content — must NOT mint
+    assert(v2 == v1,
+      s"recommit of unchanged prefix-shard listing minted a new version: $v1 -> $v2")
+    // And the resolve stays exact.
+    assert(Pinned.resolve(root).get._2.toSet == Pinned.currentFiles(root).toSet)
+  }
+
   private def v2snapSharded(snapDir: java.io.File, v: Int): Boolean =
     new String(java.nio.file.Files.readAllBytes(
       new java.io.File(snapDir, f"SNAP-$v%08d").toPath), "UTF-8")

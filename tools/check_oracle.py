@@ -6,7 +6,7 @@ tables, loads the corresponding Spark result parquet, sorts columns by
 name and rows by all values, and compares cell-by-cell (bit-exact,
 like a hash compare would). Usage:
 
-    python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+    python3 tools/check_oracle.py <sfDir> <verifyOutDir> [prefix,prefix,...]
 
 NOT part of the Spark library — python/duckdb are driver-side tools.
 """
@@ -30,25 +30,34 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    prefixes = sys.argv[3].split(",") if len(sys.argv) > 3 else [""]
     n_ok = n_bad = 0
     for name in sorted(oracle):
+        if not any(name.startswith(p) for p in prefixes):
+            continue
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"MISSING  {name}: no spark output"); n_bad += 1; continue
         try:
-            got = con.sql(f"SELECT * FROM '{files[0]}'").fetchall()
-            gcols = [d[0] for d in con.sql(f"SELECT * FROM '{files[0]}'").description]
-            exp = con.sql(oracle[name]).fetchall()
-            ecols = [d[0] for d in con.sql(oracle[name]).description]
+            grel = con.sql(f"SELECT * FROM '{files[0]}'")
+            erel = con.sql(oracle[name])
+            gcols = list(grel.columns)
+            ecols = list(erel.columns)
+            # LOGICAL types (BIGINT vs HUGEINT vs INTEGER), not DBAPI
+            # .description codes — those collapse every integer width
+            # into the same NUMBER code, which is exactly the class the
+            # driver's type-sensitive hash punishes (ta39/ta40 in r11/r12:
+            # windowed/grouped sum(BIGINT) promotes to HUGEINT in DuckDB
+            # and the promotion rides arithmetic like `//` downstream).
+            gtypes = dict(zip(gcols, [str(t) for t in grel.types]))
+            etypes = dict(zip(ecols, [str(t) for t in erel.types]))
+            got = grel.fetchall()
+            exp = erel.fetchall()
         except Exception as e:
             print(f"ERROR    {name}: {e}"); n_bad += 1; continue
         if sorted(gcols) != sorted(ecols):
             print(f"SCHEMA   {name}: spark={sorted(gcols)} oracle={sorted(ecols)}")
             n_bad += 1; continue
-        # Type check: the driver's hash is type-sensitive (HUGEINT vs BIGINT
-        # was r1's only red class), so compare DuckDB-visible column types too.
-        gtypes = dict(zip(gcols, [str(d[1]) for d in con.sql(f"SELECT * FROM '{files[0]}'").description]))
-        etypes = dict(zip(ecols, [str(d[1]) for d in con.sql(oracle[name]).description]))
         tdiff = {c: (gtypes[c], etypes[c]) for c in gtypes if gtypes[c] != etypes[c]}
         if tdiff:
             print(f"TYPES    {name}: {tdiff}"); n_bad += 1; continue
