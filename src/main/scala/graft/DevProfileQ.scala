@@ -10,10 +10,16 @@ object DevProfileQ {
     val d = args(0); val reps = args(1).toInt
     val prefixes = args(2).split(",").toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val s = SparkSession.builder().master(s"local[$cpus]")
+    val b = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // Experiment knob: SPARK_GRAFT_CONF="k=v;k=v" extra session confs.
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2))
+      .collect { case Array(k, v) => (k, v) }
+      .foreach { case (k, v) => b.config(k, v) }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     val run = new AtomicLong; val gc = new AtomicLong
     val deser = new AtomicLong; val rser = new AtomicLong
