@@ -30,5 +30,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default: driver + all local-mode executor threads share this one
+  // heap; at 8g a full 235-query bench run ages into GC pressure (measured
+  // same-code sf0.1 A/B: 302.5 s at 8g vs 288.4 s at 32g, calib markers
+  // equal). Parameterized for constrained hosts; production sizes driver
+  // and executor memory separately (guide §5).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -77,10 +77,35 @@ object Bench {
       val sibling = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
       if (sibling.isDirectory) sibling.getPath else sfDir
     }
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case e: Throwable => warn(s"warmup entry FAILED: ${e.getMessage}") }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (n, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+    // Warmup SCOPE (SPARK_GRAFT_WARMUP = batch|full|none, default batch):
+    // round 12's 12 first-run ~2x spikes were ALL batch queries (pl05
+    // 22.3 s first vs 2.3 s best was the worst), so batch queries warm.
+    // The STREAMING queries showed no first-run spikes in round 12 (st24
+    // first 2.32 vs 2.13 best) — their multi-trigger shape amortizes
+    // codegen inside the query itself — and a full-registry warmup
+    // measurably HURT them: the 235 extra pre-clock executions keep the
+    // C2 compile queue busy into the timed region and pollute shared
+    // dispatch-site profiles (the adjudicated dd09→dq05 megamorphic
+    // class), measured this round as st24 8.9 s / st25 7.1 s / st28
+    // 6.7 s first runs under "full" vs 2.3-2.6 s in round 12. One cheap
+    // streaming query stays in the batch warmup to init the micro-batch
+    // machinery (state store, memory sink, stream planner) once.
+    val warmupMode = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "batch")
+    val streamingNames =
+      graft.streaming.Streams.queries.keySet + "pp02_stream_diamond"
+    val warmupSet: Seq[String] = warmupMode match {
+      case "none" => Seq.empty
+      case "full" => SparkEntry.queries.keys.toSeq.sorted
+      case _ => (SparkEntry.queries.keySet -- streamingNames + "st02_stream_dedup")
+        .toSeq.sorted
+    }
+    if (warmupSet.nonEmpty) {
+      try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => warn(s"warmup entry FAILED: ${e.getMessage}") }
+    }
+    warmupSet.foreach { n =>
+      try SparkEntry.queries(n)(spark, warmDir)
+        .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => warn(s"warmup $n FAILED: ${e.getMessage}") }
     }
     // Per-fixture ARTIFACT builds run once on the TIMED dir before the
@@ -192,6 +217,25 @@ object Bench {
         val prefixes = ps.split(",").toSeq.filter(_.nonEmpty)
         SparkEntry.queries.filter { case (n, _) => prefixes.exists(n.startsWith) }
       case None => SparkEntry.queries
+    }
+    // JIT settle gate: the warmup + staging above queue hundreds of C2
+    // compiles; letting them drain before the clock keeps compiler
+    // threads from stealing cores inside the timed region (visible as
+    // an inflated calib_par with an idle host). Poll the JVM's total
+    // compilation time until it stops advancing (bounded wait).
+    locally {
+      val cb = java.lang.management.ManagementFactory.getCompilationMXBean
+      if (cb != null && cb.isCompilationTimeMonitoringSupported) {
+        var last = cb.getTotalCompilationTime
+        var waited = 0L
+        var settled = false
+        while (!settled && waited < 60000L) {
+          Thread.sleep(2000L); waited += 2000L
+          val now = cb.getTotalCompilationTime
+          settled = (now - last) < 100L
+          last = now
+        }
+      }
     }
     val calibPre = calibrate()
     val calibParPre = calibratePar(cpus.toInt)
