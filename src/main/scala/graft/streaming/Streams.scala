@@ -97,26 +97,30 @@ object Streams {
   private val nameSeq = new AtomicInteger(0)
 
   /** Stateful streaming queries run on a shared ISOLATED session with
-    * `spark.sql.shuffle.partitions` tuned down to 8. State-store shard
-    * count is a STATE-SIZE knob, not a CPU knob: every shard pays
-    * per-micro-batch delta-commit file IO (a stream-stream join keeps 4
-    * stores per shard per side), so 32 shards over fixture-sized state
-    * spend more wall-clock in state-store commits than in the join
-    * itself — measured on this harness: st16+st08 ~29 s → ~13 s at 8
-    * shards. The same principle scales up, not just down: on a real
-    * cluster you size shards to state volume (hundreds for a TB-scale
-    * join buffer) independent of executor count, then let many
-    * executors each own a few shards. Memoized per root session so a
-    * multi-leg query (st08's click/view self-join) binds every leg to
-    * the SAME session — cross-session Dataset joins are illegal — and
-    * so the conf mutation never touches the caller's session (the
-    * st12/st13 isolation discipline, applied registry-wide). */
+    * `spark.sql.shuffle.partitions` tuned down to SPARK_GRAFT_STATE_SHARDS
+    * (default 4). State-store shard count is a STATE-SIZE knob, not a
+    * CPU knob: every shard pays per-micro-batch store load + delta-
+    * commit IO (a stream-stream join keeps 4 stores per shard per
+    * side), so 32 shards over fixture-sized state spend more wall-clock
+    * in state-store lifecycle than in the join itself — measured on
+    * this harness: st16+st08 ~29 s → ~13 s at 8 shards (round 9), and
+    * at 4 shards st16 taskRun 17 s → 5.4 s / st08 9.5 s → 3.5 s (round
+    * 13, tmpfs checkpoints). The same principle scales up, not just
+    * down: on a real cluster you size shards to state volume (hundreds
+    * for a TB-scale join buffer) independent of executor count, then
+    * let many executors each own a few shards; the env knob is that
+    * sizing parameter. Memoized per root session so a multi-leg query
+    * (st08's click/view self-join) binds every leg to the SAME session
+    * — cross-session Dataset joins are illegal — and so the conf
+    * mutation never touches the caller's session (the st12/st13
+    * isolation discipline, applied registry-wide). */
   private val tunedSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
   private def stateTuned(s0: SparkSession): SparkSession =
     tunedSessions.computeIfAbsent(s0, s => {
       val t = s.newSession()
-      t.conf.set("spark.sql.shuffle.partitions", 8)
+      t.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STATE_SHARDS", "4").toInt)
       t
     })
 
@@ -136,19 +140,43 @@ object Streams {
         .parquet(d))
   }
 
+  /** Checkpoint root for the bounded memory-sink harness queries.
+    * These checkpoints are EPHEMERAL by design (Spark's own temporary-
+    * checkpoint path deletes them after a clean run); what they are NOT
+    * is cheap: every stateful shard pays per-micro-batch delta-commit
+    * fsyncs, and a stream-stream join keeps 4 stores per shard per
+    * side — measured on st16 as 21 s of task runtime with 2 s of CPU,
+    * i.e. almost pure state-store commit I/O against the disk-backed
+    * default tmpdir. A RAM-backed root (tmpfs) removes that disk I/O
+    * without changing semantics — the lifecycle stays create-run-delete
+    * inside one call. Production durable checkpoints live on real
+    * storage and are configured explicitly; SPARK_GRAFT_CKPT_DIR
+    * overrides (e.g. for hosts without /dev/shm). */
+  private lazy val ckptRoot: String = {
+    val base = sys.env.get("SPARK_GRAFT_CKPT_DIR").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm") else None
+    }.getOrElse(System.getProperty("java.io.tmpdir"))
+    base
+  }
+
   /** Run a streaming Dataset to completion into a memory sink; return the
     * materialized result. Complete mode: the sink holds the final state
     * of the aggregation, independent of how AvailableNow batched the
     * input. */
   private def runToTable(ds: Dataset[_], mode: OutputMode): DataFrame = {
     val name = s"graft_stream_${nameSeq.incrementAndGet()}"
+    val ckpt = new java.io.File(ckptRoot,
+      s"graft_ckpt_${ds.sparkSession.sparkContext.applicationId}_$name")
     val q = ds.writeStream
       .format("memory")
       .queryName(name)
+      .option("checkpointLocation", ckpt.getPath)
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally graft.sources.Scratch.deleteRec(ckpt) // temp-checkpoint lifecycle
     // Release this query's in-memory state (a stream-stream join buffers
     // the whole watermark window); harness runs execute many bounded
     // streaming queries in one JVM and would otherwise hold all of it.
@@ -798,6 +826,14 @@ object Streams {
     val ss = batch.sparkSession
     ledgerRecover(bandsDir)
     ledgerRecover(setsDir)
+    // Ledger-append FILE COUNT tracks the micro-batch's INPUT size (its
+    // scan split count), not the session's shuffle width: appending one
+    // near-empty file per shuffle partition per trigger (32/trigger)
+    // blows past maxDeltas every trigger and turns the threshold-gated
+    // compaction into an every-trigger O(ledger) rewrite — measured as
+    // the bulk of st19's 870 tasks/run. Guide §6's output-sizing rule:
+    // a trigger that ingested k scan splits appends ~k ledger files.
+    val k = math.max(1, batch.rdd.getNumPartitions)
     val sets = Dedup.shingleSetsOf(
       batch.repartition(ss.sparkContext.defaultParallelism, col("doc_id")))
       .persist()
@@ -815,11 +851,13 @@ object Streams {
     val cand = intra.union(cross).distinct()
     val lookup = sets.union(ss.read.parquet(setsDir))
     Dedup.verifyPairs(cand, lookup, 0.5)
-      .write.mode("append").parquet(outDir)
+      .coalesce(k).write.mode("append").parquet(outDir)
     // Ledger append AFTER the probe: this batch's docs must not
     // cross-match themselves (intra already covered in-batch).
-    bands.write.mode("append").parquet(bandsDir)
-    sets.write.mode("append").parquet(setsDir)
+    // coalesce(k) on the PERSISTED frames is a narrow merge of cached
+    // partitions — no recompute, no extra exchange.
+    bands.coalesce(k).write.mode("append").parquet(bandsDir)
+    sets.coalesce(k).write.mode("append").parquet(setsDir)
     sets.unpersist(blocking = false)
     bands.unpersist(blocking = false)
     // Threshold-gated small-file collapse: the signature ledger buckets
@@ -863,6 +901,11 @@ object Streams {
     import graft.operators.Multimodal
     val ss = batch.sparkSession
     ledgerRecover(bandsDir)
+    // Input-split-derived append width (neardupStep's rule): the decode
+    // stays at full parallelism (blob hashing is CPU-bound at every
+    // batch size), only the ledger/pair APPENDS collapse to ~one file
+    // per ingested scan split.
+    val k = math.max(1, batch.rdd.getNumPartitions)
     val bands = Multimodal.phashBands(
       Multimodal.phashWideOf(
         batch.repartition(ss.sparkContext.defaultParallelism, col("doc_id"))),
@@ -882,9 +925,9 @@ object Streams {
         expr("cast(bit_count(n.phash ^ o.phash) as int)").as("hamming"))
     intra.union(cross).distinct()
       .filter(col("hamming") <= 2)
-      .write.mode("append").parquet(outDir)
+      .coalesce(k).write.mode("append").parquet(outDir)
     // Ledger append AFTER the probe (intra already covered in-batch).
-    bands.write.mode("append").parquet(bandsDir)
+    bands.coalesce(k).write.mode("append").parquet(bandsDir)
     bands.unpersist(blocking = false)
     // Threshold-gated small-file collapse, bucketed by the probe's
     // (band, bv) join key.
@@ -1148,6 +1191,12 @@ object Streams {
       val s = s0.newSession()
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Same state-size shard knob as stateTuned: each shard is one
+      // RocksDB instance OPEN+commit per micro-batch (~0.5 s of task
+      // time each, measured) - 32 shards of fixture-sized state is
+      // pure store-lifecycle overhead.
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STATE_SHARDS", "4").toInt)
       import s.implicits._
       val out = eventStream(s, d)
         .select(col("user_id"), col("event_type")).as[(Long, String)]
@@ -1172,6 +1221,12 @@ object Streams {
       val s = s0.newSession()
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Same state-size shard knob as stateTuned: each shard is one
+      // RocksDB instance OPEN+commit per micro-batch (~0.5 s of task
+      // time each, measured) - 32 shards of fixture-sized state is
+      // pure store-lifecycle overhead.
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STATE_SHARDS", "4").toInt)
       import s.implicits._
       val out = eventStream(s, d)
         .select(col("user_id"), unix_micros(col("ts")), col("event_id"))
@@ -1961,7 +2016,14 @@ object Streams {
     //    Ledger joins are band-key equi-joins (the LSH bound on
     //    candidates) and id-keyed shingle lookups — at 100 TB the ledger
     //    is a parquet table bucketed by band key.
-    "st19_stream_neardup" -> ((s, d) => {
+    "st19_stream_neardup" -> ((s0, d) => {
+      // Micro-batch-sized shuffles: every per-trigger relation here is
+      // batch-bounded or ledger-probe-shaped, so the trigger's band/
+      // verify joins run at the tuned width (state-size knob), not the
+      // session's CPU width — the per-task fixed overhead (measured
+      // ~24 ms deserialize alone) dominates 32-wide exchanges over
+      // fixture-sized batches.
+      val s = stateTuned(s0)
       val (feed, schema) = docsFeed(s, d)
       val (bandsDir, setsDir, outDir) = (
         graft.sources.Scratch.dir(s, d, "st19_bands"),
@@ -1997,7 +2059,10 @@ object Streams {
     //    in-row — no side lookup ledger. Union over batches ≡ mm10's
     //    batch all-pairs result (the oracle); replay-idempotent via the
     //    read-back distinct.
-    "st36_stream_phash_neardup" -> ((s, d) => {
+    "st36_stream_phash_neardup" -> ((s0, d) => {
+      // st19's micro-batch-width discipline; the blob decode inside
+      // phashStep keeps full CPU width via its own repartition.
+      val s = stateTuned(s0)
       val (feed, schema) = docsFeed(s, d)
       val (bandsDir, outDir) = (
         graft.sources.Scratch.dir(s, d, "st36_bands"),
