@@ -335,9 +335,40 @@ object Bench {
     catch { case e: Exception =>
       System.err.println(s"[bench] last-run write skipped: ${e.getMessage}")
     }
+    // STABLE per-query artifact the driver can diff round-over-round
+    // (PERF's per_query/geomean/scaling analyses were empty for two
+    // rounds because the single-line detail blob overflowed the
+    // driver's 2000-char stdout tail capture — this file, plus the
+    // chunked lines below, is the fix). Best-effort like the others.
+    val perQueryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PER_QUERY",
+      new java.io.File(new java.io.File(histPath).getParentFile,
+        s"bench_per_query_$sfSlug.json").getPath)
+    try java.nio.file.Files.write(java.nio.file.Paths.get(perQueryPath),
+      (s"""{"sf":"$sfDir","n_queries":${results.size},"n_failed":$nFailed,""" +
+        s""""total_sec":$total,"queries":$qs}""" + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] per-query write skipped: ${e.getMessage}")
+    }
     println(s"""{"detail":"per_query","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     println(s"""{"detail":"noise_guard","medians3_top10":$med,"medians3_flagged":$flagJson,"calib_pre_sec":$calibPre,"calib_post_sec":$calibPost,"calib_par_pre_sec":$calibParPre,"calib_par_post_sec":$calibParPost,"warnings":$warnJson}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"n_warnings":${warnings.size},"calib_sec":${(calibPre + calibPost) / 2},"calib_par_sec":${(calibParPre + calibParPost) / 2},"sf":"$sfDir"}""")
+    // Per-query detail CHUNKED into complete parseable lines right
+    // before the metric line: the driver keeps only a stdout tail, so a
+    // single 235-entry line is truncated mid-line and parses as nothing.
+    // ≤25 queries per line, millisecond precision (shorter lines ⇒ more
+    // queries inside any fixed-size tail); merge the "queries" maps of
+    // every "per_query_chunk" line to reassemble. The authoritative
+    // full-precision map lives in the per-query file artifact above.
+    locally {
+      val sorted = results.sortBy(_._1)
+      val parts = sorted.grouped(25).toSeq
+      parts.zipWithIndex.foreach { case (grp, i) =>
+        val body = grp.map { case (k, v, ok) =>
+          "\"" + k + "\":" + (if (ok) math.round(v * 1000.0) / 1000.0 else -1.0)
+        }.mkString("{", ",", "}")
+        println(s"""{"detail":"per_query_chunk","part":${i + 1},"parts":${parts.size},"queries":$body}""")
+      }
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$nFailed,"n_warnings":${warnings.size},"calib_sec":${(calibPre + calibPost) / 2},"calib_par_sec":${(calibParPre + calibParPost) / 2},"per_query_file":"$perQueryPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -609,13 +609,22 @@ object Curation {
     * shard audit) and pl08 (the funnel attribution). One relation:
     * (doc_id, lang, n_blocks, n_kept, txt, n, u, q). */
   private def webScored(s: SparkSession, d: String): DataFrame = {
-    val blocksDf = webBlocks(s, d)
+    // The markup extraction (regex strip + link-density gates) is the
+    // pipeline's expensive pass and its consumers reference the blocks
+    // relation from MULTIPLE subtrees (bh twice, the reassembly once;
+    // pl05/pl08/pl14 then reference the scored relation 2-3× more).
+    // Catalyst does not dedupe common subplans (the r13 plan dumps show
+    // zero ReusedExchange here), so uncheckpointed, the extraction ran
+    // ~4-5× per query. localCheckpoint materializes each stage ONCE per
+    // query execution (ta37's discipline; at 100 TB this is a written
+    // intermediate artifact — guide §8's "fingerprints only" move).
+    val blocksDf = webBlocks(s, d).localCheckpoint()
     val bh = bhOf(blocksDf)
     val kept = bh.hint("shuffle_hash")
       .join(dropSetOf(bh).hint("shuffle_hash"), Seq("bh"), "left_anti")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("idx"))).as("kept_idx"))
-    cleanedScoredOf(blocksDf, kept)
+    cleanedScoredOf(blocksDf, kept).localCheckpoint()
   }
 
   /** The funnel's STAGED artifacts (write-once per (app, fixture), the
@@ -710,32 +719,49 @@ object Curation {
     * write has consumed the result (st17's unpersist discipline). */
   private[graft] def funnelPartialManaged(batch: DataFrame, dropSet: DataFrame,
       canon: DataFrame): (DataFrame, () => Unit) = {
-    import graft.sources.Scratch.routeBuckets
-    val blocksDf = webBlocksOf(batch)
-    val bh = bhOf(blocksDf).persist()
-    // artifact scan PRUNED to the batch's key buckets (static routing —
-    // a ≤B-int driver scalar per trigger, st22's cell-list class), batch
-    // probe broadcast: which of the batch's block hashes are corpus-
-    // boilerplate (batch-bounded result). Pruning drops only artifact
-    // rows whose bucket no probe key hashes to — they cannot match.
-    val dropped = routeBuckets(dropSet, "bkt",
-        bh.select(pmod(col("bh"), lit(B)).cast("int")))
-      .join(broadcast(bh), Seq("bh"))
-      .select(col("doc_id"), col("idx"))
-    val kept = bh
-      .join(broadcast(dropped), Seq("doc_id", "idx"), "left_anti")
+    // Per-trigger job structure (the r13 verdict's st32 item): the old
+    // shape paid 2 routeBuckets COLLECT jobs + 5 broadcast builds per
+    // trigger, and the collected bucket lists were embedded as isin()
+    // LITERALS — a different plan every trigger, so nothing hit the
+    // codegen cache. Now the artifact probes join on (bkt, key) with
+    // the batch probe broadcast — the buckets ride the broadcast (and
+    // prune via the join itself; Spark's dynamic partition pruning
+    // picks up the bkt equi-join where its heuristics allow), the plan
+    // is literal-free across triggers, and the drop-hit anti-join runs
+    // IN-PLAN as a union/max trick instead of a fifth broadcast build.
+    // The EXTRACTION (markup strip + density gates) is the trigger's
+    // expensive pass and is referenced from two subtrees → it is the
+    // relation persisted for the trigger (the bh hash pass re-derives
+    // from it cheaply).
+    val blocksDf = webBlocksOf(batch).persist()
+    val bh = bhOf(blocksDf)
+      .withColumn("bkt", pmod(col("bh"), lit(B)).cast("int"))
+    // Which of the batch's block hashes are corpus-boilerplate: batch
+    // probe broadcasts INTO the bucketed artifact scan (serving
+    // inversion — the artifact is never reshuffled or broadcast).
+    val hits = dropSet.join(broadcast(bh), Seq("bkt", "bh"))
+      .select(col("doc_id"), col("idx"), lit(1).as("h"))
+    // kept = bh MINUS hits, computed in-plan: tag both sides, per
+    // (doc, idx) a hit wins, survivors aggregate to the kept index
+    // array. Two micro-batch-bounded exchanges inside the main job
+    // replace the broadcast(dropped) build + anti-join.
+    val kept = bh.select(col("doc_id"), col("idx"), lit(0).as("h"))
+      .unionByName(hits)
+      .groupBy(col("doc_id"), col("idx"))
+      .agg(max(col("h")).as("h"))
+      .filter(col("h") === 0)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("idx"))).as("kept_idx"))
     val scored = cleanedScoredOf(blocksDf, kept, batchLocal = true)
       .withColumn("ck", md5(col("txt")))
       .persist()
-    // artifact scan (pruned the same way), batch probe broadcast:
-    // canonical ids for the batch's content keys (a non-passing doc's
+    // Canonical ids for the batch's content keys (a non-passing doc's
     // ck cannot be in the canonical map — identical txt ⇒ identical q
-    // on both docs).
-    val cf = routeBuckets(canon, "bkt",
-        scored.select(pmod(hash(col("ck")), lit(B))))
-      .join(broadcast(scored.select(col("ck")).distinct()), Seq("ck"))
+    // on both docs). Same broadcast-probe-into-artifact shape.
+    val cf = canon
+      .join(broadcast(scored
+        .select(col("ck"), pmod(hash(col("ck")), lit(B)).as("bkt")).distinct()),
+        Seq("bkt", "ck"))
       .select(col("ck"), col("canon_id"))
     val out = scored.join(broadcast(cf), Seq("ck"), "left")
       .select(col("doc_id"), col("lang"),
@@ -744,7 +770,7 @@ object Curation {
           .when(col("doc_id") =!= col("canon_id"), "duplicate")
           .otherwise("kept").as("stage"))
     (out, () => {
-      bh.unpersist(blocking = false)
+      blocksDf.unpersist(blocking = false)
       scored.unpersist(blocking = false)
       ()
     })

@@ -184,22 +184,59 @@ object Profile {
     //    One aggregation pass per table, single-row outputs unioned —
     //    O(tables) result, map-side combined, never O(rows).
     "dq05_pk_uniqueness" -> ((s, d) => {
-      def pk(name: String, df: DataFrame, keys: String*) =
-        df.agg(count(lit(1)).as("n_rows"),
-            countDistinct(keys.head, keys.tail: _*).as("n_keys"))
-          .select(lit(name).as("pk"), col("n_rows"), col("n_keys"),
-            (col("n_rows") - col("n_keys")).as("n_dup_rows"))
-      pk("orders.o_orderkey", Tables.orders(s, d), "o_orderkey")
-        .unionAll(pk("customer.c_custkey", Tables.customer(s, d), "c_custkey"))
-        .unionAll(pk("part.p_partkey", Tables.part(s, d), "p_partkey"))
-        .unionAll(pk("supplier.s_suppkey", Tables.supplier(s, d), "s_suppkey"))
-        .unionAll(pk("nation.n_nationkey", Tables.nation(s, d), "n_nationkey"))
-        .unionAll(pk("region.r_regionkey", Tables.region(s, d), "r_regionkey"))
-        .unionAll(pk("lineitem.(l_orderkey,l_linenumber)",
-          Tables.lineitem(s, d), "l_orderkey", "l_linenumber"))
-        .unionAll(pk("documents.doc_id", Tables.documents(s, d), "doc_id"))
-        .unionAll(pk("embeddings.vec_id", Tables.embeddings(s, d), "vec_id"))
-        .unionAll(pk("events.event_id", Tables.events(s, d), "event_id"))
+      // ONE tall key stream over all ten tables, partial-aggregated
+      // before a single exchange (guide §2.3 "aggregate before you
+      // shuffle", §2.4 "remove shuffles outright"). The per-table form
+      // paid a full raw-row redistribution plus a distinct-merge
+      // exchange per leg (20 exchanges, ~650 tasks); here the scans are
+      // RAW single-split fixture reads feeding map-side aggregation
+      // directly — parallelism comes from the ten-way union (and from
+      // source splits at real scale), and the whole audit is two
+      // exchanges. Keys are integer types at every width ⇒ the bigint
+      // cast is injective and preserves distinctness; NULL handling is
+      // pinned per group: a key group counts into n_keys iff every key
+      // part is non-null (count(distinct ...) semantics, dq05's null-PK
+      // rule).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      def keyRows(name: String, table: String,
+          k1: String, k2: Option[String] = None): DataFrame = {
+        val df = s.read.parquet(s"$d/$table.parquet")
+        val c1 = col(k1).cast("bigint")
+        val c2 = k2.map(col(_).cast("bigint")).getOrElse(lit(null).cast("bigint"))
+        val nn = k2.map(c => col(k1).isNotNull && col(c).isNotNull)
+          .getOrElse(col(k1).isNotNull)
+        df.select(lit(name).as("pk"), c1.as("k1"), c2.as("k2"), nn.as("nn"))
+      }
+      val names = Seq(
+        ("orders.o_orderkey", "orders", "o_orderkey", None),
+        ("customer.c_custkey", "customer", "c_custkey", None),
+        ("part.p_partkey", "part", "p_partkey", None),
+        ("supplier.s_suppkey", "supplier", "s_suppkey", None),
+        ("nation.n_nationkey", "nation", "n_nationkey", None),
+        ("region.r_regionkey", "region", "r_regionkey", None),
+        ("lineitem.(l_orderkey,l_linenumber)", "lineitem",
+          "l_orderkey", Some("l_linenumber")),
+        ("documents.doc_id", "documents", "doc_id", None),
+        ("embeddings.vec_id", "embeddings", "vec_id", None),
+        ("events.event_id", "events", "event_id", None))
+      val tall = names.map { case (n, t, a, b) => keyRows(n, t, a, b) }
+        .reduce(_ unionAll _)
+      val agg = tall
+        .groupBy(col("pk"), col("k1"), col("k2"))
+        .agg(count(lit(1)).as("c"), max(col("nn")).as("nn"))
+        .groupBy(col("pk"))
+        .agg(sum(col("c")).as("n_rows"),
+          count(when(col("nn"), lit(1))).as("n_keys"))
+      // An EMPTY table yields no groups; the ungrouped-aggregate form
+      // emitted its zero row, so pin the ten-row shape explicitly.
+      import s.implicits._
+      names.map(_._1).toDF("pk")
+        .join(broadcast(agg), Seq("pk"), "left")
+        .select(col("pk"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          coalesce(col("n_keys"), lit(0L)).as("n_keys"),
+          (coalesce(col("n_rows"), lit(0L)) - coalesce(col("n_keys"), lit(0L)))
+            .as("n_dup_rows"))
     }),
 
     // -- SCHEMA-DRIFT AUDIT — the production form of the r4 lesson
@@ -415,7 +452,15 @@ object Profile {
       envelope: Option[(Long, Long) => org.apache.spark.sql.Column] = None)
       : DataFrame = {
     import s.implicits._
-    val B = 1024L
+    // Bucket width per refinement round. Convergence needs
+    // ceil(log_B(span)) rounds — each round is a full (filtered) scan
+    // pass, the dominant cost — so B is sized to close any span ≤ B² in
+    // TWO rounds (B=16384 ⇒ spans ≤ 2.7e8; the cents and micro-bits
+    // domains are ~1e7-2e7, which B=1024 closed in three). The driver
+    // collect stays bounded: ≤ pcts.size × B small rows per round. The
+    // bucket width never affects the answer, only the round count (the
+    // rank walk below is width-agnostic).
+    val B = 16384L
     val g = vals.agg(count(lit(1)).as("n"),
       min(col("c")).as("lo"), max(col("c")).as("hi")).collect()(0)
     val n = g.getLong(0)

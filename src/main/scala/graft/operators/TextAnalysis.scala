@@ -1036,8 +1036,15 @@ object TextAnalysis {
           "transform(sequence(1, size(tk) - 1), i -> struct(tk[i-1] as w1, tk[i] as w2))"))
           .as("g"))
       .select(col("doc_id"), col("g.w1"), col("g.w2"))
+    // The trained model (distinct-bigram counts) is vocab²-bounded —
+    // materialize it once (ta37's localCheckpoint discipline): its two
+    // consumers below would otherwise each re-run the corpus explode,
+    // and the unigram counts cu(w1) = Σ_w2 cb(w1,w2) derive from the
+    // model directly — the separate bi.groupBy(w1) pass was a third
+    // full explode plus an instance-stream exchange (guide §2.3/§2.4).
     val bc = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
-    val uc = bi.groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+      .localCheckpoint()
+    val uc = bc.groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
     val vocab = docs.select(explode(expr(toks)).as("w"))
       .agg(countDistinct(col("w")).as("v"))
     bi

@@ -31,12 +31,23 @@ object PipelineQueries {
   private val sinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
   private def drainTo(ds: DataFrame, out: String): Unit = {
     val name = s"graft_pp_sink_${sinkSeq.incrementAndGet()}"
+    // Explicit EPHEMERAL checkpoint on the RAM-backed root (Streams'
+    // runToTable discipline): the complete-mode aggregation commits one
+    // state-store delta per shard per trigger, and against the default
+    // disk tmpdir those fsyncs were nearly all of pp02's task runtime
+    // (measured 46 s task time, 1.6 s CPU). Same create-run-delete
+    // lifecycle as Spark's own temporary checkpoints.
+    val ckpt = new java.io.File(graft.streaming.Streams.ckptRoot,
+      s"graft_ckpt_${ds.sparkSession.sparkContext.applicationId}_$name")
     val q = ds.writeStream.format("memory").queryName(name)
+      .option("checkpointLocation", ckpt.getPath)
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
-    ds.sparkSession.table(name).write.mode("overwrite").parquet(out)
+    try {
+      q.awaitTermination()
+      ds.sparkSession.table(name).write.mode("overwrite").parquet(out)
+    } finally graft.sources.Scratch.deleteRec(ckpt)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -51,7 +62,13 @@ object PipelineQueries {
     //    Streaming fan-out fidelity comes from source replay, not a
     //    persist (see PipelineBuilder.build step 5). Result = union of
     //    both sink relations; oracle = the two batch aggregations.
-    "pp02_stream_diamond" -> ((s, d) => {
+    "pp02_stream_diamond" -> ((s0, d) => {
+      // Both diamond branches are stateful complete-mode aggregations:
+      // every state shard pays a per-trigger store load + delta-commit,
+      // so they run at the tuned state-shard width, not the session's
+      // CPU width (the st12/st13 discipline — 32 shards × 2 queries of
+      // store lifecycle dominated the trigger).
+      val s = graft.streaming.Streams.stateTuned(s0)
       val tmp = System.getProperty("java.io.tmpdir")
       val outA = s"$tmp/graft_pp02_by_type"
       val outB = s"$tmp/graft_pp02_by_user"

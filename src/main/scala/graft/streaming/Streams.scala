@@ -116,7 +116,7 @@ object Streams {
     * isolation discipline, applied registry-wide). */
   private val tunedSessions =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
-  private def stateTuned(s0: SparkSession): SparkSession =
+  private[graft] def stateTuned(s0: SparkSession): SparkSession =
     tunedSessions.computeIfAbsent(s0, s => {
       val t = s.newSession()
       t.conf.set("spark.sql.shuffle.partitions",
@@ -152,7 +152,7 @@ object Streams {
     * inside one call. Production durable checkpoints live on real
     * storage and are configured explicitly; SPARK_GRAFT_CKPT_DIR
     * overrides (e.g. for hosts without /dev/shm). */
-  private lazy val ckptRoot: String = {
+  private[graft] lazy val ckptRoot: String = {
     val base = sys.env.get("SPARK_GRAFT_CKPT_DIR").orElse {
       val shm = new java.io.File("/dev/shm")
       if (shm.isDirectory && shm.canWrite) Some("/dev/shm") else None
@@ -688,15 +688,36 @@ object Streams {
     * content key with attributes riding the min-struct. */
   private[graft] def curationPartial(
       batch: DataFrame, bid: Long, bench: DataFrame): DataFrame = {
-    import graft.operators.{Dedup, TextAnalysis}
+    import graft.operators.Dedup
     val b = batch.filter(col("doc_id") % 10 =!= 0)
-    val qual = TextAnalysis.qualityOf(b).select(col("doc_id"), col("quality"))
-    val cont = Dedup.gramHashesOf(b, 8).distinct()
+    // ta03's quality formula IN-ROW (cleanedScoredOf's discipline): pl04
+    // only consumes the composite `quality`, and its two terms are
+    // size(tk) / size(array_distinct(tk)) — the same exact integers
+    // qualityOf derives by explode + two token-keyed shuffles, which a
+    // per-TRIGGER evaluation cannot afford (two exchanges of the token
+    // stream per micro-batch, guide §2.4). qualityOf keeps the exploded
+    // shape for ta03, whose max_tf term needs per-token counts.
+    // qualityOf's explode emits no row for a token-less doc and the
+    // original join was inner, so the size(tk) > 0 filter is the same
+    // membership.
+    val toks = "filter(split(text, ' '), x -> x <> '')"
+    val scored = b
+      .select(col("doc_id"), col("lang"),
+        md5(lower(trim(col("text")))).as("content_key"),
+        expr(s"size($toks)").cast("double").as("n"),
+        expr(s"size(array_distinct($toks))").cast("double").as("u"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("lang"), col("content_key"),
+        round(least(col("n") / 100d, lit(1d)) * 0.5 + (col("u") / col("n")) * 0.5,
+          6).as("quality"))
+    // No pre-join distinct on the gram stream: the broadcast-hash probe
+    // needs no exchange, and the post-join doc_id distinct already
+    // collapses multiplicity — the dropped distinct was a full shuffle
+    // of the batch's gram stream every trigger (guide §2.4).
+    val cont = Dedup.gramHashesOf(b, 8)
       .join(broadcast(bench), "gh")
       .select(col("doc_id")).distinct()
-    b.select(col("doc_id"), col("lang"),
-        md5(lower(trim(col("text")))).as("content_key"))
-      .join(qual, "doc_id")
+    scored
       .join(cont.withColumn("cflag", lit(1)), Seq("doc_id"), "left")
       .groupBy(col("content_key"))
       .agg(min(struct(col("doc_id"), col("lang"), col("quality"),
@@ -1051,7 +1072,11 @@ object Streams {
     //    Complete-mode driver materialization). Read-back picks the last
     //    emission per window (batch_id argmax), the same monotone-state
     //    selection st03 uses; same oracle as st01 = stream/batch parity.
-    "st07_foreachbatch_sink" -> ((s, d) => {
+    "st07_foreachbatch_sink" -> ((s0, d) => {
+      // Micro-batch-width discipline (st19/st36): per-trigger relations
+      // here are batch-bounded; exchanges run at the state-shard width,
+      // while CPU-heavy passes keep scan/explicit-repartition width.
+      val s = stateTuned(s0)
       // Deterministic scratch dir, cleared up front: the sink appends,
       // so stale batches from a previous harness run must not survive.
       val outDir = graft.sources.Scratch.dir(s, d, "st07_out")
@@ -1325,7 +1350,11 @@ object Streams {
     //    batches IS ss02's batch answer: the oracle is ss02's verbatim.
     //    At 100 TB the artifact is cell-partitioned on disk, so a
     //    micro-batch touching few cells reads few directories.
-    "st22_stream_ann_serve" -> ((s, d) => {
+    "st22_stream_ann_serve" -> ((s0, d) => {
+      // Micro-batch-width discipline (st19/st36): per-trigger relations
+      // here are batch-bounded; exchanges run at the state-shard width,
+      // while CPU-heavy passes keep scan/explicit-repartition width.
+      val s = stateTuned(s0)
       import graft.operators.Similarity
       val idx = Similarity.ivfIndex(s, d)
       val (feed, schema) = embFeed(s, d)
@@ -1364,7 +1393,11 @@ object Streams {
     //    in index then serves ss02's exact probe: oracle = ss02's
     //    verbatim — an index built from a stream answers identically to
     //    one built in batch.
-    "st24_stream_index_ingest" -> ((s, d) => {
+    "st24_stream_index_ingest" -> ((s0, d) => {
+      // Micro-batch-width discipline (st19/st36): per-trigger relations
+      // here are batch-bounded; exchanges run at the state-shard width,
+      // while CPU-heavy passes keep scan/explicit-repartition width.
+      val s = stateTuned(s0)
       import graft.operators.Similarity
       val (feed, schema) = embFeed(s, d)
       val idxDir = graft.sources.Scratch.dir(s, d, "st24_idx")
@@ -1406,7 +1439,11 @@ object Streams {
     //    in one serving micro-batch and probes the complete index, so
     //    the union over batches IS ss02's batch answer — the oracle is
     //    ss02's verbatim.
-    "st25_stream_lifecycle" -> ((s, d) => {
+    "st25_stream_lifecycle" -> ((s0, d) => {
+      // Micro-batch-width discipline (st19/st36): per-trigger relations
+      // here are batch-bounded; exchanges run at the state-shard width,
+      // while CPU-heavy passes keep scan/explicit-repartition width.
+      val s = stateTuned(s0)
       import graft.operators.Similarity
       val (feed, schema) = embFeed(s, d)
       val rawDir = graft.sources.Scratch.dir(s, d, "st25_raw")
@@ -1461,7 +1498,11 @@ object Streams {
     //    SHUFFLE-HASH inside the batch (vocab grows Heaps-law with the
     //    training corpus — the no-broadcast class). Oracle = ta26's:
     //    stream/batch encode parity is the claim.
-    "st26_stream_bpe_encode" -> ((s, d) => {
+    "st26_stream_bpe_encode" -> ((s0, d) => {
+      // Micro-batch-width discipline (st19/st36): per-trigger relations
+      // here are batch-bounded; exchanges run at the state-shard width,
+      // while CPU-heavy passes keep scan/explicit-repartition width.
+      val s = stateTuned(s0)
       // wbkt rides along: the batchLocal encode routes each trigger's
       // word buckets into the dict scan (pruned artifact read).
       val dict = graft.operators.Bpe.bpeDict(s, d)
@@ -1501,7 +1542,11 @@ object Streams {
     //    stage dq08 runs. ZERO stream state; the sink is the state.
     //    Oracle = dq08's: the monitor's final scores over the full
     //    feed equal the batch audit.
-    "st29_stream_drift_monitor" -> ((s, d) => {
+    "st29_stream_drift_monitor" -> ((s0, d) => {
+      // Micro-batch-width discipline (st19/st36): per-trigger relations
+      // here are batch-bounded; exchanges run at the state-shard width,
+      // while CPU-heavy passes keep scan/explicit-repartition width.
+      val s = stateTuned(s0)
       val (feed, schema) = docsFeed(s, d)
       val outDir = graft.sources.Scratch.dir(s, d, "st29_out")
       val fsPath = new org.apache.hadoop.fs.Path(outDir)
@@ -1541,7 +1586,11 @@ object Streams {
     //    byte-identical replayed rows with distinct FIRST (st17's
     //    discipline), then runs the SAME operator over the union.
     //    ZERO stream state; oracle = pl07's verbatim.
-    "st30_stream_diverse_sample" -> ((s, d) => {
+    "st30_stream_diverse_sample" -> ((s0, d) => {
+      // Micro-batch-width discipline (st19/st36): per-trigger relations
+      // here are batch-bounded; exchanges run at the state-shard width,
+      // while CPU-heavy passes keep scan/explicit-repartition width.
+      val s = stateTuned(s0)
       import graft.operators.{Curation, Similarity, TextAnalysis}
       val (feed, schema) = embFeed(s, d)
       val outDir = graft.sources.Scratch.dir(s, d, "st30_out")
@@ -1586,7 +1635,11 @@ object Streams {
     //    byte-identical rows collapsed by the read-back distinct.
     //    Oracle: every doc scored against the unrolled training's
     //    round-3 weights (c36w3) — the train→serve contract end-to-end.
-    "st31_stream_classifier_score" -> ((s, d) => {
+    "st31_stream_classifier_score" -> ((s0, d) => {
+      // Micro-batch-width discipline (st19/st36): per-trigger relations
+      // here are batch-bounded; exchanges run at the state-shard width,
+      // while CPU-heavy passes keep scan/explicit-repartition width.
+      val s = stateTuned(s0)
       import graft.operators.TextAnalysis
       val w = TextAnalysis.trainClassifier(s, d)._2
       val (feed, schema) = docsFeed(s, d)
@@ -1622,8 +1675,13 @@ object Streams {
     //    over batches ≡ pl08's per-doc attribution (the oracle), and
     //    replays collapse under the read-back distinct. ZERO stream
     //    state.
-    "st32_stream_funnel" -> ((s, d) => {
+    "st32_stream_funnel" -> ((s0, d) => {
       import graft.operators.Curation
+      // st19/st36's micro-batch-width discipline: every per-trigger
+      // relation here is batch-bounded (probes, broadcasts) or a pruned
+      // artifact scan — CPU-width exchanges over them are per-task
+      // fixed overhead, not parallelism.
+      val s = stateTuned(s0)
       val dropSet = Curation.stagedDropSet(s, d)
       val canon = Curation.stagedCanon(s, d)
       val (feed, schema) = docsFeed(s, d)
@@ -1658,7 +1716,11 @@ object Streams {
     //    row-pure → union over batches ≡ mm02's batch decode (mm02's
     //    closed-form oracle verbatim), replays collapse under the
     //    read-back distinct. ZERO stream state, zero exchanges.
-    "st33_stream_blob_decode" -> ((s, d) => {
+    "st33_stream_blob_decode" -> ((s0, d) => {
+      // Micro-batch-width discipline (st19/st36): per-trigger relations
+      // here are batch-bounded; exchanges run at the state-shard width,
+      // while CPU-heavy passes keep scan/explicit-repartition width.
+      val s = stateTuned(s0)
       val (feed, schema) = docsFeed(s, d)
       val outDir = graft.sources.Scratch.dir(s, d, "st33_out")
       val fsPath = new org.apache.hadoop.fs.Path(outDir)
@@ -1692,7 +1754,11 @@ object Streams {
     //    BOUNDS. dq10's exact value provably lies within them (the
     //    spec pins it) — sketch-with-guarantees, the mergeable shape
     //    a 100 TB feed needs. ZERO stream state.
-    "st34_stream_quantile_monitor" -> ((s, d) => {
+    "st34_stream_quantile_monitor" -> ((s0, d) => {
+      // Micro-batch-width discipline (st19/st36): per-trigger relations
+      // here are batch-bounded; exchanges run at the state-shard width,
+      // while CPU-heavy passes keep scan/explicit-repartition width.
+      val s = stateTuned(s0)
       val (feed, schema) = docsFeed(s, d)
       val outDir = graft.sources.Scratch.dir(s, d, "st34_out")
       val fsPath = new org.apache.hadoop.fs.Path(outDir)
@@ -1847,7 +1913,11 @@ object Streams {
     //    collapsed by the read-back distinct. ZERO stream state and
     //    zero exchanges inside the batch plan — the cheapest possible
     //    streaming operator shape. Oracle = ta31's verbatim.
-    "st27_stream_chunking" -> ((s, d) => {
+    "st27_stream_chunking" -> ((s0, d) => {
+      // Micro-batch-width discipline (st19/st36): per-trigger relations
+      // here are batch-bounded; exchanges run at the state-shard width,
+      // while CPU-heavy passes keep scan/explicit-repartition width.
+      val s = stateTuned(s0)
       val (feed, schema) = docsFeed(s, d)
       val outDir = graft.sources.Scratch.dir(s, d, "st27_out")
       val fsPath = new org.apache.hadoop.fs.Path(outDir)
@@ -1928,7 +1998,11 @@ object Streams {
     //    (key, batch_id) duplicates BEFORE the cross-batch merge —
     //    replays change nothing (st07's last-emission discipline).
     //    Oracle = dd01's: stream/batch parity for the dedup relation.
-    "st17_stream_exact_dedup" -> ((s, d) => {
+    "st17_stream_exact_dedup" -> ((s0, d) => {
+      // Micro-batch-width discipline (st19/st36): per-trigger relations
+      // here are batch-bounded; exchanges run at the state-shard width,
+      // while CPU-heavy passes keep scan/explicit-repartition width.
+      val s = stateTuned(s0)
       val (feed, schema) = docsFeed(s, d)
       val outDir = graft.sources.Scratch.dir(s, d, "st17_out")
       val fsPath = new org.apache.hadoop.fs.Path(outDir)
@@ -1963,7 +2037,11 @@ object Streams {
     //    at-least-once foreachBatch replay appends the partial twice.
     //    At scale the bench set outgrows a broadcast → swap in dd12's
     //    Bloom probe; the plumbing is identical.
-    "st18_stream_decontaminate" -> ((s, d) => {
+    "st18_stream_decontaminate" -> ((s0, d) => {
+      // Micro-batch-width discipline (st19/st36): per-trigger relations
+      // here are batch-bounded; exchanges run at the state-shard width,
+      // while CPU-heavy passes keep scan/explicit-repartition width.
+      val s = stateTuned(s0)
       val bench = graft.operators.Dedup.benchGramSet(s, d)
       val schema = s.read.parquet(s"$d/documents.parquet").schema
       val outDir = graft.sources.Scratch.dir(s, d, "st18_out")
@@ -2095,7 +2173,11 @@ object Streams {
     //    force the probe to span micro-batches. At 100 TB this is the
     //    ingest-time semantic contamination gate: map-side cell-local
     //    cosine, corpus never shuffles, sink bucketable by vec_id.
-    "st20_stream_embed_decontaminate" -> ((s, d) => {
+    "st20_stream_embed_decontaminate" -> ((s0, d) => {
+      // Micro-batch-width discipline (st19/st36): per-trigger relations
+      // here are batch-bounded; exchanges run at the state-shard width,
+      // while CPU-heavy passes keep scan/explicit-repartition width.
+      val s = stateTuned(s0)
       val bucket = expr(
         "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint) % 100")
       val v = graft.sources.Tables.embeddings(s, d)
@@ -2194,7 +2276,11 @@ object Streams {
     //    At 100 TB: the sink partial is content-key-bucketable, the
     //    merge is one key-shuffle with map-side combine, and the bench
     //    set swaps to dd12's Bloom when it outgrows a broadcast.
-    "pl04_stream_curation" -> ((s, d) => {
+    "pl04_stream_curation" -> ((s0, d) => {
+      // Micro-batch-width discipline (st19/st36): per-trigger relations
+      // here are batch-bounded; exchanges run at the state-shard width,
+      // while CPU-heavy passes keep scan/explicit-repartition width.
+      val s = stateTuned(s0)
       import graft.operators.Dedup
       val bench = Dedup.benchGramSet(s, d)
       val (feed, schema) = docsFeed(s, d)
